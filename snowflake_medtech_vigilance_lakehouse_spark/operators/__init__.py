@@ -1,0 +1,29 @@
+"""LLM-data-pipeline operators: dedup, similarity search, text
+analysis, multimodal column plumbing.
+
+These extend the reference's declared AI/IR surface (README.md:59-61,
+70-73,114-117 — AISQL enrichment, embeddings + kNN, hybrid search) with
+the operations a 100 TB training-data pipeline needs (SURVEY.md §2.9).
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    shingles,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .similarity import (  # noqa: F401
+    knn_bruteforce,
+    embedding_neardup_pairs,
+)
+from .text import (  # noqa: F401
+    tokens,
+    token_stats,
+    language_id,
+    quality_score,
+    doc_fingerprint,
+    bm25_scores,
+)

@@ -1,0 +1,265 @@
+"""Deduplication operators (AI8; README.md declares MAUDE has
+near-duplicate reports — SURVEY.md §2.9).
+
+Four tiers, all shuffle-planned for 100 TB:
+
+- exact_dedup          : hash-groupBy on the text (or fingerprint) key.
+- ngram_jaccard_pairs  : EXACT n-gram-shingle Jaccard via an inverted
+                         shingle index (explode -> self-join -> count),
+                         the oracle-checkable baseline. Quadratic only
+                         within a shingle bucket, never globally.
+- minhash_lsh_pairs    : MinHash signatures + banded LSH bucketing —
+                         the 100 TB path. Candidates only collide when
+                         a band matches; each candidate is verified
+                         with the true Jaccard so output = (subset of)
+                         the exact operator's pairs.
+- simhash / simhash_pairs : 64-bit SimHash + Hamming-radius pairing via
+                         band keys.
+
+Everything is built-in expressions (crc32/xxhash64, higher-order array
+functions); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fixed coefficients for the universal hash family h_i(x) = (a_i*x + b_i) mod p
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _hash_coeffs(num: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from a splitmix-style mix of
+    the seed — no RNG state, reproducible across runs/sessions."""
+    coeffs = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num):
+        pair = []
+        for _ in range(2):
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            pair.append(z % _MERSENNE_P)
+        a = pair[0] or 1
+        coeffs.append((a, pair[1]))
+    return coeffs
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct text,
+    with the duplicate count. A single hash aggregation — the shuffle
+    key is the text hash, which distributes uniformly at any scale."""
+    return (
+        docs.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select(id_col, "n_copies", text_col)
+    )
+
+
+def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Empty array when the document has < n tokens."""
+    w = F.split(text, sep)
+    k = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - F.lit(n - 1)),
+        lambda i: F.concat_ws(sep, F.slice(w, i, n)),
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    explode(shingles) -> self-equi-join on shingle -> per-pair
+    intersection counts -> Jaccard >= threshold. The join is on the
+    shingle value (high cardinality), so the quadratic blowup is
+    bounded per-bucket; at 100 TB you'd pre-filter stop-shingles
+    (document frequency cap) before the join — same plan shape.
+    Returns (doc_id_1, doc_id_2, jaccard) with doc_id_1 < doc_id_2.
+    """
+    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
+    sh = sh.filter(F.size("_sh") > 0)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
+        .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_n", "_n2"), "id2")
+        .select(
+            F.col("id1").alias("doc_id_1"),
+            F.col("id2").alias("doc_id_2"),
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_n1") + F.col("_n2") - F.col("_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       seed: int = 42) -> DataFrame:
+    """MinHash signature per document: sig_i = min over shingles of
+    (a_i * crc32(shingle) + b_i) mod p. All array expressions — the
+    signature is computed in one projection, no shuffle."""
+    sh = shingles(F.col(text_col), n)
+    hashes = F.transform(sh, lambda g: F.crc32(g.cast("binary")))
+
+    def _perm(a: int, b: int):
+        # closure factory: a default-arg lambda would change the HOF arity
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
+
+    sig_cols = []
+    for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed)):
+        mins = F.array_min(F.transform(hashes, _perm(a, b)))
+        sig_cols.append(mins.alias(f"mh_{i}"))
+    return docs.select(F.col(id_col), F.size(sh).alias("n_shingles"), *sig_cols).filter(
+        F.col("n_shingles") > 0
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      num_hashes: int = 64, bands: int = 16, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """Banded-LSH candidate generation + exact-Jaccard verification.
+
+    num_hashes/bands rows per band; two docs are candidates iff some
+    band of their signatures matches exactly (band key = hash of the
+    band's slice). Candidates are verified against true shingle
+    Jaccard, so precision is exact; recall is the standard LSH S-curve
+    at the chosen (bands, rows). This is the shape that survives 100 TB:
+    the only join key is the band bucket."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, seed)
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+        band_rows.append(
+            F.struct(F.lit(bi).alias("band"), F.hash(*cols).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(*band_rows)).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("_id", "id1").withColumnRenamed("_sh", "_sh1"), "id1")
+        .join(sh.withColumnRenamed("_id", "id2").withColumnRenamed("_sh", "_sh2"), "id2")
+        .select(
+            F.col("id1").alias("doc_id_1"),
+            F.col("id2").alias("doc_id_2"),
+            F.round(
+                F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
+                / F.size(F.array_union("_sh1", "_sh2")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit_j = sign of the sum of
+    (+1/-1) votes from xxhash64(token) bit j. One projection, no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(j: int):
+        # closure factory: a default-arg lambda would change the HOF arity
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, j).bitwiseAND(F.lit(1)) == F.lit(1), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for j in range(bits):
+        votes = F.aggregate(h, F.lit(0), _vote(j))
+        bit_cols.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b_{j}"))
+    with_bits = docs.select(F.col(id_col), *bit_cols)
+    # assemble via shift+OR: 1<<63 overflows a long literal, shiftleft wraps
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig.bitwiseOR(F.shiftleft(F.col(f"b_{j}").cast("long"), j))
+    return with_bits.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding: split the 64-bit signature into (max_hamming+1) chunks —
+    any pair within the radius must agree exactly on >= 1 chunk
+    (pigeonhole), so the join key is (chunk_index, chunk_value), never
+    a cross join. Pairs are verified with the true Hamming distance.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sig = simhash(docs, text_col, id_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash")
+    )
+    chunk_rows = [
+        F.struct(
+            F.lit(ci).alias("ci"),
+            F.shiftrightunsigned(F.col("simhash"), ci * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
+        )
+        for ci in range(chunks)
+    ]
+    keyed = sig.select(
+        "_id", "simhash", F.explode(F.array(*chunk_rows)).alias("ch")
+    ).select("_id", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_id_1"),
+            F.col("b._id").alias("doc_id_2"),
+            F.col("a.simhash").alias("_s1"),
+            F.col("b.simhash").alias("_s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2")))
+    return (
+        cand.select("doc_id_1", "doc_id_2", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns (AI4; README.md:60,72,116 —
+k-NN "similar cases", SLO Recall@20 >= 0.7 vs brute force).
+
+- knn_bruteforce        : exact top-k by cosine. The query set is
+                          broadcast; the corpus is never shuffled —
+                          score + per-query top-k window. This is the
+                          recall ground truth.
+- embedding_neardup_pairs: probe-set near-dup join at a cosine
+                          threshold.
+- For 100 TB, the scale path is LSH bucketing
+                          (``pyspark.ml.feature.BucketedRandomProjectionLSH``)
+                          or an IVF-style coarse quantizer; the
+                          brute-force operator stays as the
+                          recall-evaluation oracle.
+
+Scores are computed in double (float32 inputs cast first) with a
+sequential fold so they reproduce bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity
+
+
+def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); ties broken
+    by neighbor id so ranking is total. Self-matches (same id) are
+    excluded. Returns (query_id, neighbor_id, rank, cosine).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_pairs(corpus: DataFrame, probes: DataFrame,
+                            threshold: float = 0.9,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs between a probe set and the
+    corpus (probe broadcast; id_1 < id_2 to emit each pair once).
+
+    At 100 TB the probe side comes from LSH buckets instead of a
+    broadcast — the scoring expression is identical."""
+    p = probes.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("_pv"))
+    c = corpus.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("_cv"))
+    return (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.round(cosine_similarity(F.col("_pv"), F.col("_cv")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 20) -> float:
+    """Recall@k of an approximate kNN result against the brute-force
+    ground truth (both shaped (query_id, neighbor_id, rank)). Driver-side
+    scalar — evaluation metric, not a pipeline operator."""
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = a.join(e, ["query_id", "neighbor_id"]).count()
+    total = e.count()
+    return hits / total if total else 1.0

@@ -1,0 +1,149 @@
+"""Text-analysis operators over a document table.
+
+All operators are pure built-in compositions (split / higher-order
+array functions / hashes) — no Python UDFs — so they run inside
+whole-stage codegen and scale linearly with input splits. They back
+the reference's declared text enrichment surface (README.md:59-61,
+114-117) in a deterministic, oracle-checkable form; the rule-based
+classifier stands in for AISQL exactly as the reference's own keyword
+CASE does (models/marts/fact_adverse_events.sql:76-86).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a")
+
+
+def tokens(text: Column, sep: str = " ") -> Column:
+    """Whitespace tokenizer (Column of array<string>)."""
+    return F.split(text, sep)
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Token counting + duplication stats per document.
+
+    Columns: n_tokens, n_distinct, dup_ratio (1 - distinct/total),
+    mean_token_len. Everything derives from the token array, computed
+    once per row.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - nd.cast("double") / n.cast("double"), 6).alias("dup_ratio"),
+        F.round(total_len.cast("double") / n.cast("double"), 6).alias("mean_token_len"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+                threshold: float = 0.05) -> DataFrame:
+    """Heuristic language ID: stopword-density rule.
+
+    A deterministic n-gram/stopword heuristic (the scalable stand-in
+    for a model-based lang-id UDF): documents whose stopword token
+    ratio >= threshold are labeled 'en', others 'other'. Returns
+    (id, stopword_ratio, lang_pred).
+    """
+    t = tokens(F.col(text_col))
+    sw = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    ratio = F.round(sw.cast("double") / F.size(t).cast("double"), 6)
+    return docs.select(
+        F.col(id_col),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Document quality scoring: length / duplication / stopword
+    signals fused into one [0,1] score.
+
+    score = min(n_tokens/64, 1) * (1 - dup_ratio)  — favors longer,
+    less-repetitive documents; deterministic and cheap (one pass).
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t).cast("double")
+    nd = F.size(F.array_distinct(t)).cast("double")
+    dup_ratio = F.lit(1.0) - nd / n
+    score = F.least(n / F.lit(64.0), F.lit(1.0)) * (F.lit(1.0) - dup_ratio)
+    return docs.select(
+        F.col(id_col),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercase text. Grouping by fingerprint is
+    the exact-dedup key at 100 TB (hash shuffles evenly)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+def bm25_scores(docs: DataFrame, terms: Sequence[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 ranking of documents against a bag of query terms (AI5,
+    README.md:61,73,117).
+
+    Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5)). Corpus stats
+    (N, avgdl, per-term df) are a 1-row aggregate broadcast back over
+    the scan — two passes over the tokens column, no shuffle of the
+    corpus itself. Returns (id, bm25) for docs matching >= 1 term.
+    """
+    t = tokens(F.col(text_col))
+
+    def _eq(term: str):
+        # closure factory: a default-arg lambda would change the HOF arity
+        return lambda x: x == term
+
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(t).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(t, _eq(term))).cast("double").alias(f"tf_{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    parts = []
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        parts.append(idf * tf * F.lit(k1 + 1.0) / norm)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return (
+        scored.select(F.col(id_col), F.round(total, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+    )

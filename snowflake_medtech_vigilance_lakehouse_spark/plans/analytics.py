@@ -1,0 +1,672 @@
+"""Driver-facing query library.
+
+Each entry implements one operator family from SURVEY.md §2 against the
+driver's synthetic star schema (TESTDATA.md / FIXTURES.md §B), with an
+ANSI-SQL DuckDB oracle twin. Naming contract: every computed column is
+aliased identically in the Spark plan and the oracle so the driver's
+order-insensitive value-hash compares equal; float results of
+arithmetic are rounded to a fixed scale on BOTH sides; integer-typed
+computed columns are cast to BIGINT on both sides.
+
+The mapping of reference semantics onto the fixtures follows
+FIXTURES.md §B: `events` plays the adverse-event stream
+(user_id ≈ manufacturer, event_type ≈ failure mode, ts → quarter),
+`lineitem.l_linenumber` plays the mdr_text fragment ordinal,
+`events.props` plays the VARIANT JSON payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.aggregates import max_if, ordered_listagg
+from ..functions.scalar import (
+    keyword_classifier,
+    normalize_event_type,
+    parse_yyyymmdd,
+    quarter_index,
+    quarter_label,
+    sha2_key,
+)
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..sources.readers import read_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Core relational / medallion-shaped queries
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4/P4 hash aggregation with arithmetic (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)        AS sum_qty,
+       round(sum(l_extendedprice), 2)   AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)        AS avg_qty,
+       round(avg(l_discount), 4)        AS avg_disc,
+       count(*)                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _quarterly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "user_id",
+            "event_type",
+            F.year("ts").cast("long").alias("yyyy"),
+            F.quarter("ts").cast("long").alias("q"),
+            quarter_index(F.col("ts")).cast("long").alias("quarter_index"),
+            quarter_label(F.col("ts")).alias("year_quarter"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_quarterly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ae_counts_q analog (A1/A4/F13-F15) on the events stream."""
+    return _quarterly_counts(spark, sf_dir)
+
+
+ORACLE_QUARTERLY = """
+SELECT user_id, event_type,
+       year(ts)                                   AS yyyy,
+       quarter(ts)                                AS q,
+       year(ts) * 4 + quarter(ts)                 AS quarter_index,
+       CAST(year(ts) AS VARCHAR) || '-Q' || CAST(quarter(ts) AS VARCHAR) AS year_quarter,
+       count(*)                                   AS n_events
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+def q_early_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: v_ae_early_signals analog (W1-W4) — quarterly counts
+    per (user, event_type) -> rolling trailing-4 mean/stddev excluding
+    the current row -> guarded z-score.
+
+    Semantics: models/marts/v_ae_early_signals.sql:1-48 (empty frame ->
+    NULL mean, 1-row sample stddev -> NULL, std==0 -> NULL z)."""
+    counts = _quarterly_counts(spark, sf_dir)
+    w_seq = Window.partitionBy("user_id", "event_type").orderBy("quarter_index")
+    seq = counts.select(
+        "user_id", "event_type", "year_quarter", "quarter_index", "n_events",
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    w_roll = Window.partitionBy("user_id", "event_type").orderBy("rn").rowsBetween(-4, -1)
+    roll = seq.select(
+        "*",
+        F.avg("n_events").over(w_roll).alias("_mean4"),
+        F.stddev_samp("n_events").over(w_roll).alias("_std4"),
+    )
+    z = F.when(
+        F.col("_std4").isNull() | (F.col("_std4") == 0), F.lit(None).cast("double")
+    ).otherwise((F.col("n_events") - F.col("_mean4")) / F.col("_std4"))
+    return roll.select(
+        "user_id", "event_type", "year_quarter",
+        F.col("quarter_index").cast("long").alias("quarter_index"),
+        "n_events",
+        F.round("_mean4", 6).alias("mean_4"),
+        F.round("_std4", 6).alias("std_4"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+ORACLE_EARLY_SIGNALS = """
+WITH src AS (
+  SELECT user_id, event_type,
+         year(ts) * 4 + quarter(ts) AS quarter_index,
+         CAST(year(ts) AS VARCHAR) || '-Q' || CAST(quarter(ts) AS VARCHAR) AS year_quarter,
+         count(*) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+), seq AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY quarter_index) AS rn
+  FROM src
+), roll AS (
+  SELECT *,
+         avg(n_events) OVER (PARTITION BY user_id, event_type ORDER BY rn
+                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS mean4,
+         stddev_samp(n_events) OVER (PARTITION BY user_id, event_type ORDER BY rn
+                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS std4
+  FROM seq
+)
+SELECT user_id, event_type, year_quarter, quarter_index, n_events,
+       round(mean4, 6) AS mean_4,
+       round(std4, 6)  AS std_4,
+       round(CASE WHEN std4 IS NULL OR std4 = 0 THEN NULL
+                  ELSE (n_events - mean4) / std4 END, 6) AS z_score
+FROM roll
+"""
+
+
+def q_stg_event_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging-shape normalization (P1/F1-F7): JSON path extraction
+    from the props payload + event-type bucket normalization
+    (models/stg/stg_maude.sql:6-25 semantics on the fixture)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        normalize_event_type(F.col("event_type"), known=("CLICK", "VIEW", "ERROR")).alias("event_type_norm"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("event_day"),
+        "value",
+    )
+
+
+ORACLE_STG_NORMALIZE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CASE
+         WHEN upper(trim(event_type)) IN ('CLICK','VIEW','ERROR')
+           THEN upper(substr(trim(event_type),1,1)) || lower(substr(trim(event_type),2))
+         WHEN event_type IS NULL OR trim(event_type) = ''
+           OR upper(trim(event_type)) IN ('N/A','NA','UNKNOWN','NOT AVAILABLE')
+           THEN 'No Answer Provided'
+         ELSE 'Other'
+       END AS event_type_norm,
+       strftime(ts, '%Y-%m-%d') AS event_day,
+       value
+FROM events
+"""
+
+
+def q_parse_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 PARSE_YYYYMMDD semantics: lenient yyyyMMdd parsing, NULL on
+    malformed input (l_linenumber=1 rows get a poisoned string)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.when(F.col("l_linenumber") == 1, F.lit("not-a-date")).otherwise(
+        F.date_format("l_shipdate", "yyyyMMdd")
+    )
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.date_format(parse_yyyymmdd(s), "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+ORACLE_PARSE_DATES = """
+SELECT l_orderkey,
+       l_linenumber::BIGINT AS l_linenumber,
+       CASE WHEN l_linenumber = 1 THEN NULL
+            ELSE strftime(l_shipdate, '%Y-%m-%d') END AS ship_day
+FROM lineitem
+"""
+
+
+def q_ordered_narrative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/O1 deterministic ordered LISTAGG: merge line 'fragments' per
+    order in l_linenumber order, dropping NULL pieces
+    (models/stg/stg_maude.sql:72,75 semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    piece = F.when(
+        F.col("l_discount") >= 0.01, F.concat("l_returnflag", "l_linestatus")
+    )
+    agg = li.groupBy("l_orderkey").agg(
+        ordered_listagg(piece, F.col("l_linenumber")).alias("narrative")
+    )
+    return agg.select(
+        "l_orderkey", "narrative", F.length("narrative").cast("long").alias("narrative_len")
+    )
+
+
+ORACLE_ORDERED_NARRATIVE = """
+WITH pieces AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_discount >= 0.01 THEN l_returnflag || l_linestatus END AS piece
+  FROM lineitem
+), agg AS (
+  -- tiebreak on the piece value: l_linenumber repeats within an order
+  -- in this fixture, and the Spark side sorts (ordinal, value) structs
+  SELECT l_orderkey,
+         coalesce(string_agg(piece, chr(10) ORDER BY l_linenumber, piece), '') AS narrative
+  FROM pieces GROUP BY l_orderkey
+)
+SELECT l_orderkey, narrative, length(narrative)::BIGINT AS narrative_len FROM agg
+"""
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 conditional aggregates: MAX(IFF(cond, v, NULL)) per group
+    (models/stg/stg_maude.sql:35-42 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        max_if(F.col("l_discount") > 0.05, F.col("l_extendedprice")).alias("max_hi_disc_price"),
+        max_if(F.col("l_returnflag") != "N", F.col("l_returnflag")).alias("returned_flag"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_CONDITIONAL_AGG = """
+SELECT l_orderkey,
+       max(CASE WHEN l_discount > 0.05 THEN l_extendedprice END) AS max_hi_disc_price,
+       max(CASE WHEN l_returnflag <> 'N' THEN l_returnflag END)  AS returned_flag,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+PRIORITY_RULES = (("URGENT", "critical"), ("HIGH", "high"), ("MEDIUM", "normal"))
+
+
+def q_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-builder shape (F10/F13/F16/J2): surrogate sha2 key, quarter
+    label, ILIKE keyword classifier, broadcast left join to a dim
+    (models/marts/fact_adverse_events.sql:41-90 semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+    return joined.select(
+        sha2_key(
+            F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderdate").cast("date")
+        ).alias("order_sk"),
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        "c_mktsegment",
+        quarter_label(F.col("o_orderdate")).alias("year_quarter"),
+        quarter_index(F.col("o_orderdate")).cast("long").alias("quarter_index"),
+        keyword_classifier(F.col("o_orderpriority"), PRIORITY_RULES).alias("priority_class"),
+        "o_totalprice",
+    )
+
+
+ORACLE_ORDERS_ENRICHED = """
+SELECT sha256(coalesce(CAST(o_orderkey AS VARCHAR), '') || '|' ||
+              coalesce(CAST(o_custkey AS VARCHAR), '') || '|' ||
+              coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '')) AS order_sk,
+       o_orderkey, o_custkey, c_name, c_mktsegment,
+       CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS year_quarter,
+       year(o_orderdate) * 4 + quarter(o_orderdate) AS quarter_index,
+       CASE WHEN o_orderpriority ILIKE '%URGENT%' THEN 'critical'
+            WHEN o_orderpriority ILIKE '%HIGH%'   THEN 'high'
+            WHEN o_orderpriority ILIKE '%MEDIUM%' THEN 'normal'
+       END AS priority_class,
+       o_totalprice
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_cust_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 multi-hop broadcast dim joins (customer -> nation -> region)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+ORACLE_CUST_GEO = """
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_cust_orders_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 left-join fan-out semantics: 1:N join keeps every match and
+    null-extends customers with no orders (SURVEY.md §1 requires
+    faithful fan-out, no silent dedup)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+ORACLE_CUST_ORDERS_FANOUT = """
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V2/J3 LATERAL FLATTEN analog: posexplode with element ordinal
+    (1-based to match FLATTEN's index contract in the oracle)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos0", "token")
+    ).select(
+        "p_partkey", (F.col("pos0") + 1).cast("long").alias("pos"), "token"
+    )
+
+
+ORACLE_EXPLODE_TOKENS = """
+SELECT p_partkey,
+       unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS pos,
+       unnest(string_split(p_name, ' ')) AS token
+FROM part
+"""
+
+
+def q_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/W1 per-group top-k: 3 highest-value orders per customer,
+    ties broken by key for total order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+ORACLE_TOPK_ORDERS = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI8 exact dedup: representative id + copy count per distinct text."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies, text
+FROM documents GROUP BY text
+"""
+
+
+def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI8 near-dup: exact word-3-gram Jaccard pairs >= 0.5 via
+    inverted shingle index."""
+    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM documents
+), dd AS (
+  SELECT * FROM d WHERE len(sh) > 0
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI8 scale path: MinHash + banded LSH candidates, verified with
+    exact Jaccard. Non-SQL-expressible (rows-only driver check); the
+    pytest suite asserts it reproduces the exact operator's pairs."""
+    return dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=64, bands=32
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI8 SimHash near-dup: Hamming distance <= 3 over 64-bit
+    signatures, banded join (rows-only driver check)."""
+    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI4 exact k-NN: top-20 cosine neighbors for 8 probe vectors —
+    the Recall@20 ground truth (README.md:86,138)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=20)
+
+
+ORACLE_KNN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS c
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank,
+         round(c, 6) AS cosine
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 20
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI8 embedding-cosine near-dup: probe set (every 20th vector)
+    against the corpus. The fixture's random embeddings top out at
+    cosine ~0.51, so the threshold is 0.35 to exercise the operator on
+    a non-empty result."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(
+        emb, emb.filter(F.col("vec_id") % 20 == 0), threshold=0.35
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH p AS (
+  SELECT vec_id AS id_1, embedding::DOUBLE[] AS pv
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT p.id_1, e.vec_id AS id_2,
+       round(list_cosine_similarity(p.pv, e.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings e CROSS JOIN p
+WHERE p.id_1 < e.vec_id
+  AND round(list_cosine_similarity(p.pv, e.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting + duplication stats."""
+    return tx.token_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_STATS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       len(w)::BIGINT AS n_tokens,
+       len(list_distinct(w))::BIGINT AS n_distinct,
+       round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) AS dup_ratio,
+       round(list_sum([length(x) for x in w])::DOUBLE / len(w), 6) AS mean_token_len
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: stopword-density language-ID heuristic."""
+    return tx.language_id(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_LANG_ID = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       round(len(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE / len(w), 6) AS stopword_ratio,
+       CASE WHEN round(len(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE / len(w), 6) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM t
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: fused length/duplication quality score."""
+    return tx.quality_score(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_QUALITY = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       round(least(len(w) / 64.0, 1.0)
+             * (1.0 - (1.0 - len(list_distinct(w))::DOUBLE / len(w))), 6) AS quality
+FROM t
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: md5 fingerprint of normalized text."""
+    return tx.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+BM25_TERMS = ("spark", "merge", "window")
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI5 BM25 full-text scoring for a fixed query-term bag."""
+    return tx.bm25_scores(_t(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+ORACLE_BM25 = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), per AS (
+  SELECT doc_id,
+         len(w)::DOUBLE AS dl,
+         len(list_filter(w, x -> x = 'spark'))::DOUBLE  AS tf0,
+         len(list_filter(w, x -> x = 'merge'))::DOUBLE  AS tf1,
+         len(list_filter(w, x -> x = 'window'))::DOUBLE AS tf2
+  FROM t
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+  FROM per
+)
+SELECT doc_id,
+       round(
+         ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       , 6) AS bm25
+FROM per CROSS JOIN stats
+WHERE round(
+         ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       , 6) > 0
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    mapInPandas feature extraction (deterministic fake decoder; the
+    Spark-side schema/batch shape is the real contract). Rows-only
+    driver check; pytest validates values."""
+    docs = _t(spark, sf_dir, "documents")
+    return mm.extract_features(mm.documents_as_media(docs), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "pricing_summary": q_pricing_summary,
+    "quarterly_event_counts": q_quarterly_event_counts,
+    "early_signals": q_early_signals,
+    "stg_event_normalize": q_stg_event_normalize,
+    "parse_dates": q_parse_dates,
+    "ordered_narrative": q_ordered_narrative,
+    "conditional_agg": q_conditional_agg,
+    "orders_enriched": q_orders_enriched,
+    "cust_geo": q_cust_geo,
+    "cust_orders_fanout": q_cust_orders_fanout,
+    "explode_tokens": q_explode_tokens,
+    "topk_orders_per_cust": q_topk_orders_per_cust,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "knn_bruteforce": q_knn_bruteforce,
+    "embedding_neardup": q_embedding_neardup,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bm25_rank": q_bm25_rank,
+    "media_features": q_media_features,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "quarterly_event_counts": ORACLE_QUARTERLY,
+    "early_signals": ORACLE_EARLY_SIGNALS,
+    "stg_event_normalize": ORACLE_STG_NORMALIZE,
+    "parse_dates": ORACLE_PARSE_DATES,
+    "ordered_narrative": ORACLE_ORDERED_NARRATIVE,
+    "conditional_agg": ORACLE_CONDITIONAL_AGG,
+    "orders_enriched": ORACLE_ORDERS_ENRICHED,
+    "cust_geo": ORACLE_CUST_GEO,
+    "cust_orders_fanout": ORACLE_CUST_ORDERS_FANOUT,
+    "explode_tokens": ORACLE_EXPLODE_TOKENS,
+    "topk_orders_per_cust": ORACLE_TOPK_ORDERS,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
+    "knn_bruteforce": ORACLE_KNN,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "lang_id": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "bm25_rank": ORACLE_BM25,
+    # minhash_neardup / simhash_neardup / media_features: rows-only
+    # (LSH banding, hash families and Arrow UDF output are not
+    # SQL-expressible; pytest covers their values instead).
+}

@@ -1,0 +1,68 @@
+"""Readers.
+
+- NDJSON raw ingest (the reference's ``COPY INTO MAUDE_RAW`` path,
+  README.md:100-102): one JSON document per line into
+  ``raw STRUCT, src_filename, load_ts``.
+- Seed CSV loader (seeds/manufacturer.csv; dbt_project.yml:17-20).
+- Parquet star-schema loader for the driver fixtures (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def read_maude_raw_ndjson(spark: SparkSession, path: str,
+                          schema: StructType | str | None = None) -> DataFrame:
+    """NDJSON -> MAUDE_RAW-shaped DataFrame.
+
+    Mirrors the reference's external-stage COPY (README.md:100-102):
+    each line is one JSON doc landed as a nested ``raw`` struct with
+    file-lineage and load-timestamp columns. Pass an explicit ``schema``
+    in production — schema inference is a full extra pass over 100 TB.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    return df.select(
+        F.struct(*[F.col(c) for c in df.columns]).alias("raw"),
+        F.input_file_name().alias("src_filename"),
+        F.current_timestamp().alias("load_ts"),
+    )
+
+
+def read_seed_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Seed CSV dimension (header row, inferred types, lower-cased
+    column names to match dbt's seed behavior)."""
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    return df.select([F.col(c).alias(c.lower()) for c in df.columns])
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the `events` fixture, whose `ts` is parquet
+    TIMESTAMP(NANOS) — a type the Spark reader rejects outright. Read
+    nanos as long (legacy conf) and truncate to microseconds with
+    integer division (ns since epoch exceeds double's 2^53 mantissa, so
+    `DIV`, never float division) — the same floor-truncation DuckDB
+    applies, keeping the oracle comparable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Load the driver's synthetic parquet star schema."""
+    return {
+        n: (read_events(spark, sf_dir) if n == "events"
+            else spark.read.parquet(f"{sf_dir}/{n}.parquet"))
+        for n in names
+    }
