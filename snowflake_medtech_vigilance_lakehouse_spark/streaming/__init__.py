@@ -1,0 +1,3 @@
+"""Structured Streaming incremental ingest & index refresh."""
+
+from .ingest import stream_ndjson_raw, incremental_counts, run_incremental_refresh  # noqa: F401

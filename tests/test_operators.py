@@ -1,0 +1,166 @@
+"""Operator tests: dedup tiers, similarity, text analysis, multimodal
+plumbing, enrichment hooks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+    dedup as dd,
+    enrich,
+    multimodal as mm,
+    retrieval,
+    similarity as sim,
+    text as tx,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["text"]: r for r in dd.exact_dedup(df).collect()}
+    assert out["same text"]["doc_id"] == 1 and out["same text"]["n_copies"] == 2
+    assert out["other"]["n_copies"] == 1
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",), ("",)], "text string")
+    vals = df.select(dd.shingles(F.col("text")).alias("s")).collect()
+    assert vals[0]["s"] == []
+    assert vals[1]["s"] == ["a b c", "b c d"]
+    assert vals[2]["s"] == []
+
+
+def test_minhash_lsh_matches_exact(spark, docs):
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=32).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    # LSH verifies candidates with true Jaccard: subset with exact scores
+    assert set(lsh) <= set(exact)
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low"
+    for k, v in lsh.items():
+        assert v == exact[k]
+
+
+def test_simhash_flags_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "extra"), (3, "completely different words entirely")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_id_1"], r["doc_id_2"]) for r in dd.simhash_pairs(df, max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_knn_finds_planted_twin(spark, emb):
+    # plant an exact duplicate of vec 0 with a new id; it must be rank 1
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(twin)
+    out = sim.knn_bruteforce(corpus, corpus.filter(F.col("vec_id") == 999999), k=5)
+    top = out.filter(F.col("rank") == 1).first()
+    assert top["neighbor_id"] == 0
+    assert top["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_recall_at_k_identity(spark, emb):
+    ground = sim.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 4), k=20)
+    assert sim.recall_at_k(ground, ground, k=20) == 1.0
+
+
+def test_token_stats_known_values(spark):
+    df = spark.createDataFrame([(1, "a b b c")], "doc_id long, text string")
+    r = tx.token_stats(df).first()
+    assert r["n_tokens"] == 4 and r["n_distinct"] == 3
+    assert r["dup_ratio"] == 0.25
+    assert r["mean_token_len"] == 1.0
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "  hello world "), (3, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in tx.doc_fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_bm25_prefers_term_dense_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark spark join"), (2, "spark join data"), (3, "join data table")],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["bm25"] for r in tx.bm25_scores(df, ("spark",)).collect()}
+    assert set(scores) == {1, 2}
+    assert scores[1] > scores[2] > 0
+
+
+def test_multimodal_feature_extraction(spark):
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    media = mm.documents_as_media(df)
+    meta = media.first()
+    assert meta["meta"]["n_bytes"] == 8
+    feats = mm.extract_features(media, fake=True, feature_dim=8).first()
+    assert feats["n_bytes"] == 8
+    assert feats["feature"] == [round(b / 255.0, 6) for b in b"abcdefgh"]
+
+
+def test_multimodal_real_decoder_gated(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        mm.extract_features(mm.documents_as_media(df), fake=False).collect()
+
+
+def test_enrich_classify_and_summarize(spark):
+    df = spark.createDataFrame(
+        [(1, "massive leak event detected near the seal of the unit ok")],
+        "doc_id long, text string",
+    )
+    r = df.select(
+        enrich.classify_keywords(F.col("text")).alias("c"),
+        enrich.summarize_rule(F.col("text"), 3).alias("s"),
+    ).first()
+    assert r["c"] == "LEAK"
+    assert r["s"] == "massive leak event"
+
+
+def test_enrich_batched_hook(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "xy")], "doc_id long, text string")
+    out = enrich.enrich_batched(df, lambda s: s.str.upper(), "label")
+    got = {r["doc_id"]: r["label"] for r in out.collect()}
+    assert got == {1: "ABC", 2: "XY"}
+
+
+def test_embed_hashing_deterministic_unit_norm(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    v1 = df.select(enrich.embed_hashing(F.col("text"), 16).alias("e")).first()["e"]
+    v2 = df.select(enrich.embed_hashing(F.col("text"), 16).alias("e")).first()["e"]
+    assert v1 == v2 and len(v1) == 16
+    assert math.isclose(sum(x * x for x in v1), 1.0, rel_tol=1e-5)
