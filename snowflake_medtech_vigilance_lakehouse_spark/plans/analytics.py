@@ -176,6 +176,59 @@ FROM roll
 """
 
 
+def q_daily_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W4 at daily grain: the fixture's events span ~one quarter, so
+    the quarterly signal view has singleton partitions; the identical
+    rolling logic over days exercises real trailing frames (same
+    semantics as v_ae_early_signals.sql:22-46, finer grain)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "user_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w_seq = Window.partitionBy("user_id", "event_type").orderBy("day")
+    seq = counts.select("*", F.row_number().over(w_seq).alias("rn"))
+    w_roll = Window.partitionBy("user_id", "event_type").orderBy("rn").rowsBetween(-4, -1)
+    roll = seq.select(
+        "*",
+        F.avg("n_events").over(w_roll).alias("_m"),
+        F.stddev_samp("n_events").over(w_roll).alias("_s"),
+    )
+    z = F.when(F.col("_s").isNull() | (F.col("_s") == 0), F.lit(None).cast("double")).otherwise(
+        (F.col("n_events") - F.col("_m")) / F.col("_s")
+    )
+    return roll.select(
+        "user_id", "event_type", "day", "n_events",
+        F.round("_m", 6).alias("mean_4"),
+        F.round("_s", 6).alias("std_4"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+ORACLE_DAILY_SIGNALS = """
+WITH src AS (
+  SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+), seq AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY day) AS rn FROM src
+), roll AS (
+  SELECT *,
+         avg(n_events) OVER (PARTITION BY user_id, event_type ORDER BY rn
+                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS m,
+         stddev_samp(n_events) OVER (PARTITION BY user_id, event_type ORDER BY rn
+                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS s
+  FROM seq
+)
+SELECT user_id, event_type, day, n_events,
+       round(m, 6) AS mean_4, round(s, 6) AS std_4,
+       round(CASE WHEN s IS NULL OR s = 0 THEN NULL ELSE (n_events - m) / s END, 6) AS z_score
+FROM roll
+"""
+
+
 def q_stg_event_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staging-shape normalization (P1/F1-F7): JSON path extraction
     from the props payload + event-type bucket normalization
@@ -405,6 +458,226 @@ SELECT * FROM (
 """
 
 
+def q_revenue_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way shuffle join + aggregation (TPC-H Q3/Q5 shape):
+    customer |x| orders |x| lineitem -> revenue per (segment, quarter).
+    The dims broadcast; the orders<->lineitem join shuffles on the
+    orderkey, which is the uniform high-cardinality key you want at
+    100 TB."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", quarter_label(F.col("o_orderdate")).alias("year_quarter"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_REVENUE_3WAY = """
+SELECT c_mktsegment,
+       CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS year_quarter,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-schema join chain (lineitem -> supplier -> nation ->
+    region), broadcast all dims, revenue per region/nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_NATION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_distinct_users_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: unique active users per quarter."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(quarter_index(F.col("ts")).cast("long").alias("quarter_index"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT year(ts) * 4 + quarter(ts) AS quarter_index,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP margins over (segment, status) — subtotal + grand-total
+    rows with NULL group keys (the cube-margin shape ae_counts_q would
+    grow into; SURVEY.md §2.4 note)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    return j.rollup("c_mktsegment", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+ORACLE_ORDERS_ROLLUP = """
+SELECT c_mktsegment, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+"""
+
+
+def q_masked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance view (G1 masking + G2 row-access policy;
+    README.md:63,128-133): pseudonymized user key (sha2), value masked
+    unless the row is a purchase, and a row policy dropping every 5th
+    user — all as a plain projection/filter view, the Spark analog of
+    Snowflake policy objects."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") % 5 != 0)
+        .select(
+            "event_id",
+            F.sha2(F.concat(F.lit("u:"), F.col("user_id").cast("string")), 256).alias("user_pseud"),
+            "event_type",
+            F.when(F.col("event_type") == "purchase", F.col("value")).alias("value_masked"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+
+
+ORACLE_MASKED_EVENTS = """
+SELECT event_id,
+       sha256('u:' || CAST(user_id AS VARCHAR)) AS user_pseud,
+       event_type,
+       CASE WHEN event_type = 'purchase' THEN value END AS value_masked,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE user_id % 5 <> 0
+"""
+
+
+HYBRID_TERMS = ("spark", "merge")
+HYBRID_QUERY_VEC_ID = 3
+HYBRID_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI6 hybrid retrieval end-to-end: metadata filter -> BM25 +
+    cosine-to-query-vector -> min-max weighted fusion -> top-20.
+    The query vector is embeddings[vec_id=3]; candidates restricted to
+    four sources (the metadata-filter contract, README.md:81)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID).first()["embedding"]]
+    from ..operators.retrieval import hybrid_search
+
+    return hybrid_search(
+        corpus,
+        query_terms=HYBRID_TERMS,
+        query_vec=qvec,
+        metadata_filter=F.col("source").isin(*HYBRID_SOURCES),
+        k=20,
+        w_lexical=0.5,
+        fusion="weighted",
+    )
+
+
+ORACLE_HYBRID_SEARCH = """
+WITH cand AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS w, e.embedding::DOUBLE[] AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.source IN ('src0', 'src1', 'src2', 'src3')
+), qv AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 3
+), per AS (
+  SELECT doc_id,
+         len(w)::DOUBLE AS dl,
+         len(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf0,
+         len(list_filter(w, x -> x = 'merge'))::DOUBLE AS tf1,
+         list_cosine_similarity(v, (SELECT q FROM qv)) AS vs
+  FROM cand
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+  FROM per
+), lex AS (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS raw_ls,
+         vs
+  FROM per CROSS JOIN stats
+), scored AS (
+  -- mirror hybrid_search exactly: bm25_scores rounds to 6 and filters
+  -- > 0; non-matching docs re-enter via the left join as 0.0
+  SELECT doc_id,
+         CASE WHEN round(raw_ls, 6) > 0 THEN round(raw_ls, 6) ELSE 0.0 END AS ls,
+         vs
+  FROM lex
+), norm AS (
+  SELECT doc_id,
+         CASE WHEN max(ls) OVER () = min(ls) OVER () THEN 0.5
+              ELSE (ls - min(ls) OVER ()) / (max(ls) OVER () - min(ls) OVER ()) END AS nls,
+         CASE WHEN max(vs) OVER () = min(vs) OVER () THEN 0.5
+              ELSE (vs - min(vs) OVER ()) / (max(vs) OVER () - min(vs) OVER ()) END AS nvs
+  FROM scored
+), fused AS (
+  SELECT doc_id, 0.5 * nls + 0.5 * nvs AS s FROM norm
+)
+SELECT doc_id, round(s, 6) AS score,
+       rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM fused
+) WHERE rank <= 20
+"""
+
+
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI3 embedding column: deterministic hashing-trick embedder over
+    narrative text -> array<float> (rows-only check; the pluggable
+    model-UDF surface shares this column contract)."""
+    from ..operators.enrich import embed_hashing
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", embed_hashing(F.col("text"), dim=32).alias("embedding"))
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -621,6 +894,7 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "quarterly_event_counts": q_quarterly_event_counts,
     "early_signals": q_early_signals,
+    "daily_signals": q_daily_signals,
     "stg_event_normalize": q_stg_event_normalize,
     "parse_dates": q_parse_dates,
     "ordered_narrative": q_ordered_narrative,
@@ -630,6 +904,13 @@ QUERIES: dict[str, QueryFn] = {
     "cust_orders_fanout": q_cust_orders_fanout,
     "explode_tokens": q_explode_tokens,
     "topk_orders_per_cust": q_topk_orders_per_cust,
+    "revenue_3way": q_revenue_3way,
+    "nation_revenue": q_nation_revenue,
+    "distinct_users_quarterly": q_distinct_users_quarterly,
+    "orders_rollup": q_orders_rollup,
+    "masked_events": q_masked_events,
+    "hybrid_search": q_hybrid_search,
+    "embed_documents": q_embed_documents,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
@@ -648,6 +929,7 @@ ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "quarterly_event_counts": ORACLE_QUARTERLY,
     "early_signals": ORACLE_EARLY_SIGNALS,
+    "daily_signals": ORACLE_DAILY_SIGNALS,
     "stg_event_normalize": ORACLE_STG_NORMALIZE,
     "parse_dates": ORACLE_PARSE_DATES,
     "ordered_narrative": ORACLE_ORDERED_NARRATIVE,
@@ -657,6 +939,13 @@ ORACLES: dict[str, str] = {
     "cust_orders_fanout": ORACLE_CUST_ORDERS_FANOUT,
     "explode_tokens": ORACLE_EXPLODE_TOKENS,
     "topk_orders_per_cust": ORACLE_TOPK_ORDERS,
+    "revenue_3way": ORACLE_REVENUE_3WAY,
+    "nation_revenue": ORACLE_NATION_REVENUE,
+    "distinct_users_quarterly": ORACLE_DISTINCT_USERS,
+    "orders_rollup": ORACLE_ORDERS_ROLLUP,
+    "masked_events": ORACLE_MASKED_EVENTS,
+    "hybrid_search": ORACLE_HYBRID_SEARCH,
+    # embed_documents: rows-only (array<float> output)
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "knn_bruteforce": ORACLE_KNN,
