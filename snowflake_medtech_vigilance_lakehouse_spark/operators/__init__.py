@@ -17,7 +17,9 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     knn_bruteforce,
+    knn_lsh,
     embedding_neardup_pairs,
+    recall_at_k,
 )
 from .text import (  # noqa: F401
     tokens,

@@ -86,6 +86,61 @@ def embedding_neardup_pairs(corpus: DataFrame, probes: DataFrame,
     )
 
 
+def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            num_hash_tables: int = 8, bucket_length: float = 1.0,
+            distance_threshold: float = 1.4, seed: int = 42) -> DataFrame:
+    """Approximate top-k cosine neighbors via bucketed random
+    projection LSH (``pyspark.ml.feature.BucketedRandomProjectionLSH``)
+    — the 100 TB path: candidates come from hash-bucket joins, never a
+    cross join.
+
+    Vectors are L2-normalized first, so Euclidean distance is monotone
+    in cosine (||a-b||^2 = 2 - 2cos) and the distance threshold maps to
+    a cosine floor (1.4 ~ cos > 0.02). Output schema matches
+    ``knn_bruteforce`` (query_id, neighbor_id, rank, cosine) so
+    ``recall_at_k`` can grade it against the exact operator — the
+    reference SLO is Recall@20 >= 0.7 (README.md:86,138)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    def _unit(df: DataFrame, out: str) -> DataFrame:
+        arr = F.col(vec_col).cast("array<double>")
+        nrm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+        # approxSimilarityJoin re-plans its inputs and can evaluate this
+        # projection before the row filter, so array_to_vector must get
+        # a valid array on EVERY row (x/0 -> NULL elements NPE the UDF;
+        # a NULL array NPEs it too): fall back to the raw array for
+        # zero-norm rows, which the filter then drops
+        unit = F.when(nrm > 0, F.transform(arr, lambda x: x / nrm)).otherwise(arr)
+        return df.filter(nrm > 0).select(
+            F.col(id_col), array_to_vector(unit).alias(out)
+        )
+
+    c = _unit(corpus, "features")
+    q = _unit(queries, "features")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, bucketLength=bucket_length, seed=seed,
+    )
+    model = lsh.fit(c)
+    pairs = model.approxSimilarityJoin(c, q, distance_threshold, distCol="dist")
+    scored = pairs.select(
+        F.col(f"datasetB.{id_col}").alias("query_id"),
+        F.col(f"datasetA.{id_col}").alias("neighbor_id"),
+        (F.lit(1.0) - F.col("dist") * F.col("dist") / F.lit(2.0)).alias("_cos"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select(
+            "query_id", "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 20) -> float:
     """Recall@k of an approximate kNN result against the brute-force
     ground truth (both shaped (query_id, neighbor_id, rank)). Driver-side

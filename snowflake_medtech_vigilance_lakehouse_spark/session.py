@@ -55,6 +55,23 @@ def get_spark(app_name: str = "snowflake_medtech_vigilance_lakehouse_spark",
     return builder.getOrCreate()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def query_tag(spark: SparkSession, tag: str):
+    """G3 cost-attribution analog of Snowflake QUERY_TAG
+    (README.md:63,76,115,131): jobs submitted inside the block carry
+    the tag as their job group, visible in the Spark UI / event log /
+    listener metrics for per-workload cost accounting."""
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, tag, interruptOnCancel=False)
+    try:
+        yield
+    finally:
+        sc.setJobGroup("", "", interruptOnCancel=False)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created
     session (the driver hands us one in ``__spark_entry__.entry``)."""

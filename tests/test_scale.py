@@ -1,0 +1,80 @@
+"""Scale-design assertions: LSH kNN recall SLO, partitioned
+publication with partition pruning, broadcast join strategy, query
+tagging."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
+from snowflake_medtech_vigilance_lakehouse_spark.plans import analytics
+from snowflake_medtech_vigilance_lakehouse_spark.session import query_tag
+from snowflake_medtech_vigilance_lakehouse_spark.sources.writers import write_table
+
+
+def test_lsh_knn_meets_recall_slo(spark, sf_dir):
+    # the reference SLO: similar-cases Recall@20 >= 0.7 vs ground truth
+    # (README.md:86,138); brute force IS the ground truth
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = sim.knn_bruteforce(emb, q, k=20)
+    approx = sim.knn_lsh(emb, q, k=20)
+    assert sim.recall_at_k(approx, exact, k=20) >= 0.7
+
+
+def test_lsh_knn_tolerates_zero_vectors(spark, sf_dir):
+    # regression: approxSimilarityJoin re-plans inputs so the
+    # unit-vector projection can run before the row filter — a
+    # zero-norm vector must not NPE array_to_vector nor appear in
+    # results
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    zero = spark.createDataFrame([(777777, [0.0] * 64, 0)], emb.schema)
+    out = sim.knn_lsh(emb.unionByName(zero), emb.filter(F.col("vec_id") == 1), k=5).collect()
+    assert len(out) == 5
+    assert 777777 not in [r["neighbor_id"] for r in out]
+
+
+def test_partitioned_publication_prunes(spark, sf_dir, tmp_path):
+    # facts publish partitioned by quarter; a quarter-filtered read
+    # must prune to that partition's files (the Snowflake
+    # micro-partition-pruning analog, SURVEY.md §4)
+    out = str(tmp_path / "orders_pub")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "yyyy", F.year("o_orderdate")
+    ).withColumn("q", F.quarter("o_orderdate"))
+    write_table(o, out, partition_by=["yyyy", "q"])
+
+    back = spark.read.parquet(out)
+    pruned = back.filter((F.col("yyyy") == 1997) & (F.col("q") == 2))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the quarter predicate must land in PartitionFilters (metadata
+    # pruning), not as a post-scan data filter
+    pf = plan[plan.index("PartitionFilters"):].split("]")[0]
+    assert "1997" in pf and "= 2" in pf
+    assert pruned.count() == o.filter((F.col("yyyy") == 1997) & (F.col("q") == 2)).count()
+
+
+def test_unavailable_table_formats_fail_clearly(spark, sf_dir, tmp_path):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for fmt in ("delta", "iceberg"):
+        with pytest.raises(NotImplementedError, match="classpath"):
+            write_table(o, str(tmp_path / fmt), fmt=fmt)
+
+
+def test_seed_join_is_broadcast(spark, sf_dir):
+    # the 4,788-row manufacturer-style dim must never shuffle the fact
+    # side (fact_adverse_events.sql:88-90 -> broadcast hash join)
+    plan = (
+        analytics.q_orders_enriched(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_query_tag_scopes_job_group(spark, sf_dir):
+    with query_tag(spark, "medtech:test-tag"):
+        assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") == "medtech:test-tag"
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") in ("", None)
