@@ -668,6 +668,138 @@ SELECT doc_id, round(s, 6) AS score,
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom temporal operator): each event picks the
+    latest order of the same customer at or before the event time;
+    events with no prior order null-extend. DuckDB's native ASOF JOIN
+    is the oracle."""
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).withColumnRenamed("o_custkey", "user_id")
+    out = asof_join(ev, o, on="user_id", left_ts="ts", right_ts="o_orderdate")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "o_totalprice",
+    )
+
+
+ORACLE_ASOF_JOIN = """
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+       o.o_totalprice
+FROM events e
+ASOF LEFT JOIN (
+  -- DuckDB ASOF picks an arbitrary row among equal timestamps; the
+  -- Spark operator tiebreaks deterministically, so pre-reduce each
+  -- (customer, day) to its deterministic representative first
+  SELECT o_custkey, o_orderdate,
+         min(o_orderkey) AS o_orderkey,
+         min_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+) o
+ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap per user):
+    lag + running sum over one per-key window."""
+    from ..operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(ev, key="user_id", ts="ts", gap="30 minutes")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "session_seq", "session_id",
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
+       CAST(user_id AS VARCHAR) || '#' ||
+       CAST(CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS VARCHAR) AS session_id
+FROM flagged
+"""
+
+
+EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user counts spread across the five known event
+    types (explicit value list so the plan is a single aggregation,
+    no distinct-scan)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+ORACLE_EVENT_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (distinct semantics): customers who ordered in
+    both 1997 and 1998 (INTERSECT) minus anyone who ordered in 2000
+    (EXCEPT)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def y(yr: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == yr).select("o_custkey")
+
+    result = y(1997).intersect(y(1998)).subtract(y(2000))
+    return result.select(F.col("o_custkey").alias("custkey"))
+
+
+ORACLE_SET_OPS = """
+SELECT o_custkey AS custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+)
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+"""
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI3 embedding column: deterministic hashing-trick embedder over
     narrative text -> array<float> (rows-only check; the pluggable
@@ -911,6 +1043,10 @@ QUERIES: dict[str, QueryFn] = {
     "masked_events": q_masked_events,
     "hybrid_search": q_hybrid_search,
     "embed_documents": q_embed_documents,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    "event_type_pivot": q_event_type_pivot,
+    "set_ops": q_set_ops,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
@@ -945,6 +1081,10 @@ ORACLES: dict[str, str] = {
     "orders_rollup": ORACLE_ORDERS_ROLLUP,
     "masked_events": ORACLE_MASKED_EVENTS,
     "hybrid_search": ORACLE_HYBRID_SEARCH,
+    "asof_join": ORACLE_ASOF_JOIN,
+    "sessionize": ORACLE_SESSIONIZE,
+    "event_type_pivot": ORACLE_EVENT_PIVOT,
+    "set_ops": ORACLE_SET_OPS,
     # embed_documents: rows-only (array<float> output)
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,

@@ -1,3 +1,4 @@
 """Structured Streaming incremental ingest & index refresh."""
 
 from .ingest import stream_ndjson_raw, incremental_counts, run_incremental_refresh  # noqa: F401
+from .stateful import streaming_sessionize  # noqa: F401

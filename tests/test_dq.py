@@ -1,0 +1,36 @@
+"""DQ runner: relationship (T5) and expression checks, violation
+counting, and where-gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowflake_medtech_vigilance_lakehouse_spark.quality import Check, assert_checks, run_checks
+
+
+def test_relationship_check(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ok = run_checks(cust, [Check("relationship", "c_nationkey",
+                                 ref=nation, ref_column="n_nationkey")])
+    assert ok[0]["passed"]
+
+    # poison one key -> exactly the poisoned rows are violations
+    from pyspark.sql import functions as F
+    poisoned = cust.withColumn(
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(9999)).otherwise(F.col("c_nationkey")),
+    )
+    bad = run_checks(poisoned, [Check("relationship", "c_nationkey",
+                                      ref=nation, ref_column="n_nationkey")])
+    assert not bad[0]["passed"]
+    assert bad[0]["n_violations"] == poisoned.filter(F.col("c_nationkey") == 9999).count()
+
+
+def test_expression_check_and_assert(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert run_checks(li, [Check("expression", "l_discount",
+                                 expression="l_discount BETWEEN 0 AND 1")])[0]["passed"]
+    with pytest.raises(AssertionError, match="expression_l_quantity"):
+        assert_checks(li, [Check("expression", "l_quantity",
+                                 expression="l_quantity < 0")])
