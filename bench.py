@@ -21,15 +21,22 @@ HEADLINE = (
     "pricing_summary",
     "quarterly_event_counts",
     "early_signals",
+    "daily_signals",
     "stg_event_normalize",
     "ordered_narrative",
     "orders_enriched",
+    "revenue_3way",
     "cust_orders_fanout",
     "topk_orders_per_cust",
+    "asof_join",
+    "sessionize",
+    "event_type_pivot",
+    "masked_events",
     "dedup_exact",
     "ngram_jaccard_neardup",
     "minhash_neardup",
     "knn_bruteforce",
+    "hybrid_search",
     "bm25_rank",
     "token_stats",
 )

@@ -36,7 +36,7 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
-from ..sources.readers import read_events
+from ..sources.readers import read_events, register_tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -668,6 +668,27 @@ SELECT doc_id, round(s, 6) AS score,
 """
 
 
+SQL_SUPPLIER_PROFILE = """
+SELECT s.s_name,
+       n.n_name,
+       count(*)                                        AS n_lines,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+       round(avg(l.l_quantity), 4)                     AS avg_qty
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+GROUP BY s.s_name, n.n_name
+"""
+
+
+def q_sql_supplier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) entry surface (S2 catalog binding + E2 SQL
+    path): identical ANSI text runs on Spark's catalog views and on
+    the DuckDB oracle."""
+    register_tables(spark, sf_dir, names=("lineitem", "supplier", "nation"))
+    return spark.sql(SQL_SUPPLIER_PROFILE)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom temporal operator): each event picks the
     latest order of the same customer at or before the event time;
@@ -1047,6 +1068,7 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize": q_sessionize,
     "event_type_pivot": q_event_type_pivot,
     "set_ops": q_set_ops,
+    "sql_supplier_profile": q_sql_supplier_profile,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
@@ -1085,6 +1107,7 @@ ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "event_type_pivot": ORACLE_EVENT_PIVOT,
     "set_ops": ORACLE_SET_OPS,
+    "sql_supplier_profile": SQL_SUPPLIER_PROFILE,
     # embed_documents: rows-only (array<float> output)
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,

@@ -1,0 +1,69 @@
+"""End-to-end medallion build: the dbt-build analog (E2 lifecycle,
+SURVEY.md §3) as one callable — raw NDJSON -> stg -> fact (seed join)
+-> quarterly counts -> early signals, with the marts materialized the
+way the reference materializes them (stg/signals stay views; fact and
+counts become partitioned tables; dbt_project.yml:9-15) and the DQ
+suites run after each materialization, exactly where dbt runs its
+schema tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..quality.dq import MAUDE_FACT_CHECKS, MAUDE_STG_CHECKS, run_checks
+from ..sources.readers import read_maude_raw_ndjson, read_seed_csv
+from ..sources.writers import write_table
+from .medallion import ae_counts_q, fact_adverse_events, stg_maude, v_ae_early_signals
+
+
+@dataclass
+class BuildResult:
+    stg: DataFrame
+    fact: DataFrame
+    counts: DataFrame
+    signals: DataFrame
+    dq_results: dict[str, list[dict]] = field(default_factory=dict)
+
+    @property
+    def dq_passed(self) -> bool:
+        return all(r["passed"] for rs in self.dq_results.values() for r in rs)
+
+
+def build_medallion(spark: SparkSession, *, raw: DataFrame | None = None,
+                    ndjson_path: str | None = None,
+                    seed: DataFrame | None = None,
+                    seed_csv_path: str | None = None,
+                    out_dir: str | None = None,
+                    fmt: str = "parquet") -> BuildResult:
+    """Run the full model DAG. Provide either in-memory frames or
+    paths; when ``out_dir`` is set, fact and counts are published as
+    partitioned tables (fact by year/quarter via the label columns the
+    cube already carries)."""
+    if raw is None:
+        assert ndjson_path is not None, "need raw frame or ndjson_path"
+        raw = read_maude_raw_ndjson(spark, ndjson_path)
+    if seed is None:
+        assert seed_csv_path is not None, "need seed frame or seed_csv_path"
+        seed = read_seed_csv(spark, seed_csv_path)
+
+    stg = stg_maude(raw)
+    fact = fact_adverse_events(stg, seed)
+    counts = ae_counts_q(fact)
+    signals = v_ae_early_signals(counts)
+
+    dq = {
+        "stg": run_checks(stg, MAUDE_STG_CHECKS),
+        "fact": run_checks(fact, MAUDE_FACT_CHECKS),
+    }
+
+    if out_dir is not None:
+        write_table(fact, f"{out_dir}/fact_adverse_events", fmt=fmt,
+                    partition_by=["year_quarter"])
+        write_table(counts, f"{out_dir}/ae_counts_q", fmt=fmt,
+                    partition_by=["yyyy", "q"])
+
+    return BuildResult(stg=stg, fact=fact, counts=counts, signals=signals,
+                       dq_results=dq)

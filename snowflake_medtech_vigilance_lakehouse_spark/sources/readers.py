@@ -25,13 +25,13 @@ def read_maude_raw_ndjson(spark: SparkSession, path: str,
 
     Mirrors the reference's external-stage COPY (README.md:100-102):
     each line is one JSON doc landed as a nested ``raw`` struct with
-    file-lineage and load-timestamp columns. Pass an explicit ``schema``
-    in production — schema inference is a full extra pass over 100 TB.
+    file-lineage and load-timestamp columns. Defaults to the canonical
+    MAUDE schema — no inference pass, and fields a given export omits
+    land as NULL instead of vanishing from the struct.
     """
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    df = reader.json(path)
+    from .schemas import MAUDE_RAW_SCHEMA
+
+    df = spark.read.schema(schema or MAUDE_RAW_SCHEMA).json(path)
     return df.select(
         F.struct(*[F.col(c) for c in df.columns]).alias("raw"),
         F.input_file_name().alias("src_filename"),
@@ -56,6 +56,18 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Catalog binding (S2): register every fixture table as a temp
+    view so the spark.sql(...) surface works against the same names
+    the DuckDB oracle uses."""
+    for n in names:
+        df = read_events(spark, sf_dir) if n == "events" else spark.read.parquet(
+            f"{sf_dir}/{n}.parquet"
+        )
+        df.createOrReplaceTempView(n)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
