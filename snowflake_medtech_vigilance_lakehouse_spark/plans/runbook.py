@@ -49,12 +49,31 @@ def build_medallion(spark: SparkSession, *, raw: DataFrame | None = None,
         assert seed_csv_path is not None, "need seed frame or seed_csv_path"
         seed = read_seed_csv(spark, seed_csv_path)
 
+    ingest_dq: list[dict] = []
+    if "corrupt_record" in raw.columns:
+        # Spark refuses any JSON-scan query whose pruned schema is only
+        # the corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and
+        # column pruning reduces a count to exactly that. cache() is
+        # the documented workaround; at production scale the bronze
+        # layer is materialized first and the count runs on the table.
+        raw = raw.cache()
+        n_corrupt = raw.filter(raw["corrupt_record"].isNotNull()).count()
+        ingest_dq.append({
+            "name": "no_corrupt_records", "kind": "ingest",
+            "column": "corrupt_record",
+            "passed": n_corrupt == 0, "n_violations": n_corrupt,
+        })
+        # quarantine: unparseable lines stay in raw for replay but do
+        # not flow into the model DAG
+        raw = raw.filter(raw["corrupt_record"].isNull())
+
     stg = stg_maude(raw)
     fact = fact_adverse_events(stg, seed)
     counts = ae_counts_q(fact)
     signals = v_ae_early_signals(counts)
 
     dq = {
+        "ingest": ingest_dq,
         "stg": run_checks(stg, MAUDE_STG_CHECKS),
         "fact": run_checks(fact, MAUDE_FACT_CHECKS),
     }

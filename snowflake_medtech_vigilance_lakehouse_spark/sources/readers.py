@@ -20,7 +20,8 @@ TESTDATA_TABLES = (
 
 
 def read_maude_raw_ndjson(spark: SparkSession, path: str,
-                          schema: StructType | str | None = None) -> DataFrame:
+                          schema: StructType | str | None = None,
+                          keep_corrupt: bool = True) -> DataFrame:
     """NDJSON -> MAUDE_RAW-shaped DataFrame.
 
     Mirrors the reference's external-stage COPY (README.md:100-102):
@@ -28,12 +29,39 @@ def read_maude_raw_ndjson(spark: SparkSession, path: str,
     file-lineage and load-timestamp columns. Defaults to the canonical
     MAUDE schema — no inference pass, and fields a given export omits
     land as NULL instead of vanishing from the struct.
+
+    Unparseable lines are preserved verbatim in ``corrupt_record``
+    (NULL for good rows) so bad input can be quarantined and replayed
+    instead of silently becoming all-NULL rows; pass
+    ``keep_corrupt=False`` to drop them at the scan.
     """
+    from pyspark.sql.types import StringType, StructField
+
     from .schemas import MAUDE_RAW_SCHEMA
 
-    df = spark.read.schema(schema or MAUDE_RAW_SCHEMA).json(path)
+    base = schema or MAUDE_RAW_SCHEMA
+    if not keep_corrupt:
+        # reader-level drop: a post-hoc filter on the corrupt column
+        # alone trips QUERY_ONLY_CORRUPT_RECORD_COLUMN under pruning
+        df = spark.read.schema(base).option("mode", "DROPMALFORMED").json(path)
+        return df.select(
+            F.struct(*[F.col(c) for c in df.columns]).alias("raw"),
+            F.lit(None).cast("string").alias("corrupt_record"),
+            F.input_file_name().alias("src_filename"),
+            F.current_timestamp().alias("load_ts"),
+        )
+    with_corrupt = StructType(
+        list(base.fields) + [StructField("corrupt_record", StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .json(path)
+    )
+    data_cols = [c for c in df.columns if c != "corrupt_record"]
     return df.select(
-        F.struct(*[F.col(c) for c in df.columns]).alias("raw"),
+        F.struct(*[F.col(c) for c in data_cols]).alias("raw"),
+        F.col("corrupt_record"),
         F.input_file_name().alias("src_filename"),
         F.current_timestamp().alias("load_ts"),
     )
