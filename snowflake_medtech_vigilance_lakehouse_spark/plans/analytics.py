@@ -821,6 +821,34 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
 """
 
 
+def q_enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI1/AI2 enrichment surface with the deterministic defaults:
+    keyword classification (the reference's own 'until AISQL' stand-in,
+    fact_adverse_events.sql:76-86) + extractive 16-token summary."""
+    from ..operators.enrich import classify_keywords, summarize_rule
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = (("spark", "SPARK"), ("stream", "STREAMING"), ("join", "JOIN"))
+    return docs.select(
+        "doc_id",
+        classify_keywords(F.col("text"), rules).alias("topic"),
+        summarize_rule(F.col("text"), 16).alias("summary"),
+        F.length(F.col("text")).cast("long").alias("n_chars_actual"),
+    )
+
+
+ORACLE_ENRICHED_DOCS = """
+SELECT doc_id,
+       CASE WHEN text ILIKE '%spark%'  THEN 'SPARK'
+            WHEN text ILIKE '%stream%' THEN 'STREAMING'
+            WHEN text ILIKE '%join%'   THEN 'JOIN'
+       END AS topic,
+       array_to_string((string_split(text, ' '))[1:16], ' ') AS summary,
+       length(text)::BIGINT AS n_chars_actual
+FROM documents
+"""
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI3 embedding column: deterministic hashing-trick embedder over
     narrative text -> array<float> (rows-only check; the pluggable
@@ -1069,6 +1097,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_pivot": q_event_type_pivot,
     "set_ops": q_set_ops,
     "sql_supplier_profile": q_sql_supplier_profile,
+    "enriched_documents": q_enriched_documents,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
@@ -1108,6 +1137,7 @@ ORACLES: dict[str, str] = {
     "event_type_pivot": ORACLE_EVENT_PIVOT,
     "set_ops": ORACLE_SET_OPS,
     "sql_supplier_profile": SQL_SUPPLIER_PROFILE,
+    "enriched_documents": ORACLE_ENRICHED_DOCS,
     # embed_documents: rows-only (array<float> output)
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
