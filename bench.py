@@ -69,12 +69,22 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # retrieval-quality SLO (README.md:86,138 analog): Recall@20 of the
+    # LSH scale path against the brute-force ground truth
+    from pyspark.sql import functions as F
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = emb.filter(F.col("vec_id") < 8)
+    exact = sim.knn_bruteforce(emb, probe, k=20)
+    recall = round(sim.recall_at_k(sim.knn_lsh(emb, probe, k=20), exact, k=20), 4)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "recall_at_20_lsh": recall,
         "sf": sf,
     }))
 

@@ -18,6 +18,7 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     knn_bruteforce,
     knn_lsh,
+    knn_ivf,
     embedding_neardup_pairs,
     recall_at_k,
 )

@@ -141,6 +141,72 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            n_lists: int = 16, n_probe: int = 8,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42) -> DataFrame:
+    """IVF-style approximate kNN: a k-means coarse quantizer assigns
+    every corpus vector to one of ``n_lists`` inverted lists; each
+    query scores only the ``n_probe`` nearest lists instead of the
+    whole corpus — the classic FAISS-IVF shape on DataFrames.
+
+    At 100 TB the corpus is written bucketed by list id, so a query
+    touches n_probe/n_lists of the data (with partition pruning doing
+    the skipping); recall/cost trades via n_probe. Output schema
+    matches ``knn_bruteforce`` for ``recall_at_k`` grading."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    def _vec(df: DataFrame, keep: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(keep),
+            F.col(vec_col).cast("array<double>").alias(f"_arr_{keep}"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+
+    c = _vec(corpus, "neighbor_id")
+    km = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id")
+    model = km.fit(c)
+    assigned = model.transform(c).select("neighbor_id", "_arr_neighbor_id", "list_id")
+
+    # broadcastable centroid table -> each query ranks lists, keeps n_probe
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    cdf = corpus.sparkSession.createDataFrame(centroids, f"list_id int, _ctr array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cdf))
+        .select(
+            "query_id", "_qv", "list_id",
+            cosine_similarity(F.col("_qv"), F.col("_ctr")).alias("_cs"),
+        )
+    )
+    w_lists = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("list_id"))
+    probe_lists = probed.select(
+        "query_id", "_qv", "list_id", F.row_number().over(w_lists).alias("_pr")
+    ).filter(F.col("_pr") <= n_probe).drop("_pr")
+
+    scored = (
+        assigned.join(F.broadcast(probe_lists), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_arr_neighbor_id")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select(
+            "query_id", "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 20) -> float:
     """Recall@k of an approximate kNN result against the brute-force
     ground truth (both shaped (query_id, neighbor_id, rank)). Driver-side

@@ -23,6 +23,16 @@ def test_lsh_knn_meets_recall_slo(spark, sf_dir):
     assert sim.recall_at_k(approx, exact, k=20) >= 0.7
 
 
+def test_ivf_knn_meets_recall_slo(spark, sf_dir):
+    # IVF coarse-quantizer path: probing half the lists must clear the
+    # reference Recall@20 >= 0.7 SLO even on unclustered random vectors
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = sim.knn_bruteforce(emb, q, k=20)
+    approx = sim.knn_ivf(emb, q, k=20, n_lists=16, n_probe=8)
+    assert sim.recall_at_k(approx, exact, k=20) >= 0.7
+
+
 def test_lsh_knn_tolerates_zero_vectors(spark, sf_dir):
     # regression: approxSimilarityJoin re-plans inputs so the
     # unit-vector projection can run before the row filter — a
@@ -71,6 +81,37 @@ def test_seed_join_is_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.skew import salted_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    direct = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag").agg(
+            F.sum("l_quantity").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("l_extendedprice").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        r["l_returnflag"]: r
+        for r in salted_agg(
+            li, ["l_returnflag"],
+            [("sum", "l_quantity", "s"), ("count", "l_quantity", "n"),
+             ("max", "l_extendedprice", "mx")],
+        ).collect()
+    }
+    assert set(direct) == set(salted)
+    for k in direct:
+        assert direct[k]["n"] == salted[k]["n"]
+        assert direct[k]["mx"] == salted[k]["mx"]
+        assert abs(direct[k]["s"] - salted[k]["s"]) < 1e-6
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-mergeable"):
+        salted_agg(li, ["l_returnflag"], [("avg", "l_quantity", "a")])
 
 
 def test_query_tag_scopes_job_group(spark, sf_dir):
