@@ -16,7 +16,6 @@ from collections.abc import Callable, Iterator, Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, FloatType
 
 from ..functions.scalar import FAILURE_MODE_RULES, keyword_classifier
 

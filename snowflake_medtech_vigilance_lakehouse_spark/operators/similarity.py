@@ -102,7 +102,7 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ``recall_at_k`` can grade it against the exact operator — the
     reference SLO is Recall@20 >= 0.7 (README.md:86,138)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     def _unit(df: DataFrame, out: str) -> DataFrame:
         arr = F.col(vec_col).cast("array<double>")
@@ -155,7 +155,7 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the skipping); recall/cost trades via n_probe. Output schema
     matches ``knn_bruteforce`` for ``recall_at_k`` grading."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     def _vec(df: DataFrame, keep: str) -> DataFrame:
         return df.select(

@@ -5,7 +5,7 @@ gap-based sessionization, composed from joins + windows (SURVEY.md
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

@@ -11,7 +11,6 @@ CASE does (models/marts/fact_adverse_events.sql:76-86).
 
 from __future__ import annotations
 
-import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame

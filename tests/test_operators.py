@@ -12,7 +12,6 @@ from snowflake_medtech_vigilance_lakehouse_spark.operators import (
     dedup as dd,
     enrich,
     multimodal as mm,
-    retrieval,
     similarity as sim,
     text as tx,
 )
