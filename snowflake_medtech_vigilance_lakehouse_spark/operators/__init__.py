@@ -12,6 +12,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
+    connected_components,
     simhash,
     simhash_pairs,
 )

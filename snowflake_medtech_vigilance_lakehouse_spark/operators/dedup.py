@@ -214,6 +214,60 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     return verified
 
 
+def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
+                         right_col: str = "doc_id_2",
+                         max_iterations: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every
+    node is labeled with the minimum id reachable from it, so each
+    duplicate cluster gets one canonical representative (the SURVEY
+    AI8 'LSH + connected components' tail).
+
+    Iterative min-label propagation as DataFrame ops: each round every
+    node takes the min of its own label and its neighbors' labels;
+    converges in O(diameter) rounds (checked via a count, so the
+    driver loop runs a handful of tiny jobs — no per-row driver work).
+    Near-dup clusters are small and dense, so diameter is tiny; for
+    general graphs at 100 TB the same loop runs with checkpointing
+    every few rounds to cut lineage.
+
+    Returns (doc_id, component_id).
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
+        .union(pairs.select(F.col(right_col).alias("a"), F.col(left_col).alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit_j = sign of the sum of

@@ -913,6 +913,40 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI8 tail: connected components over the exact near-dup pair
+    graph — each duplicate cluster collapses to its min-id canonical
+    representative. Oracle: DuckDB recursive CTE reachability."""
+    pairs = dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    return dd.connected_components(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM documents
+), dd AS (
+  SELECT * FROM d WHERE len(sh) > 0
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+), reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component_id
+FROM reach GROUP BY a
+"""
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI4 exact k-NN: top-20 cosine neighbors for 8 probe vectors —
     the Recall@20 ground truth (README.md:86,138)."""
@@ -1102,6 +1136,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
+    "dedup_clusters": q_dedup_clusters,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_neardup": q_embedding_neardup,
     "token_stats": q_token_stats,
@@ -1141,6 +1176,7 @@ ORACLES: dict[str, str] = {
     # embed_documents: rows-only (array<float> output)
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "knn_bruteforce": ORACLE_KNN,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "token_stats": ORACLE_TOKEN_STATS,

@@ -66,6 +66,17 @@ def test_minhash_lsh_matches_exact(spark, docs):
         assert v == exact[k]
 
 
+def test_connected_components_transitive(spark):
+    # chain 1-2-3 plus pair 10-11: transitivity must merge the chain
+    # into one component even though (1,3) is not a direct pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_1 long, doc_id_2 long"
+    )
+    comp = {r["doc_id"]: r["component_id"]
+            for r in dd.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_simhash_flags_near_identical(spark):
     base = "the quick brown fox jumps over the lazy dog " * 4
     df = spark.createDataFrame(
