@@ -947,6 +947,79 @@ FROM reach GROUP BY a
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data pipeline end-to-end: near-dup clustering
+    keeps only each cluster's canonical doc, then quality + stopword
+    (language) + token-budget filters produce the curated corpus —
+    dedup -> filter -> count, the composition a 100 TB curation run
+    executes."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    comps = dd.connected_components(pairs)
+    # non-canonical cluster members (label != self) are the duplicates
+    dupes = comps.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    surviving = docs.join(dupes, "doc_id", "left_anti")
+
+    t = F.split(F.col("text"), " ")
+    n = F.size(t).cast("double")
+    nd = F.size(F.array_distinct(t)).cast("double")
+    quality = F.least(n / F.lit(64.0), F.lit(1.0)) * (nd / n)
+    sw = F.size(F.filter(t, lambda x: x.isin("the", "a"))).cast("double")
+    return (
+        surviving.select(
+            "doc_id",
+            F.size(t).cast("long").alias("n_tokens"),
+            F.round(quality, 6).alias("quality"),
+            F.round(sw / n, 6).alias("stopword_ratio"),
+        )
+        .filter(
+            (F.col("quality") >= 0.3)
+            & (F.col("stopword_ratio") >= 0.02)
+            & F.col("n_tokens").between(16, 512)
+        )
+    )
+
+
+ORACLE_CORPUS_CURATION = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM documents
+), dd AS (
+  SELECT * FROM d WHERE len(sh) > 0
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs
+), reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component_id FROM reach GROUP BY a
+), dupes AS (
+  SELECT doc_id FROM comp WHERE doc_id <> component_id
+), surviving AS (
+  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+), scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round(least(len(string_split(text, ' ')) / 64.0, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / len(string_split(text, ' '))), 6) AS quality,
+         round(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))::DOUBLE
+               / len(string_split(text, ' ')), 6) AS stopword_ratio
+  FROM surviving
+)
+SELECT * FROM scored
+WHERE quality >= 0.3 AND stopword_ratio >= 0.02 AND n_tokens BETWEEN 16 AND 512
+"""
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI4 exact k-NN: top-20 cosine neighbors for 8 probe vectors —
     the Recall@20 ground truth (README.md:86,138)."""
@@ -1137,6 +1210,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "dedup_clusters": q_dedup_clusters,
+    "corpus_curation": q_corpus_curation,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_neardup": q_embedding_neardup,
     "token_stats": q_token_stats,
@@ -1177,6 +1251,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "corpus_curation": ORACLE_CORPUS_CURATION,
     "knn_bruteforce": ORACLE_KNN,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "token_stats": ORACLE_TOKEN_STATS,
