@@ -43,6 +43,23 @@ TEMPLATES = [
     """SELECT g, n_distinct FROM (
          SELECT g, CAST(count(DISTINCT i) AS BIGINT) AS n_distinct FROM t GROUP BY g
        ) WHERE n_distinct > 3""",
+    # FILTER-clause conditional aggregates (pivot building block)
+    """SELECT g,
+              count(*) FILTER (WHERE i > 0)  AS n_pos,
+              count(*) FILTER (WHERE i < 0)  AS n_neg,
+              round(sum(x) FILTER (WHERE x > 0), 6) AS s_pos
+       FROM t GROUP BY g""",
+    # set algebra with distinct semantics
+    """SELECT i FROM (
+         SELECT i FROM t WHERE g < 5
+         INTERSECT
+         SELECT i FROM t WHERE g >= 5
+       ) EXCEPT SELECT i FROM t WHERE i % 7 = 0""",
+    # anti-join via NOT EXISTS (NULL-safe, unlike NOT IN)
+    """SELECT g, CAST(count(*) AS BIGINT) AS n
+       FROM t a
+       WHERE NOT EXISTS (SELECT 1 FROM t b WHERE b.g = a.g AND b.i = -a.i AND b.i <> 0)
+       GROUP BY g""",
 ]
 
 
