@@ -229,6 +229,81 @@ FROM roll
 """
 
 
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General window-function coverage beyond the signal view:
+    lag/lead, running sum, ntile, first_value over an explicit frame —
+    one pass, one partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.sum("value").over(w_run), 6).alias("running_value"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("event_type").over(w_run).alias("first_type"),
+    )
+
+
+ORACLE_WINDOW_SUITE = """
+SELECT event_id, user_id,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+       ntile(4) OVER w AS quartile,
+       first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS first_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile aggregates: continuous quartiles + median per event
+    type (linear interpolation on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(avg(value), 6) AS mean_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract/replace/match over the JSON payload
+    string (patterns restricted to the portable regex subset)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k_extracted"),
+        F.regexp_replace("props", r"\d+", "#").alias("props_masked"),
+        F.col("props").rlike(r"[02468]}$").alias("k_even_digit"),
+    )
+
+
+ORACLE_REGEX = """
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_extracted,
+       regexp_replace(props, '\\d+', '#', 'g') AS props_masked,
+       regexp_matches(props, '[02468]}$') AS k_even_digit
+FROM events
+"""
+
+
 def q_stg_event_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staging-shape normalization (P1/F1-F7): JSON path extraction
     from the props payload + event-type bucket normalization
@@ -1183,6 +1258,9 @@ QUERIES: dict[str, QueryFn] = {
     "quarterly_event_counts": q_quarterly_event_counts,
     "early_signals": q_early_signals,
     "daily_signals": q_daily_signals,
+    "window_suite": q_window_suite,
+    "value_percentiles": q_value_percentiles,
+    "regex_extract": q_regex_extract,
     "stg_event_normalize": q_stg_event_normalize,
     "parse_dates": q_parse_dates,
     "ordered_narrative": q_ordered_narrative,
@@ -1226,6 +1304,9 @@ ORACLES: dict[str, str] = {
     "quarterly_event_counts": ORACLE_QUARTERLY,
     "early_signals": ORACLE_EARLY_SIGNALS,
     "daily_signals": ORACLE_DAILY_SIGNALS,
+    "window_suite": ORACLE_WINDOW_SUITE,
+    "value_percentiles": ORACLE_PERCENTILES,
+    "regex_extract": ORACLE_REGEX,
     "stg_event_normalize": ORACLE_STG_NORMALIZE,
     "parse_dates": ORACLE_PARSE_DATES,
     "ordered_narrative": ORACLE_ORDERED_NARRATIVE,
