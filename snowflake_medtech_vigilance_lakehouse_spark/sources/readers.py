@@ -80,10 +80,20 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos as long (legacy conf) and truncate to microseconds with
     integer division (ns since epoch exceeds double's 2^53 mantissa, so
     `DIV`, never float division) — the same floor-truncation DuckDB
-    applies, keeping the oracle comparable."""
+    applies, keeping the oracle comparable.
+
+    The result is TIMESTAMP_NTZ: timestamp_micros() alone yields a
+    session-timezone-sensitive timestamp, so year()/date_format() in
+    downstream queries would shift under a non-UTC driver session;
+    convert_timezone(current_timezone(), 'UTC', ...) pins the naive
+    UTC wall time regardless of session settings (the parquet files'
+    other timestamp columns already infer as NTZ)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ntz = F.convert_timezone(
+        F.current_timezone(), F.lit("UTC"), F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    return df.withColumn("ts", ntz)
 
 
 def register_tables(spark: SparkSession, sf_dir: str,
