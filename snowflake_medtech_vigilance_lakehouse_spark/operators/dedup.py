@@ -31,7 +31,11 @@ _MERSENNE_P = (1 << 61) - 1
 
 def _hash_coeffs(num: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs derived from a splitmix-style mix of
-    the seed — no RNG state, reproducible across runs/sessions."""
+    the seed — no RNG state, reproducible across runs/sessions.
+
+    Bounds keep a*h + b inside a signed 64-bit long for any crc32
+    input h < 2^32: a < 2^30 and b < 2^61, so the max is < 2^63 — no
+    silent wraparound, and no ARITHMETIC_OVERFLOW under ANSI mode."""
     coeffs = []
     x = seed & 0xFFFFFFFFFFFFFFFF
     for _ in range(num):
@@ -42,9 +46,10 @@ def _hash_coeffs(num: int, seed: int = 42) -> list[tuple[int, int]]:
             z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
             z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
             z = z ^ (z >> 31)
-            pair.append(z % _MERSENNE_P)
-        a = pair[0] or 1
-        coeffs.append((a, pair[1]))
+            pair.append(z)
+        a = (pair[0] % ((1 << 30) - 1)) + 1   # [1, 2^30)
+        b = pair[1] % (1 << 61)               # [0, 2^61)
+        coeffs.append((a, b))
     return coeffs
 
 

@@ -83,6 +83,23 @@ def test_seed_join_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_queries_survive_ansi_mode(spark, sf_dir):
+    # Spark 4 defaults ANSI on; the driver's session may too. The
+    # operators must not rely on silent overflow/lenient casts:
+    # minhash permutations overflowed longs before coefficient bounds.
+    import __spark_entry__ as se
+
+    original = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        q = se.queries()
+        assert q["minhash_neardup"](spark, sf_dir).count() > 0
+        assert q["parse_dates"](spark, sf_dir).limit(5).count() == 5
+        assert q["masked_events"](spark, sf_dir).limit(5).count() == 5
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", original)
+
+
 def test_salted_agg_matches_direct(spark, sf_dir):
     from snowflake_medtech_vigilance_lakehouse_spark.operators.skew import salted_agg
 
