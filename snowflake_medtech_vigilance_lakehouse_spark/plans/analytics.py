@@ -924,6 +924,75 @@ FROM documents
 """
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI6 with reciprocal-rank fusion: same filtered candidates as
+    q_hybrid_search, scores fused as w/(60+rank_lex) +
+    (1-w)/(60+rank_vec) — rank-based fusion is robust to incomparable
+    score scales (the alternative Cortex-style fusion)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID).first()["embedding"]]
+    from ..operators.retrieval import hybrid_search
+
+    return hybrid_search(
+        corpus,
+        query_terms=HYBRID_TERMS,
+        query_vec=qvec,
+        metadata_filter=F.col("source").isin(*HYBRID_SOURCES),
+        k=20,
+        w_lexical=0.5,
+        fusion="rrf",
+    )
+
+
+ORACLE_HYBRID_RRF = """
+WITH cand AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS w, e.embedding::DOUBLE[] AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.source IN ('src0', 'src1', 'src2', 'src3')
+), qv AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 3
+), per AS (
+  SELECT doc_id,
+         len(w)::DOUBLE AS dl,
+         len(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf0,
+         len(list_filter(w, x -> x = 'merge'))::DOUBLE AS tf1,
+         list_cosine_similarity(v, (SELECT q FROM qv)) AS vs
+  FROM cand
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+  FROM per
+), lex AS (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS raw_ls,
+         vs
+  FROM per CROSS JOIN stats
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN round(raw_ls, 6) > 0 THEN round(raw_ls, 6) ELSE 0.0 END AS ls,
+         coalesce(vs, -1.0) AS vs
+  FROM lex
+), ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ls DESC, doc_id) AS rl,
+         row_number() OVER (ORDER BY vs DESC, doc_id) AS rv
+  FROM scored
+), fused AS (
+  SELECT doc_id, 0.5 / (60.0 + rl) + 0.5 / (60.0 + rv) AS s FROM ranked
+)
+SELECT doc_id, round(s, 6) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM fused
+) WHERE rank <= 20
+"""
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI3 embedding column: deterministic hashing-trick embedder over
     narrative text -> array<float> (rows-only check; the pluggable
@@ -1276,6 +1345,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_rollup": q_orders_rollup,
     "masked_events": q_masked_events,
     "hybrid_search": q_hybrid_search,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     "embed_documents": q_embed_documents,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
@@ -1322,6 +1392,7 @@ ORACLES: dict[str, str] = {
     "orders_rollup": ORACLE_ORDERS_ROLLUP,
     "masked_events": ORACLE_MASKED_EVENTS,
     "hybrid_search": ORACLE_HYBRID_SEARCH,
+    "hybrid_search_rrf": ORACLE_HYBRID_RRF,
     "asof_join": ORACLE_ASOF_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "event_type_pivot": ORACLE_EVENT_PIVOT,

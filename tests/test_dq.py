@@ -27,6 +27,43 @@ def test_relationship_check(spark, sf_dir):
     assert bad[0]["n_violations"] == poisoned.filter(F.col("c_nationkey") == 9999).count()
 
 
+def test_governance_policies(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from snowflake_medtech_vigilance_lakehouse_spark.quality import (
+        MaskingRule, apply_policies, partial_mask, sha2_pseudonymize,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    governed = apply_policies(
+        cust,
+        row_policy="c_acctbal >= 0",
+        masking=[
+            MaskingRule("c_name", masker=sha2_pseudonymize("cust:")),
+            MaskingRule("c_mktsegment", condition=F.col("c_custkey") % 2 == 0,
+                        masker=partial_mask(keep_last=2)),
+        ],
+    )
+    rows = governed.collect()
+    # row policy enforced
+    assert all(r["c_acctbal"] >= 0 for r in rows)
+    # unconditional pseudonymization: 64-hex, stable across calls
+    assert all(len(r["c_name"]) == 64 for r in rows)
+    again = {r["c_custkey"]: r["c_name"] for r in governed.collect()}
+    assert all(again[r["c_custkey"]] == r["c_name"] for r in rows)
+    # conditional partial mask: odd keys masked, even keys clear
+    for r in rows:
+        if r["c_custkey"] % 2 == 0:
+            assert not r["c_mktsegment"].startswith("*")
+        else:
+            assert r["c_mktsegment"].startswith("*") and len(r["c_mktsegment"]) >= 2
+    # schema unchanged — a consumer view sees the same columns
+    assert governed.columns == cust.columns
+    # a rule naming a missing column fails loudly, never silently no-ops
+    with pytest.raises(ValueError, match="unknown columns"):
+        apply_policies(cust, masking=[MaskingRule("no_such_col")])
+
+
 def test_expression_check_and_assert(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     assert run_checks(li, [Check("expression", "l_discount",
