@@ -335,6 +335,74 @@ FROM events
 """
 
 
+def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function surface (F1-F17 analogs) in one projection:
+    case/trim/pad/substring/replace/concat/split_part/length plus
+    conditional and null-handling forms."""
+    c = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("up"),
+        F.lower(name).alias("low"),
+        F.initcap(F.lower(name)).alias("cap"),
+        F.trim(F.concat(F.lit("  "), name, F.lit(" "))).alias("trimmed"),
+        F.length(name).cast("long").alias("len"),
+        F.substring(name, 1, 8).alias("sub"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.replace(name, F.lit("#"), F.lit("-")).alias("replaced"),
+        F.split_part(name, F.lit("#"), F.lit(1)).alias("first_part"),
+        F.concat_ws("|", name, F.col("c_mktsegment")).alias("joined"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(b)")).alias("seg_or_b"),
+        F.when(F.col("c_acctbal") < 0, F.lit("overdrawn")).otherwise(F.lit("ok")).alias("status"),
+    )
+
+
+ORACLE_SCALAR_SUITE = """
+SELECT c_custkey,
+       upper(c_name)  AS up,
+       lower(c_name)  AS low,
+       upper(substr(lower(c_name), 1, 1)) || substr(lower(c_name), 2) AS cap,
+       trim('  ' || c_name || ' ') AS trimmed,
+       length(c_name)::BIGINT AS len,
+       substr(c_name, 1, 8) AS sub,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       replace(c_name, '#', '-') AS replaced,
+       split_part(c_name, '#', 1) AS first_part,
+       c_name || '|' || c_mktsegment AS joined,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '(b)') AS seg_or_b,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS status
+FROM customer
+"""
+
+
+def q_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: try_divide/try_cast forms that
+    return NULL instead of erroring regardless of session ANSI mode
+    (the lenient-semantics contract PARSE_YYYYMMDD set for dates,
+    extended to numerics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4).alias("price_per_disc"),
+        F.try_divide(F.lit(1.0), F.col("l_quantity") - F.col("l_quantity")).alias("div_zero_is_null"),
+        F.try_to_number(F.concat(F.col("l_quantity").cast("int").cast("string")),
+                        F.lit("999999")).cast("double").alias("qty_parsed"),
+    )
+
+
+ORACLE_SAFE_MATH = """
+SELECT l_orderkey,
+       l_linenumber::BIGINT AS l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL
+            ELSE round(l_extendedprice / l_discount, 4) END AS price_per_disc,
+       CAST(NULL AS DOUBLE) AS div_zero_is_null,
+       CAST(try_cast(CAST(CAST(l_quantity AS INT) AS VARCHAR) AS BIGINT) AS DOUBLE) AS qty_parsed
+FROM lineitem
+"""
+
+
 def q_parse_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 PARSE_YYYYMMDD semantics: lenient yyyyMMdd parsing, NULL on
     malformed input (l_linenumber=1 rows get a poisoned string)."""
@@ -1331,6 +1399,8 @@ QUERIES: dict[str, QueryFn] = {
     "value_percentiles": q_value_percentiles,
     "regex_extract": q_regex_extract,
     "stg_event_normalize": q_stg_event_normalize,
+    "scalar_suite": q_scalar_suite,
+    "safe_math": q_safe_math,
     "parse_dates": q_parse_dates,
     "ordered_narrative": q_ordered_narrative,
     "conditional_agg": q_conditional_agg,
@@ -1378,6 +1448,8 @@ ORACLES: dict[str, str] = {
     "value_percentiles": ORACLE_PERCENTILES,
     "regex_extract": ORACLE_REGEX,
     "stg_event_normalize": ORACLE_STG_NORMALIZE,
+    "scalar_suite": ORACLE_SCALAR_SUITE,
+    "safe_math": ORACLE_SAFE_MATH,
     "parse_dates": ORACLE_PARSE_DATES,
     "ordered_narrative": ORACLE_ORDERED_NARRATIVE,
     "conditional_agg": ORACLE_CONDITIONAL_AGG,
