@@ -680,6 +680,20 @@ FROM events GROUP BY 1
 """
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct counts — the cardinality operator that
+    replaces exact COUNT(DISTINCT) at 100 TB (sketches merge map-side;
+    no giant shuffle of distinct values). Rows-only driver check:
+    Spark and DuckDB use different sketch implementations, so exact
+    hash parity is impossible by construction; the pytest gate asserts
+    <=5% relative error against the exact count instead."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP margins over (segment, status) — subtotal + grand-total
     rows with NULL group keys (the cube-margin shape ae_counts_q would
@@ -1412,6 +1426,7 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_3way": q_revenue_3way,
     "nation_revenue": q_nation_revenue,
     "distinct_users_quarterly": q_distinct_users_quarterly,
+    "approx_distinct": q_approx_distinct,
     "orders_rollup": q_orders_rollup,
     "masked_events": q_masked_events,
     "hybrid_search": q_hybrid_search,

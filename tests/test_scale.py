@@ -83,6 +83,24 @@ def test_seed_join_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    # HLL sketches can't hash-match a DuckDB oracle; the contract is
+    # bounded relative error vs the exact distinct count
+    import __spark_entry__ as se
+
+    from snowflake_medtech_vigilance_lakehouse_spark.sources.readers import read_events
+
+    approx = {r["event_type"]: r["approx_users"]
+              for r in se.queries()["approx_distinct"](spark, sf_dir).collect()}
+    ev = read_events(spark, sf_dir)
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / exact[k]
+        assert rel_err <= 0.05, f"{k}: approx={approx[k]} exact={exact[k]}"
+
+
 def test_queries_survive_ansi_mode(spark, sf_dir):
     # Spark 4 defaults ANSI on; the driver's session may too. The
     # operators must not rely on silent overflow/lenient casts:
