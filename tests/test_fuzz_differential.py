@@ -12,7 +12,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-SEED = 20260813
+SEEDS = (20260813, 7, 424242)
 N_ROWS = 400
 
 TEMPLATES = [
@@ -63,8 +63,8 @@ TEMPLATES = [
 ]
 
 
-def _random_table() -> pd.DataFrame:
-    rng = random.Random(SEED)
+def _random_table(seed: int) -> pd.DataFrame:
+    rng = random.Random(seed)
     strings = ["", " ", "a", "b ", " c", "dd", None]
     return pd.DataFrame({
         "g": [rng.randint(0, 9) for _ in range(N_ROWS)],
@@ -74,9 +74,9 @@ def _random_table() -> pd.DataFrame:
     })
 
 
-@pytest.fixture(scope="module")
-def engines(spark):
-    pdf = _random_table()
+@pytest.fixture(scope="module", params=SEEDS, ids=[f"seed{s}" for s in SEEDS])
+def engines(spark, request):
+    pdf = _random_table(request.param)
     spark.createDataFrame(pdf).createOrReplaceTempView("t")
     con = duckdb.connect()
     con.register("t", pdf)
