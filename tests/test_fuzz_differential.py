@@ -60,6 +60,14 @@ TEMPLATES = [
        FROM t a
        WHERE NOT EXISTS (SELECT 1 FROM t b WHERE b.g = a.g AND b.i = -a.i AND b.i <> 0)
        GROUP BY g""",
+    # rollup margins with NULL group keys
+    """SELECT g, coalesce(s, '(null)') AS s_k, count(*) AS n,
+              CAST(sum(i) AS BIGINT) AS s_i
+       FROM t GROUP BY ROLLUP (g, coalesce(s, '(null)'))""",
+    # uncorrelated scalar subqueries in projection and predicate
+    """SELECT g, CAST(count(*) AS BIGINT) AS n,
+              (SELECT max(i) FROM t) AS global_max
+       FROM t WHERE i > (SELECT min(i) + 5 FROM t) GROUP BY g""",
 ]
 
 
