@@ -62,6 +62,55 @@ def embed_hashing(text: Column, dim: int = 64) -> Column:
     )
 
 
+def embed_hashing_md5_long(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", dim: int = 32) -> DataFrame:
+    """Distributed hashing-trick embedder in long form: one
+    ``(id, idx, val)`` row per (document, dimension), L2-normalized.
+
+    Two deliberate differences from :func:`embed_hashing`:
+
+    * **explode -> groupBy**, not a per-row array fold — the fold
+      rebuilds a dim-length array per token (O(tokens*dim) array
+      copies per row), while this shape is one explode, one hash per
+      token and a partial-aggregating groupBy — the plan that holds at
+      100 TB (same lesson as the minhash explode rewrite).
+    * **md5-derived buckets/signs**, not xxhash64 — md5 is the one
+      hash both Spark and DuckDB evaluate identically, so the driver
+      oracle verifies actual embedding values, not just row counts.
+
+    All arithmetic stays exact (integer-valued double sums, one final
+    division), so the DuckDB twin hash-matches bit-for-bit.
+    """
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    base = df.filter(F.col(text_col).isNotNull())
+    toks = base.select(F.col(id_col), tok)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.col("tok")), 9, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    sums = (
+        toks.select(F.col(id_col), F.pmod(h, F.lit(dim)).alias("idx"), sgn.alias("sgn"))
+        .groupBy(id_col, "idx")
+        .agg(F.sum("sgn").alias("s"))
+    )
+    scaffold = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<bigint>")).alias("idx"),
+    )
+    dense = (
+        scaffold.join(sums, [id_col, "idx"], "left")
+        .select(id_col, "idx", F.coalesce(F.col("s"), F.lit(0.0)).alias("s"))
+    )
+    from pyspark.sql import Window
+    l2 = F.sqrt(F.sum(F.col("s") * F.col("s")).over(Window.partitionBy(id_col)))
+    return dense.select(
+        F.col(id_col),
+        F.col("idx"),
+        F.when(l2 == 0, F.lit(0.0)).otherwise(F.round(F.col("s") / l2, 6)).alias("val"),
+    )
+
+
 def enrich_batched(df: DataFrame,
                    fn: Callable[[pd.Series], pd.Series],
                    out_col: str, out_type: str = "string",

@@ -79,8 +79,12 @@ def extract_features(media: DataFrame, *, fake: bool = False,
                     feats.append([0.0] * feature_dim)
                     continue
                 pad = (-len(b)) % feature_dim
-                arr = np.pad(b, (0, pad)).reshape(feature_dim, -1)
-                feats.append((arr.mean(axis=1) / 255.0).round(6).tolist())
+                arr = np.pad(b, (0, pad)).reshape(feature_dim, -1).astype(np.int64)
+                # integer floor-mean per bucket: exact in float64, so the
+                # DuckDB oracle reproduces values bit-for-bit (a real
+                # extractor would emit float features; the driver-parity
+                # fake stays in integers on purpose)
+                feats.append((arr.sum(axis=1) // arr.shape[1]).astype(np.float64).tolist())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": pd.Series(sizes, dtype="int64"),

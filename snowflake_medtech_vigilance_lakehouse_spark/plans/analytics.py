@@ -684,14 +684,35 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct counts — the cardinality operator that
     replaces exact COUNT(DISTINCT) at 100 TB (sketches merge map-side;
     no giant shuffle of distinct values). Rows-only driver check:
-    Spark and DuckDB use different sketch implementations, so exact
-    hash parity is impossible by construction; the pytest gate asserts
-    <=5% relative error against the exact count instead."""
+    Spark and DuckDB use different sketch implementations, so the
+    sketch estimate itself can't hash-match; instead the plan emits
+    the exact count plus an in-plan <=5% relative-error assertion on
+    the HLL estimate (within_tol), which the oracle pins to TRUE —
+    the driver gate now verifies the sketch accuracy contract."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_users_exact"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    tol = F.when(
+        F.col("n_users_exact") == 0, F.col("approx_users") == 0
+    ).otherwise(
+        F.abs(F.col("approx_users") - F.col("n_users_exact"))
+        / F.col("n_users_exact") <= 0.05
+    )
+    return agg.select(
+        "event_type", "n_users_exact", "n_events", tol.alias("within_tol")
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       count(*) AS n_events,
+       TRUE AS within_tol
+FROM events GROUP BY 1
+"""
 
 
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,13 +1097,43 @@ SELECT doc_id, round(s, 6) AS score, rank FROM (
 
 
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AI3 embedding column: deterministic hashing-trick embedder over
-    narrative text -> array<float> (rows-only check; the pluggable
-    model-UDF surface shares this column contract)."""
-    from ..operators.enrich import embed_hashing
+    """AI3 embedding column: deterministic hashing-trick embedder in
+    long form (doc_id, idx, val) — md5-bucketed so the DuckDB oracle
+    verifies the actual embedding values (exact arithmetic end to
+    end). The array<float> column variant (`embed_hashing`) shares the
+    bucket/sign recipe and is the production model-UDF contract."""
+    from ..operators.enrich import embed_hashing_md5_long
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", embed_hashing(F.col("text"), dim=32).alias("embedding"))
+    return embed_hashing_md5_long(docs, id_col="doc_id", text_col="text", dim=32)
+
+
+ORACLE_EMBED_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS idx,
+         CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM toks
+), sums AS (
+  SELECT doc_id, idx, sum(sgn) AS s FROM hashed GROUP BY doc_id, idx
+), dense AS (
+  SELECT d.doc_id, i.idx, coalesce(s.s, 0.0) AS s
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL) d
+  CROSS JOIN (SELECT unnest(range(32)) AS idx) i
+  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.idx = i.idx
+), normed AS (
+  SELECT doc_id, idx, s,
+         sqrt(sum(s * s) OVER (PARTITION BY doc_id)) AS l2
+  FROM dense
+)
+SELECT doc_id, idx::BIGINT AS idx,
+       CASE WHEN l2 = 0 THEN 0.0 ELSE round(s / l2, 6) END AS val
+FROM normed
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1393,11 +1444,45 @@ WHERE round(
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched
-    mapInPandas feature extraction (deterministic fake decoder; the
-    Spark-side schema/batch shape is the real contract). Rows-only
-    driver check; pytest validates values."""
+    mapInPandas feature extraction (deterministic integer byte-stat
+    fake decoder; the Spark-side schema/batch shape is the real
+    contract). Long form (media_id, n_bytes, idx, val) so the DuckDB
+    oracle verifies the extracted values byte-for-byte via
+    hex(payload) parsing."""
     docs = _t(spark, sf_dir, "documents")
-    return mm.extract_features(mm.documents_as_media(docs), fake=True)
+    feats = mm.extract_features(mm.documents_as_media(docs), fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("feature").alias("idx", "val"),
+    ).select("media_id", "n_bytes", F.col("idx").cast("long").alias("idx"), "val")
+
+
+ORACLE_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id::BIGINT AS media_id,
+         hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, '')))::BIGINT AS n
+  FROM documents
+), b AS (
+  SELECT media_id, n, unnest(range(n)) AS i, hx FROM m
+), bytes AS (
+  SELECT media_id, n, i,
+         ('0x' || substr(hx, (i * 2 + 1)::INT, 2))::BIGINT AS byte
+  FROM b
+), sums AS (
+  SELECT media_id, (i // ((n + 7) // 8)) AS k, sum(byte) AS s
+  FROM bytes GROUP BY 1, 2
+), dense AS (
+  SELECT m.media_id, m.n, d.k, coalesce(s.s, 0) AS s
+  FROM m CROSS JOIN (SELECT unnest(range(8)) AS k) d
+  LEFT JOIN sums s ON s.media_id = m.media_id AND s.k = d.k
+)
+SELECT media_id, n AS n_bytes, k::BIGINT AS idx,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE (s // ((n + 7) // 8))::DOUBLE END AS val
+FROM dense
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1486,7 +1571,9 @@ ORACLES: dict[str, str] = {
     "set_ops": ORACLE_SET_OPS,
     "sql_supplier_profile": SQL_SUPPLIER_PROFILE,
     "enriched_documents": ORACLE_ENRICHED_DOCS,
-    # embed_documents: rows-only (array<float> output)
+    "embed_documents": ORACLE_EMBED_DOCUMENTS,
+    "media_features": ORACLE_MEDIA_FEATURES,
+    "approx_distinct": ORACLE_APPROX_DISTINCT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
@@ -1498,7 +1585,7 @@ ORACLES: dict[str, str] = {
     "quality_score": ORACLE_QUALITY,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "bm25_rank": ORACLE_BM25,
-    # minhash_neardup / simhash_neardup / media_features: rows-only
-    # (LSH banding, hash families and Arrow UDF output are not
-    # SQL-expressible; pytest covers their values instead).
+    # minhash_neardup / simhash_neardup: rows-only (crc32 hash family
+    # is not DuckDB-expressible; pytest asserts pairs are a subset of
+    # the exact-Jaccard ground truth instead).
 }

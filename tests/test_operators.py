@@ -139,7 +139,8 @@ def test_multimodal_feature_extraction(spark):
     assert meta["meta"]["n_bytes"] == 8
     feats = mm.extract_features(media, fake=True, feature_dim=8).first()
     assert feats["n_bytes"] == 8
-    assert feats["feature"] == [round(b / 255.0, 6) for b in b"abcdefgh"]
+    # 8 bytes / 8 buckets -> width 1; integer floor-mean = the byte value
+    assert feats["feature"] == [float(b) for b in b"abcdefgh"]
 
 
 def test_multimodal_real_decoder_gated(spark):

