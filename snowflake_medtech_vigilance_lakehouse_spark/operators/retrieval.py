@@ -8,10 +8,34 @@ reciprocal-rank) -> top-k. Filter-first mirrors the reference's
 candidate set before any scoring work, which is what keeps the
 interactive SLO (<1.5s over ~200k docs, README.md:87) reachable —
 scoring cost is proportional to the filtered set, not the corpus.
+
+Scale design (round-2 rewrite): no unpartitioned windows over the
+candidate set anywhere. Top-k cuts use ``orderBy(...).limit(k)``,
+which Spark executes as TakeOrderedAndProject — each partition keeps
+its local top-k and only k rows per partition reach the driver-side
+merge, so the plan survives an arbitrarily large candidate set. The
+only row_number windows left run over <= k (or <= 2M, see below)
+surviving rows.
+
+RRF needs each finalist's *global* rank in both score lists. That is
+computed exactly without a global sort in two phases:
+
+1. survivor cut — any doc in the fused top-k must sit in the top-M of
+   at least one list, where M satisfies 1/(61+M) < wmax/(60+k)
+   (a doc outside both top-M has fused score <= w/(61+M) +
+   (1-w)/(61+M) = 1/(61+M), while the k-th best fused score is at
+   least wmax/(60+k) — the k-th doc of the heavier list alone scores
+   that much). Both cuts are TakeOrderedAndProject.
+2. exact-rank backfill — rank(d) = #{c : (score_c, id_c) orders
+   before (score_d, id_d)} + accounting for d itself; computed as one
+   conditional-count pass of all candidates against the broadcast
+   survivor set (map-side expansion x |survivors|, partial-aggregated
+   before the shuffle — no global sort, no single-partition stage).
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -24,6 +48,20 @@ from .text import bm25_scores
 
 def _minmax(c: Column, lo: Column, hi: Column) -> Column:
     return F.when(hi == lo, F.lit(0.5)).otherwise((c - lo) / (hi - lo))
+
+
+def _ranked_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Distributed top-k by (_score desc, id asc) + rank over the <=k
+    survivors. The orderBy+limit pair compiles to
+    TakeOrderedAndProject (per-partition heaps, no full sort); the
+    row_number window then touches only k rows."""
+    topk = scored.orderBy(F.col("_score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    return topk.select(
+        id_col,
+        F.round("_score", 6).alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
 
 
 def hybrid_search(docs: DataFrame, *, query_terms: Sequence[str],
@@ -41,6 +79,11 @@ def hybrid_search(docs: DataFrame, *, query_terms: Sequence[str],
     normalize each score over the candidate set, weighted sum) or
     'rrf' (reciprocal rank fusion, 1/(60+rank)). Returns
     (id, score, rank), rank 1..k, ties broken by id.
+
+    NULL cosine (zero-norm embedding): under 'weighted' the doc's
+    vector term is 0 (it competes on lexical score alone) and it is
+    excluded from the min-max stats; under 'rrf' it ranks at the
+    bottom of the vector list (coalesced to -1).
     """
     cand = docs
     if metadata_filter is not None:
@@ -60,41 +103,67 @@ def hybrid_search(docs: DataFrame, *, query_terms: Sequence[str],
             .select(
                 id_col,
                 F.coalesce("bm25", F.lit(0.0)).alias("_ls"),
-                F.coalesce("_vs", F.lit(-1.0)).alias("_vs"),
+                F.col("_vs"),
             )
         )
     else:
         scored = lex.select(id_col, F.col("bm25").alias("_ls"), F.lit(0.0).alias("_vs"))
 
     if fusion == "rrf":
-        w_l = Window.orderBy(F.col("_ls").desc(), F.col(id_col))
-        w_v = Window.orderBy(F.col("_vs").desc(), F.col(id_col))
-        fused = (
-            F.lit(w_lexical) / (F.lit(60.0) + F.row_number().over(w_l))
-            + F.lit(1.0 - w_lexical) / (F.lit(60.0) + F.row_number().over(w_v))
+        scored = scored.withColumn("_vs", F.coalesce("_vs", F.lit(-1.0)))
+        # survivor bound: strict 1/(61+M) < wmax/(60+k) (module doc)
+        wmax = max(w_lexical, 1.0 - w_lexical)
+        m = max(k, int(math.ceil((60 + k) / wmax)) - 59)
+        # multi-pass algorithm: two survivor cuts + one count pass
+        # read `scored`; persist so the BM25 stats/join run once
+        scored = scored.persist()
+        surv_l = scored.orderBy(F.col("_ls").desc(), F.col(id_col).asc()).limit(m)
+        surv_v = scored.orderBy(F.col("_vs").desc(), F.col(id_col).asc()).limit(m)
+        surv = surv_l.unionByName(surv_v).dropDuplicates([id_col]).select(
+            F.col(id_col).alias("_sid"),
+            F.col("_ls").alias("_sls"),
+            F.col("_vs").alias("_svs"),
         )
-        scored = scored.select(F.col(id_col), fused.alias("_score"))
+        before_l = (F.col("_ls") > F.col("_sls")) | (
+            (F.col("_ls") == F.col("_sls")) & (F.col(id_col) <= F.col("_sid"))
+        )
+        before_v = (F.col("_vs") > F.col("_svs")) | (
+            (F.col("_vs") == F.col("_svs")) & (F.col(id_col) <= F.col("_sid"))
+        )
+        # exact global ranks for the (tiny) survivor set in ONE pass
+        # over the candidates: conditional counts partial-aggregate
+        # map-side, so only |survivors| rows per partition shuffle
+        ranks = (
+            scored.crossJoin(F.broadcast(surv))
+            .groupBy("_sid")
+            .agg(
+                F.sum(before_l.cast("long")).alias("_rl"),
+                F.sum(before_v.cast("long")).alias("_rv"),
+            )
+        )
+        fused = (
+            F.lit(w_lexical) / (F.lit(60.0) + F.col("_rl"))
+            + F.lit(1.0 - w_lexical) / (F.lit(60.0) + F.col("_rv"))
+        )
+        scored = ranks.select(F.col("_sid").alias(id_col), fused.alias("_score"))
     elif fusion == "weighted":
+        # min/max aggregates ignore NULL _vs, matching the SQL-window
+        # formulation; a NULL-cosine doc contributes vector score 0
         stats = scored.agg(
             F.min("_ls").alias("_ls_lo"), F.max("_ls").alias("_ls_hi"),
             F.min("_vs").alias("_vs_lo"), F.max("_vs").alias("_vs_hi"),
+        )
+        nvs = F.when(F.col("_vs").isNull(), F.lit(0.0)).otherwise(
+            _minmax(F.col("_vs"), F.col("_vs_lo"), F.col("_vs_hi"))
         )
         scored = scored.crossJoin(F.broadcast(stats)).select(
             F.col(id_col),
             (
                 F.lit(w_lexical) * _minmax(F.col("_ls"), F.col("_ls_lo"), F.col("_ls_hi"))
-                + F.lit(1.0 - w_lexical) * _minmax(F.col("_vs"), F.col("_vs_lo"), F.col("_vs_hi"))
+                + F.lit(1.0 - w_lexical) * nvs
             ).alias("_score"),
         )
     else:
         raise ValueError(f"unknown fusion: {fusion}")
 
-    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
-    return (
-        scored.select(
-            id_col,
-            F.round("_score", 6).alias("score"),
-            F.row_number().over(w).cast("long").alias("rank"),
-        )
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, id_col, k)
