@@ -17,38 +17,89 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     """As-of join: for each left row, attach the single right row with
     the same key whose timestamp is the latest <= left's timestamp
     ('backward'; 'forward' = earliest >=). Unmatched left rows survive
-    with NULLs (left-join semantics).
+    with NULLs (left-join semantics). Ties on the right timestamp break
+    deterministically: first by the right columns ascending (NULLs
+    last), in column order.
 
-    Shape: range-condition equi-key join -> per-left-row top-1 window.
-    At 100 TB the equi-key join shuffles both sides once on the key;
-    the window then runs inside each key partition. For heavily
-    repeated keys the refinement is bucketing both tables on `on` so
-    the join is shuffle-free — the operator shape stays identical.
+    Shape: union-merge. Both sides are tagged and unioned on a common
+    time axis, then ONE window per key carries the most recent right
+    row forward with ``last(struct, ignorenulls=True)``; left rows read
+    the carried value. One shuffle (the window partitioning), no join,
+    no fan-out — each right row is materialized once regardless of how
+    many left rows it matches, so a hot key with n left x m right rows
+    costs O((n+m) log(n+m)) sort instead of the O(n*m) intermediate a
+    range join produces. This is the plan that survives 100 TB; for
+    repeated use, pre-bucketing both tables on `on` makes the shuffle
+    free too.
     """
-    if direction == "backward":
-        cond_ts = F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
-        order = F.col(f"r.{right_ts}").desc()
-    elif direction == "forward":
-        cond_ts = F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")
-        order = F.col(f"r.{right_ts}").asc()
-    else:
+    if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
 
-    # synthetic row identity keeps duplicate left rows distinct through
-    # the join -> top-1 window (grouping by value columns would merge them)
-    l = left.withColumn("_lid", F.monotonically_increasing_id()).alias("l")
-    r = right.alias("r")
-    lcols = [F.col(f"l.{c}") for c in left.columns]
-    rcols = [
-        F.col(f"r.{c}").alias(c + suffix if c in left.columns else c)
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    lt, rt = ltypes[left_ts], rtypes[right_ts]
+    if lt == rt:
+        common = lt
+    elif {lt, rt} == {"date", "timestamp"}:
+        common = "timestamp"
+    elif {lt, rt} == {"date", "timestamp_ntz"}:
+        common = "timestamp_ntz"
+    else:
+        raise ValueError(f"incompatible as-of types: {lt} vs {rt}")
+
+    lstruct = F.struct(*[F.col(c) for c in left.columns])
+    rstruct = F.struct(*[F.col(c) for c in right.columns])
+    # NULL key / NULL ts right rows can never match (join condition
+    # would be NULL); drop them so the carry never picks one up.
+    r_clean = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+
+    # _ord<i> columns expose the right payload to the window ORDER BY;
+    # they are NULL on left rows (side flag already separates sides).
+    ord_names = [f"_ord{i}" for i in range(len(right.columns))]
+    lpart = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).cast(common).alias("_ats"),
+        F.lit(1).alias("_side"),
+        lstruct.alias("_l"),
+        F.lit(None).cast(right.select(rstruct).schema[0].dataType).alias("_r"),
+        *[F.lit(None).cast(rtypes[c]).alias(n)
+          for c, n in zip(right.columns, ord_names)],
+    )
+    rpart = r_clean.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).cast(common).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.select(lstruct).schema[0].dataType).alias("_l"),
+        rstruct.alias("_r"),
+        *[F.col(c).alias(n) for c, n in zip(right.columns, ord_names)],
+    )
+    merged = lpart.unionByName(rpart)
+
+    # Window order: time axis (reversed for 'forward'), right rows
+    # before left rows at equal ts (inclusive <=/>= semantics), and
+    # same-ts right rows reversed on the tiebreak columns so the
+    # deterministic winner (min by right cols asc-nulls-last) is the
+    # row last() sees. NULL-ts left rows sort first -> empty frame ->
+    # NULL result, matching the join-condition-is-NULL behavior.
+    ts_key = (F.col("_ats").asc_nulls_first() if direction == "backward"
+              else F.col("_ats").desc_nulls_first())
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(ts_key, F.col("_side").asc(),
+                 *[F.col(n).desc_nulls_first() for n in ord_names])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        merged
+        .select("_side", "_l", F.last("_r", ignorenulls=True).over(w).alias("_rc"))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"_rc.{c}").alias(c + suffix if c in left.columns else c)
         for c in right.columns
     ]
-    joined = l.join(r, (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond_ts, "left")
-    w = Window.partitionBy(F.col("l._lid")).orderBy(
-        order, *[F.col(f"r.{c}").asc_nulls_last() for c in right.columns]
-    )
-    ranked = joined.select(*lcols, *rcols, F.row_number().over(w).alias("_rn"))
-    return ranked.filter(F.col("_rn") == 1).drop("_rn")
+    return carried.select(*out_cols)
 
 
 def sessionize(events: DataFrame, *, key: str, ts: str,

@@ -1,0 +1,112 @@
+"""Unit tests for the union-merge as-of join (operators/temporal.py):
+tiebreak determinism, both directions, duplicate left rows, NULL
+handling, and the no-join/one-shuffle plan contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from snowflake_medtech_vigilance_lakehouse_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00:00")),
+            (2, 10, _ts("2024-01-01T10:00:00")),  # duplicate (key, ts)
+            (3, 10, _ts("2024-01-03T00:00:00")),
+            (4, 20, _ts("2024-01-02T00:00:00")),  # key with no right rows
+            (5, 10, _ts("2023-12-31T00:00:00")),  # before any right row
+            (6, None, _ts("2024-01-05T00:00:00")),  # NULL key
+            (7, 10, None),  # NULL ts
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T10:00:00"), 100, 5.0),
+            (10, _ts("2024-01-01T10:00:00"), 50, 9.0),  # same ts: tiebreak
+            (10, _ts("2024-01-02T00:00:00"), 200, 1.0),
+            (10, None, 999, 0.0),  # NULL ts: never matches
+            (None, _ts("2024-01-01T00:00:00"), 888, 0.0),  # NULL key
+        ],
+        "user_id long, rts timestamp, order_id long, amount double",
+    )
+
+
+def test_asof_backward_semantics(spark):
+    out = asof_join(
+        _left(spark), _right(spark), on="user_id", left_ts="ts", right_ts="rts"
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert len(rows) == 7  # every left row survives exactly once
+    # equal-ts rows match (inclusive <=); tiebreak = min by right cols
+    # asc (user_id, rts equal -> min order_id wins)
+    assert rows[1]["order_id"] == 50 and rows[1]["amount"] == 9.0
+    assert rows[2]["order_id"] == 50  # duplicate left row, same answer
+    assert rows[3]["order_id"] == 200  # latest rts <= ts
+    assert rows[4]["order_id"] is None  # key without right rows
+    assert rows[5]["order_id"] is None  # ts before any right row
+    assert rows[6]["order_id"] is None  # NULL key never matches
+    assert rows[7]["order_id"] is None  # NULL ts never matches
+
+
+def test_asof_forward_semantics(spark):
+    out = asof_join(
+        _left(spark), _right(spark), on="user_id", left_ts="ts", right_ts="rts",
+        direction="forward",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["order_id"] == 50  # equal ts matches forward too
+    assert rows[3]["order_id"] is None  # nothing at/after 01-03
+    assert rows[5]["order_id"] == 50  # earliest rts >= ts, tiebroken
+
+
+def test_asof_suffix_on_clashing_columns(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-02T00:00:00"), "L")],
+        "event_id long, user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01T00:00:00"), "R")],
+        "user_id long, ts timestamp, tag string",
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts")
+    assert set(out.columns) == {
+        "event_id", "user_id", "ts", "tag", "user_id_r", "ts_r", "tag_r"
+    }
+    row = out.collect()[0]
+    assert row["tag"] == "L" and row["tag_r"] == "R"
+
+
+def test_asof_date_vs_timestamp_axis(spark):
+    left = _left(spark)
+    right = spark.createDataFrame(
+        [(10, dt.date(2024, 1, 1), 1)],
+        "user_id long, rd date, order_id long",
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="rd")
+    rows = {r["event_id"]: r for r in out.collect()}
+    # date widens to midnight: 10:00 event sees the same-day order
+    assert rows[1]["order_id"] == 1
+    assert rows[5]["order_id"] is None
+
+
+def test_asof_plan_has_no_join_one_shuffle(spark):
+    out = asof_join(
+        _left(spark), _right(spark), on="user_id", left_ts="ts", right_ts="rts"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
