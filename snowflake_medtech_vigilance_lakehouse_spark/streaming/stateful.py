@@ -46,15 +46,18 @@ def streaming_sessionize(events: DataFrame, *, key: str = "user_id",
               state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key_tuple
         last_ts_us, n_sessions = state.get if state.exists else (None, 0)
+        # a key's batch arrives as MULTIPLE Arrow chunks with no global
+        # order — concat and sort once, or timestamps regress across
+        # chunk boundaries and re-trigger the gap test
+        chunks = [pdf[ts] for pdf in pdfs]
+        stamps = pd.concat(chunks).sort_values() if chunks else pd.Series([], dtype="datetime64[ns]")
         n_events = 0
-        for pdf in pdfs:
-            stamps = pdf[ts].sort_values()
-            for t in stamps:
-                t_us = int(t.value // 1_000)  # pandas ns -> us
-                if last_ts_us is None or t_us - last_ts_us > gap_us:
-                    n_sessions += 1
-                last_ts_us = t_us
-                n_events += 1
+        for t in stamps:
+            t_us = int(t.value // 1_000)  # pandas ns -> us
+            if last_ts_us is None or t_us - last_ts_us > gap_us:
+                n_sessions += 1
+            last_ts_us = t_us
+            n_events += 1
         state.update((last_ts_us, n_sessions))
         yield pd.DataFrame({
             "user_id": [user_id],
