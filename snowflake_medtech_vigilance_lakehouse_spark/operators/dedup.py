@@ -221,7 +221,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
 
 def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
                          right_col: str = "doc_id_2",
-                         max_iterations: int = 50) -> DataFrame:
+                         max_iterations: int = 50,
+                         check_every: int = 2) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every
     node is labeled with the minimum id reachable from it, so each
     duplicate cluster gets one canonical representative (the SURVEY
@@ -229,11 +230,16 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
 
     Iterative min-label propagation as DataFrame ops: each round every
     node takes the min of its own label and its neighbors' labels;
-    converges in O(diameter) rounds (checked via a count, so the
-    driver loop runs a handful of tiny jobs — no per-row driver work).
+    converges in O(diameter) rounds. The convergence count job runs
+    only every ``check_every`` rounds (each check is a full extra job,
+    so probing every round doubles the job count for long chains).
     Near-dup clusters are small and dense, so diameter is tiny; for
     general graphs at 100 TB the same loop runs with checkpointing
     every few rounds to cut lineage.
+
+    Raises RuntimeError if the loop exhausts ``max_iterations`` without
+    converging — partially-propagated labels are NOT canonical ids and
+    must never be returned silently.
 
     Returns (doc_id, component_id).
     """
@@ -245,7 +251,8 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(max_iterations):
+    converged = False
+    for i in range(1, max_iterations + 1):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy(F.col("a").alias("node2"))
@@ -259,15 +266,23 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
             )
         )
         updated = updated.localCheckpoint(eager=True)  # cut lineage per round
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
+        if i % check_every == 0 or i == max_iterations:
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "node")
+                .filter(F.col("u.label") != F.col("l.label"))
+                .count()
+            )
+            if changed == 0:
+                labels = updated
+                converged = True
+                break
         labels = updated
-        if changed == 0:
-            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; labels would be partially propagated"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )

@@ -183,7 +183,11 @@ def q_daily_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics as v_ae_early_signals.sql:22-46, finer grain)."""
     ev = _t(spark, sf_dir, "events")
     counts = (
-        ev.groupBy(
+        # NULL-ts rows would take engine-divergent row_number slots
+        # (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), shifting the
+        # rolling frames vs the oracle
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
             "user_id", "event_type",
             F.date_format("ts", "yyyy-MM-dd").alias("day"),
         )
@@ -211,7 +215,7 @@ def q_daily_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DAILY_SIGNALS = """
 WITH src AS (
   SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
-  FROM events GROUP BY 1, 2, 3
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
 ), seq AS (
   SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY day) AS rn FROM src
 ), roll AS (

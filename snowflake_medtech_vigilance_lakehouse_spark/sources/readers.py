@@ -87,7 +87,15 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream queries would shift under a non-UTC driver session;
     convert_timezone(current_timezone(), 'UTC', ...) pins the naive
     UTC wall time regardless of session settings (the parquet files'
-    other timestamp columns already infer as NTZ)."""
+    other timestamp columns already infer as NTZ).
+
+    SESSION-WIDE SIDE EFFECT: sets spark.sql.legacy.parquet.nanosAsLong
+    for the whole session and deliberately leaves it set — the returned
+    DataFrame is lazy, so restoring the conf here would race the actual
+    scan. Any later read of a TIMESTAMP(NANOS) parquet column in the
+    same session will also surface it as a long. Columns of every other
+    parquet type are unaffected; none of the other fixture tables carry
+    nanos columns."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ntz = F.convert_timezone(

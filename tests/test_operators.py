@@ -77,6 +77,16 @@ def test_connected_components_transitive(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 6-node path needs ~5 propagation rounds; 1 iteration cannot
+    # finish and must raise instead of returning partial labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_id_1 long, doc_id_2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iterations=1)
+
+
 def test_simhash_flags_near_identical(spark):
     base = "the quick brown fox jumps over the lazy dog " * 4
     df = spark.createDataFrame(
