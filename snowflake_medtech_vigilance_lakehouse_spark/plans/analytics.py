@@ -233,6 +233,79 @@ FROM roll
 """
 
 
+def q_early_signals_multiq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship quarterly view with NON-degenerate frames: the
+    fixture's events span ~one calendar quarter, so v_ae_early_signals'
+    natural grain yields singleton partitions (mean_4/std_4 all NULL).
+    Remapping every 7 days to one synthetic quarter gives each
+    (user, event_type) a dozen-plus periods, exercising the trailing
+    4-frame mean/stddev/z exactly as the reference view would over
+    years of data (models/marts/v_ae_early_signals.sql:22-46)."""
+    ev = _t(spark, sf_dir, "events")
+    day_no = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    qidx = F.floor(day_no / F.lit(7)).cast("long")
+    counts = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "user_id", "event_type",
+            qidx.alias("quarter_index"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "year_quarter",
+            F.concat(F.lit("SQ"), F.col("quarter_index").cast("string")),
+        )
+    )
+    w_seq = Window.partitionBy("user_id", "event_type").orderBy("quarter_index")
+    seq = counts.select(
+        "user_id", "event_type", "year_quarter", "quarter_index", "n_events",
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    w_roll = Window.partitionBy("user_id", "event_type").orderBy("rn").rowsBetween(-4, -1)
+    roll = seq.select(
+        "*",
+        F.avg("n_events").over(w_roll).alias("_mean4"),
+        F.stddev_samp("n_events").over(w_roll).alias("_std4"),
+    )
+    z = F.when(
+        F.col("_std4").isNull() | (F.col("_std4") == 0), F.lit(None).cast("double")
+    ).otherwise((F.col("n_events") - F.col("_mean4")) / F.col("_std4"))
+    return roll.select(
+        "user_id", "event_type", "year_quarter", "quarter_index", "n_events",
+        F.round("_mean4", 6).alias("mean_4"),
+        F.round("_std4", 6).alias("std_4"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+ORACLE_EARLY_SIGNALS_MULTIQ = """
+WITH src AS (
+  SELECT user_id, event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS quarter_index,
+         count(*) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2, 3
+), seq AS (
+  SELECT *, 'SQ' || CAST(quarter_index AS VARCHAR) AS year_quarter,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY quarter_index) AS rn
+  FROM src
+), roll AS (
+  SELECT *,
+         avg(n_events) OVER (PARTITION BY user_id, event_type ORDER BY rn
+                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS mean4,
+         stddev_samp(n_events) OVER (PARTITION BY user_id, event_type ORDER BY rn
+                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS std4
+  FROM seq
+)
+SELECT user_id, event_type, year_quarter, quarter_index, n_events,
+       round(mean4, 6) AS mean_4,
+       round(std4, 6)  AS std_4,
+       round(CASE WHEN std4 IS NULL OR std4 = 0 THEN NULL
+                  ELSE (n_events - mean4) / std4 END, 6) AS z_score
+FROM roll
+"""
+
+
 def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General window-function coverage beyond the signal view:
     lag/lead, running sum, ntile, first_value over an explicit frame —
@@ -1497,6 +1570,7 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "quarterly_event_counts": q_quarterly_event_counts,
     "early_signals": q_early_signals,
+    "early_signals_multiq": q_early_signals_multiq,
     "daily_signals": q_daily_signals,
     "window_suite": q_window_suite,
     "value_percentiles": q_value_percentiles,
@@ -1547,6 +1621,7 @@ ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "quarterly_event_counts": ORACLE_QUARTERLY,
     "early_signals": ORACLE_EARLY_SIGNALS,
+    "early_signals_multiq": ORACLE_EARLY_SIGNALS_MULTIQ,
     "daily_signals": ORACLE_DAILY_SIGNALS,
     "window_suite": ORACLE_WINDOW_SUITE,
     "value_percentiles": ORACLE_PERCENTILES,
