@@ -179,6 +179,53 @@ def test_enrich_batched_hook(spark):
     assert got == {1: "ABC", 2: "XY"}
 
 
+def test_enrich_batched_endpoint_contract(spark, docs):
+    """End-to-end mock model endpoint through the batched hook: the
+    endpoint must be invoked once per Arrow batch of <= batch_size rows
+    (the reference's 10-20k-records-per-AISQL-call cost contract), and
+    its labels must agree with the rule-based default classifier."""
+    from snowflake_medtech_vigilance_lakehouse_spark.functions.scalar import (
+        FAILURE_MODE_RULES,
+    )
+
+    n_calls = spark.sparkContext.accumulator(0)
+    max_rows = spark.sparkContext.accumulator(0)
+    oversize = spark.sparkContext.accumulator(0)
+
+    def mock_endpoint(texts):
+        # stands in for one remote model call per batch
+        import pandas as pd
+
+        n_calls.add(1)
+        max_rows.add(len(texts))  # sum of batch sizes == total rows
+        if len(texts) > 100:
+            oversize.add(1)
+        low = texts.str.lower().fillna("")
+        out = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+        for kw, label in reversed(FAILURE_MODE_RULES):
+            out[low.str.contains(kw.lower(), regex=False)] = label
+        return out
+
+    src = docs.select("doc_id", "text").repartition(2)
+    batched = enrich.enrich_batched(
+        src, mock_endpoint, "label", batch_size=100
+    )
+    rule = src.select(
+        "doc_id", enrich.classify_keywords(F.col("text")).alias("label")
+    )
+    got = {r["doc_id"]: r["label"] for r in batched.collect()}
+    want = {r["doc_id"]: r["label"] for r in rule.collect()}
+    assert got == want  # endpoint output parity with the rule default
+
+    total = src.count()
+    assert max_rows.value == total  # every row passed through exactly once
+    assert oversize.value == 0  # no call exceeded the batch-size cap
+    # each call saw <= batch_size rows and the call count is consistent
+    # with that cap across 2 partitions
+    assert n_calls.value >= math.ceil(total / 100)
+    assert n_calls.value <= math.ceil(total / 100) + 2  # partition remainders
+
+
 def test_embed_hashing_deterministic_unit_norm(spark):
     df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
     v1 = df.select(enrich.embed_hashing(F.col("text"), 16).alias("e")).first()["e"]
