@@ -71,3 +71,28 @@ def test_expression_check_and_assert(spark, sf_dir):
     with pytest.raises(AssertionError, match="expression_l_quantity"):
         assert_checks(li, [Check("expression", "l_quantity",
                                  expression="l_quantity < 0")])
+
+
+def test_cost_report_attributes_tagged_workloads(spark):
+    """G4: two tagged workloads must be attributed separately with
+    metrics consistent with what each one did (the heavy one shuffles,
+    the light one does not)."""
+    from snowflake_medtech_vigilance_lakehouse_spark.quality import cost_report
+    from snowflake_medtech_vigilance_lakehouse_spark.session import query_tag
+
+    with query_tag(spark, "finops_heavy"):
+        (spark.range(500_000).selectExpr("id % 97 AS k", "id AS v")
+         .groupBy("k").sum("v").collect())
+    with query_tag(spark, "finops_light"):
+        spark.range(10).collect()
+
+    rows = {r["query_tag"]: r for r in cost_report(spark).collect()}
+    assert "finops_heavy" in rows and "finops_light" in rows
+    heavy, light = rows["finops_heavy"], rows["finops_light"]
+    assert heavy["n_jobs"] >= 1 and light["n_jobs"] >= 1
+    assert heavy["n_tasks"] > light["n_tasks"]
+    assert heavy["shuffle_write_bytes"] > 0
+    assert light["shuffle_write_bytes"] == 0
+    # tags never bleed into each other: untagged work exists too but
+    # is reported under its own bucket
+    assert all(r["query_tag"] != "" for r in rows.values())
