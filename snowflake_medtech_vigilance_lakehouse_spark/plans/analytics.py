@@ -814,6 +814,94 @@ GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
 """
 
 
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond the rollup chain — the three sets
+    ((segment, status), (status), ()) skip the (segment) level a
+    rollup would force, plus grouping_id to tell genuine NULL keys
+    from margin rows (SURVEY.md §2.4)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    seg, st = F.col("c_mktsegment"), F.col("o_orderstatus")
+    return (
+        j.groupingSets([[seg, st], [st], []], seg, st)
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ORACLE_ORDERS_GROUPING_SETS = """
+SELECT c_mktsegment, o_orderstatus,
+       grouping(c_mktsegment, o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (o_orderstatus), ())
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named scalar-subquery rewrite (J4): orders priced above their
+    customer's average, annotated with that correlated average and the
+    uncorrelated global average. The engine expresses the correlated
+    scalar subquery as groupBy + equi-join on the correlation key and
+    the uncorrelated one as a broadcast of a 1-row aggregate — the
+    rewrite Catalyst itself applies to subquery expressions, stated
+    explicitly as the scale-safe DataFrame plan.
+
+    Money arithmetic runs in exact integer cents (double sums are
+    partition-order-dependent in the last ulp, which flips 2-decimal
+    rounding at boundaries — observed 55/7540 rows at sf0.01), and the
+    half-up round to a cent happens in INTEGER arithmetic
+    ((2*sum + n) DIV (2*n)): round(double, 2) itself diverges between
+    engines on exact .xx5 landings (Spark rounds the shortest decimal
+    repr half-up, DuckDB rounds the raw binary double). The single
+    final /100.0 is the same IEEE op on the same integer both sides.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    glob = o.agg(F.sum(cents).alias("_gs"), F.count(F.lit(1)).alias("_gn"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).alias("_cs"), F.count(F.lit(1)).alias("_cn")
+    )
+    return (
+        o.withColumn("_cents", cents)
+        .join(per_cust, "o_custkey")
+        .crossJoin(F.broadcast(glob))
+        .filter(F.col("_cents") * F.col("_cn") > F.col("_cs"))
+        .select(
+            "o_orderkey", "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+            (F.expr("(2 * _cs + _cn) DIV (2 * _cn)") / F.lit(100.0)).alias("cust_avg"),
+            (F.expr("(2 * _gs + _gn) DIV (2 * _gn)") / F.lit(100.0)).alias("global_avg"),
+        )
+    )
+
+
+ORACLE_SCALAR_SUBQUERY = """
+WITH ann AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         (SELECT sum(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT)) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey) AS cs,
+         (SELECT count(*) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey) AS cn,
+         (SELECT sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) FROM orders) AS gs,
+         (SELECT count(*) FROM orders) AS gn
+  FROM orders o
+)
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice, 2) AS price,
+       ((2 * cs + cn) // (2 * cn)) / 100.0 AS cust_avg,
+       ((2 * gs + gn) // (2 * gn)) / 100.0 AS global_avg
+FROM ann
+WHERE cents * cn > cs
+"""
+
+
 def q_masked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Governance view (G1 masking + G2 row-access policy;
     README.md:63,128-133): pseudonymized user key (sha2), value masked
@@ -1591,6 +1679,8 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_users_quarterly": q_distinct_users_quarterly,
     "approx_distinct": q_approx_distinct,
     "orders_rollup": q_orders_rollup,
+    "orders_grouping_sets": q_orders_grouping_sets,
+    "scalar_subquery": q_scalar_subquery,
     "masked_events": q_masked_events,
     "hybrid_search": q_hybrid_search,
     "hybrid_search_rrf": q_hybrid_search_rrf,
@@ -1641,6 +1731,8 @@ ORACLES: dict[str, str] = {
     "nation_revenue": ORACLE_NATION_REVENUE,
     "distinct_users_quarterly": ORACLE_DISTINCT_USERS,
     "orders_rollup": ORACLE_ORDERS_ROLLUP,
+    "orders_grouping_sets": ORACLE_ORDERS_GROUPING_SETS,
+    "scalar_subquery": ORACLE_SCALAR_SUBQUERY,
     "masked_events": ORACLE_MASKED_EVENTS,
     "hybrid_search": ORACLE_HYBRID_SEARCH,
     "hybrid_search_rrf": ORACLE_HYBRID_RRF,
