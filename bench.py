@@ -69,14 +69,27 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # retrieval-quality SLO (README.md:86,138 analog): Recall@20 of the
-    # LSH scale path against the brute-force ground truth
+    # production dedup profile: the capped-shingle-frequency path (the
+    # 100 TB lever) timed next to the exact oracle run above
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import dedup as dd
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = dd.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64)
+    t0 = time.perf_counter()
+    capped.write.format("noop").mode("overwrite").save()
+    timings["ngram_jaccard_capped64"] = round(time.perf_counter() - t0, 3)
+
+    # retrieval-quality SLO (README.md:86,138 analog): Recall@20 of
+    # BOTH scale paths (LSH bucketed, IVF n_probe-pruned) against the
+    # brute-force ground truth
     from pyspark.sql import functions as F
     from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probe = emb.filter(F.col("vec_id") < 8)
     exact = sim.knn_bruteforce(emb, probe, k=20)
     recall = round(sim.recall_at_k(sim.knn_lsh(emb, probe, k=20), exact, k=20), 4)
+    recall_ivf = round(
+        sim.recall_at_k(sim.knn_ivf(emb, probe, k=20), exact, k=20), 4
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -85,6 +98,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "recall_at_20_lsh": recall,
+        "recall_at_20_ivf": recall_ivf,
         "sf": sf,
     }))
 

@@ -68,18 +68,51 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
-def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>).
+def shingles_from_tokens(tokens: Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct word n-gram shingles from a pre-split token array.
+
+    ``tokens`` MUST be a materialized column reference (select the
+    split into its own projection first): Catalyst does no CSE inside
+    higher-order-function lambdas, so passing ``F.split(text)`` here
+    inlines the split into every ``slice`` call — O(tokens^2) work per
+    document (measured 3.7s -> 0.3s at sf0.1 for the 5k-doc corpus).
 
     Empty array when the document has < n tokens."""
-    w = F.split(text, sep)
-    k = F.size(w)
+    k = F.size(tokens)
     grams = F.transform(
         F.sequence(F.lit(1), k - F.lit(n - 1)),
-        lambda i: F.concat_ws(sep, F.slice(w, i, n)),
+        lambda i: F.concat_ws(sep, F.slice(tokens, i, n)),
     )
     return F.when(k >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Convenience wrapper for expression contexts; inside operators
+    prefer splitting once into a column and calling
+    :func:`shingles_from_tokens` (see its CSE note)."""
+    return shingles_from_tokens(F.split(text, sep), n, sep)
+
+
+def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, _sh) with the tokenization materialized in its own
+    projection so the shingle transform slices an evaluated array.
+
+    If the input scans with fewer partitions than cores (single small
+    parquet file), the raw text is repartitioned first: shingling is
+    the CPU-heavy step, and a one-file scan would otherwise pin it to
+    one task (measured 1.5s single-task at sf0.1). A many-file 100 TB
+    input already scans wide and skips the extra shuffle."""
+    base = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < p:
+        base = base.repartition(p)
+    return (
+        base.select("_id", F.split(F.col("_txt"), " ").alias("_tok"))
+        .select("_id", shingles_from_tokens(F.col("_tok"), n).alias("_sh"))
     )
 
 
@@ -102,8 +135,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     is required (the DuckDB oracle runs with None).
     Returns (doc_id_1, doc_id_2, jaccard) with doc_id_1 < doc_id_2.
     """
-    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
-    sh = sh.filter(F.size("_sh") > 0)
+    sh = _shingled(docs, text_col, id_col, n).filter(F.size("_sh") > 0)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_gs")).select(
         "_id", F.xxhash64("_gs").alias("_g")
@@ -153,9 +185,11 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
     re-evaluates the shingle array per permutation — 64x the work, and
     measured ~80x slower at sf0.1). MIN combines map-side, so the
     shuffle carries one partial signature per (partition, doc)."""
-    exploded = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_g")
-    ).select(F.col(id_col), F.crc32(F.col("_g").cast("binary")).alias("_h"))
+    exploded = (
+        _shingled(docs, text_col, id_col, n)
+        .select(F.col("_id").alias(id_col), F.explode("_sh").alias("_g"))
+        .select(F.col(id_col), F.crc32(F.col("_g").cast("binary")).alias("_h"))
+    )
     aggs = [F.count(F.lit(1)).alias("n_shingles")]
     for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed)):
         aggs.append(
@@ -190,18 +224,24 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         F.col(id_col).alias("_id"),
         F.explode(F.array(*band_rows)).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # per-bucket pair generation instead of a bucket self-join: the
+    # self-join recomputes the whole signature pipeline for each side,
+    # while one groupBy shuffles the (band, bucket, id) rows once and
+    # emits sorted pairs inside each bucket (LSH buckets are small by
+    # construction, so the collect is bounded)
     cand = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS id1, y AS id2))))"
+        )).alias("p"))
+        .select("p.id1", "p.id2")
         .distinct()
     )
-    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh"))
+    sh = _shingled(docs, text_col, id_col, n)
     verified = (
         cand.join(sh.withColumnRenamed("_id", "id1").withColumnRenamed("_sh", "_sh1"), "id1")
         .join(sh.withColumnRenamed("_id", "id2").withColumnRenamed("_sh", "_sh2"), "id2")

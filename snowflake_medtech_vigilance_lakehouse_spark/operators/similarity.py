@@ -106,14 +106,23 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     def _unit(df: DataFrame, out: str) -> DataFrame:
         arr = F.col(vec_col).cast("array<double>")
-        nrm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+        # materialize the norm in its own projection: Catalyst does no
+        # CSE inside HOF lambdas, so an inline norm expression would be
+        # re-aggregated per element (O(dim^2) per row)
+        base = df.select(
+            F.col(id_col), arr.alias("_arr"),
+            F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)).alias("_nrm"),
+        )
         # approxSimilarityJoin re-plans its inputs and can evaluate this
         # projection before the row filter, so array_to_vector must get
         # a valid array on EVERY row (x/0 -> NULL elements NPE the UDF;
         # a NULL array NPEs it too): fall back to the raw array for
         # zero-norm rows, which the filter then drops
-        unit = F.when(nrm > 0, F.transform(arr, lambda x: x / nrm)).otherwise(arr)
-        return df.filter(nrm > 0).select(
+        unit = F.when(
+            F.col("_nrm") > 0,
+            F.transform(F.col("_arr"), lambda x: x / F.col("_nrm")),
+        ).otherwise(F.col("_arr"))
+        return base.filter(F.col("_nrm") > 0).select(
             F.col(id_col), array_to_vector(unit).alias(out)
         )
 
