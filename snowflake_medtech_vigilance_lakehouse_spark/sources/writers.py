@@ -36,11 +36,20 @@ def write_table(df: DataFrame, path: str, *, fmt: str = "parquet",
     (the reference leans on Snowflake micro-partition pruning for the
     same effect).
     """
-    if fmt in ("delta", "iceberg") and not _has_format(df.sparkSession, fmt):
+    if fmt == "delta" and not _has_format(df.sparkSession, "delta"):
+        # no delta jars: publish through the built-in minimal writer,
+        # which emits the same public transaction-log protocol
+        # (parquet data files + _delta_log JSON) any Delta reader
+        # consumes — see sources/delta_lite.py
+        from .delta_lite import write_delta
+
+        write_delta(df, path, mode=mode, partition_by=partition_by)
+        return
+    if fmt == "iceberg" and not _has_format(df.sparkSession, "iceberg"):
         raise NotImplementedError(
-            f"{fmt} jars are not on the classpath in this environment; "
-            f"use fmt='parquet' (same columnar layout, Trino/DuckDB-readable) "
-            f"or submit with --packages io.delta:delta-spark / org.apache.iceberg."
+            "iceberg jars are not on the classpath in this environment; "
+            "use fmt='delta' (jar-free log writer) or fmt='parquet', or "
+            "submit with --packages org.apache.iceberg."
         )
     writer = df.write.format(fmt).mode(mode)
     if partition_by:

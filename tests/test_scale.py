@@ -66,10 +66,10 @@ def test_partitioned_publication_prunes(spark, sf_dir, tmp_path):
 
 
 def test_unavailable_table_formats_fail_clearly(spark, sf_dir, tmp_path):
+    # iceberg has no jar-free fallback: it must gate with a clear error
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    for fmt in ("delta", "iceberg"):
-        with pytest.raises(NotImplementedError, match="classpath"):
-            write_table(o, str(tmp_path / fmt), fmt=fmt)
+    with pytest.raises(NotImplementedError, match="classpath"):
+        write_table(o, str(tmp_path / "iceberg"), fmt="iceberg")
 
 
 def test_seed_join_is_broadcast(spark, sf_dir):
