@@ -65,7 +65,7 @@ def _ranked_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
 
 
 def hybrid_search(docs: DataFrame, *, query_terms: Sequence[str],
-                  query_vec: Sequence[float] | None = None,
+                  query_vec: Sequence[float] | DataFrame | None = None,
                   metadata_filter: Column | str | None = None,
                   k: int = 20, w_lexical: float = 0.5,
                   fusion: str = "weighted",
@@ -75,10 +75,14 @@ def hybrid_search(docs: DataFrame, *, query_terms: Sequence[str],
 
     ``docs`` carries text + (optionally) an embedding column plus
     arbitrary metadata columns; ``metadata_filter`` is any boolean
-    Column/SQL string over them. ``fusion``: 'weighted' (min-max
-    normalize each score over the candidate set, weighted sum) or
-    'rrf' (reciprocal rank fusion, 1/(60+rank)). Returns
-    (id, score, rank), rank 1..k, ties broken by id.
+    Column/SQL string over them. ``query_vec`` is either a Python
+    float sequence (inlined as a literal) or a 1-row/1-column
+    DataFrame holding the probe vector — the DataFrame form is folded
+    in as a broadcast join, so building the query plan runs NO driver
+    job (a `.first()` to fetch the vector would). ``fusion``:
+    'weighted' (min-max normalize each score over the candidate set,
+    weighted sum) or 'rrf' (reciprocal rank fusion, 1/(60+rank)).
+    Returns (id, score, rank), rank 1..k, ties broken by id.
 
     NULL cosine (zero-norm embedding): under 'weighted' the doc's
     vector term is 0 (it competes on lexical score alone) and it is
@@ -92,10 +96,19 @@ def hybrid_search(docs: DataFrame, *, query_terms: Sequence[str],
     lex = bm25_scores(cand, query_terms, text_col=text_col, id_col=id_col)
 
     if query_vec is not None:
-        qv = F.lit([float(x) for x in query_vec]).cast("array<double>")
-        vec = cand.select(
-            F.col(id_col), cosine_similarity(F.col(vec_col), qv).alias("_vs")
-        )
+        if isinstance(query_vec, DataFrame):
+            qdf = query_vec.select(
+                F.col(query_vec.columns[0]).cast("array<double>").alias("_qv")
+            )
+            vec = cand.crossJoin(F.broadcast(qdf)).select(
+                F.col(id_col),
+                cosine_similarity(F.col(vec_col), F.col("_qv")).alias("_vs"),
+            )
+        else:
+            qv = F.lit([float(x) for x in query_vec]).cast("array<double>")
+            vec = cand.select(
+                F.col(id_col), cosine_similarity(F.col(vec_col), qv).alias("_vs")
+            )
         scored = (
             cand.select(id_col)
             .join(lex, id_col, "left")

@@ -947,8 +947,9 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
-    qvec = [float(x) for x in
-            emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID).first()["embedding"]]
+    # 1-row probe DataFrame, folded in as a broadcast join — plan
+    # construction stays job-free (no driver .first() round-trip)
+    qvec = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID).select("embedding")
     from ..operators.retrieval import hybrid_search
 
     return hybrid_search(
@@ -1202,8 +1203,9 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
-    qvec = [float(x) for x in
-            emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID).first()["embedding"]]
+    # 1-row probe DataFrame, folded in as a broadcast join — plan
+    # construction stays job-free (no driver .first() round-trip)
+    qvec = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID).select("embedding")
     from ..operators.retrieval import hybrid_search
 
     return hybrid_search(
