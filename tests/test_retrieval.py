@@ -59,3 +59,61 @@ def test_deterministic_across_runs(corpus):
     a = hybrid_search(corpus, query_terms=("spark", "batch"), k=15).collect()
     b = hybrid_search(corpus, query_terms=("spark", "batch"), k=15).collect()
     assert a == b
+
+
+def test_rrf_exact_ranks_match_bruteforce_on_random_scores(corpus, spark):
+    """Property check of the distributed RRF algorithm (bounded
+    survivor cut + conditional-count rank backfill): for random score
+    profiles the fused top-k must equal a brute-force global-rank
+    computation done driver-side."""
+    import random
+
+    rng = random.Random(1234)
+    for trial, w_lex in [(0, 0.5), (1, 0.3), (2, 0.8)]:
+        n = 400
+        # adversarial score ties: quantize so many docs share scores
+        rows = [
+            (i,
+             "spark merge " * rng.randint(0, 3) + "filler " * rng.randint(1, 4),
+             [round(rng.uniform(-1, 1), 1)] * 4)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<double>"
+        )
+        qv = [1.0, 0.5, -0.25, 0.125]
+        out = hybrid_search(
+            df, query_terms=("spark", "merge"), query_vec=qv,
+            k=25, w_lexical=w_lex, fusion="rrf",
+        ).collect()
+
+        # brute force: replicate lexical + vector scores, rank globally
+        from snowflake_medtech_vigilance_lakehouse_spark.operators.text import bm25_scores
+        lex = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ("spark", "merge")).collect()}
+        import math
+        def cos(v):
+            # mirror functions/vectors.py fold order exactly so doubles
+            # are bit-identical (ulp differences reshuffle tie groups)
+            num = 0.0
+            for a, b in zip(v, qv):
+                num += a * b
+            sa = 0.0
+            for a in v:
+                sa += a * a
+            sb = 0.0
+            for b in qv:
+                sb += b * b
+            denom = math.sqrt(sa) * math.sqrt(sb)
+            return None if denom == 0 else num / denom
+        ls = {i: lex.get(i, 0.0) for i, _, _ in rows}
+        vs = {i: (cos(v) if cos(v) is not None else -1.0) for i, _, v in rows}
+        rank_l = {d: r + 1 for r, (_, d) in enumerate(
+            sorted(((-ls[d], d) for d in ls)))}
+        rank_v = {d: r + 1 for r, (_, d) in enumerate(
+            sorted(((-vs[d], d) for d in vs)))}
+        fused = sorted(
+            ((-(w_lex / (60 + rank_l[d]) + (1 - w_lex) / (60 + rank_v[d])), d)
+             for d in ls))
+        want = [(d, r + 1) for r, (_, d) in enumerate(fused[:25])]
+        got = [(r["doc_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+        assert got == want, f"trial {trial} w={w_lex}"
