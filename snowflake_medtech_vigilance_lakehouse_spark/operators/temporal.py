@@ -102,6 +102,73 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     return carried.select(*out_cols)
 
 
+def _axis_seconds(df: DataFrame, col: str) -> Column:
+    """Monotone numeric axis (seconds since epoch wall time) for a
+    timestamp / timestamp_ntz / date / numeric column. timestampdiff
+    against an NTZ epoch literal is the one formulation Spark accepts
+    for all three temporal types, and it is session-TZ-free for NTZ
+    and DATE."""
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        return F.expr(
+            f"timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.col(col).cast("bigint")
+
+
+def interval_join(left: DataFrame, right: DataFrame, *, left_ts: str,
+                  right_start: str, right_end: str,
+                  on: str | None = None,
+                  band_seconds: int = 7 * 86400,
+                  how: str = "inner",
+                  suffix: str = "_r") -> DataFrame:
+    """Range (interval containment) join: each left row matches right
+    rows whose ``[right_start, right_end]`` (inclusive both ends)
+    contains ``left_ts``, optionally also keyed on ``on``. ``how`` is
+    'inner' or 'left'.
+
+    Spark has no range-join optimization, so a naive non-equi join
+    plans as BroadcastNestedLoopJoin (or a per-key cartesian) — the
+    O(n*m) cliff. This is the standard banding rewrite instead: the
+    time axis is cut into ``band_seconds`` buckets, each right
+    interval EXPLODES into every band it covers, the left point joins
+    its single band with a plain hash equi-join, and the exact range
+    predicate rides along in the join condition. Cost is
+    O(n + m * bands_per_interval) shuffled rows — pick ``band_seconds``
+    near the typical interval length so intervals explode into ~1-2
+    bands. NULL or inverted intervals and NULL points never match
+    (and null-extend under 'left'), like the plain non-equi join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+    band = F.lit(int(band_seconds))
+    l2 = left.withColumn(
+        "_band", F.floor(_axis_seconds(left, left_ts) / band).cast("long")
+    ).alias("l")
+    r2 = (
+        right
+        .withColumn("_b0", F.floor(_axis_seconds(right, right_start) / band).cast("long"))
+        .withColumn("_b1", F.floor(_axis_seconds(right, right_end) / band).cast("long"))
+        .filter(F.col("_b1") >= F.col("_b0"))
+        .withColumn("_band", F.explode(F.sequence("_b0", "_b1")))
+        .drop("_b0", "_b1")
+        .alias("r")
+    )
+    cond = (
+        (F.col("l._band") == F.col("r._band"))
+        & (F.col(f"l.{left_ts}") >= F.col(f"r.{right_start}"))
+        & (F.col(f"l.{left_ts}") <= F.col(f"r.{right_end}"))
+    )
+    if on is not None:
+        cond = cond & (F.col(f"l.{on}") == F.col(f"r.{on}"))
+    out_cols = [F.col(f"l.{c}") for c in left.columns]
+    out_cols += [
+        F.col(f"r.{c}").alias(c + suffix if c in left.columns else c)
+        for c in right.columns
+    ]
+    return l2.join(r2, cond, how).select(*out_cols)
+
+
 def sessionize(events: DataFrame, *, key: str, ts: str,
                gap: str = "30 minutes") -> DataFrame:
     """Gap-based sessionization: a new session starts when the time

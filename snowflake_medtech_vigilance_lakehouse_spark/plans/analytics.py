@@ -1076,6 +1076,50 @@ ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (custom temporal operator, banded rewrite):
+    line items shipped inside their order's 90-day fulfilment window
+    [o_orderdate, o_orderdate + 90d], aggregated per order. The naive
+    plan for this non-equi predicate is a nested-loop join; the
+    operator's banding turns it into a hash equi-join on (key, band)."""
+    from ..operators.temporal import interval_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("win_end"),
+    )
+    j = interval_join(
+        li, o, left_ts="l_shipdate", right_start="win_start",
+        right_end="win_end", on="o_orderkey", band_seconds=90 * 86400,
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            F.round(F.sum("l_quantity"), 2).alias("qty_in_window"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        )
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+SELECT o.o_orderkey,
+       count(*) AS n_in_window,
+       round(sum(l.l_quantity), 2) AS qty_in_window,
+       strftime(min(l.l_shipdate), '%Y-%m-%d') AS first_ship
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-minute inactivity gap per user):
     lag + running sum over one per-key window."""
@@ -1688,6 +1732,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "embed_documents": q_embed_documents,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "sessionize": q_sessionize,
     "event_type_pivot": q_event_type_pivot,
     "set_ops": q_set_ops,
@@ -1739,6 +1784,7 @@ ORACLES: dict[str, str] = {
     "hybrid_search": ORACLE_HYBRID_SEARCH,
     "hybrid_search_rrf": ORACLE_HYBRID_RRF,
     "asof_join": ORACLE_ASOF_JOIN,
+    "interval_join": ORACLE_INTERVAL_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "event_type_pivot": ORACLE_EVENT_PIVOT,
     "set_ops": ORACLE_SET_OPS,

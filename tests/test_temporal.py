@@ -110,3 +110,64 @@ def test_asof_plan_has_no_join_one_shuffle(spark):
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_semantics(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.temporal import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05T00:00:00")),   # inside
+            (2, 10, _ts("2024-01-01T00:00:00")),   # on start boundary
+            (3, 10, _ts("2024-01-10T00:00:00")),   # on end boundary
+            (4, 10, _ts("2024-01-11T00:00:00")),   # outside
+            (5, 20, _ts("2024-01-05T00:00:00")),   # wrong key
+            (6, 10, None),                          # NULL ts
+        ],
+        "pid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T00:00:00"), _ts("2024-01-10T00:00:00")),
+            (101, 10, _ts("2024-02-10T00:00:00"), _ts("2024-02-01T00:00:00")),  # inverted
+            (102, 10, None, _ts("2024-03-01T00:00:00")),  # NULL start
+        ],
+        "iid long, k long, s timestamp, e timestamp",
+    )
+    # band much smaller than the interval: it must explode across bands
+    out = interval_join(left, right, left_ts="ts", right_start="s",
+                        right_end="e", on="k", band_seconds=86400)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (3, 100)]
+
+    # left mode: unmatched left rows null-extend exactly once
+    lo = interval_join(left, right, left_ts="ts", right_start="s",
+                       right_end="e", on="k", band_seconds=86400, how="left")
+    rows = {r["pid"]: r["iid"] for r in lo.collect()}
+    assert len(lo.collect()) == 6
+    assert rows[1] == 100 and rows[4] is None and rows[5] is None and rows[6] is None
+
+
+def test_interval_join_keyless_and_plan(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.temporal import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "pid long, x double"
+    )
+    right = spark.createDataFrame(
+        [(1, 2.0, 5.0), (2, 4.5, 11.0)], "iid long, lo double, hi double"
+    )
+    out = interval_join(left, right, left_ts="x", right_start="lo",
+                        right_end="hi", band_seconds=3)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    want = sorted(
+        [(p, 1) for p in (2, 3, 4, 5)] + [(p, 2) for p in (5, 6, 7, 8, 9, 10, 11)]
+    )
+    assert got == want
+    # banding must produce a hash join, not a nested-loop cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
