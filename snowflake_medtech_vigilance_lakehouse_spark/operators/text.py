@@ -146,3 +146,36 @@ def bm25_scores(docs: DataFrame, terms: Sequence[str],
         scored.select(F.col(id_col), F.round(total, 6).alias("bm25"))
         .filter(F.col("bm25") > 0)
     )
+
+
+# PII patterns shared by the Spark operator and the DuckDB oracle:
+# RE2-safe (no lookarounds/backrefs) so the exact same pattern strings
+# run under Java regex and RE2. Order matters — SSN before PHONE, or
+# the broader phone pattern consumes SSN-shaped digits first.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("phone", r"\+?[0-9][0-9() .-]{7,}[0-9]", "[PHONE]"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+)
+
+
+def pii_redact(text: Column) -> Column:
+    """Redact emails / SSN-shaped ids / phone numbers / IPv4 addresses
+    with typed placeholders — the pre-training privacy scrub every
+    corpus pipeline needs before text leaves the curation boundary
+    (companion to the column-level policies in quality/policies.py).
+    Pure regexp_replace chain: codegen, no UDF, linear scan."""
+    out = text
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind match counts (BIGINT columns named n_<kind>), for
+    audit reporting alongside the redaction itself."""
+    return [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]

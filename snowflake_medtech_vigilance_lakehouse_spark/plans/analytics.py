@@ -1025,6 +1025,52 @@ GROUP BY s.s_name, n.n_name
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus (governance tier of the curation
+    pipeline): the fixture text carries no PII, so the query plants
+    deterministic email/SSN/phone/IP strings derived from doc_id and
+    then redacts them — the oracle plants and redacts with the exact
+    same RE2-safe patterns, verifying both the regex semantics and the
+    application order (SSN before the broader phone pattern)."""
+    from ..operators.text import pii_counts, pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    four = F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0")
+    octet = F.pmod(F.col("doc_id"), 256).cast("string")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com tel +1 555-010-"), four,
+        F.lit(" ssn 123-45-"), four,
+        F.lit(" host 10.0."), octet, F.lit(".7 done"),
+    )
+    return d.select(
+        "doc_id", pii_redact(synth).alias("redacted"), *pii_counts(synth)
+    )
+
+
+def _oracle_pii_redact() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    synth = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com tel +1 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 done'"
+    )
+    red = synth
+    for _, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all({synth}, '{pat}'))::BIGINT AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
+
+
+ORACLE_PII_REDACT = _oracle_pii_redact()
+
+
 def q_sql_supplier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spark.sql(...) entry surface (S2 catalog binding + E2 SQL
     path): identical ANSI text runs on Spark's catalog views and on
@@ -1750,6 +1796,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
+    "pii_redact": q_pii_redact,
     "bm25_rank": q_bm25_rank,
     "media_features": q_media_features,
 }
@@ -1803,6 +1850,7 @@ ORACLES: dict[str, str] = {
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY,
     "doc_fingerprint": ORACLE_FINGERPRINT,
+    "pii_redact": ORACLE_PII_REDACT,
     "bm25_rank": ORACLE_BM25,
     # minhash_neardup / simhash_neardup: rows-only (crc32 hash family
     # is not DuckDB-expressible; pytest asserts pairs are a subset of
