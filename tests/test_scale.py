@@ -152,3 +152,31 @@ def test_query_tag_scopes_job_group(spark, sf_dir):
         assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") == "medtech:test-tag"
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
     assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") in ("", None)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both sides of a recurring join on the key is the
+    100 TB lever the operator docstrings point at: bucketed scans
+    satisfy the join's hashpartitioning requirement, so the sort-merge
+    join runs with ZERO exchanges."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .option("path", str(tmp_path / "orders_b")).saveAsTable("orders_b"))
+    (c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .option("path", str(tmp_path / "cust_b")).saveAsTable("cust_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(
+            spark.table("cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == o.join(c, o["o_custkey"] == c["c_custkey"]).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
