@@ -5,7 +5,9 @@ gap-based sessionization, composed from joins + windows (SURVEY.md
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -167,6 +169,37 @@ def interval_join(left: DataFrame, right: DataFrame, *, left_ts: str,
         for c in right.columns
     ]
     return l2.join(r2, cond, how).select(*out_cols)
+
+
+def gapfill_locf(df: DataFrame, *, key: str, day_col: str,
+                 value_cols: Sequence[str]) -> DataFrame:
+    """Dense daily scaffold per key with last-observation-carried-
+    forward (the TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape
+    over a sparse per-(key, day) aggregate).
+
+    For every key, days between its first and last observation are
+    generated with ``sequence()`` (one array per key, exploded — no
+    driver-side calendar), observations left-join back on (key, day),
+    and each value column gains a ``<col>_locf`` twin filled by
+    ``last(col, ignorenulls=True)`` over the per-key day order. Plan:
+    one tiny per-key bounds aggregate, one join, one window — all
+    partitioned by the key, no global stage anywhere.
+    """
+    bounds = df.groupBy(key).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    scaffold = bounds.select(
+        key, F.explode(F.sequence("_d0", "_d1")).alias(day_col)
+    )
+    joined = scaffold.join(df, [key, day_col], "left")
+    w = (
+        Window.partitionBy(key).orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
+    return out
 
 
 def sessionize(events: DataFrame, *, key: str, ts: str,

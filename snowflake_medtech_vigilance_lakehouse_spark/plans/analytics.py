@@ -1122,6 +1122,49 @@ ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
 
 
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily per-user series with LOCF (time_bucket_gapfill +
+    locf analog): sparse daily event counts gain every missing
+    calendar day between each user's first and last activity; absent
+    days count 0 and carry the last observed count forward."""
+    from ..operators.temporal import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    filled = gapfill_locf(daily, key="user_id", day_col="d",
+                          value_cols=["n_events"])
+    return filled.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_events_locf").cast("long").alias("n_events_locf"),
+    )
+
+
+ORACLE_GAPFILL_DAILY = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+), scaffold AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+)
+SELECT s.user_id,
+       strftime(s.d, '%Y-%m-%d') AS day,
+       coalesce(daily.n, 0) AS n_events,
+       last_value(daily.n IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_events_locf
+FROM scaffold s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join (custom temporal operator, banded rewrite):
     line items shipped inside their order's 90-day fulfilment window
@@ -1779,6 +1822,7 @@ QUERIES: dict[str, QueryFn] = {
     "embed_documents": q_embed_documents,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
+    "gapfill_daily": q_gapfill_daily,
     "sessionize": q_sessionize,
     "event_type_pivot": q_event_type_pivot,
     "set_ops": q_set_ops,
@@ -1832,6 +1876,7 @@ ORACLES: dict[str, str] = {
     "hybrid_search_rrf": ORACLE_HYBRID_RRF,
     "asof_join": ORACLE_ASOF_JOIN,
     "interval_join": ORACLE_INTERVAL_JOIN,
+    "gapfill_daily": ORACLE_GAPFILL_DAILY,
     "sessionize": ORACLE_SESSIONIZE,
     "event_type_pivot": ORACLE_EVENT_PIVOT,
     "set_ops": ORACLE_SET_OPS,
