@@ -16,8 +16,12 @@ Four tiers, all shuffle-planned for 100 TB:
 - simhash / simhash_pairs : 64-bit SimHash + Hamming-radius pairing via
                          band keys.
 
-Everything is built-in expressions (crc32/xxhash64, higher-order array
-functions); no Python in the hot path.
+Everything is built-in expressions (md5-derived 32-bit hashes,
+higher-order array functions); no Python in the hot path. The base
+hash for minhash/simhash is the first/second 8 hex chars of md5 —
+chosen (over crc32/xxhash64) because DuckDB computes the identical
+value (`('0x' || substr(md5(x), 1, 8))::BIGINT`), so the full LSH
+pipelines are oracle-checkable end to end.
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ def _hash_coeffs(num: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs derived from a splitmix-style mix of
     the seed — no RNG state, reproducible across runs/sessions.
 
-    Bounds keep a*h + b inside a signed 64-bit long for any crc32
+    Bounds keep a*h + b inside a signed 64-bit long for any 32-bit
     input h < 2^32: a < 2^30 and b < 2^61, so the max is < 2^63 — no
     silent wraparound, and no ARITHMETIC_OVERFLOW under ANSI mode."""
     coeffs = []
@@ -51,6 +55,17 @@ def _hash_coeffs(num: int, seed: int = 42) -> list[tuple[int, int]]:
         b = pair[1] % (1 << 61)               # [0, 2^61)
         coeffs.append((a, b))
     return coeffs
+
+
+def md5_hash32(col: Column, *, hex_offset: int = 1) -> Column:
+    """32-bit unsigned hash as a long: hex chars [offset, offset+8) of
+    md5(utf8(col)) parsed base-16. Identical in DuckDB via
+    ``('0x' || substr(md5(x), offset, 8))::BIGINT`` — the property that
+    makes every consumer below fully oracle-checkable. offset=1 and
+    offset=9 give two independent 32-bit hashes from one md5."""
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), hex_offset, 8), 16, 10
+    ).cast("long")
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -97,19 +112,28 @@ def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     return shingles_from_tokens(F.split(text, sep), n, sep)
 
 
-def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int,
+              widen: bool = True) -> DataFrame:
     """(id, _sh) with the tokenization materialized in its own
     projection so the shingle transform slices an evaluated array.
 
-    If the input scans with fewer partitions than cores (single small
-    parquet file), the raw text is repartitioned first: shingling is
-    the CPU-heavy step, and a one-file scan would otherwise pin it to
-    one task (measured 1.5s single-task at sf0.1). A many-file 100 TB
-    input already scans wide and skips the extra shuffle."""
+    ``widen=True``: if the input scans with fewer partitions than
+    cores (single small parquet file), the raw text is repartitioned
+    first — shingling is the CPU-heavy step, and a one-file scan would
+    otherwise pin it to one task (measured 1.5s single-task at sf0.1
+    for the pair-generation path). A many-file 100 TB input already
+    scans wide and skips the extra shuffle.
+
+    ``widen=False`` skips that pre-shuffle. Consumers whose next step
+    is itself a shuffling aggregation (minhash's 64-MIN groupBy, the
+    LSH verify join) should pass False: the aggregation redistributes
+    the work anyway, and the extra full-text exchange was a measured
+    ~35% regression on minhash_neardup at sf0.1 (round-2 verdict)."""
     base = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
-    p = docs.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < p:
-        base = base.repartition(p)
+    if widen:
+        p = docs.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < p:
+            base = base.repartition(p)
     return (
         base.select("_id", F.split(F.col("_txt"), " ").alias("_tok"))
         .select("_id", shingles_from_tokens(F.col("_tok"), n).alias("_sh"))
@@ -176,19 +200,21 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
                        seed: int = 42) -> DataFrame:
     """MinHash signature per document: sig_i = min over shingles of
-    (a_i * crc32(shingle) + b_i) mod p.
+    (a_i * md5_hash32(shingle) + b_i) mod p.
 
-    Shape: explode distinct shingles -> crc32 once per (doc, shingle)
-    -> hash-aggregate with num_hashes MIN()s. The permutations are
-    plain expressions over the single crc32 column, so each shingle is
-    hashed exactly once (a per-row array-transform formulation
-    re-evaluates the shingle array per permutation — 64x the work, and
-    measured ~80x slower at sf0.1). MIN combines map-side, so the
-    shuffle carries one partial signature per (partition, doc)."""
+    Shape: explode distinct shingles -> md5-hash once per
+    (doc, shingle) -> hash-aggregate with num_hashes MIN()s. The
+    permutations are plain expressions over the single hash column, so
+    each shingle is hashed exactly once (a per-row array-transform
+    formulation re-evaluates the shingle array per permutation — 64x
+    the work, and measured ~80x slower at sf0.1). MIN combines
+    map-side, so the shuffle carries one partial signature per
+    (partition, doc); widen=False because that groupBy is the
+    redistribution point (see _shingled)."""
     exploded = (
-        _shingled(docs, text_col, id_col, n)
+        _shingled(docs, text_col, id_col, n, widen=False)
         .select(F.col("_id").alias(id_col), F.explode("_sh").alias("_g"))
-        .select(F.col(id_col), F.crc32(F.col("_g").cast("binary")).alias("_h"))
+        .select(F.col(id_col), md5_hash32(F.col("_g")).alias("_h"))
     )
     aggs = [F.count(F.lit(1)).alias("n_shingles")]
     for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed)):
@@ -206,11 +232,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     """Banded-LSH candidate generation + exact-Jaccard verification.
 
     num_hashes/bands rows per band; two docs are candidates iff some
-    band of their signatures matches exactly (band key = hash of the
-    band's slice). Candidates are verified against true shingle
-    Jaccard, so precision is exact; recall is the standard LSH S-curve
-    at the chosen (bands, rows). This is the shape that survives 100 TB:
-    the only join key is the band bucket."""
+    band of their signatures matches exactly (band key = the band's
+    signature slice itself, a struct of `rows` longs — exact equality,
+    no secondary bucket hash, so the candidate set is a deterministic
+    function of the signatures and the DuckDB oracle reproduces it
+    with plain column equality). Candidates are verified against true
+    shingle Jaccard, so precision is exact; recall is the standard LSH
+    S-curve at the chosen (bands, rows). This is the shape that
+    survives 100 TB: the only join key is the band slice (a few longs
+    per row — same shuffle order of magnitude as a hashed bucket)."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, seed)
@@ -218,7 +248,10 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * rows + r}") for r in range(rows)]
         band_rows.append(
-            F.struct(F.lit(bi).alias("band"), F.hash(*cols).alias("bucket"))
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.struct(*[c.alias(f"r{r}") for r, c in enumerate(cols)]).alias("bucket"),
+            )
         )
     buckets = sig.select(
         F.col(id_col).alias("_id"),
@@ -241,7 +274,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .select("p.id1", "p.id2")
         .distinct()
     )
-    sh = _shingled(docs, text_col, id_col, n)
+    sh = _shingled(docs, text_col, id_col, n, widen=False)
     verified = (
         cand.join(sh.withColumnRenamed("_id", "id1").withColumnRenamed("_sh", "_sh1"), "id1")
         .join(sh.withColumnRenamed("_id", "id2").withColumnRenamed("_sh", "_sh2"), "id2")
@@ -330,17 +363,28 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: bit_j = sign of the sum of
-    (+1/-1) votes from xxhash64(token) bit j. One projection, no UDF."""
+    """64-bit SimHash over whitespace tokens: bit_j = sign of the sum
+    of (+1/-1) votes from bit j of the token's 64-bit hash. The hash
+    is two independent md5-derived 32-bit halves (bits 0-31 from hex
+    chars 1-8, bits 32-63 from chars 9-16) so DuckDB reproduces every
+    bit exactly (see md5_hash32). One projection, no UDF."""
     # explode -> hash each token once -> 64 conditional-sum aggregates
     # (an array-aggregate per bit would re-hash the token array 64x)
     exploded = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_t")
-    ).select(F.col(id_col), F.xxhash64("_t").alias("_h"))
+    ).select(
+        F.col(id_col),
+        md5_hash32(F.col("_t"), hex_offset=1).alias("_lo"),
+        md5_hash32(F.col("_t"), hex_offset=9).alias("_hi"),
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == F.lit(1), F.lit(1))
-            .otherwise(F.lit(-1))
+            F.when(
+                F.shiftright(
+                    F.col("_lo") if j < 32 else F.col("_hi"), j % 32
+                ).bitwiseAND(F.lit(1)) == F.lit(1),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
         ).alias(f"v_{j}")
         for j in range(bits)
     ]
@@ -397,6 +441,6 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     )
     ham = F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2")))
     return (
-        cand.select("doc_id_1", "doc_id_2", ham.cast("int").alias("hamming"))
+        cand.select("doc_id_1", "doc_id_2", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -1477,17 +1477,106 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI8 scale path: MinHash + banded LSH candidates, verified with
-    exact Jaccard. Non-SQL-expressible (rows-only driver check); the
-    pytest suite asserts it reproduces the exact operator's pairs."""
+    exact Jaccard. Fully oracle-checkable since the md5-derived base
+    hash and exact band-slice keys (no secondary bucket hash) make the
+    candidate set a deterministic SQL-expressible function — the
+    DuckDB twin recomputes all 64 permutations with the same (a, b)
+    coefficients and bands."""
     return dd.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=64, bands=32
     )
 
 
+def _minhash_oracle(num_hashes: int = 64, bands: int = 32,
+                    threshold: float = 0.5) -> str:
+    """DuckDB twin of q_minhash_neardup, generated with the SAME
+    deterministic coefficient family as the Spark operator. Candidate
+    condition = OR over bands of exact slice equality — identical to
+    the operator's struct-key grouping (pigeonhole-free LSH recall is
+    part of the contract being checked, not reconstructed)."""
+    coeffs = dd._hash_coeffs(num_hashes)
+    p = dd._MERSENNE_P
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows = num_hashes // bands
+    band_conds = "\n     OR ".join(
+        "(" + " AND ".join(
+            f"a.mh_{bi * rows + r} = b.mh_{bi * rows + r}" for r in range(rows)
+        ) + ")"
+        for bi in range(bands)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM documents
+), dd AS (
+  SELECT * FROM d WHERE len(sh) > 0
+), grams AS (
+  SELECT doc_id, unnest(sh) AS g FROM dd
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE {band_conds}
+)
+SELECT c.id1 AS doc_id_1, c.id2 AS doc_id_2,
+       round(len(list_intersect(x.sh, y.sh))::DOUBLE
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+FROM cand c
+JOIN dd x ON x.doc_id = c.id1
+JOIN dd y ON y.doc_id = c.id2
+WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {threshold}
+"""
+
+
+ORACLE_MINHASH = _minhash_oracle()
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI8 SimHash near-dup: Hamming distance <= 3 over 64-bit
-    signatures, banded join (rows-only driver check)."""
+    signatures, banded join. The 4-chunk pigeonhole banding is
+    recall-lossless (<= 3 differing bits touch <= 3 of 4 chunks), so
+    the output equals ALL pairs at Hamming <= 3 — which is what the
+    DuckDB oracle computes directly from the same md5-derived bits."""
     return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+ORACLE_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT AS lo,
+         ('0x' || substr(md5(t), 9, 8))::BIGINT AS hi
+  FROM toks
+), votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN ((CASE WHEN j < 32 THEN lo ELSE hi END) >> (j % 32)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS j)
+  GROUP BY doc_id, j
+), sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN j < 32 AND v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS slo,
+         sum(CASE WHEN j >= 32 AND v > 0 THEN (1::BIGINT << (j - 32)) ELSE 0 END)::BIGINT AS shi
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       (bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= 3
+"""
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1897,7 +1986,6 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "pii_redact": ORACLE_PII_REDACT,
     "bm25_rank": ORACLE_BM25,
-    # minhash_neardup / simhash_neardup: rows-only (crc32 hash family
-    # is not DuckDB-expressible; pytest asserts pairs are a subset of
-    # the exact-Jaccard ground truth instead).
+    "minhash_neardup": ORACLE_MINHASH,
+    "simhash_neardup": ORACLE_SIMHASH,
 }
