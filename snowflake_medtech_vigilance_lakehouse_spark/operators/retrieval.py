@@ -97,8 +97,25 @@ def hybrid_search(docs: DataFrame, *, query_terms: Sequence[str],
 
     if query_vec is not None:
         if isinstance(query_vec, DataFrame):
-            qdf = query_vec.select(
+            # enforce the 1-row probe contract IN the plan: a 0-row
+            # probe would silently annihilate every candidate through
+            # the crossJoin and >1 rows would duplicate them; the
+            # aggregate always yields exactly one row and raises at
+            # execution if the input count was not 1. Folding the check
+            # into _qv itself (not a side column) keeps column pruning
+            # from optimizing the assertion away.
+            qraw = query_vec.select(
                 F.col(query_vec.columns[0]).cast("array<double>").alias("_qv")
+            )
+            qdf = qraw.agg(
+                F.first("_qv").alias("_qv"), F.count(F.lit(1)).alias("_qn")
+            ).select(
+                F.when(F.col("_qn") == 1, F.col("_qv"))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit("hybrid_search: query_vec must contain exactly 1 row, got "),
+                    F.col("_qn"),
+                )))
+                .alias("_qv")
             )
             vec = cand.crossJoin(F.broadcast(qdf)).select(
                 F.col(id_col),
@@ -128,8 +145,13 @@ def hybrid_search(docs: DataFrame, *, query_terms: Sequence[str],
         wmax = max(w_lexical, 1.0 - w_lexical)
         m = max(k, int(math.ceil((60 + k) / wmax)) - 59)
         # multi-pass algorithm: two survivor cuts + one count pass
-        # read `scored`; persist so the BM25 stats/join run once
-        scored = scored.persist()
+        # read `scored`; materialize it once via localCheckpoint
+        # (eager) rather than persist(): checkpoint blocks are
+        # reclaimed by the ContextCleaner when the plan is GC'd, so
+        # repeated interactive rrf calls don't accumulate storage
+        # memory for the session lifetime (a persist() here leaked —
+        # nothing downstream could know when to unpersist)
+        scored = scored.localCheckpoint(eager=True)
         surv_l = scored.orderBy(F.col("_ls").desc(), F.col(id_col).asc()).limit(m)
         surv_v = scored.orderBy(F.col("_vs").desc(), F.col(id_col).asc()).limit(m)
         surv = surv_l.unionByName(surv_v).dropDuplicates([id_col]).select(

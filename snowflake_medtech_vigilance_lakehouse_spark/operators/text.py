@@ -150,18 +150,22 @@ def bm25_scores(docs: DataFrame, terms: Sequence[str],
 
 # PII patterns shared by the Spark operator and the DuckDB oracle:
 # RE2-safe (no lookarounds/backrefs) so the exact same pattern strings
-# run under Java regex and RE2. Order matters — SSN before PHONE, or
-# the broader phone pattern consumes SSN-shaped digits first.
+# run under Java regex and RE2. Order matters — each specific pattern
+# runs before a broader one that could consume its characters: SSN and
+# IPv4 both precede PHONE (the phone pattern would swallow SSN-shaped
+# digit runs, and a dot-separated phone class would mislabel IPs). The
+# phone separator class excludes '.' and the tail group requires >= 7
+# digits total, so bare IPv4s / short digit runs never match it.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
-    ("phone", r"\+?[0-9][0-9() .-]{7,}[0-9]", "[PHONE]"),
     ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9]([0-9() -]*[0-9]){6,}", "[PHONE]"),
 )
 
 
 def pii_redact(text: Column) -> Column:
-    """Redact emails / SSN-shaped ids / phone numbers / IPv4 addresses
+    """Redact emails / SSN-shaped ids / IPv4 addresses / phone numbers
     with typed placeholders — the pre-training privacy scrub every
     corpus pipeline needs before text leaves the curation boundary
     (companion to the column-level policies in quality/policies.py).
@@ -174,8 +178,15 @@ def pii_redact(text: Column) -> Column:
 
 def pii_counts(text: Column) -> list[Column]:
     """Per-kind match counts (BIGINT columns named n_<kind>), for
-    audit reporting alongside the redaction itself."""
-    return [
-        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{kind}")
-        for kind, pat, _ in PII_PATTERNS
-    ]
+    audit reporting alongside the redaction itself.
+
+    Each pattern is counted on the text with all PRECEDING patterns
+    already redacted — the same text the redaction chain hands that
+    pattern — so every span is attributed to exactly one kind (an SSN
+    is never double-counted by the broader phone pattern)."""
+    cols = []
+    cur = text
+    for kind, pat, rep in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    return cols

@@ -1058,13 +1058,16 @@ def _oracle_pii_redact() -> str:
         "' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
         "' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 done'"
     )
+    # counts mirror pii_counts: each pattern counted on the text with
+    # all preceding patterns already redacted (one kind per span)
     red = synth
-    for _, pat, rep in PII_PATTERNS:
+    count_exprs = []
+    for kind, pat, rep in PII_PATTERNS:
+        count_exprs.append(
+            f"len(regexp_extract_all({red}, '{pat}'))::BIGINT AS n_{kind}"
+        )
         red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
-    counts = ", ".join(
-        f"len(regexp_extract_all({synth}, '{pat}'))::BIGINT AS n_{kind}"
-        for kind, pat, _ in PII_PATTERNS
-    )
+    counts = ", ".join(count_exprs)
     return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
 
 

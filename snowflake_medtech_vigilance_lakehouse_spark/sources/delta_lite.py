@@ -15,11 +15,14 @@ written here are readable by any standard Delta reader (delta-spark,
 DuckDB's delta extension, Trino) — and :func:`read_delta` replays the
 same log, so the round-trip is verifiable in-sandbox.
 
-Scope (documented, not hidden): single-writer batch commits (no
-concurrent-writer conflict detection), reader/writer protocol
-versions 1/2, no checkpoint files (readers list the JSON log; Delta
-readers only *require* checkpoints to exist after one is referenced
-in _last_checkpoint), no deletion vectors / column mapping.
+Scope (documented, not hidden): batch commits with put-if-absent
+version publication (a same-version race loses loudly with
+DeltaConcurrentWriteError; there is no logical conflict *resolution*
+— the loser re-reads and retries), reader/writer protocol versions
+1/2, no checkpoint files (readers list the JSON log; Delta readers
+only *require* checkpoints to exist after one is referenced in
+_last_checkpoint), no deletion vectors / column mapping. add/remove
+paths are RFC 2396 URL-encoded per the PROTOCOL.
 
 Why this shape at 100 TB: the transaction log is the O(files) driver-
 side metadata plane — data files never move on commit, `overwrite`
@@ -34,11 +37,61 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_delta_log"
+
+
+class DeltaConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first. The losing writer
+    must re-read the log and retry from the new latest version."""
+
+
+def _put_if_absent_local(tmp: str, dst: str) -> None:
+    """Local-FS commit primitive: atomically publish ``tmp`` at ``dst``
+    iff ``dst`` does not exist. ``os.link`` is the POSIX put-if-absent
+    (it fails with EEXIST instead of silently overwriting the way
+    ``os.rename`` does), which is what turns a same-version race into
+    a loud loser instead of a clobbered log."""
+    try:
+        os.link(tmp, dst)
+    except FileExistsError as e:
+        raise DeltaConcurrentWriteError(
+            f"commit {os.path.basename(dst)} already exists; "
+            "another writer won this version"
+        ) from e
+    finally:
+        if os.path.exists(dst) and os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+# Commit-protocol hook: how a finished commit file is published at its
+# final versioned path. Contract: atomic put-if-absent — succeed iff
+# the destination does not already exist, else raise
+# DeltaConcurrentWriteError; never overwrite. The default is the
+# local-FS hard-link primitive above. On an object store, swap in the
+# store's conditional put (S3 `If-None-Match: *`, GCS
+# `ifGenerationMatch=0`, ABFS `If-None-Match: *`) — the table commit
+# then inherits the store's linearizable create-exclusive semantics,
+# so the 100 TB multi-writer story does not rest on POSIX rename.
+commit_put_if_absent: Callable[[str, str], None] = _put_if_absent_local
+
+
+def _encode_path(rel: str) -> str:
+    """RFC 2396 URL-encode each segment of a relative path the way the
+    Delta PROTOCOL requires for add/remove ``path`` fields ('=' kept
+    literal so hive-style partition dirs stay readable; spec-conforming
+    readers URL-decode, so '%'/'+' in partition string values would
+    otherwise resolve to the wrong file)."""
+    return "/".join(urllib.parse.quote(seg, safe="=") for seg in rel.split("/"))
+
+
+def _decode_path(p: str) -> str:
+    return "/".join(urllib.parse.unquote(seg) for seg in p.split("/"))
 
 
 def _log_path(path: str, version: int) -> str:
@@ -124,11 +177,12 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
     if mode == "overwrite" and version > 0:
         for rel in sorted(_live_files(path, versions[-1])):
             actions.append({"remove": {
-                "path": rel, "deletionTimestamp": now_ms, "dataChange": True,
+                "path": _encode_path(rel), "deletionTimestamp": now_ms,
+                "dataChange": True,
             }})
     for rel in sorted(new_files):
         actions.append({"add": {
-            "path": rel.replace(os.sep, "/"),
+            "path": _encode_path(rel.replace(os.sep, "/")),
             "partitionValues": _partition_values(rel, partition_by),
             "size": os.path.getsize(os.path.join(path, rel)),
             "modificationTime": now_ms,
@@ -143,11 +197,13 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
 
     os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
     commit = _log_path(path, version)
-    tmp = commit + ".tmp"
+    tmp = commit + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
-    # single atomic publish step — the commit file appearing IS the txn
-    os.rename(tmp, commit)
+    # single atomic publish step — the commit file appearing IS the
+    # txn; put-if-absent (not rename) so a concurrent writer racing
+    # for the same version loses loudly (see commit_put_if_absent)
+    commit_put_if_absent(tmp, commit)
     return version
 
 
@@ -163,9 +219,9 @@ def _live_files(path: str, version: int) -> set[str]:
                     continue
                 a = json.loads(line)
                 if "add" in a:
-                    live.add(a["add"]["path"])
+                    live.add(_decode_path(a["add"]["path"]))
                 elif "remove" in a:
-                    live.discard(a["remove"]["path"])
+                    live.discard(_decode_path(a["remove"]["path"]))
     return live
 
 

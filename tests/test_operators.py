@@ -232,3 +232,29 @@ def test_embed_hashing_deterministic_unit_norm(spark):
     v2 = df.select(enrich.embed_hashing(F.col("text"), 16).alias("e")).first()["e"]
     assert v1 == v2 and len(v1) == 16
     assert math.isclose(sum(x * x for x in v1), 1.0, rel_tol=1e-5)
+
+
+def test_pii_redact_typed_placeholders_and_single_count(spark):
+    # one of each kind in one string: the IP must become [IP] (not
+    # [PHONE]), and each span must be counted under exactly one kind
+    s = ("mail bob.s+1@corp.example.org call +1 (555) 010-4242 "
+         "ssn 123-45-6789 from 10.0.142.7 ok")
+    df = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    row = df.select(
+        tx.pii_redact(F.col("text")).alias("red"), *tx.pii_counts(F.col("text"))
+    ).first()
+    assert row["red"] == "mail [EMAIL] call [PHONE] ssn [SSN] from [IP] ok"
+    assert (row["n_email"], row["n_ssn"], row["n_ipv4"], row["n_phone"]) == (1, 1, 1, 1)
+
+
+def test_pii_redact_ip_not_phone_and_short_digits_survive(spark):
+    df = spark.createDataFrame(
+        [(1, "ip 10.0.142.7 and v 1.2.3 order 12345 x")],
+        "doc_id long, text string",
+    )
+    row = df.select(
+        tx.pii_redact(F.col("text")).alias("red"), *tx.pii_counts(F.col("text"))
+    ).first()
+    # dotted version strings and short digit runs are untouched
+    assert row["red"] == "ip [IP] and v 1.2.3 order 12345 x"
+    assert row["n_phone"] == 0 and row["n_ipv4"] == 1

@@ -117,3 +117,49 @@ def test_rrf_exact_ranks_match_bruteforce_on_random_scores(corpus, spark):
         want = [(d, r + 1) for r, (_, d) in enumerate(fused[:25])]
         got = [(r["doc_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
         assert got == want, f"trial {trial} w={w_lex}"
+
+
+def test_query_vec_dataframe_must_have_exactly_one_row(corpus, spark, sf_dir):
+    """The 1-row probe contract is enforced in-plan: a 0-row probe must
+    raise (not silently return an empty result via crossJoin
+    annihilation) and a multi-row probe must raise (not duplicate and
+    corrupt every candidate's score)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ok = hybrid_search(
+        corpus, query_terms=("spark",),
+        query_vec=emb.filter(F.col("vec_id") == 3).select("embedding"), k=5,
+    )
+    assert ok.count() == 5
+
+    empty = emb.filter(F.col("vec_id") < 0).select("embedding")
+    with pytest.raises(Exception, match="exactly 1 row"):
+        hybrid_search(corpus, query_terms=("spark",), query_vec=empty, k=5).collect()
+
+    two = emb.filter(F.col("vec_id").isin(3, 4)).select("embedding")
+    with pytest.raises(Exception, match="exactly 1 row"):
+        hybrid_search(corpus, query_terms=("spark",), query_vec=two, k=5).collect()
+
+
+def test_rrf_does_not_leak_cached_dataframes(corpus, spark):
+    """The rrf path materializes its candidate set via localCheckpoint
+    (self-cleaning), never persist(): repeated interactive calls must
+    not accumulate entries in the cache manager."""
+    import gc
+    import time as _time
+
+    for _ in range(3):
+        hybrid_search(corpus, query_terms=("spark", "merge"),
+                      fusion="rrf", k=5).collect()
+    # checkpoint blocks are reclaimed by the ContextCleaner once the
+    # plans are GC'd — a persist() would stay registered forever
+    gc.collect()
+    spark._jvm.System.gc()
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        n_cached = len(spark.sparkContext._jsc.getPersistentRDDs())
+        if n_cached <= 1:  # only the module-scoped corpus fixture
+            break
+        _time.sleep(0.5)
+        gc.collect()
+        spark._jvm.System.gc()
+    assert n_cached <= 1, f"{n_cached} persistent RDDs survived GC"
