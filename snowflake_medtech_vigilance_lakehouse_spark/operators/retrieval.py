@@ -144,14 +144,17 @@ def hybrid_search(docs: DataFrame, *, query_terms: Sequence[str],
         # survivor bound: strict 1/(61+M) < wmax/(60+k) (module doc)
         wmax = max(w_lexical, 1.0 - w_lexical)
         m = max(k, int(math.ceil((60 + k) / wmax)) - 59)
-        # multi-pass algorithm: two survivor cuts + one count pass
-        # read `scored`; materialize it once via localCheckpoint
-        # (eager) rather than persist(): checkpoint blocks are
-        # reclaimed by the ContextCleaner when the plan is GC'd, so
-        # repeated interactive rrf calls don't accumulate storage
-        # memory for the session lifetime (a persist() here leaked —
-        # nothing downstream could know when to unpersist)
-        scored = scored.localCheckpoint(eager=True)
+        # multi-pass algorithm: two survivor cuts + one count pass all
+        # read `scored`. No persist()/localCheckpoint here — both
+        # leaked storage blocks across interactive calls (persist: no
+        # owner to unpersist; localCheckpoint: blocks stay registered
+        # past plan GC). Instead the three branches share one physical
+        # plan at action time, and Spark's ReuseExchange/AQE stage
+        # reuse computes the scoring pipeline's shuffles once; only
+        # the post-shuffle join probe + projection replays per branch.
+        # This also keeps the rrf path fully lazy (no job at
+        # hybrid_search() call time) and recoverable (full lineage —
+        # safe under executor loss / dynamic allocation).
         surv_l = scored.orderBy(F.col("_ls").desc(), F.col(id_col).asc()).limit(m)
         surv_v = scored.orderBy(F.col("_vs").desc(), F.col(id_col).asc()).limit(m)
         surv = surv_l.unionByName(surv_v).dropDuplicates([id_col]).select(

@@ -141,17 +141,17 @@ def test_query_vec_dataframe_must_have_exactly_one_row(corpus, spark, sf_dir):
 
 
 def test_rrf_does_not_leak_cached_dataframes(corpus, spark):
-    """The rrf path materializes its candidate set via localCheckpoint
-    (self-cleaning), never persist(): repeated interactive calls must
-    not accumulate entries in the cache manager."""
+    """The rrf path must not register ANY storage (persist or
+    localCheckpoint — both leaked in earlier rounds): repeated
+    interactive calls must leave the cache manager untouched. Shared
+    work across the multi-pass plan comes from ReuseExchange, not
+    materialization."""
     import gc
     import time as _time
 
     for _ in range(3):
         hybrid_search(corpus, query_terms=("spark", "merge"),
                       fusion="rrf", k=5).collect()
-    # checkpoint blocks are reclaimed by the ContextCleaner once the
-    # plans are GC'd — a persist() would stay registered forever
     gc.collect()
     spark._jvm.System.gc()
     deadline = _time.time() + 30
