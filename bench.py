@@ -5,6 +5,15 @@ line {"metric", "value", "unit", "queries", "sf"}.
 Each query executes to completion through the `noop` sink (full
 execution, no driver-side collect cost). Session startup and one
 warmup scan are excluded from per-query timings.
+
+Self-defense (rounds 2-3 published phantom 5-8x outliers caused by a
+contended machine): before timing, the bench (a) refuses to run while
+orphan Spark JVMs from earlier crashed runs are alive, (b) waits for
+the 1-minute load average to settle, and (c) runs every query REPS
+(>=2) times reporting the min — the min of repeated runs of a
+deterministic query is the machine-noise-free statistic. The start
+load and rep count are recorded in the JSON so a polluted environment
+is visible in the artifact instead of silently inflating numbers.
 """
 
 from __future__ import annotations
@@ -16,6 +25,62 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+
+
+def _orphan_spark_jvms() -> list[int]:
+    """PIDs of live Spark JVMs not belonging to this process tree.
+
+    Scans /proc cmdlines for 'org.apache.spark' — deliberately NOT a
+    match on 'java' (the driver CLI's own cmdline can contain
+    '*.java' and must not count). Our session hasn't started yet, so
+    any hit is an orphan from a crashed earlier run."""
+    pids = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit() or int(entry) == os.getpid():
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\x00", b" ")
+        except OSError:
+            continue
+        if b"org.apache.spark" in cmd:
+            pids.append(int(entry))
+    return pids
+
+
+def _guard_environment() -> float:
+    """Refuse orphan JVMs; wait out load spikes. Returns the load
+    average recorded at timing start."""
+    deadline = time.time() + 120
+    orphans = _orphan_spark_jvms()
+    while orphans and time.time() < deadline:
+        print(f"bench: waiting for orphan Spark JVMs to exit: {orphans}",
+              file=sys.stderr)
+        time.sleep(5)
+        orphans = _orphan_spark_jvms()
+    if orphans:
+        print(f"bench: REFUSING to run — orphan Spark JVMs alive after "
+              f"120s: {orphans}. Kill them (pgrep -x java + check "
+              f"/proc/PID/cmdline for org.apache.spark) and re-run.",
+              file=sys.stderr)
+        sys.exit(2)
+
+    # a fresh timing run should start on a quiet machine; half the
+    # cores busy means some other workload will steal executor threads
+    limit = (os.cpu_count() or 8) * 0.5
+    deadline = time.time() + 120
+    load = os.getloadavg()[0]
+    while load > limit and time.time() < deadline:
+        print(f"bench: load {load:.1f} > {limit:.0f}, settling...",
+              file=sys.stderr)
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    if load > limit:
+        print(f"bench: WARNING — timing under load {load:.1f} "
+              f"(> {limit:.0f}); numbers may be inflated", file=sys.stderr)
+    return round(load, 2)
 
 HEADLINE = (
     "pricing_summary",
@@ -47,6 +112,8 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    load_at_start = _guard_environment()
+
     from snowflake_medtech_vigilance_lakehouse_spark.session import get_spark
     import __spark_entry__ as se
 
@@ -62,26 +129,58 @@ def main() -> None:
         else:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    def timed(df) -> float:
+        """Min wall time over REPS full executions through the noop
+        sink — a fresh plan each rep so no result is reused, and the
+        min discards any rep a background task happened to pollute."""
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(qs[name](spark, sf_dir))
 
     # production dedup profile: the capped-shingle-frequency path (the
     # 100 TB lever) timed next to the exact oracle run above
     from snowflake_medtech_vigilance_lakehouse_spark.operators import dedup as dd
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     capped = dd.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64)
-    t0 = time.perf_counter()
-    capped.write.format("noop").mode("overwrite").save()
-    timings["ngram_jaccard_capped64"] = round(time.perf_counter() - t0, 3)
+    timings["ngram_jaccard_capped64"] = timed(capped)
+
+    from pyspark.sql import functions as F
+
+    # skewed-aggregate evidence (reference README.md:46 — one
+    # manufacturer owns 30% of events): quarterly-style sum over a
+    # 30%-hot key, plain vs salted_agg. Expected PARITY — Spark's
+    # map-side partial aggregation collapses a single hot key to one
+    # row per map partition before the shuffle, so decomposable
+    # aggregates have no straggler to fix; the pair is published so
+    # the claim is measured, not asserted (full analysis: PLANS.md
+    # "Skew", operators/skew.py module doc).
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.skew import salted_agg
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    skewed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(0))
+        .otherwise(F.col("l_suppkey")).alias("mfr"),
+        "l_quantity", "l_extendedprice",
+    )
+    plain = skewed.groupBy("mfr").agg(
+        F.sum("l_extendedprice").alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_agg(
+        skewed, ["mfr"],
+        [("sum", "l_extendedprice", "rev"), ("count", "l_quantity", "n")],
+    )
+    timings["skew_sum_plain"] = timed(plain)
+    timings["skew_sum_salted"] = timed(salted)
 
     # retrieval-quality SLO (README.md:86,138 analog): Recall@20 of
     # BOTH scale paths (LSH bucketed, IVF n_probe-pruned) against the
     # brute-force ground truth
-    from pyspark.sql import functions as F
     from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probe = emb.filter(F.col("vec_id") < 8)
@@ -99,6 +198,8 @@ def main() -> None:
         "queries": timings,
         "recall_at_20_lsh": recall,
         "recall_at_20_ivf": recall_ivf,
+        "reps": REPS,
+        "load_at_start": load_at_start,
         "sf": sf,
     }))
 

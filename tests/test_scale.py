@@ -147,6 +147,27 @@ def test_salted_agg_matches_direct(spark, sf_dir):
         salted_agg(li, ["l_returnflag"], [("avg", "l_quantity", "a")])
 
 
+def test_salted_collect_matches_direct(spark, sf_dir):
+    """salted_collect (the heavy-state/OOM lever for LISTAGG-shaped
+    aggregation over a hot key) must equal sort_array(collect_list)
+    of a direct groupBy exactly — the salt spreads state, never
+    changes the multiset."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.skew import salted_collect
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    direct = {
+        r["source"]: r["items"]
+        for r in docs.groupBy("source").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("items")
+        ).collect()
+    }
+    salted = {
+        r["source"]: r["items"]
+        for r in salted_collect(docs, ["source"], "doc_id", num_salts=8).collect()
+    }
+    assert direct == salted
+
+
 def test_query_tag_scopes_job_group(spark, sf_dir):
     with query_tag(spark, "medtech:test-tag"):
         assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") == "medtech:test-tag"
