@@ -62,10 +62,20 @@ def md5_hash32(col: Column, *, hex_offset: int = 1) -> Column:
     md5(utf8(col)) parsed base-16. Identical in DuckDB via
     ``('0x' || substr(md5(x), offset, 8))::BIGINT`` — the property that
     makes every consumer below fully oracle-checkable. offset=1 and
-    offset=9 give two independent 32-bit hashes from one md5."""
-    return F.conv(
-        F.substring(F.md5(col.cast("binary")), hex_offset, 8), 16, 10
-    ).cast("long")
+    offset=9 give two independent 32-bit hashes from one md5.
+
+    Evaluated as two 4-hex-char ``conv``s combined by shift — the
+    value is bit-identical to one conv of 8 chars (v[0:8] base 16 =
+    v[0:4]*16^4 + v[4:8]), but measured 20% cheaper on the minhash
+    signature stage at sf0.1 (2.65s -> 2.13s; the md5 itself is
+    CSE'd, conv dominates and its cost grows superlinearly in digit
+    count). Remaining gap to a non-oracle-checkable intrinsic (crc32:
+    1.89s) is the documented price of the full DuckDB twin — see
+    PLANS.md "Dedup"."""
+    h = F.md5(col.cast("binary"))
+    hi = F.conv(F.substring(h, hex_offset, 4), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, hex_offset + 4, 4), 16, 10).cast("long")
+    return hi * F.lit(65536) + lo
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
