@@ -189,19 +189,23 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
         )).alias("p")
     ).select("p.id1", "p.id2")
     counts = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("_inter"))
+    # filter on the UNROUNDED ratio, round only for output (the oracle
+    # does the same; a rounded filter would keep ratios within 5e-7
+    # below threshold that the oracle drops)
+    jac = (
+        F.col("_inter").cast("double")
+        / (F.col("_n1") + F.col("_n2") - F.col("_inter")).cast("double")
+    )
     out = (
         counts.join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
         .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_n", "_n2"), "id2")
         .select(
             F.col("id1").alias("doc_id_1"),
             F.col("id2").alias("doc_id_2"),
-            F.round(
-                F.col("_inter").cast("double")
-                / (F.col("_n1") + F.col("_n2") - F.col("_inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            jac.alias("_jac"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("_jac") >= threshold)
+        .select("doc_id_1", "doc_id_2", F.round("_jac", 6).alias("jaccard"))
     )
     return out
 
@@ -285,19 +289,26 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .distinct()
     )
     sh = _shingled(docs, text_col, id_col, n, widen=False)
+    # filter on the UNROUNDED ratio and round only in the output
+    # projection — the oracle does the same, and filtering on the
+    # rounded value would keep a true jaccard in
+    # [threshold - 5e-7, threshold) that the oracle drops
+    jac = (
+        F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
+        / F.size(F.array_union("_sh1", "_sh2")).cast("double")
+    )
     verified = (
         cand.join(sh.withColumnRenamed("_id", "id1").withColumnRenamed("_sh", "_sh1"), "id1")
         .join(sh.withColumnRenamed("_id", "id2").withColumnRenamed("_sh", "_sh2"), "id2")
         .select(
             F.col("id1").alias("doc_id_1"),
             F.col("id2").alias("doc_id_2"),
-            F.round(
-                F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
-                / F.size(F.array_union("_sh1", "_sh2")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            jac.alias("_jac"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("_jac") >= threshold)
+        .select(
+            "doc_id_1", "doc_id_2", F.round("_jac", 6).alias("jaccard")
+        )
     )
     return verified
 

@@ -152,15 +152,19 @@ def bm25_scores(docs: DataFrame, terms: Sequence[str],
 # RE2-safe (no lookarounds/backrefs) so the exact same pattern strings
 # run under Java regex and RE2. Order matters — each specific pattern
 # runs before a broader one that could consume its characters: SSN and
-# IPv4 both precede PHONE (the phone pattern would swallow SSN-shaped
-# digit runs, and a dot-separated phone class would mislabel IPs). The
-# phone separator class excludes '.' and the tail group requires >= 7
-# digits total, so bare IPv4s / short digit runs never match it.
+# IPv4 both precede PHONE, and because every pattern sees the text
+# with all preceding patterns already redacted (both in the chain and
+# in pii_counts), the phone separator class can safely include '.' —
+# dot-separated phones (555.010.4242) redact, while IPv4s are already
+# [IP] by the time the phone pattern runs. The phone tail group still
+# requires >= 7 digits total, so short digit runs never match. The
+# cost of the dotted class is over-redaction of long dotted numerics
+# (e.g. 8+-digit decimals) — the safe direction for a privacy scrub.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
     ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
-    ("phone", r"\+?[0-9]([0-9() -]*[0-9]){6,}", "[PHONE]"),
+    ("phone", r"\+?[0-9]([0-9() .-]*[0-9]){6,}", "[PHONE]"),
 )
 
 

@@ -56,7 +56,13 @@ def _put_if_absent_local(tmp: str, dst: str) -> None:
     iff ``dst`` does not exist. ``os.link`` is the POSIX put-if-absent
     (it fails with EEXIST instead of silently overwriting the way
     ``os.rename`` does), which is what turns a same-version race into
-    a loud loser instead of a clobbered log."""
+    a loud loser instead of a clobbered log.
+
+    The tmp file is removed unconditionally on every exit path (win,
+    lose, or link failure) so no orphan ``.tmp`` accumulates in
+    ``_delta_log``. A non-EEXIST link failure (EPERM/EXDEV — a
+    filesystem without hardlink support) is re-raised with a pointer
+    at the ``commit_put_if_absent`` hook instead of a bare OSError."""
     try:
         os.link(tmp, dst)
     except FileExistsError as e:
@@ -64,8 +70,17 @@ def _put_if_absent_local(tmp: str, dst: str) -> None:
             f"commit {os.path.basename(dst)} already exists; "
             "another writer won this version"
         ) from e
+    except OSError as e:
+        raise OSError(
+            e.errno,
+            f"hard-link commit to {dst} failed ({e.strerror}): this "
+            "filesystem does not support the local put-if-absent "
+            "primitive — install a store-native conditional put via "
+            "snowflake_medtech_vigilance_lakehouse_spark.sources."
+            "delta_lite.commit_put_if_absent",
+        ) from e
     finally:
-        if os.path.exists(dst) and os.path.exists(tmp):
+        if os.path.exists(tmp):
             os.unlink(tmp)
 
 

@@ -258,3 +258,18 @@ def test_pii_redact_ip_not_phone_and_short_digits_survive(spark):
     # dotted version strings and short digit runs are untouched
     assert row["red"] == "ip [IP] and v 1.2.3 order 12345 x"
     assert row["n_phone"] == 0 and row["n_ipv4"] == 1
+
+
+def test_pii_redact_dotted_phone(spark):
+    # dot-separated phones redact (round-4 ADVICE: the dotless class
+    # was a coverage regression); IPs still win because ipv4 runs
+    # before phone on the progressively-redacted text
+    df = spark.createDataFrame(
+        [(1, "call 555.010.4242 or 555-010-4242 from 10.0.142.7")],
+        "doc_id long, text string",
+    )
+    row = df.select(
+        tx.pii_redact(F.col("text")).alias("red"), *tx.pii_counts(F.col("text"))
+    ).first()
+    assert row["red"] == "call [PHONE] or [PHONE] from [IP]"
+    assert row["n_phone"] == 2 and row["n_ipv4"] == 1
