@@ -140,6 +140,37 @@ def test_query_vec_dataframe_must_have_exactly_one_row(corpus, spark, sf_dir):
         hybrid_search(corpus, query_terms=("spark",), query_vec=two, k=5).collect()
 
 
+def test_hybrid_plan_keeps_topk_cuts_and_no_global_window(corpus):
+    """Plan-regression guard (round-2 task #7): every cut in
+    hybrid_search must compile to TakeOrderedAndProject (per-partition
+    heaps), the only Window allowed is the final rank over the <=k
+    survivors, every crossJoin must be a broadcast, and no
+    materialization node (persist/checkpoint scan) may appear. Fails
+    if the round-1 global-sort-window shape or the round-3 checkpoint
+    reappears."""
+    qv = [1.0] * 8
+    for fusion, min_cuts in (("weighted", 1), ("rrf", 3)):
+        out = hybrid_search(
+            corpus, query_terms=("spark", "merge"), query_vec=qv,
+            k=20, fusion=fusion,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # rrf: two survivor cuts + final top-k; weighted: final top-k
+        assert plan.count("TakeOrderedAndProject") >= min_cuts, fusion
+        # the only Window is the final row_number over <=k rows
+        assert plan.count("Window") <= 1, fusion
+        # probe/stats crossJoins must broadcast, never nested-loop the
+        # candidate set
+        assert "CartesianProduct" not in plan, fusion
+        # no localCheckpoint inside the operator: shared work comes
+        # from ReuseExchange, not storage blocks (the round-3 leak; a
+        # checkpointed candidate set scans as ExistingRDD). The
+        # user-cached corpus fixture legitimately appears as
+        # InMemoryTableScan, so only the checkpoint shape is banned —
+        # operator-internal persist() is covered by the leak test.
+        assert "ExistingRDD" not in plan, fusion
+
+
 def test_rrf_does_not_leak_cached_dataframes(corpus, spark):
     """The rrf path must not register ANY storage (persist or
     localCheckpoint — both leaked in earlier rounds): repeated
