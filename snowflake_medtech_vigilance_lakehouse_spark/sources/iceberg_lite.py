@@ -1,0 +1,466 @@
+"""Minimal Iceberg-shaped table writer/reader (S7 tail: the
+reference publishes marts as Iceberg for cross-engine reads —
+/root/reference/README.md:121-124, dbt_project.yml:13-15).
+
+Implements the Apache Iceberg *table spec* (format-version 2) metadata
+tree from first principles, the way ``delta_lite`` implements the
+Delta transaction-log protocol:
+
+    table/
+      data/...                       parquet, hive-style partition dirs
+      metadata/
+        v{N}.metadata.json           table metadata (spec "Table Metadata")
+        snap-{id}.manifest-list.json manifest list (one per snapshot)
+        mf-{uuid}.manifest.json      manifest (data-file entries)
+        version-hint.text            latest N (HadoopCatalog discovery aid)
+
+Field names, nesting, field-ids, sequence numbers, snapshot lineage,
+and the commit protocol follow the public spec; **manifests and
+manifest lists are JSON, not Avro** — this container has no Avro
+library, and hand-rolled Avro binaries we could not independently
+verify would be a silent-corruption risk. The deviation is loud and
+documented here and in README scope: a spec reader maps each JSON
+object 1:1 onto the Avro record of the same name. Everything above
+the manifest encoding — optimistic concurrency via put-if-absent on
+``v{N}.metadata.json`` (what HadoopTables does with rename),
+snapshot time travel, metadata-level partition pruning, per-file
+record counts from parquet footers — is real and tested.
+
+At 100 TB the commit cost is O(new files) metadata, never data
+movement; appends carry prior manifests forward untouched (Iceberg's
+fast append), so commit work does not grow with table history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .delta_lite import commit_put_if_absent
+
+_META = "metadata"
+_DATA = "data"
+
+
+class IcebergCommitError(RuntimeError):
+    """Another writer committed this metadata version first; re-read
+    the table and retry from the new current snapshot."""
+
+
+# ---------------------------------------------------------------- schema
+
+_PRIMITIVES = {
+    "boolean": "boolean",
+    "byte": "int",
+    "short": "int",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    # Spark TimestampType is UTC-adjusted -> iceberg timestamptz;
+    # TimestampNTZType is wall-clock -> iceberg timestamp
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _to_iceberg_type(t, alloc) -> object:
+    """Spark schema JSON node -> Iceberg JSON type. ``alloc()`` hands
+    out the next field id (spec: every nested element/key/value gets
+    one; ids are assigned pre-order so they are stable and unique)."""
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        if t.startswith("decimal("):
+            p, s = t[len("decimal("):-1].split(",")
+            return f"decimal({int(p)}, {int(s)})"
+        raise ValueError(f"iceberg_lite: unsupported Spark type {t!r}")
+    kind = t["type"]
+    if kind == "struct":
+        return {"type": "struct", "fields": _to_iceberg_fields(t["fields"], alloc)}
+    if kind == "array":
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _to_iceberg_type(t["elementType"], alloc),
+            "element-required": not t["containsNull"],
+        }
+    if kind == "map":
+        kid, vid = alloc(), alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _to_iceberg_type(t["keyType"], alloc),
+            "value-id": vid,
+            "value": _to_iceberg_type(t["valueType"], alloc),
+            "value-required": not t["valueContainsNull"],
+        }
+    raise ValueError(f"iceberg_lite: unsupported Spark type {kind!r}")
+
+
+def _to_iceberg_fields(fields, alloc) -> list[dict]:
+    out = []
+    for f in fields:
+        fid = alloc()
+        out.append({
+            "id": fid,
+            "name": f["name"],
+            "required": not f["nullable"],
+            "type": _to_iceberg_type(f["type"], alloc),
+        })
+    return out
+
+
+def iceberg_schema(df_schema_json: str) -> tuple[dict, int]:
+    """(Iceberg schema JSON dict, last-column-id) for a Spark schema."""
+    counter = {"n": 0}
+
+    def alloc() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    spark_schema = json.loads(df_schema_json)
+    fields = _to_iceberg_fields(spark_schema["fields"], alloc)
+    return (
+        {"type": "struct", "schema-id": 0, "fields": fields},
+        counter["n"],
+    )
+
+
+def _to_spark_type(t) -> object:
+    """Inverse mapping for reading an empty snapshot's schema back."""
+    inv = {v: k for k, v in _PRIMITIVES.items() if k not in ("byte", "short")}
+    if isinstance(t, str):
+        if t in inv:
+            return inv[t]
+        if t == "int":
+            return "integer"
+        if t.startswith("decimal("):
+            p, s = t[len("decimal("):-1].split(",")
+            return f"decimal({int(p)},{int(s)})"
+        raise ValueError(f"iceberg_lite: unsupported Iceberg type {t!r}")
+    kind = t["type"]
+    if kind == "struct":
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f["name"],
+                    "type": _to_spark_type(f["type"]),
+                    "nullable": not f["required"],
+                    "metadata": {},
+                }
+                for f in t["fields"]
+            ],
+        }
+    if kind == "list":
+        return {
+            "type": "array",
+            "elementType": _to_spark_type(t["element"]),
+            "containsNull": not t["element-required"],
+        }
+    if kind == "map":
+        return {
+            "type": "map",
+            "keyType": _to_spark_type(t["key"]),
+            "valueType": _to_spark_type(t["value"]),
+            "valueContainsNull": not t["value-required"],
+        }
+    raise ValueError(f"iceberg_lite: unsupported Iceberg type {kind!r}")
+
+
+# ------------------------------------------------------------- discovery
+
+def _meta_path(path: str, version: int) -> str:
+    return os.path.join(path, _META, f"v{version}.metadata.json")
+
+
+def _list_meta_versions(path: str) -> list[int]:
+    meta = os.path.join(path, _META)
+    if not os.path.isdir(meta):
+        return []
+    out = []
+    for f in os.listdir(meta):
+        if f.startswith("v") and f.endswith(".metadata.json"):
+            mid = f[1:-len(".metadata.json")]
+            if mid.isdigit():
+                out.append(int(mid))
+    return sorted(out)
+
+
+def table_metadata(path: str, version: int | None = None) -> dict:
+    """Parsed v{N}.metadata.json (latest when ``version`` is None).
+    Listing, not version-hint.text, is authoritative: the hint update
+    is advisory and non-atomic by design (as in HadoopCatalog)."""
+    versions = _list_meta_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"metadata version {v} not present (have {versions})")
+    with open(_meta_path(path, v)) as f:
+        return json.load(f)
+
+
+def _data_files(path: str) -> set[str]:
+    data = os.path.join(path, _DATA)
+    found = set()
+    for root, _dirs, files in os.walk(data):
+        for f in files:
+            if f.endswith(".parquet"):
+                found.add(os.path.relpath(os.path.join(root, f), path))
+    return found
+
+
+def _partition_tuple(rel_path: str, partition_by: list[str]) -> dict[str, str]:
+    vals: dict[str, str] = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if k in partition_by:
+                vals[k] = v
+    return vals
+
+
+# --------------------------------------------------------------- writer
+
+def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> int:
+    """Publish ``df`` at ``path`` as an Iceberg-shaped table; returns
+    the committed snapshot id. ``mode``: 'overwrite' (new snapshot
+    references only the new manifest — prior data files stay on disk
+    for time travel) or 'append' (prior manifests carried forward
+    verbatim: the spec's fast append, O(new files) commit work)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode: {mode}")
+    partition_by = list(partition_by or [])
+
+    versions = _list_meta_versions(path)
+    prev = table_metadata(path) if versions else None
+    if prev is not None:
+        schema, last_col = iceberg_schema(df.schema.json())
+        if schema != prev["schemas"][0]:
+            raise ValueError(
+                "schema mismatch with committed Iceberg metadata; "
+                "iceberg_lite does not implement schema evolution"
+            )
+    else:
+        schema, last_col = iceberg_schema(df.schema.json())
+
+    # data files land under data/ first; the commit below is what
+    # makes them part of the table (uncommitted files are invisible to
+    # readers, exactly the spec's files-then-metadata ordering)
+    before = _data_files(path)
+    writer = df.write.mode("append").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(os.path.join(path, _DATA))
+    new_files = sorted(_data_files(path) - before)
+
+    import pyarrow.parquet as pq
+
+    now_ms = int(time.time() * 1000)
+    version = (versions[-1] + 1) if versions else 1
+    seq = (prev["last-sequence-number"] + 1) if prev else 1
+    snapshot_id = seq  # deterministic; spec only requires a unique int64
+    parent_id = prev["current-snapshot-id"] if prev else None
+
+    entries = []
+    added_rows = 0
+    for rel in new_files:
+        full = os.path.join(path, rel)
+        nrows = pq.ParquetFile(full).metadata.num_rows
+        added_rows += nrows
+        entries.append({
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,  # DATA
+                "file_path": rel.replace(os.sep, "/"),
+                "file_format": "PARQUET",
+                "partition": _partition_tuple(rel, partition_by),
+                "record_count": nrows,
+                "file_size_in_bytes": os.path.getsize(full),
+            },
+        })
+
+    meta_dir = os.path.join(path, _META)
+    os.makedirs(meta_dir, exist_ok=True)
+    manifest_rel = f"{_META}/mf-{uuid.uuid4().hex}.manifest.json"
+    with open(os.path.join(path, manifest_rel), "w") as f:
+        json.dump({"spec-id": 0, "entries": entries}, f)
+
+    manifest_entry = {
+        "manifest_path": manifest_rel,
+        "manifest_length": os.path.getsize(os.path.join(path, manifest_rel)),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    carried: list[dict] = []
+    if mode == "append" and prev is not None and prev["current-snapshot-id"] is not None:
+        cur = next(s for s in prev["snapshots"]
+                   if s["snapshot-id"] == prev["current-snapshot-id"])
+        with open(os.path.join(path, cur["manifest-list"])) as f:
+            carried = json.load(f)["manifests"]
+
+    mlist_rel = f"{_META}/snap-{snapshot_id}-{uuid.uuid4().hex}.manifest-list.json"
+    with open(os.path.join(path, mlist_rel), "w") as f:
+        json.dump({"manifests": carried + [manifest_entry]}, f)
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": parent_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "append" if mode == "append" else "overwrite",
+            "added-data-files": str(len(entries)),
+            "added-records": str(added_rows),
+        },
+        "manifest-list": mlist_rel,
+        "schema-id": 0,
+    }
+
+    spec_fields = []
+    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    for i, col in enumerate(partition_by):
+        spec_fields.append({
+            "name": col,
+            "transform": "identity",
+            "source-id": name_to_id[col],
+            "field-id": 1000 + i,
+        })
+    if prev is not None:
+        prev_cols = [pf["name"] for pf in prev["partition-specs"][0]["fields"]]
+        if prev_cols != partition_by:
+            raise ValueError(
+                f"partition_by {partition_by} does not match committed "
+                f"spec {prev_cols}"
+            )
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": prev["table-uuid"] if prev else str(uuid.uuid4()),
+        "location": path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": (999 + len(spec_fields)) if spec_fields else 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": (prev["snapshots"] if prev else []) + [snapshot],
+        "snapshot-log": (prev["snapshot-log"] if prev else []) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ],
+        "metadata-log": (prev["metadata-log"] if prev else []) + (
+            [{"timestamp-ms": prev["last-updated-ms"],
+              "metadata-file": _meta_path(path, versions[-1])}] if prev else []
+        ),
+    }
+
+    # single atomic publish: v{N}.metadata.json appearing IS the
+    # commit (HadoopTables does this with rename; put-if-absent gives
+    # the same winner-takes-the-version race with a loud loser)
+    commit = _meta_path(path, version)
+    tmp = commit + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(metadata, f)
+    try:
+        commit_put_if_absent(tmp, commit)
+    except Exception as e:  # delta_lite raises its own concurrent error
+        if type(e).__name__ == "DeltaConcurrentWriteError":
+            raise IcebergCommitError(
+                f"metadata v{version} already exists; another writer "
+                "won this version"
+            ) from e
+        raise
+    # advisory discovery hint (losers never reach this line)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snapshot_id
+
+
+# --------------------------------------------------------------- reader
+
+def _snapshot_files(path: str, meta: dict, snapshot_id: int,
+                    partition_filter: dict[str, str] | None = None) -> list[str]:
+    """Live data-file paths of a snapshot, optionally pruned by exact
+    partition-tuple match at the METADATA level — files whose manifest
+    partition tuple misses the filter are never handed to Spark, the
+    Iceberg-side analog of delta_lite's log-level pruning."""
+    snap = next((s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None)
+    if snap is None:
+        have = [s["snapshot-id"] for s in meta["snapshots"]]
+        raise ValueError(f"snapshot {snapshot_id} not in table (have {have})")
+    with open(os.path.join(path, snap["manifest-list"])) as f:
+        manifests = json.load(f)["manifests"]
+    out = []
+    for m in manifests:
+        with open(os.path.join(path, m["manifest_path"])) as f:
+            for e in json.load(f)["entries"]:
+                if e["status"] == 2:  # DELETED
+                    continue
+                part = e["data_file"]["partition"]
+                if partition_filter and any(
+                    str(part.get(k)) != str(v) for k, v in partition_filter.items()
+                ):
+                    continue
+                out.append(e["data_file"]["file_path"])
+    return sorted(out)
+
+
+def read_iceberg(spark: SparkSession, path: str, *,
+                 snapshot_id: int | None = None,
+                 partition_filter: dict[str, str] | None = None) -> DataFrame:
+    """Read an iceberg_lite table (current snapshot, or time-traveled
+    to ``snapshot_id``). Partition columns come back via ``basePath``
+    over the hive-style data layout, so predicate pruning behaves
+    exactly as on the plain partitioned mart; ``partition_filter``
+    additionally prunes at the metadata level before Spark ever lists
+    a file."""
+    meta = table_metadata(path)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    files = _snapshot_files(path, meta, sid, partition_filter)
+    if not files:
+        from pyspark.sql.types import StructType
+        spark_fields = [
+            {
+                "name": f["name"],
+                "type": _to_spark_type(f["type"]),
+                "nullable": not f["required"],
+                "metadata": {},
+            }
+            for f in meta["schemas"][0]["fields"]
+        ]
+        return spark.createDataFrame(
+            [], StructType.fromJson({"type": "struct", "fields": spark_fields})
+        )
+    base = os.path.join(path, _DATA)
+    return spark.read.option("basePath", base).parquet(
+        *[os.path.join(path, rel) for rel in files]
+    )

@@ -65,11 +65,18 @@ def test_partitioned_publication_prunes(spark, sf_dir, tmp_path):
     assert pruned.count() == o.filter((F.col("yyyy") == 1997) & (F.col("q") == 2)).count()
 
 
-def test_unavailable_table_formats_fail_clearly(spark, sf_dir, tmp_path):
-    # iceberg has no jar-free fallback: it must gate with a clear error
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    with pytest.raises(NotImplementedError, match="classpath"):
-        write_table(o, str(tmp_path / "iceberg"), fmt="iceberg")
+def test_iceberg_routes_to_metadata_lite_writer(spark, sf_dir, tmp_path):
+    # without iceberg jars, fmt='iceberg' publishes through
+    # iceberg_lite (round-4; was a NotImplementedError gate) — full
+    # behavior coverage lives in tests/test_iceberg_lite.py
+    from snowflake_medtech_vigilance_lakehouse_spark.sources.iceberg_lite import (
+        read_iceberg,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100)
+    out = str(tmp_path / "iceberg")
+    write_table(o, out, fmt="iceberg")
+    assert read_iceberg(spark, out).count() == 100
 
 
 def test_seed_join_is_broadcast(spark, sf_dir):
