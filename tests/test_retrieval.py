@@ -176,21 +176,38 @@ def test_rrf_does_not_leak_cached_dataframes(corpus, spark):
     localCheckpoint — both leaked in earlier rounds): repeated
     interactive calls must leave the cache manager untouched. Shared
     work across the multi-pass plan comes from ReuseExchange, not
-    materialization."""
+    materialization.
+
+    The assertion is a DELTA against the session's pre-call baseline,
+    not an absolute count: in a full-suite session earlier modules
+    legitimately hold persistent entries (cached fixtures, operators
+    whose contract includes checkpointing like connected_components),
+    and those are not this test's business. rrf adding zero entries
+    is."""
     import gc
     import time as _time
 
+    def settled_count() -> int:
+        """Persistent-RDD count once forced GC + ContextCleaner stop
+        shrinking it (two consecutive stable samples or 30s)."""
+        last = None
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            gc.collect()
+            spark._jvm.System.gc()
+            _time.sleep(0.5)
+            n = len(spark.sparkContext._jsc.getPersistentRDDs())
+            if n == last or n == 0:
+                return n
+            last = n
+        return last
+
+    baseline = settled_count()
     for _ in range(3):
         hybrid_search(corpus, query_terms=("spark", "merge"),
                       fusion="rrf", k=5).collect()
-    gc.collect()
-    spark._jvm.System.gc()
-    deadline = _time.time() + 30
-    while _time.time() < deadline:
-        n_cached = len(spark.sparkContext._jsc.getPersistentRDDs())
-        if n_cached <= 1:  # only the module-scoped corpus fixture
-            break
-        _time.sleep(0.5)
-        gc.collect()
-        spark._jvm.System.gc()
-    assert n_cached <= 1, f"{n_cached} persistent RDDs survived GC"
+    after = settled_count()
+    assert after <= baseline, (
+        f"rrf added {after - baseline} persistent RDDs "
+        f"(baseline {baseline}, after {after})"
+    )
