@@ -1,0 +1,156 @@
+"""Training-corpus curation operators beyond dedup: benchmark
+decontamination, deterministic stratified sampling (training-mix
+control), and sequence packing.
+
+These are the pipeline stages a 100 TB pretraining-data run needs
+between "deduplicated corpus" and "training shards": drop documents
+that leak the eval set, hit a target language/source mixture without a
+second pass, and lay documents end-to-end into fixed token budgets.
+All three are pure DataFrame compositions (no UDFs) and every
+randomized choice is a deterministic hash of the data, so runs are
+reproducible and each operator has a full DuckDB oracle twin
+(see plans/analytics.py).
+
+Reference parity: the reference repo curates a document corpus for
+retrieval (README.md "documents" pipeline); these operators extend the
+same corpus surface to the training-data preparation tasks named in
+the build brief (decontamination/sampling/packing are standard LLM
+data-pipeline stages, cf. the public C4/Pile/RefinedWeb process
+descriptions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _shingled, md5_hash32
+
+__all__ = ["decontaminate", "stratified_sample", "pack_sequences"]
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, *, n: int = 3,
+                  flag_threshold: float = 0.5, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark-contamination score per corpus document: the fraction
+    of its distinct word-``n``-gram shingles that appear anywhere in
+    the ``benchmark`` (eval-set) corpus, plus a 0/1 ``flagged`` column
+    at ``flag_threshold``.
+
+    Shape: both sides shingle once, shingles are reduced to 8-byte
+    md5-derived keys (hash collisions affect both engines identically,
+    so the score stays oracle-exact), the benchmark side is collapsed
+    to a DISTINCT key set, and a single left join + hash aggregation
+    produces the score. Documents with zero shingles (< n tokens) drop
+    out, matching the shingle contract of the dedup family.
+
+    Scale: eval sets are small by nature, so the distinct benchmark
+    keys are broadcast (``broadcast_benchmark=True``) and the corpus
+    side never shuffles on the shingle key — the only exchange is the
+    final per-document aggregation, whose key is the doc id. For a
+    benchmark too large to broadcast, pass False and the join becomes
+    a plain hash join partitioned on the 8-byte shingle key, which
+    distributes uniformly at any scale.
+    """
+    bench_keys = (
+        _shingled(benchmark, text_col, id_col, n, widen=False)
+        .select(F.explode("_sh").alias("_g"))
+        .select(md5_hash32(F.col("_g")).alias("_h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_keys = F.broadcast(bench_keys)
+    corpus_keys = (
+        _shingled(corpus, text_col, id_col, n, widen=False)
+        .select(F.col("_id").alias(id_col), F.explode("_sh").alias("_g"))
+        .select(id_col, md5_hash32(F.col("_g")).alias("_h"))
+    )
+    contamination = (
+        F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double")
+    )
+    return (
+        corpus_keys.join(bench_keys, "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            F.round(contamination, 6).alias("contamination"),
+            (contamination >= F.lit(flag_threshold)).cast("long").alias("flagged"),
+        )
+    )
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float], *,
+                      stratum_col: str = "lang", key_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      denom: int = 1_000_000) -> DataFrame:
+    """Deterministic per-stratum sampling for training-mix control:
+    keep a row iff ``md5_hash32(key) % denom < floor(rate * denom)``
+    where ``rate`` is the stratum's target in ``rates`` (fallback
+    ``default_rate``).
+
+    No RNG: membership is a pure function of the key, so the sample is
+    reproducible across runs/engines/cluster sizes, stable under
+    re-partitioning, and consistent between incremental batches (a row
+    keeps or loses membership forever — the property a multi-epoch
+    training mix needs). ``rates`` folds into the plan as a literal
+    map, so the filter evaluates inside codegen with no join; this is
+    a full scan-side filter and pushes nothing to the shuffle.
+
+    The hash is the md5-derived 32-bit key (operators/dedup.py), so
+    the exact sample is reproducible in the DuckDB oracle.
+    """
+    mapping = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    rate = F.coalesce(mapping[F.col(stratum_col)], F.lit(float(default_rate)))
+    bucket = md5_hash32(F.col(key_col).cast("string")) % F.lit(denom)
+    return df.filter(bucket < F.floor(rate * F.lit(float(denom))).cast("long"))
+
+
+def pack_sequences(docs: DataFrame, *, budget: int = 512,
+                   num_shards: int = 32, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end and
+    cut the stream into ``budget``-token bins, the standard
+    pretraining packing scheme. Returns per document its shard, token
+    count, the bin its first token lands in, and the offset inside
+    that bin (a document may straddle bins — that is the
+    concat-and-chunk semantic, not a defect).
+
+    Scale shape: a single global running sum would serialize on one
+    task, so documents are first sharded by ``pmod(id, num_shards)``
+    and packed independently per shard — the window's partition key is
+    the shard, giving ``num_shards``-way parallelism with one
+    exchange. Size ``num_shards`` to the cluster (executor cores × a
+    small factor); bins are identified by (shard, bin_id) so shard
+    outputs never need renumbering against each other. Within a shard
+    the order is the document id — deterministic, engine-independent.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.pmod(F.col(id_col), F.lit(num_shards)).cast("long").alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            F.expr(f"(cum_tokens - n_tokens) DIV {int(budget)}").alias("bin_id"),
+            F.pmod(start, F.lit(budget)).cast("long").alias("bin_offset"),
+        )
+    )

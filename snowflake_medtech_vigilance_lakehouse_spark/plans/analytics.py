@@ -32,6 +32,7 @@ from ..functions.scalar import (
     quarter_label,
     sha2_key,
 )
+from ..operators import curation as cu
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
@@ -1689,6 +1690,96 @@ WHERE quality >= 0.3 AND stopword_ratio >= 0.02 AND n_tokens BETWEEN 16 AND 512
 """
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: score each corpus document by the
+    fraction of its word-3-gram shingles leaked into a held-out
+    benchmark slice (doc_id % 40 == 0 plays the eval set), flag at
+    0.5. The benchmark key set is broadcast; the only shuffle is the
+    per-document aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    corpus = docs.filter(F.col("doc_id") % 40 != 0)
+    return cu.decontaminate(corpus, bench, n=3, flag_threshold=0.5)
+
+
+ORACLE_DECONTAMINATION = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM documents
+), dd AS (
+  SELECT * FROM d WHERE len(sh) > 0
+), bench AS (
+  SELECT DISTINCT ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+  FROM (SELECT unnest(sh) AS g FROM dd WHERE doc_id % 40 = 0)
+), corp AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(sh) AS g FROM dd WHERE doc_id % 40 <> 0)
+)
+SELECT c.doc_id AS doc_id,
+       count(*) AS n_shingles,
+       sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       round(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS contamination,
+       (sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        / count(*) >= 0.5)::BIGINT AS flagged
+FROM corp c LEFT JOIN bench b ON c.h = b.h
+GROUP BY c.doc_id
+"""
+
+
+def q_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training-mix sample: per-language keep
+    rates (en 1/2, de 1/4, zh 1/8, default 1/16) applied as a pure
+    hash-of-key filter — reproducible across engines and runs, no RNG.
+    Rates are binary-exact fractions so floor(rate * denom) is exact
+    on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = cu.stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "zh": 0.125}, stratum_col="lang",
+        key_col="doc_id", default_rate=0.0625,
+    )
+    return sampled.select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_TRAINING_MIX = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+      < floor(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                        WHEN 'zh' THEN 0.125 ELSE 0.0625 END
+              * 1000000.0)::BIGINT
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 256-token bins over 8
+    deterministic shards: each document's (shard, bin, offset)
+    placement in the packed training stream."""
+    return cu.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, num_shards=8
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       ((cum - n_tokens) // 256)::BIGINT AS bin_id,
+       ((cum - n_tokens) % 256)::BIGINT AS bin_offset
+FROM c
+"""
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI4 exact k-NN: top-20 cosine neighbors for 8 probe vectors —
     the Recall@20 ground truth (README.md:86,138)."""
@@ -1935,6 +2026,9 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redact": q_pii_redact,
     "bm25_rank": q_bm25_rank,
     "media_features": q_media_features,
+    "decontamination": q_decontamination,
+    "training_mix_sample": q_training_mix_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -1991,4 +2085,7 @@ ORACLES: dict[str, str] = {
     "bm25_rank": ORACLE_BM25,
     "minhash_neardup": ORACLE_MINHASH,
     "simhash_neardup": ORACLE_SIMHASH,
+    "decontamination": ORACLE_DECONTAMINATION,
+    "training_mix_sample": ORACLE_TRAINING_MIX,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
 }

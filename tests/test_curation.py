@@ -1,0 +1,98 @@
+"""Unit tests for the curation operators: decontamination,
+deterministic stratified sampling, sequence packing. The oracle-gate
+test (test_queries_oracle.py) additionally hash-compares the three
+driver-facing queries against their DuckDB twins at sf0.001."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from snowflake_medtech_vigilance_lakehouse_spark.operators import curation as cu
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_scores_and_flags(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta")])
+    corpus = _docs(spark, [
+        # identical 4-token doc: both of its 3-gram shingles leak -> 1.0
+        (1, "alpha beta gamma delta"),
+        # shares exactly one of its two shingles -> 0.5, flagged at 0.5
+        (2, "alpha beta gamma zeta"),
+        # no overlap -> 0.0
+        (3, "one two three four"),
+        # too short to shingle -> drops out
+        (4, "only two"),
+    ])
+    out = {r["doc_id"]: r for r in cu.decontaminate(corpus, bench).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contamination"] == 1.0 and out[1]["flagged"] == 1
+    assert out[2]["contamination"] == 0.5 and out[2]["flagged"] == 1
+    assert out[3]["contamination"] == 0.0 and out[3]["flagged"] == 0
+    assert out[2]["n_shingles"] == 2 and out[2]["n_contaminated"] == 1
+
+
+def test_decontaminate_benchmark_is_broadcast(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta")])
+    corpus = _docs(spark, [(1, "alpha beta gamma")])
+    plan = cu.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def _md5_bucket(key: str, denom: int = 1_000_000) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % denom
+
+
+def test_stratified_sample_matches_hash_rule_exactly(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.5, "de": 0.25}
+    got = sorted(
+        r["doc_id"]
+        for r in cu.stratified_sample(df, rates, stratum_col="lang").collect()
+    )
+    want = sorted(
+        i for i, lang in rows
+        if _md5_bucket(str(i)) < int(rates[lang] * 1_000_000)
+    )
+    assert got == want
+    # deterministic: a second run returns the identical membership
+    again = sorted(
+        r["doc_id"]
+        for r in cu.stratified_sample(df, rates, stratum_col="lang").collect()
+    )
+    assert again == got
+
+
+def test_stratified_sample_default_rate_zero_drops_unknown_strata(spark):
+    df = spark.createDataFrame([(1, "xx"), (2, "xx")], "doc_id long, lang string")
+    assert cu.stratified_sample(df, {"en": 1.0}, stratum_col="lang").count() == 0
+
+
+def test_pack_sequences_matches_sequential_cumsum(spark):
+    rows = [(i, " ".join(["w"] * (7 + 13 * i % 29))) for i in range(60)]
+    df = _docs(spark, rows)
+    budget, shards = 32, 4
+    out = cu.pack_sequences(df, budget=budget, num_shards=shards).collect()
+    got = {r["doc_id"]: r for r in out}
+    cum: dict[int, int] = {}
+    for i, text in rows:  # ids ascending == within-shard packing order
+        shard = i % shards
+        start = cum.get(shard, 0)
+        n = len(text.split(" "))
+        cum[shard] = start + n
+        r = got[i]
+        assert (r["shard"], r["n_tokens"]) == (shard, n)
+        assert r["bin_id"] == start // budget
+        assert r["bin_offset"] == start % budget
+        assert 0 <= r["bin_offset"] < budget
+
+
+def test_pack_sequences_single_exchange(spark):
+    df = _docs(spark, [(i, "a b c") for i in range(10)])
+    plan = cu.pack_sequences(df, budget=8, num_shards=2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
