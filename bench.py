@@ -104,6 +104,9 @@ HEADLINE = (
     "hybrid_search",
     "bm25_rank",
     "token_stats",
+    "decontamination",
+    "training_mix_sample",
+    "pack_sequences",
 )
 
 
