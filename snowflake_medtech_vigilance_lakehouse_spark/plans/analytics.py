@@ -1830,6 +1830,57 @@ WHERE p.id_1 < e.vec_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic deduplication end-to-end:
+    embedding-cosine near-dup pairs (probe slice, cosine >= 0.35 on
+    the fixture's random vectors) -> connected components -> every
+    vector labeled with its cluster's canonical (min-id) member and a
+    keep flag (canonical or isolated). The keep=1 slice IS the
+    semantically deduplicated corpus; oracle is the recursive-CTE
+    reachability twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_neardup_pairs(
+        emb, emb.filter(F.col("vec_id") % 20 == 0), threshold=0.35
+    )
+    comps = dd.connected_components(pairs, left_col="id_1", right_col="id_2")
+    return (
+        emb.select("vec_id")
+        .join(comps.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", F.col("vec_id")).alias("component_id"),
+        )
+        .withColumn("keep", (F.col("component_id") == F.col("vec_id")).cast("long"))
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH RECURSIVE p AS (
+  SELECT vec_id AS id_1, embedding::DOUBLE[] AS pv
+  FROM embeddings WHERE vec_id % 20 = 0
+), pairs AS (
+  SELECT p.id_1, e.vec_id AS id_2
+  FROM embeddings e CROSS JOIN p
+  WHERE p.id_1 < e.vec_id
+    AND round(list_cosine_similarity(p.pv, e.embedding::DOUBLE[]), 6) >= 0.35
+), edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+), reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS vec_id, least(a, min(b)) AS component_id
+  FROM reach GROUP BY a
+)
+SELECT e.vec_id,
+       coalesce(c.component_id, e.vec_id) AS component_id,
+       (coalesce(c.component_id, e.vec_id) = e.vec_id)::BIGINT AS keep
+FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counting + duplication stats."""
     return tx.token_stats(_t(spark, sf_dir, "documents"))
@@ -2029,6 +2080,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontamination": q_decontamination,
     "training_mix_sample": q_training_mix_sample,
     "pack_sequences": q_pack_sequences,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2088,4 +2140,5 @@ ORACLES: dict[str, str] = {
     "decontamination": ORACLE_DECONTAMINATION,
     "training_mix_sample": ORACLE_TRAINING_MIX,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
 }

@@ -92,6 +92,39 @@ def test_pack_sequences_matches_sequential_cumsum(spark):
         assert 0 <= r["bin_offset"] < budget
 
 
+def test_semantic_dedup_keeps_canonical_and_isolated(spark):
+    """Planted cluster {0, 5, 21} (identical vectors, probe stride 20
+    hits 0 and 20) collapses to canonical 0; isolated vectors keep."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        dedup as dd,
+        similarity as sim,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (5, [1.0, 0.0, 0.0]),
+        (20, [0.0, 1.0, 0.0]),
+        (21, [0.0, 1.0, 0.0]),
+        (7, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = sim.embedding_neardup_pairs(
+        emb, emb.filter(F.col("vec_id") % 20 == 0), threshold=0.9
+    )
+    comps = dd.connected_components(pairs, left_col="id_1", right_col="id_2")
+    labeled = (
+        emb.select("vec_id")
+        .join(comps.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", F.col("vec_id")).alias("component_id"),
+        )
+        .withColumn("keep", (F.col("component_id") == F.col("vec_id")).cast("long"))
+    )
+    got = {r["vec_id"]: (r["component_id"], r["keep"]) for r in labeled.collect()}
+    assert got == {0: (0, 1), 5: (0, 0), 20: (20, 1), 21: (20, 0), 7: (7, 1)}
+
+
 def test_pack_sequences_single_exchange(spark):
     df = _docs(spark, [(i, "a b c") for i in range(10)])
     plan = cu.pack_sequences(df, budget=8, num_shards=2)._jdf.queryExecution().executedPlan().toString()
