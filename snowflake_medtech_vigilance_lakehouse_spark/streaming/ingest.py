@@ -50,6 +50,26 @@ def incremental_counts(events: DataFrame, ts_col: str = "ts",
     )
 
 
+def streaming_dedup(stream: DataFrame, key_cols: tuple[str, ...],
+                    ts_col: str = "load_ts",
+                    watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    re-deliveries (MAUDE supplemental reports re-send the same
+    mdr_report_key) that arrive within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` is the scale-correct primitive:
+    per-key state is evicted once the watermark passes its arrival
+    time, so state is O(keys per watermark window), not O(every key
+    ever seen) — the difference between a bounded and an unbounded
+    state store on an unbounded stream. A re-delivery later than the
+    watermark is deliberately NOT deduped here; that tail is the batch
+    dedup family's job (operators/dedup.py) on the silver table."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )
+
+
 def run_incremental_refresh(stream: DataFrame, out_path: str,
                             checkpoint: str,
                             mode: str = "append") -> StreamingQuery:

@@ -12,6 +12,7 @@ from snowflake_medtech_vigilance_lakehouse_spark.streaming import (
     incremental_counts,
     run_incremental_refresh,
     stream_ndjson_raw,
+    streaming_dedup,
 )
 from tests.maude_fixture import RAW_SCHEMA
 
@@ -71,3 +72,46 @@ def test_watermarked_incremental_counts(spark, tmp_path):
     # contract here is schema + no duplicate emission, so run a second
     # pass with late-beyond-watermark data and assert idempotent schema
     assert set(got.columns) == {"window_start", "window_end", "event_type", "n_events"}
+
+
+def test_streaming_dedup_drops_redelivery_across_runs(spark, tmp_path):
+    """Cross-micro-batch exact dedup with bounded state: a key
+    re-delivered in a later file (and later availableNow run, i.e.
+    through checkpointed state) is dropped; new keys pass."""
+    in_dir = tmp_path / "dd"; in_dir.mkdir()
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    def run():
+        ev = spark.readStream.schema(
+            "ts timestamp, mdr_report_key string"
+        ).json(str(in_dir))
+        deduped = streaming_dedup(ev, ("mdr_report_key",), ts_col="ts",
+                                  watermark="1 day")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    _write_ndjson(in_dir / "a.ndjson", [
+        {"ts": "2024-01-01T00:00:00", "mdr_report_key": "S1"},
+        {"ts": "2024-01-01T00:05:00", "mdr_report_key": "S2"},
+        {"ts": "2024-01-01T00:06:00", "mdr_report_key": "S2"},
+    ])
+    run()
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 2
+    assert {r["mdr_report_key"] for r in first.collect()} == {"S1", "S2"}
+
+    # second scheduled run: S2 re-delivered within the watermark ->
+    # dropped by checkpointed state; S3 is new -> kept
+    _write_ndjson(in_dir / "b.ndjson", [
+        {"ts": "2024-01-01T00:10:00", "mdr_report_key": "S2"},
+        {"ts": "2024-01-01T00:11:00", "mdr_report_key": "S3"},
+    ])
+    run()
+    second = spark.read.parquet(out_dir)
+    assert second.count() == 3
+    assert second.filter(second.mdr_report_key == "S2").count() == 1
