@@ -313,6 +313,16 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     return verified
 
 
+def _release_persistent(jsc, rdd_ids: list[int]) -> None:
+    """Unpersist the given persistent-RDD ids if still registered.
+    Best-effort: an id the cleaner already dropped is skipped."""
+    live = jsc.getPersistentRDDs()
+    for rid in rdd_ids:
+        rdd = live.get(rid)
+        if rdd is not None:
+            rdd.unpersist()
+
+
 def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
                          right_col: str = "doc_id_2",
                          max_iterations: int = 50,
@@ -345,6 +355,14 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # each round's localCheckpoint registers storage blocks that the
+    # ContextCleaner does NOT reliably reclaim (the round-3/4 RRF leak
+    # was exactly this class of bug); track the ids each checkpoint
+    # adds and release a round's blocks as soon as the next round has
+    # materialized past them. Only the FINAL round's blocks survive —
+    # they back the returned (lineage-truncated) DataFrame.
+    jsc = pairs.sparkSession.sparkContext._jsc
+    prev_ids: list[int] = []
     converged = False
     for i in range(1, max_iterations + 1):
         neighbor_min = (
@@ -359,7 +377,12 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
         )
+        before = {int(k) for k in jsc.getPersistentRDDs().keys()}
         updated = updated.localCheckpoint(eager=True)  # cut lineage per round
+        new_ids = [
+            int(k) for k in jsc.getPersistentRDDs().keys()
+            if int(k) not in before
+        ]
         if i % check_every == 0 or i == max_iterations:
             changed = (
                 updated.alias("u")
@@ -368,9 +391,15 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
                 .count()
             )
             if changed == 0:
+                _release_persistent(jsc, prev_ids)
                 labels = updated
                 converged = True
                 break
+        # `updated` is fully materialized (eager) and the convergence
+        # check above has already read `labels`, so the superseded
+        # round's blocks are now unreachable — release them.
+        _release_persistent(jsc, prev_ids)
+        prev_ids = new_ids
         labels = updated
     if not converged:
         raise RuntimeError(

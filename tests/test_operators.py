@@ -77,6 +77,26 @@ def test_connected_components_transitive(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_releases_superseded_checkpoints(spark):
+    """Each round's localCheckpoint registers storage blocks; all but
+    the final round's must be explicitly released (the ContextCleaner
+    does not reliably reclaim them — the RRF leak class). A 9-node
+    path needs ~8 propagation rounds, so without the release this
+    would add several persistent RDDs; with it, at most one (the
+    final checkpoint backing the returned frame) may remain."""
+    jsc = spark.sparkContext._jsc
+    baseline = len(jsc.getPersistentRDDs())
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_id_1 long, doc_id_2 long"
+    )
+    out = dd.connected_components(pairs)
+    assert {r["component_id"] for r in out.collect()} == {1}
+    after = len(jsc.getPersistentRDDs())
+    assert after <= baseline + 1, (
+        f"components leaked {after - baseline} persistent RDDs"
+    )
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     # a 6-node path needs ~5 propagation rounds; 1 iteration cannot
     # finish and must raise instead of returning partial labels
