@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 from .dedup import _shingled, md5_hash32
 
-__all__ = ["decontaminate", "stratified_sample", "pack_sequences"]
+__all__ = ["decontaminate", "stratified_sample", "pack_sequences",
+           "hard_negatives"]
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, *, n: int = 3,
@@ -111,6 +112,38 @@ def stratified_sample(df: DataFrame, rates: dict[str, float], *,
     rate = F.coalesce(mapping[F.col(stratum_col)], F.lit(float(default_rate)))
     bucket = md5_hash32(F.col(key_col).cast("string")) % F.lit(denom)
     return df.filter(bucket < F.floor(rate * F.lit(float(denom))).cast("long"))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, *,
+                   k_pool: int = 20, k_out: int = 5,
+                   dup_threshold: float = 0.35, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query
+    vector, take its exact top-``k_pool`` cosine pool, drop
+    near-duplicates (cosine >= ``dup_threshold`` — those are positives
+    or leakage, not negatives), and keep the ``k_out`` hardest
+    survivors re-ranked among themselves.
+
+    Composition of the existing exact kNN (broadcast probe set,
+    TakeOrdered cuts) with a filter + per-query re-rank window — the
+    pool bound makes the window input at most k_pool rows per query,
+    so the re-rank never sees the corpus. At 100 TB swap the
+    brute-force pool for the LSH/IVF kNN (same output contract) and
+    this stage is unchanged.
+    """
+    from .similarity import knn_bruteforce
+
+    pool = knn_bruteforce(corpus, queries, k=k_pool, id_col=id_col,
+                          vec_col=vec_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pool.filter(F.col("cosine") < dup_threshold)
+        .select("query_id", "neighbor_id", "cosine")
+        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k_out)
+    )
 
 
 def pack_sequences(docs: DataFrame, *, budget: int = 512,

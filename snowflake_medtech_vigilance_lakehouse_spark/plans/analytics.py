@@ -1830,6 +1830,44 @@ WHERE p.id_1 < e.vec_id
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each probe's
+    exact top-20 cosine pool minus near-duplicates (>= 0.35), top-5
+    hardest survivors re-ranked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cu.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 8),
+        k_pool=20, k_out=5, dup_threshold=0.35,
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS c
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank,
+         round(c, 6) AS cosine
+  FROM s
+), pool AS (
+  SELECT query_id, neighbor_id, cosine FROM r WHERE rank <= 20
+), surv AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS neg_rank
+  FROM pool WHERE cosine < 0.35
+)
+SELECT query_id, neighbor_id, cosine, neg_rank
+FROM surv WHERE neg_rank <= 5
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup-style semantic deduplication end-to-end:
     embedding-cosine near-dup pairs (probe slice, cosine >= 0.35 on
@@ -2081,6 +2119,7 @@ QUERIES: dict[str, QueryFn] = {
     "training_mix_sample": q_training_mix_sample,
     "pack_sequences": q_pack_sequences,
     "semantic_dedup": q_semantic_dedup,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLES: dict[str, str] = {
@@ -2141,4 +2180,5 @@ ORACLES: dict[str, str] = {
     "training_mix_sample": ORACLE_TRAINING_MIX,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "hard_negatives": ORACLE_HARD_NEGATIVES,
 }

@@ -125,6 +125,31 @@ def test_semantic_dedup_keeps_canonical_and_isolated(spark):
     assert got == {0: (0, 1), 5: (0, 0), 20: (20, 1), 21: (20, 0), 7: (7, 1)}
 
 
+def test_hard_negatives_excludes_neardups_and_ranks_by_hardness(spark):
+    """The planted duplicate (cosine 1.0) is a positive, not a
+    negative — it must be excluded; survivors come back hardest
+    (highest-cosine) first."""
+    import math
+
+    def v(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [
+        (0, v(0.0)),          # query
+        (1, v(0.0)),          # exact duplicate -> excluded
+        (2, v(1.2)),          # cosine ~0.36 -> excluded at 0.35... (cos 1.2 = 0.362)
+        (3, v(1.4)),          # cosine ~0.17 -> hardest survivor
+        (4, v(2.0)),          # cosine ~-0.42 -> second survivor
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cu.hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 0),
+        k_pool=10, k_out=2, dup_threshold=0.35,
+    ).collect()
+    got = sorted((r["neg_rank"], r["neighbor_id"]) for r in out)
+    assert got == [(1, 3), (2, 4)]
+
+
 def test_pack_sequences_single_exchange(spark):
     df = _docs(spark, [(i, "a b c") for i in range(10)])
     plan = cu.pack_sequences(df, budget=8, num_shards=2)._jdf.queryExecution().executedPlan().toString()
