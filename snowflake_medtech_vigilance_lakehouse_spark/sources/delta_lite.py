@@ -42,6 +42,7 @@ import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG_DIR = "_delta_log"
 
@@ -277,3 +278,118 @@ def read_delta(spark: SparkSession, path: str, *,
         return spark.createDataFrame([], schema)
     files = [os.path.join(path, rel) for rel in live]
     return spark.read.option("basePath", path).parquet(*files)
+
+
+def compact_delta(spark: SparkSession, path: str, *,
+                  target_file_bytes: int = 128 << 20) -> int:
+    """OPTIMIZE-style bin-pack compaction: rewrite the head snapshot's
+    live files into ~``target_file_bytes`` outputs and atomically swap
+    them in a new commit whose add/remove actions carry
+    ``dataChange: false`` — the reader-visible contents are identical,
+    which is what lets streaming readers and incremental consumers
+    skip the commit. Old files stay on storage (time travel to prior
+    versions is untouched) until :func:`vacuum_delta` expires them.
+
+    Small-file compaction is the maintenance half of a lakehouse the
+    managed reference performs implicitly (clustering/auto-compaction);
+    at 100 TB it is what keeps scan task counts proportional to data
+    size, not to commit count. Partitioned tables repartition by the
+    partition columns so each partition value lands in one task and
+    emits one file per partition directory.
+
+    Returns the committed version. Raises
+    :class:`DeltaConcurrentWriteError` if another writer takes the
+    version first (re-run on the new head; compaction is idempotent).
+    """
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    head = versions[-1]
+    live = sorted(_live_files(path, head))
+    if len(live) <= 1:
+        return head
+    meta = table_metadata(path, head)
+    partition_by = list(meta.get("partitionColumns") or [])
+
+    total = sum(os.path.getsize(os.path.join(path, rel)) for rel in live)
+    n_out = max(1, -(-total // max(1, target_file_bytes)))  # ceil div
+
+    df = read_delta(spark, path, version=head)
+    if partition_by:
+        df = df.repartition(int(n_out), *[F.col(c) for c in partition_by])
+    else:
+        df = df.repartition(int(n_out))
+
+    before = _data_files(path)
+    writer = df.write.mode("append").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    new_files = _data_files(path) - before
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for rel in live:
+        actions.append({"remove": {
+            "path": _encode_path(rel), "deletionTimestamp": now_ms,
+            "dataChange": False,
+        }})
+    for rel in sorted(new_files):
+        actions.append({"add": {
+            "path": _encode_path(rel.replace(os.sep, "/")),
+            "partitionValues": _partition_values(rel, partition_by),
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": now_ms,
+            "dataChange": False,
+        }})
+    actions.append({"commitInfo": {
+        "timestamp": now_ms,
+        "operation": "OPTIMIZE",
+        "operationParameters": {"targetFileBytes": target_file_bytes},
+        "engineInfo": "snowflake_medtech_vigilance_lakehouse_spark delta_lite",
+    }})
+    commit = _log_path(path, head + 1)
+    tmp = commit + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    commit_put_if_absent(tmp, commit)
+    return head + 1
+
+
+def vacuum_delta(path: str, *, retention_ms: int = 7 * 24 * 3600 * 1000,
+                 now_ms: int | None = None) -> list[str]:
+    """Delete data files no longer reachable from the head snapshot
+    whose tombstone (``remove.deletionTimestamp``) — or, for orphans a
+    failed write left untracked, file mtime — is older than
+    ``retention_ms``. Returns the deleted relative paths.
+
+    The retention window is the time-travel horizon: versions whose
+    files are vacuumed can no longer be read (exactly the trade real
+    VACUUM makes); the default 7 days mirrors the protocol's
+    convention. The head snapshot is never touched."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    head_live = _live_files(path, versions[-1])
+    tombstone: dict[str, int] = {}
+    for v in versions:
+        with open(_log_path(path, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "remove" in a:
+                    rel = _decode_path(a["remove"]["path"])
+                    ts = int(a["remove"].get("deletionTimestamp") or 0)
+                    tombstone[rel] = max(ts, tombstone.get(rel, 0))
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    deleted: list[str] = []
+    for rel in sorted(_data_files(path) - head_live):
+        full = os.path.join(path, rel)
+        cutoff = tombstone.get(rel)
+        if cutoff is None:  # untracked orphan: age by mtime
+            cutoff = int(os.path.getmtime(full) * 1000)
+        if now - cutoff >= retention_ms:
+            os.remove(full)
+            deleted.append(rel)
+    return deleted

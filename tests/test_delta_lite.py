@@ -202,3 +202,73 @@ def test_delta_scan_extension_interop(spark, sf_dir, tmp_path):
         f"SELECT count(*), sum(o_orderkey) FROM delta_scan('{path}')"
     ).fetchone()
     assert (got[0], got[1]) == (o.count(), o.agg(F.sum("o_orderkey")).first()[0])
+
+
+def test_compact_swaps_files_without_changing_data(spark, sf_dir, tmp_path):
+    """OPTIMIZE: three appends make many small files; compaction must
+    reduce the live file count, keep row-level contents identical,
+    mark the swap dataChange=false, and leave prior versions
+    time-travelable (old files stay on storage)."""
+    path = str(tmp_path / "delta_compact")
+    o = _orders(spark, sf_dir).limit(300)
+    dl.write_delta(o.repartition(4), path, partition_by=["yyyy"])
+    dl.write_delta(o.repartition(4), path, mode="append", partition_by=["yyyy"])
+    dl.write_delta(o.repartition(4), path, mode="append", partition_by=["yyyy"])
+    head = dl._list_versions(path)[-1]
+    live_before = dl._live_files(path, head)
+
+    v = dl.compact_delta(spark, path, target_file_bytes=1 << 30)
+    assert v == head + 1
+    live_after = dl._live_files(path, v)
+    assert len(live_after) < len(live_before)
+    assert not (live_after & live_before)  # full swap
+
+    got = dl.read_delta(spark, path).groupBy().count().collect()[0][0]
+    assert got == 900
+    # row-level equality, not just counts
+    a = dl.read_delta(spark, path).select("o_orderkey").groupBy("o_orderkey").count()
+    b = dl.read_delta(spark, path, version=head).select("o_orderkey").groupBy("o_orderkey").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    with open(os.path.join(path, "_delta_log", f"{v:020d}.json")) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    assert all(
+        a[k]["dataChange"] is False
+        for a in actions for k in ("add", "remove") if k in a
+    )
+    assert any(
+        a.get("commitInfo", {}).get("operation") == "OPTIMIZE" for a in actions
+    )
+    # time travel to the pre-compaction head still scans the old files
+    assert dl.read_delta(spark, path, version=head).count() == 900
+
+
+def test_compact_noop_on_single_file_table(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_one")
+    dl.write_delta(_orders(spark, sf_dir).limit(10).coalesce(1), path)
+    head = dl._list_versions(path)[-1]
+    assert dl.compact_delta(spark, path) == head  # no new commit
+
+
+def test_vacuum_expires_tombstones_but_never_head(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_vac")
+    o = _orders(spark, sf_dir).limit(200)
+    dl.write_delta(o.repartition(3), path)
+    dl.write_delta(o.repartition(3), path, mode="append")
+    head = dl._list_versions(path)[-1]
+    dl.compact_delta(spark, path, target_file_bytes=1 << 30)
+
+    # inside retention: nothing deleted
+    assert dl.vacuum_delta(path) == []
+
+    # zero retention: every non-head file (the compacted-away ones) goes
+    deleted = dl.vacuum_delta(path, retention_ms=0)
+    assert deleted
+    live = dl._live_files(path, dl._list_versions(path)[-1])
+    assert not (set(deleted) & live)
+    assert dl.read_delta(spark, path).count() == 400  # head unharmed
+    assert dl._data_files(path) == live  # disk == head snapshot
+
+    # the vacuumed version is now unreadable — the documented trade
+    with pytest.raises(Exception):
+        dl.read_delta(spark, path, version=head).count()
