@@ -233,7 +233,8 @@ def _partition_tuple(rel_path: str, partition_by: list[str]) -> dict[str, str]:
 # --------------------------------------------------------------- writer
 
 def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
-                  partition_by: list[str] | None = None) -> int:
+                  partition_by: list[str] | None = None,
+                  _summary_operation: str | None = None) -> int:
     """Publish ``df`` at ``path`` as an Iceberg-shaped table; returns
     the committed snapshot id. ``mode``: 'overwrite' (new snapshot
     references only the new manifest — prior data files stay on disk
@@ -332,7 +333,8 @@ def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "summary": {
-            "operation": "append" if mode == "append" else "overwrite",
+            "operation": _summary_operation
+            or ("append" if mode == "append" else "overwrite"),
             "added-data-files": str(len(entries)),
             "added-records": str(added_rows),
         },
@@ -464,3 +466,113 @@ def read_iceberg(spark: SparkSession, path: str, *,
     return spark.read.option("basePath", base).parquet(
         *[os.path.join(path, rel) for rel in files]
     )
+
+
+# --------------------------------------------------------- maintenance
+
+def compact_iceberg(spark: SparkSession, path: str, *,
+                    target_file_bytes: int = 128 << 20) -> int:
+    """rewrite_data_files analog: bin-pack the current snapshot into
+    ~``target_file_bytes`` outputs and commit them as a REPLACE
+    snapshot (same rows, new file layout). Prior snapshots keep their
+    files on storage until :func:`expire_snapshots` retires them —
+    the same maintenance split as delta_lite's compact/vacuum pair.
+
+    Returns the new snapshot id (or the current one when the table is
+    already a single file)."""
+    meta = table_metadata(path)
+    current = meta["current-snapshot-id"]
+    files = _snapshot_files(path, meta, current)
+    if len(files) <= 1:
+        return current
+    partition_by = [f["name"] for f in meta["partition-specs"][0]["fields"]]
+
+    total = sum(os.path.getsize(os.path.join(path, rel)) for rel in files)
+    n_out = max(1, -(-total // max(1, target_file_bytes)))  # ceil div
+
+    df = read_iceberg(spark, path)
+    if partition_by:
+        df = df.repartition(int(n_out), *partition_by)
+    else:
+        df = df.repartition(int(n_out))
+    # overwrite-mode commit already has exactly REPLACE semantics: the
+    # new snapshot references only the rewritten files, prior
+    # snapshots are untouched
+    return write_iceberg(df, path, mode="overwrite",
+                         partition_by=partition_by,
+                         _summary_operation="replace")
+
+
+def expire_snapshots(path: str, *, retain_last: int = 1) -> list[str]:
+    """Retire all but the newest ``retain_last`` snapshots and delete
+    every data file, manifest, and manifest list reachable ONLY from
+    the expired ones. Returns the deleted relative paths.
+
+    The current snapshot is always retained. Expiry is itself a
+    metadata commit (a new v{N}.metadata.json via put-if-absent), so
+    concurrent writers race it loudly rather than resurrecting expired
+    state; the file deletes happen only after that commit succeeds —
+    a reader holding the new metadata can never see a dangling
+    reference."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    versions = _list_meta_versions(path)
+    meta = table_metadata(path)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    retained = snaps[-retain_last:]
+    expired = snaps[:-retain_last]
+    if not expired:
+        return []
+    retained_ids = {s["snapshot-id"] for s in retained}
+    assert meta["current-snapshot-id"] in retained_ids
+
+    def _reachable(snapshot_list):
+        mlists, manifests, data = set(), set(), set()
+        for s in snapshot_list:
+            mlists.add(s["manifest-list"])
+            with open(os.path.join(path, s["manifest-list"])) as f:
+                for m in json.load(f)["manifests"]:
+                    manifests.add(m["manifest_path"])
+                    with open(os.path.join(path, m["manifest_path"])) as mf:
+                        for e in json.load(mf)["entries"]:
+                            data.add(e["data_file"]["file_path"])
+        return mlists | manifests | data
+
+    keep = _reachable(retained)
+    drop = _reachable(expired) - keep
+
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    new_meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in retained_ids
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = meta["metadata-log"] + [
+        {"timestamp-ms": meta["last-updated-ms"],
+         "metadata-file": _meta_path(path, versions[-1])}
+    ]
+    version = versions[-1] + 1
+    commit = _meta_path(path, version)
+    tmp = commit + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    try:
+        commit_put_if_absent(tmp, commit)
+    except Exception as e:
+        if type(e).__name__ == "DeltaConcurrentWriteError":
+            raise IcebergCommitError(
+                f"metadata v{version} already exists; another writer "
+                "won this version"
+            ) from e
+        raise
+    with open(os.path.join(path, _META, "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+    deleted = []
+    for rel in sorted(drop):
+        full = os.path.join(path, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            deleted.append(rel)
+    return deleted

@@ -250,3 +250,53 @@ def test_iceberg_readable_by_independent_engine(spark, sf_dir, tmp_path):
         F.count(F.lit(1)), F.sum("o_orderkey"), F.round(F.sum("o_totalprice"), 2)
     ).first()
     assert (got[0], got[1], float(got[2])) == (src[0], src[1], float(src[2]))
+
+
+def test_compact_iceberg_replace_snapshot(spark, sf_dir, tmp_path):
+    """rewrite_data_files: appends fragment the table; compaction
+    commits a REPLACE snapshot with fewer files and identical rows,
+    and the pre-compaction snapshot stays time-travelable."""
+    path = str(tmp_path / "ice_compact")
+    o = _orders(spark, sf_dir).limit(200)
+    il.write_iceberg(o.repartition(4), path, partition_by=["yyyy"])
+    pre = il.write_iceberg(o.repartition(4), path, mode="append",
+                           partition_by=["yyyy"])
+    meta = il.table_metadata(path)
+    n_before = len(il._snapshot_files(path, meta, pre))
+
+    sid = il.compact_iceberg(spark, path, target_file_bytes=1 << 30)
+    meta2 = il.table_metadata(path)
+    assert meta2["current-snapshot-id"] == sid
+    files_after = il._snapshot_files(path, meta2, sid)
+    assert len(files_after) < n_before
+    assert not (set(files_after) & set(il._snapshot_files(path, meta2, pre)))
+
+    snap = next(s for s in meta2["snapshots"] if s["snapshot-id"] == sid)
+    assert snap["summary"]["operation"] == "replace"
+
+    assert il.read_iceberg(spark, path).count() == 400
+    assert il.read_iceberg(spark, path, snapshot_id=pre).count() == 400
+
+
+def test_expire_snapshots_deletes_only_unreachable(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "ice_expire")
+    o = _orders(spark, sf_dir).limit(150)
+    il.write_iceberg(o.repartition(3), path)
+    old = il.table_metadata(path)["current-snapshot-id"]
+    il.compact_iceberg(spark, path, target_file_bytes=1 << 30)
+
+    # retaining everything is a no-op (no commit, no deletes)
+    assert il.expire_snapshots(path, retain_last=10) == []
+
+    deleted = il.expire_snapshots(path, retain_last=1)
+    assert deleted  # old snapshot's data files + manifests + list
+    meta = il.table_metadata(path)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [meta["current-snapshot-id"]]
+    # head still reads; expired snapshot is gone from the metadata
+    assert il.read_iceberg(spark, path).count() == 150
+    with pytest.raises(ValueError):
+        il.read_iceberg(spark, path, snapshot_id=old)
+    # nothing reachable from the head was removed
+    live = set(il._snapshot_files(path, meta, meta["current-snapshot-id"]))
+    assert not (set(deleted) & live)
+    assert live <= il._data_files(path)
