@@ -107,6 +107,11 @@ HEADLINE = (
     "decontamination",
     "training_mix_sample",
     "pack_sequences",
+    # hard_negatives is a pure lazy plan, so the noop-write timing is
+    # honest; semantic_dedup is NOT benched here — its connected-
+    # components loop runs eagerly at plan-construction time, so a
+    # noop-write rep would time only the final join (see PLANS.md)
+    "hard_negatives",
 )
 
 

@@ -341,66 +341,82 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
     general graphs at 100 TB the same loop runs with checkpointing
     every few rounds to cut lineage.
 
+    Storage discipline (the RRF-leak class of bug): the edge list is
+    materialized ONCE — an unmaterialized ``edges`` re-executes the
+    entire upstream pair generation (shingle index / cosine
+    cross-join) on every round's join (measured 15.5s -> 2.6s for
+    semantic_dedup at sf0.1) — and every localCheckpoint's blocks are
+    explicitly released the moment they are superseded; only the
+    final round's blocks survive, backing the returned
+    lineage-truncated frame.
+
     Raises RuntimeError if the loop exhausts ``max_iterations`` without
     converging — partially-propagated labels are NOT canonical ids and
     must never be returned silently.
 
     Returns (doc_id, component_id).
     """
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _persisted() -> set[int]:
+        return {int(k) for k in jsc.getPersistentRDDs().keys()}
+
     edges = (
         pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
         .union(pairs.select(F.col(right_col).alias("a"), F.col(left_col).alias("b")))
         .distinct()
     )
+    pre_edges = _persisted()
+    edges = edges.localCheckpoint(eager=True)
+    edge_ids = [k for k in _persisted() if k not in pre_edges]
+
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    # each round's localCheckpoint registers storage blocks that the
-    # ContextCleaner does NOT reliably reclaim (the round-3/4 RRF leak
-    # was exactly this class of bug); track the ids each checkpoint
-    # adds and release a round's blocks as soon as the next round has
-    # materialized past them. Only the FINAL round's blocks survive —
-    # they back the returned (lineage-truncated) DataFrame.
-    jsc = pairs.sparkSession.sparkContext._jsc
     prev_ids: list[int] = []
+    last_ids: list[int] = []
     converged = False
-    for i in range(1, max_iterations + 1):
-        neighbor_min = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node2"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+    try:
+        for i in range(1, max_iterations + 1):
+            neighbor_min = (
+                edges.join(labels, edges["b"] == labels["node"])
+                .groupBy(F.col("a").alias("node2"))
+                .agg(F.min("label").alias("nmin"))
             )
-        )
-        before = {int(k) for k in jsc.getPersistentRDDs().keys()}
-        updated = updated.localCheckpoint(eager=True)  # cut lineage per round
-        new_ids = [
-            int(k) for k in jsc.getPersistentRDDs().keys()
-            if int(k) not in before
-        ]
-        if i % check_every == 0 or i == max_iterations:
-            changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "node")
-                .filter(F.col("u.label") != F.col("l.label"))
-                .count()
+            updated = (
+                labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                )
             )
-            if changed == 0:
-                _release_persistent(jsc, prev_ids)
-                labels = updated
-                converged = True
-                break
-        # `updated` is fully materialized (eager) and the convergence
-        # check above has already read `labels`, so the superseded
-        # round's blocks are now unreachable — release them.
-        _release_persistent(jsc, prev_ids)
-        prev_ids = new_ids
-        labels = updated
+            before = _persisted()
+            updated = updated.localCheckpoint(eager=True)  # cut lineage per round
+            last_ids = [k for k in _persisted() if k not in before]
+            if i % check_every == 0 or i == max_iterations:
+                changed = (
+                    updated.alias("u")
+                    .join(labels.alias("l"), "node")
+                    .filter(F.col("u.label") != F.col("l.label"))
+                    .count()
+                )
+                if changed == 0:
+                    labels = updated
+                    converged = True
+                    break
+            # `updated` is fully materialized (eager) and the
+            # convergence check above has already read `labels`, so
+            # the superseded round's blocks are unreachable — release.
+            _release_persistent(jsc, prev_ids)
+            prev_ids = last_ids
+            labels = updated
+    finally:
+        # the edge checkpoint and all superseded rounds are dead on
+        # every exit path (success, non-convergence, error); on
+        # failure the last round's blocks go too — nothing is returned
+        _release_persistent(jsc, edge_ids + prev_ids)
+        if not converged:
+            _release_persistent(jsc, last_ids)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
