@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 TESTDATA_TABLES = (
@@ -75,19 +76,23 @@ def read_seed_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the `events` fixture, whose `ts` is parquet
-    TIMESTAMP(NANOS) — a type the Spark reader rejects outright. Read
-    nanos as long (legacy conf) and truncate to microseconds with
-    integer division (ns since epoch exceeds double's 2^53 mantissa, so
-    `DIV`, never float division) — the same floor-truncation DuckDB
-    applies, keeping the oracle comparable.
+    """Load the `events` fixture, normalizing `ts` to TIMESTAMP_NTZ
+    whatever physical type the fixture generation used. Two shapes
+    have shipped:
 
-    The result is TIMESTAMP_NTZ: timestamp_micros() alone yields a
-    session-timezone-sensitive timestamp, so year()/date_format() in
-    downstream queries would shift under a non-UTC driver session;
-    convert_timezone(current_timezone(), 'UTC', ...) pins the naive
-    UTC wall time regardless of session settings (the parquet files'
-    other timestamp columns already infer as NTZ).
+    - parquet TIMESTAMP(MICROS), no timezone — Spark already infers
+      TIMESTAMP_NTZ (``inferTimestampNTZInDataSources`` is on in our
+      session) and no conversion is needed; if a session reads it as
+      session-local TIMESTAMP instead, re-pin the wall time to NTZ.
+    - parquet TIMESTAMP(NANOS) — a type the vanilla Spark reader
+      rejects outright. Read nanos as long (legacy conf) and truncate
+      to microseconds with integer division (ns since epoch exceeds
+      double's 2^53 mantissa, so ``DIV``, never float division) — the
+      same floor-truncation DuckDB applies, keeping the oracle
+      comparable. ``timestamp_micros()`` alone yields a
+      session-timezone-sensitive timestamp, so
+      convert_timezone(current_timezone(), 'UTC', ...) pins the naive
+      UTC wall time regardless of session settings.
 
     SESSION-WIDE SIDE EFFECT: sets spark.sql.legacy.parquet.nanosAsLong
     for the whole session and deliberately leaves it set — the returned
@@ -98,9 +103,16 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos columns."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ntz = F.convert_timezone(
-        F.current_timezone(), F.lit("UTC"), F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df
+    if isinstance(ts_type, T.TimestampType):
+        ntz = F.convert_timezone(F.current_timezone(), F.lit("UTC"), F.col("ts"))
+    else:  # LongType: nanos surfaced by the legacy conf
+        ntz = F.convert_timezone(
+            F.current_timezone(), F.lit("UTC"),
+            F.timestamp_micros(F.expr("ts DIV 1000")),
+        )
     return df.withColumn("ts", ntz)
 
 
