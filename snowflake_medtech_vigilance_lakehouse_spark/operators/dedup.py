@@ -150,30 +150,67 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int,
     )
 
 
+def _shingle_hash_arrays(docs: DataFrame, text_col: str, id_col: str,
+                         n: int, widen: bool = True) -> DataFrame:
+    """(_id, _h): per doc, the SORTED array of distinct 8-byte n-gram
+    hashes. The n-gram is hashed as the token slice itself
+    (``xxhash64(slice(tokens, i, n))`` — Spark's hash of complex types
+    is stable), skipping the concat_ws string build entirely; distinct
+    over hashes == distinct over n-grams modulo 64-bit collisions
+    (~1e-11 at 30k shingles, same bet the index already made). The
+    ascending sort IS the global token order that prefix filtering
+    relies on (any total order is valid)."""
+    base = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    if widen:
+        p = docs.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < p:
+            base = base.repartition(p)
+    toks = base.select("_id", F.split(F.col("_txt"), " ").alias("_tok"))
+    k = F.size("_tok")
+    grams = F.transform(
+        F.sequence(F.lit(1), k - F.lit(n - 1)),
+        lambda i: F.xxhash64(F.slice(F.col("_tok"), i, n)),
+    )
+    return toks.select(
+        "_id",
+        F.when(k >= n, F.array_sort(F.array_distinct(grams)))
+        .otherwise(F.array().cast("array<long>")).alias("_h"),
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_doc_freq: int | None = None) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
-    index with per-bucket pair generation.
+    """Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
+    inverted shingle index (the AllPairs/SSJoin family: Bayardo et
+    al., WWW'07; Chaudhuri et al., ICDE'06 — public literature).
 
-    Plan: explode shingles -> hash to 8-byte keys (xxhash64; collision
-    odds ~1e-11 at 30k distinct shingles) -> group postings per
-    shingle -> emit sorted (id1 < id2) pairs inside each bucket with a
-    nested array transform -> count co-occurrences -> Jaccard. One
-    aggregation replaces the index self-join (measured ~1.7x faster at
-    sf0.1) and the shuffle carries postings once instead of twice.
+    Plan: per doc, sorted distinct shingle hashes -> index only the
+    first ``|d| - ceil(t*|d|) + 1`` of them (the prefix). Any pair
+    with Jaccard >= t has intersection >= ceil(t*max(|a|,|b|)), and
+    the smallest common element under the global sort order provably
+    lands inside BOTH prefixes — so candidate generation over prefix
+    postings is lossless while indexing ~(1-t) of the corpus and
+    cutting bucket pair-generation ~(1-t)^2 (measured 1.27M -> 330k
+    candidates at sf0.1, t=0.5). Candidates are then verified EXACTLY:
+    join the two full hash arrays and compute the true intersection
+    with ``array_intersect`` — no co-occurrence counting over the full
+    index needed.
 
-    ``max_doc_freq`` drops stop-shingles (buckets larger than the cap)
-    before pair generation — the standard 100 TB lever. It makes
-    intersection counts a lower bound, so keep it None when exactness
-    is required (the DuckDB oracle runs with None).
+    ``max_doc_freq`` drops stop-shingle buckets larger than the cap
+    before pair generation — the 100 TB lever for adversarially hot
+    n-grams (boilerplate). Because verification computes the TRUE
+    Jaccard on full sets, the cap now only affects recall (survivor
+    pairs keep exact scores — a subset of the uncapped output, not an
+    underestimate). The DuckDB oracle runs with None.
     Returns (doc_id_1, doc_id_2, jaccard) with doc_id_1 < doc_id_2.
     """
-    sh = _shingled(docs, text_col, id_col, n).filter(F.size("_sh") > 0)
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    inv = sh.select("_id", F.explode("_sh").alias("_gs")).select(
-        "_id", F.xxhash64("_gs").alias("_g")
+    arr = _shingle_hash_arrays(docs, text_col, id_col, n).filter(F.size("_h") > 0)
+    plen = F.greatest(
+        F.lit(1),
+        (F.size("_h") - F.ceil(F.size("_h") * F.lit(float(threshold))) + 1).cast("int"),
     )
+    inv = arr.select("_id", F.explode(F.slice("_h", F.lit(1), plen)).alias("_g"))
     posting = (
         inv.groupBy("_g")
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
@@ -188,7 +225,20 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
             "y -> struct(x AS id1, y AS id2))))"
         )).alias("p")
     ).select("p.id1", "p.id2")
-    counts = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("_inter"))
+    # a pair sharing several prefix shingles appears several times —
+    # dedupe BEFORE the verify join so each pair is verified once
+    cand = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("_pco"))
+    # exact verification on the full hash arrays; the two probe sides
+    # share an identical subplan so the exchange/broadcast is reused
+    ver = (
+        cand.join(arr.select(F.col("_id").alias("id1"), F.col("_h").alias("_h1")), "id1")
+        .join(arr.select(F.col("_id").alias("id2"), F.col("_h").alias("_h2")), "id2")
+        .select(
+            "id1", "id2",
+            F.size(F.array_intersect("_h1", "_h2")).alias("_inter"),
+            F.size("_h1").alias("_n1"), F.size("_h2").alias("_n2"),
+        )
+    )
     # filter on the UNROUNDED ratio, round only for output (the oracle
     # does the same; a rounded filter would keep ratios within 5e-7
     # below threshold that the oracle drops)
@@ -196,10 +246,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
         F.col("_inter").cast("double")
         / (F.col("_n1") + F.col("_n2") - F.col("_inter")).cast("double")
     )
-    out = (
-        counts.join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
-        .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_n", "_n2"), "id2")
-        .select(
+    return (
+        ver.select(
             F.col("id1").alias("doc_id_1"),
             F.col("id2").alias("doc_id_2"),
             jac.alias("_jac"),
@@ -207,7 +255,6 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
         .filter(F.col("_jac") >= threshold)
         .select("doc_id_1", "doc_id_2", F.round("_jac", 6).alias("jaccard"))
     )
-    return out
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
