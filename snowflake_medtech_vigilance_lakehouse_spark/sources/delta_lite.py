@@ -356,6 +356,150 @@ def compact_delta(spark: SparkSession, path: str, *,
     return head + 1
 
 
+def merge_delta(spark: SparkSession, path: str, source: DataFrame,
+                on: list[str], *, when_matched: str | None = "update",
+                when_not_matched: str | None = "insert") -> int:
+    """MERGE INTO (upsert) via copy-on-write, the same shape real Delta
+    uses: only data files that actually CONTAIN a matched key are
+    rewritten; every other live file survives the commit untouched.
+
+    ``on`` is the equi-join key column list. ``when_matched`` is
+    ``"update"`` (replace the whole target row with the source row —
+    the UPDATE SET * case), ``"delete"``, or None (leave matches
+    alone). ``when_not_matched`` is ``"insert"`` or None.
+
+    Algorithm: scan the head snapshot with per-row file provenance
+    (``_metadata.file_path``), semi-join against the source keys to
+    find the touched files, rewrite ONLY those files' rows (matched
+    rows updated/deleted, innocent co-resident rows copied through),
+    and append not-matched source rows. The commit removes the touched
+    files and adds the rewritten ones — an atomic swap, so readers see
+    pre- or post-merge state, never a torn mix. At 100 TB the write
+    amplification is proportional to files-with-matches, not table
+    size; a source keyed to recent partitions rewrites only those
+    partitions' files.
+
+    Multiple source rows per key would make the merge nondeterministic
+    (which row wins?), so — like the real MERGE — that raises
+    ValueError before anything is written.
+
+    Returns the committed version. Raises
+    :class:`DeltaConcurrentWriteError` if another writer takes the
+    version first (nothing of this merge becomes visible; retry on the
+    new head)."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"unsupported when_matched: {when_matched}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"unsupported when_not_matched: {when_not_matched}")
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    head = versions[-1]
+    meta = table_metadata(path, head)
+    partition_by = list(meta.get("partitionColumns") or [])
+
+    def _shape(schema_json: str) -> set[tuple[str, str]]:
+        return {(f["name"], json.dumps(f["type"], sort_keys=True))
+                for f in json.loads(schema_json)["fields"]}
+    if _shape(meta["schemaString"]) != _shape(source.schema.json()):
+        raise ValueError("merge source schema does not match table schema")
+
+    jsc = spark.sparkContext._jsc
+
+    def _persisted() -> set[int]:
+        return {int(k) for k in jsc.getPersistentRDDs().keys()}
+
+    # stable source view: read the (possibly expensive) source plan
+    # once, reuse for the dup-key gate, the touch probe and the rewrite
+    pre = _persisted()
+    src = source.localCheckpoint(eager=True)
+    src_ids = [k for k in _persisted() if k not in pre]
+    try:
+        dup = (src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "merge source has duplicate rows per ON key; the merge "
+                "result would be nondeterministic (real MERGE raises too)"
+            )
+        empty = not _live_files(path, head)
+        target = read_delta(spark, path, version=head)
+        cols = target.columns
+        keys = src.select(*on)
+        touched_files: set[str] = set()
+        if when_matched is not None and not empty:
+            tagged = target.select(F.col("_metadata.file_path").alias("_file"), *cols)
+            touched_files = {
+                r["_file"] for r in
+                tagged.join(keys, on, "left_semi").select("_file").distinct().collect()
+            }
+
+        before = _data_files(path)
+        new_files: set[str] = set()
+        rewritten = None
+        if touched_files:
+            resident = tagged.filter(F.col("_file").isin(list(touched_files)))
+            keep = resident.join(keys, on, "left_anti").select(*cols)
+            if when_matched == "update":
+                matched = src.join(target.select(*on), on, "left_semi").select(*cols)
+                rewritten = keep.unionByName(matched)
+            else:  # "delete"
+                rewritten = keep
+        inserts = None
+        if when_not_matched == "insert":
+            inserts = (src if empty
+                       else src.join(target.select(*on), on, "left_anti")).select(*cols)
+        out = rewritten
+        if inserts is not None:
+            out = inserts if out is None else out.unionByName(inserts)
+        if out is not None:
+            writer = out.write.mode("append").format("parquet")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.save(path)
+            new_files = _data_files(path) - before
+    finally:
+        live_rdds = jsc.getPersistentRDDs()
+        for rid in src_ids:
+            rdd = live_rdds.get(rid)
+            if rdd is not None:
+                rdd.unpersist()
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for full in sorted(touched_files):
+        # _metadata.file_path is a Hadoop URI ("file:/x" or "file:///x")
+        local = urllib.parse.urlparse(full).path if ":" in full.split("/")[0] else full
+        rel = os.path.relpath(local, path)
+        actions.append({"remove": {
+            "path": _encode_path(rel), "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }})
+    for rel in sorted(new_files):
+        actions.append({"add": {
+            "path": _encode_path(rel.replace(os.sep, "/")),
+            "partitionValues": _partition_values(rel, partition_by),
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }})
+    actions.append({"commitInfo": {
+        "timestamp": now_ms,
+        "operation": "MERGE",
+        "operationParameters": {
+            "predicate": " AND ".join(f"t.{c} = s.{c}" for c in on),
+            "matched": when_matched or "none",
+            "notMatched": when_not_matched or "none",
+        },
+        "engineInfo": "snowflake_medtech_vigilance_lakehouse_spark delta_lite",
+    }})
+    commit = _log_path(path, head + 1)
+    tmp = commit + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    commit_put_if_absent(tmp, commit)
+    return head + 1
+
+
 def vacuum_delta(path: str, *, retention_ms: int = 7 * 24 * 3600 * 1000,
                  now_ms: int | None = None) -> list[str]:
     """Delete data files no longer reachable from the head snapshot

@@ -272,3 +272,78 @@ def test_vacuum_expires_tombstones_but_never_head(spark, sf_dir, tmp_path):
     # the vacuumed version is now unreadable — the documented trade
     with pytest.raises(Exception):
         dl.read_delta(spark, path, version=head).count()
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_merge")
+    o = _orders(spark, sf_dir)
+    dl.write_delta(o, path, partition_by=["yyyy"])
+    live_before = dl._live_files(path, dl._list_versions(path)[-1])
+
+    # source: bump totalprice for 5 existing keys in ONE year + 2 new rows
+    yy = [r["yyyy"] for r in
+          spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .select(F.year("o_orderdate").alias("yyyy"))
+          .groupBy("yyyy").count().orderBy("yyyy").collect()]
+    target_year = yy[0]
+    upd = (dl.read_delta(spark, path)
+           .filter(F.col("yyyy") == target_year)
+           .orderBy("o_orderkey").limit(5)
+           .withColumn("o_totalprice", F.lit(999999.0)))
+    mx = dl.read_delta(spark, path).agg(F.max("o_orderkey")).collect()[0][0]
+    new = upd.limit(2).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx))
+    src = upd.unionByName(new)
+
+    n_before = dl.read_delta(spark, path).count()
+    v = dl.merge_delta(spark, path, src, on=["o_orderkey"])
+    assert v == 1
+
+    out = dl.read_delta(spark, path)
+    assert out.count() == n_before + 2
+    bumped = out.filter(F.col("o_totalprice") == 999999.0).count()
+    assert bumped == 7  # 5 updates + 2 inserts carry the marker price
+
+    # copy-on-write locality: only files in the touched partition were
+    # replaced — every other year's files survive the commit untouched
+    live_after = dl._live_files(path, dl._list_versions(path)[-1])
+    untouched = {f for f in live_before if f"yyyy={target_year}" not in f}
+    assert untouched <= live_after
+
+    # time travel: pre-merge snapshot unchanged
+    assert dl.read_delta(spark, path, version=0).count() == n_before
+    assert dl.read_delta(spark, path, version=0).filter(
+        F.col("o_totalprice") == 999999.0).count() == 0
+
+
+def test_merge_delete_mode(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_merge_del")
+    o = _orders(spark, sf_dir).limit(100)
+    dl.write_delta(o, path)
+    victims = dl.read_delta(spark, path).orderBy("o_orderkey").limit(10).select("o_orderkey")
+    src = dl.read_delta(spark, path).join(victims, "o_orderkey", "left_semi")
+    dl.merge_delta(spark, path, src, on=["o_orderkey"],
+                   when_matched="delete", when_not_matched=None)
+    out = dl.read_delta(spark, path)
+    assert out.count() == 90
+    assert out.join(victims, "o_orderkey", "left_semi").count() == 0
+
+
+def test_merge_duplicate_source_keys_raise(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_merge_dup")
+    o = _orders(spark, sf_dir).limit(20)
+    dl.write_delta(o, path)
+    dup_src = o.limit(3).unionByName(o.limit(3))
+    n_versions = len(dl._list_versions(path))
+    with pytest.raises(ValueError, match="duplicate"):
+        dl.merge_delta(spark, path, dup_src, on=["o_orderkey"])
+    assert len(dl._list_versions(path)) == n_versions  # nothing committed
+
+
+def test_merge_releases_source_checkpoint(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_merge_leak")
+    o = _orders(spark, sf_dir).limit(50)
+    dl.write_delta(o, path)
+    before = {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keys()}
+    dl.merge_delta(spark, path, o.limit(5), on=["o_orderkey"])
+    after = {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keys()}
+    assert after <= before  # merge pins no storage past its return
