@@ -2057,6 +2057,93 @@ FROM dense
 """
 
 
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance (operators/scd.py): seed a customer
+    dimension, apply one deterministic update batch (changed segment +
+    balance for keys %7, idempotent re-delivery for keys %5, brand-new
+    members for keys %11 offset by 1e6) and return the historized dim.
+    Exercises close-and-rebirth, the no-op path, and late members in
+    one oracle-checked output."""
+    from ..operators.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    dim0 = base.select(
+        "*",
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd_changed = (
+        base.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_mktsegment", F.lit("MOVED"))
+        .withColumn("acctbal", F.round(F.col("acctbal") + 100, 2))
+    )
+    upd_noop = base.filter(
+        (F.col("c_custkey") % 5 == 1) & (F.col("c_custkey") % 7 != 0)
+    )
+    upd_new = base.filter(F.col("c_custkey") % 11 == 3).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1000000)
+    )
+    updates = (
+        upd_changed.unionByName(upd_noop).unionByName(upd_new)
+        .withColumn("eff", F.to_date(F.lit("2024-06-01")))
+    )
+    out = scd2_apply(
+        dim0, updates, keys=["c_custkey"],
+        tracked=["c_name", "c_mktsegment", "acctbal"], effective_col="eff",
+    )
+    return out.select(
+        "c_custkey", "c_name", "c_mktsegment", "acctbal",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+ORACLE_SCD2_DIM = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS acctbal
+  FROM customer
+), upd AS (
+  SELECT c_custkey, c_name, 'MOVED' AS c_mktsegment,
+         round(acctbal + 100, 2) AS acctbal
+  FROM base WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_mktsegment, acctbal
+  FROM base WHERE c_custkey % 5 = 1 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_mktsegment, acctbal
+  FROM base WHERE c_custkey % 11 = 3
+), changed AS (
+  SELECT b.c_custkey
+  FROM base b JOIN upd u USING (c_custkey)
+  WHERE u.c_name IS DISTINCT FROM b.c_name
+     OR u.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+     OR u.acctbal IS DISTINCT FROM b.acctbal
+)
+SELECT c_custkey, c_name, c_mktsegment, acctbal,
+       '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+       TRUE AS is_current
+FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment, acctbal,
+       '2020-01-01', '2024-06-01', FALSE
+FROM base WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT u.c_custkey, u.c_name, u.c_mktsegment, u.acctbal,
+       '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT u.c_custkey, u.c_name, u.c_mktsegment, u.acctbal,
+       '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM base)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2101,6 +2188,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_supplier_profile": q_sql_supplier_profile,
     "enriched_documents": q_enriched_documents,
     "dedup_exact": q_dedup_exact,
+    "scd2_dim": q_scd2_dim,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -2163,6 +2251,7 @@ ORACLES: dict[str, str] = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "scd2_dim": ORACLE_SCD2_DIM,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_curation": ORACLE_CORPUS_CURATION,

@@ -293,3 +293,62 @@ def test_pii_redact_dotted_phone(spark):
     ).first()
     assert row["red"] == "call [PHONE] or [PHONE] from [IP]"
     assert row["n_phone"] == 2 and row["n_ipv4"] == 1
+
+
+def test_scd2_apply_transitions(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: open current row + one closed history row
+            (1, "alice", "A", "2020-01-01", None, True),
+            (1, "alice", "OLD", "2019-01-01", "2020-01-01", False),
+            # key 2: open row that will NOT change
+            (2, "bob", "B", "2020-01-01", None, True),
+            # key 3: open row with no update at all
+            (3, "carol", "C", "2020-01-01", None, True),
+        ],
+        "k long, name string, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "alice", "A2", "2024-06-01"),   # tracked change -> close + rebirth
+            (2, "bob", "B", "2024-06-01"),      # identical -> no-op
+            (9, "zoe", "Z", "2024-06-01"),      # brand-new key
+        ],
+        "k long, name string, seg string, eff string",
+    )
+    out = scd2_apply(dim, upd, keys=["k"], tracked=["name", "seg"],
+                     effective_col="eff").collect()
+    rows = {(r["k"], r["valid_from"]): r for r in out}
+    assert len(out) == 6
+    # history passthrough
+    assert rows[(1, "2019-01-01")]["is_current"] is False
+    # closed: old current row ends at eff
+    closed = rows[(1, "2020-01-01")]
+    assert closed["valid_to"] == "2024-06-01" and closed["is_current"] is False
+    assert closed["seg"] == "A"  # closed row keeps the OLD attributes
+    # rebirth carries new attrs, open-ended
+    reborn = rows[(1, "2024-06-01")]
+    assert reborn["seg"] == "A2" and reborn["valid_to"] is None and reborn["is_current"]
+    # no-op: bob unchanged, still one open row
+    assert rows[(2, "2020-01-01")]["is_current"] and rows[(2, "2020-01-01")]["valid_to"] is None
+    # untouched key passes through
+    assert rows[(3, "2020-01-01")]["is_current"]
+    # new member born at eff
+    born = rows[(9, "2024-06-01")]
+    assert born["name"] == "zoe" and born["is_current"] and born["valid_to"] is None
+
+
+def test_scd2_apply_null_safe_tracking(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, None, "2020-01-01", None, True)],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+    # NULL -> NULL is NOT a change; NULL -> value is
+    noop = spark.createDataFrame([(1, None, "2024-06-01")], "k long, seg string, eff string")
+    chg = spark.createDataFrame([(1, "S", "2024-06-01")], "k long, seg string, eff string")
+    assert scd2_apply(dim, noop, ["k"], ["seg"], effective_col="eff").count() == 1
+    assert scd2_apply(dim, chg, ["k"], ["seg"], effective_col="eff").count() == 2
