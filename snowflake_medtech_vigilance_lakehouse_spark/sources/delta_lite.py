@@ -138,6 +138,65 @@ def _data_files(path: str) -> set[str]:
     return found
 
 
+def _file_stats(full_path: str) -> str | None:
+    """Per-file column statistics as the Delta PROTOCOL's ``stats``
+    JSON string ({numRecords, minValues, maxValues, nullCount}),
+    computed from the parquet footer — no data pages are read. Nested
+    columns and columns whose chunks lack min/max are simply omitted
+    (readers must treat missing stats as unprunable). Temporal values
+    are serialized ISO-8601 so lexicographic compare == temporal
+    compare. Returns None if the footer is unreadable."""
+    import datetime
+
+    def _j(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    try:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    complete: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf: not a top-level column
+                continue
+            st = col.statistics
+            ok = st is not None and st.has_min_max
+            complete[name] = complete.get(name, True) and ok
+            if st is not None and st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if ok:
+                lo, hi = _j(st.min), _j(st.max)
+                if lo is None or hi is None:
+                    complete[name] = False
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    stats = {
+        "numRecords": md.num_rows,
+        "minValues": {k: v for k, v in mins.items() if complete.get(k)},
+        "maxValues": {k: v for k, v in maxs.items() if complete.get(k)},
+        "nullCount": nulls,
+    }
+    return json.dumps(stats)
+
+
 def _partition_values(rel_path: str, partition_by: list[str]) -> dict[str, str]:
     """Decode hive-style ``key=value`` dirs from a relative file path."""
     vals: dict[str, str] = {}
@@ -147,6 +206,21 @@ def _partition_values(rel_path: str, partition_by: list[str]) -> dict[str, str]:
             if k in partition_by:
                 vals[k] = v
     return vals
+
+
+def _add_action(path: str, rel: str, partition_by: list[str],
+                now_ms: int, data_change: bool) -> dict:
+    add = {
+        "path": _encode_path(rel.replace(os.sep, "/")),
+        "partitionValues": _partition_values(rel, partition_by),
+        "size": os.path.getsize(os.path.join(path, rel)),
+        "modificationTime": now_ms,
+        "dataChange": data_change,
+    }
+    stats = _file_stats(os.path.join(path, rel))
+    if stats is not None:
+        add["stats"] = stats
+    return {"add": add}
 
 
 def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
@@ -197,13 +271,7 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
                 "dataChange": True,
             }})
     for rel in sorted(new_files):
-        actions.append({"add": {
-            "path": _encode_path(rel.replace(os.sep, "/")),
-            "partitionValues": _partition_values(rel, partition_by),
-            "size": os.path.getsize(os.path.join(path, rel)),
-            "modificationTime": now_ms,
-            "dataChange": True,
-        }})
+        actions.append(_add_action(path, rel, partition_by, now_ms, True))
     actions.append({"commitInfo": {
         "timestamp": now_ms,
         "operation": "WRITE",
@@ -223,9 +291,10 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
     return version
 
 
-def _live_files(path: str, version: int) -> set[str]:
-    """Replay the log through ``version``: files added minus removed."""
-    live: set[str] = set()
+def _live_adds(path: str, version: int) -> dict[str, dict]:
+    """Replay the log through ``version``: the surviving add action per
+    live relative file path (carrying partitionValues and stats)."""
+    live: dict[str, dict] = {}
     for v in _list_versions(path):
         if v > version:
             break
@@ -235,10 +304,54 @@ def _live_files(path: str, version: int) -> set[str]:
                     continue
                 a = json.loads(line)
                 if "add" in a:
-                    live.add(_decode_path(a["add"]["path"]))
+                    live[_decode_path(a["add"]["path"])] = a["add"]
                 elif "remove" in a:
-                    live.discard(_decode_path(a["remove"]["path"]))
+                    live.pop(_decode_path(a["remove"]["path"]), None)
     return live
+
+
+def _live_files(path: str, version: int) -> set[str]:
+    """Replay the log through ``version``: files added minus removed."""
+    return set(_live_adds(path, version))
+
+
+def _stats_can_skip(add: dict, col: str, op: str, val) -> bool:
+    """True iff the add action's stats PROVE no row of the file can
+    satisfy ``col op val``. Missing/partial stats, or a type mismatch
+    between the stats value and the predicate value, mean False (the
+    file is scanned) — pruning is only ever an optimization."""
+    import datetime
+
+    stats = add.get("stats")
+    if not stats:
+        return False
+    try:
+        s = json.loads(stats) if isinstance(stats, str) else stats
+        lo = s.get("minValues", {}).get(col)
+        hi = s.get("maxValues", {}).get(col)
+    except Exception:
+        return False
+    if lo is None or hi is None:
+        return False
+    if isinstance(val, (datetime.datetime, datetime.date)):
+        val = val.isoformat()  # stats serialize temporals ISO-8601
+    num = (int, float)
+    same = (isinstance(val, num) and isinstance(lo, num) and isinstance(hi, num)
+            and not isinstance(val, bool)) or (
+        isinstance(val, str) and isinstance(lo, str) and isinstance(hi, str))
+    if not same:
+        return False
+    if op == "==":
+        return val < lo or val > hi
+    if op == "<":
+        return lo >= val
+    if op == "<=":
+        return lo > val
+    if op == ">":
+        return hi <= val
+    if op == ">=":
+        return hi < val
+    return False
 
 
 def table_metadata(path: str, version: int | None = None) -> dict:
@@ -258,30 +371,60 @@ def table_metadata(path: str, version: int | None = None) -> dict:
 
 
 def read_delta(spark: SparkSession, path: str, *,
-               version: int | None = None) -> DataFrame:
+               version: int | None = None,
+               predicates: list[tuple[str, str, object]] | None = None) -> DataFrame:
     """Read a Delta table (optionally time-traveled to ``version``) by
     replaying the transaction log and scanning only the live files.
     Partition columns are recovered from the hive-style paths via
     ``basePath``, so partition-predicate pruning works exactly as on a
-    plain partitioned-parquet mart."""
+    plain partitioned-parquet mart.
+
+    ``predicates`` — a conjunction of ``(column, op, value)`` with op
+    in {==, <, <=, >, >=} — enables STATS-BASED FILE SKIPPING: files
+    whose logged min/max prove the predicate false are never handed to
+    the scan (the Delta data-skipping model; pair with
+    ``compact_delta(zorder_by=...)`` so multi-column ranges are narrow
+    per file). The predicate is ALSO applied as a row filter on the
+    result, so the returned rows are identical whether or not any file
+    was skipped — skipping is purely an I/O optimization."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in log (have {versions})")
-    live = sorted(_live_files(path, v))
+    adds = _live_adds(path, v)
+    live = sorted(adds)
+    if predicates:
+        for col, op, val in predicates:
+            if op not in ("==", "<", "<=", ">", ">="):
+                raise ValueError(f"unsupported predicate op: {op}")
+        live = [rel for rel in live
+                if not any(_stats_can_skip(adds[rel], c, o, x)
+                           for c, o, x in predicates)]
     if not live:
         # empty snapshot: zero-row frame with the committed schema
         from pyspark.sql.types import StructType
         schema = StructType.fromJson(json.loads(table_metadata(path, v)["schemaString"]))
-        return spark.createDataFrame([], schema)
-    files = [os.path.join(path, rel) for rel in live]
-    return spark.read.option("basePath", path).parquet(*files)
+        df = spark.createDataFrame([], schema)
+    else:
+        files = [os.path.join(path, rel) for rel in live]
+        df = spark.read.option("basePath", path).parquet(*files)
+    if predicates:
+        for col, op, val in predicates:
+            df = df.filter(_pred(col, op, val))
+    return df
+
+
+def _pred(col: str, op: str, val):
+    c = F.col(col)
+    return {"==": c == F.lit(val), "<": c < F.lit(val), "<=": c <= F.lit(val),
+            ">": c > F.lit(val), ">=": c >= F.lit(val)}[op]
 
 
 def compact_delta(spark: SparkSession, path: str, *,
-                  target_file_bytes: int = 128 << 20) -> int:
+                  target_file_bytes: int = 128 << 20,
+                  zorder_by: list[str] | None = None) -> int:
     """OPTIMIZE-style bin-pack compaction: rewrite the head snapshot's
     live files into ~``target_file_bytes`` outputs and atomically swap
     them in a new commit whose add/remove actions carry
@@ -306,7 +449,7 @@ def compact_delta(spark: SparkSession, path: str, *,
         raise FileNotFoundError(f"no Delta log at {path}")
     head = versions[-1]
     live = sorted(_live_files(path, head))
-    if len(live) <= 1:
+    if len(live) <= 1 and not zorder_by:
         return head
     meta = table_metadata(path, head)
     partition_by = list(meta.get("partitionColumns") or [])
@@ -315,7 +458,19 @@ def compact_delta(spark: SparkSession, path: str, *,
     n_out = max(1, -(-total // max(1, target_file_bytes)))  # ceil div
 
     df = read_delta(spark, path, version=head)
-    if partition_by:
+    if zorder_by:
+        # OPTIMIZE ZORDER BY: range-partition + sort on the Morton key
+        # so each output file covers a narrow range of EVERY clustered
+        # column — that is what makes the per-file min/max recorded in
+        # the add actions selective for multi-column predicates
+        from ..operators.layout import zorder_key
+        df = (
+            df.withColumn("_zkey", zorder_key(df, zorder_by))
+            .repartitionByRange(int(n_out), F.col("_zkey"))
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    elif partition_by:
         df = df.repartition(int(n_out), *[F.col(c) for c in partition_by])
     else:
         df = df.repartition(int(n_out))
@@ -335,17 +490,12 @@ def compact_delta(spark: SparkSession, path: str, *,
             "dataChange": False,
         }})
     for rel in sorted(new_files):
-        actions.append({"add": {
-            "path": _encode_path(rel.replace(os.sep, "/")),
-            "partitionValues": _partition_values(rel, partition_by),
-            "size": os.path.getsize(os.path.join(path, rel)),
-            "modificationTime": now_ms,
-            "dataChange": False,
-        }})
+        actions.append(_add_action(path, rel, partition_by, now_ms, False))
     actions.append({"commitInfo": {
         "timestamp": now_ms,
         "operation": "OPTIMIZE",
-        "operationParameters": {"targetFileBytes": target_file_bytes},
+        "operationParameters": {"targetFileBytes": target_file_bytes,
+                                "zOrderBy": list(zorder_by or [])},
         "engineInfo": "snowflake_medtech_vigilance_lakehouse_spark delta_lite",
     }})
     commit = _log_path(path, head + 1)
@@ -475,13 +625,7 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
             "dataChange": True,
         }})
     for rel in sorted(new_files):
-        actions.append({"add": {
-            "path": _encode_path(rel.replace(os.sep, "/")),
-            "partitionValues": _partition_values(rel, partition_by),
-            "size": os.path.getsize(os.path.join(path, rel)),
-            "modificationTime": now_ms,
-            "dataChange": True,
-        }})
+        actions.append(_add_action(path, rel, partition_by, now_ms, True))
     actions.append({"commitInfo": {
         "timestamp": now_ms,
         "operation": "MERGE",

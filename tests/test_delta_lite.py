@@ -347,3 +347,102 @@ def test_merge_releases_source_checkpoint(spark, sf_dir, tmp_path):
     dl.merge_delta(spark, path, o.limit(5), on=["o_orderkey"])
     after = {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keys()}
     assert after <= before  # merge pins no storage past its return
+
+
+def test_add_actions_carry_stats_and_pruning_is_lossless(spark, sf_dir, tmp_path):
+    import json as _json
+    path = str(tmp_path / "delta_stats")
+    o = _orders(spark, sf_dir).orderBy("o_orderkey").repartitionByRange(4, "o_orderkey")
+    dl.write_delta(o.sortWithinPartitions("o_orderkey"), path)
+
+    adds = dl._live_adds(path, dl._list_versions(path)[-1])
+    assert len(adds) >= 4
+    for add in adds.values():
+        s = _json.loads(add["stats"])
+        assert s["numRecords"] > 0
+        assert "o_orderkey" in s["minValues"] and "o_orderkey" in s["maxValues"]
+
+    # range-partitioned layout -> a point predicate proves most files empty
+    probe = dl.read_delta(spark, path).agg(F.min("o_orderkey")).collect()[0][0]
+    preds = [("o_orderkey", "<=", probe + 1)]
+    kept = [r for r, a in adds.items()
+            if not any(dl._stats_can_skip(a, c, op, v) for c, op, v in preds)]
+    assert len(kept) < len(adds)
+
+    # and the pruned read returns EXACTLY the filtered rows
+    full = dl.read_delta(spark, path).filter(F.col("o_orderkey") <= probe + 1)
+    pruned = dl.read_delta(spark, path, predicates=preds)
+    assert pruned.count() == full.count() > 0
+    # conservative: a type-mismatched predicate value must never prune
+    some_add = next(iter(adds.values()))
+    assert dl._stats_can_skip(some_add, "o_comment", ">=", 5) is False
+    assert dl._stats_can_skip(some_add, "no_such_col", "==", 1) is False
+
+
+def test_zorder_compaction_concentrates_both_columns(spark, sf_dir, tmp_path):
+    import json as _json
+    from snowflake_medtech_vigilance_lakehouse_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "value")
+
+    def ranges(path):
+        adds = dl._live_adds(path, dl._list_versions(path)[-1])
+        spans = {"user_id": [], "value": []}
+        for a in adds.values():
+            s = _json.loads(a["stats"])
+            for c in spans:
+                spans[c].append(s["maxValues"][c] - s["minValues"][c])
+        glo = ev.agg(
+            (F.max("user_id") - F.min("user_id")).alias("user_id"),
+            (F.max("value") - F.min("value")).alias("value"),
+        ).collect()[0]
+        return {c: (sum(v) / len(v)) / float(glo[c]) for c, v in spans.items()}, len(adds)
+
+    # baseline: linear sort by ts-proxy (event_id) — neither column clusters
+    lin = str(tmp_path / "delta_linear")
+    dl.write_delta(ev.repartitionByRange(8, "event_id"), lin)
+    lin_r, lin_n = ranges(lin)
+
+    zo = str(tmp_path / "delta_zorder")
+    dl.write_delta(ev.repartitionByRange(8, "event_id"), zo)
+    v = dl.compact_delta(spark, zo, target_file_bytes=1 << 10,
+                         zorder_by=["user_id", "value"])
+    assert v == 1
+    zo_r, zo_n = ranges(zo)
+    assert zo_n >= 4  # multiple files, else "concentration" is vacuous
+
+    # z-order narrows BOTH columns' per-file spans; the linear layout
+    # leaves both near the full range
+    assert zo_r["user_id"] < 0.6 and zo_r["value"] < 0.6, (zo_r, lin_r)
+    assert lin_r["user_id"] > 0.7 and lin_r["value"] > 0.7, (zo_r, lin_r)
+    assert zo_r["user_id"] < lin_r["user_id"] / 2
+    assert zo_r["value"] < lin_r["value"] / 2
+
+    # and the narrowed stats actually skip files for a 2-D box probe
+    adds = dl._live_adds(zo, dl._list_versions(zo)[-1])
+    med = ev.agg(F.expr("percentile(user_id, 0.5)")).collect()[0][0]
+    preds = [("user_id", "<=", float(med)), ("value", "<=", 0.0)]
+    kept = [r for r, a in adds.items()
+            if not any(dl._stats_can_skip(a, c, op, x) for c, op, x in preds)]
+    assert len(kept) < zo_n
+    # identical rows with and without skipping
+    want = dl.read_delta(spark, zo).filter(
+        (F.col("user_id") <= float(med)) & (F.col("value") <= 0.0)).count()
+    assert dl.read_delta(spark, zo, predicates=preds).count() == want
+
+
+def test_zorder_key_is_monotone_per_fixed_other_column(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(float(i), float(j)) for i in range(16) for j in range(16)],
+        "a double, b double",
+    )
+    out = df.withColumn("z", zorder_key(df, ["a", "b"], bits=4)).collect()
+    by_b = {}
+    for r in out:
+        by_b.setdefault(r["b"], []).append((r["a"], r["z"]))
+    for b, pairs in by_b.items():
+        pairs.sort()
+        zs = [z for _, z in pairs]
+        assert zs == sorted(zs), f"z not monotone in a at b={b}"
