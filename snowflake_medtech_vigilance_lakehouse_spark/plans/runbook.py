@@ -9,6 +9,7 @@ schema tests.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,3 +87,27 @@ def build_medallion(spark: SparkSession, *, raw: DataFrame | None = None,
 
     return BuildResult(stg=stg, fact=fact, counts=counts, signals=signals,
                        dq_results=dq)
+
+
+def incremental_publish(spark: SparkSession, df: DataFrame, path: str, *,
+                        unique_key: list[str],
+                        partition_by: list[str] | None = None) -> int:
+    """dbt ``materialized='incremental'`` (merge strategy) analog: the
+    first run creates the Delta table, every later run upserts the
+    batch by ``unique_key`` — existing keys are replaced with the
+    batch's row, new keys are appended. Idempotent: re-delivering the
+    same batch converges to the same table state, which is what makes
+    scheduled re-runs safe.
+
+    Built on :func:`delta_lite.merge_delta`, so the rewrite touches
+    only data files that contain a matched key; with the table
+    partitioned (and the batch keyed to recent partitions) an
+    incremental run's write amplification is bounded by the affected
+    partitions, not the table — the property that makes a daily 100 TB
+    mart refresh an O(day) job, not an O(history) one.
+
+    Returns the committed Delta version."""
+    from ..sources import delta_lite as dl
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        return dl.write_delta(df, path, partition_by=partition_by or [])
+    return dl.merge_delta(spark, path, df, on=list(unique_key))

@@ -47,3 +47,48 @@ def test_build_medallion_from_files(spark, tmp_path):
     assert counts.agg(F.sum("n_events")).first()[0] == 5
     # signals view computed lazily over the cube
     assert res.signals.count() == counts.count()
+
+
+def test_incremental_publish_converges_to_full_rebuild(spark, sf_dir, tmp_path):
+    """dbt-incremental analog: first run creates, later runs upsert by
+    key; re-delivery is idempotent and the result equals a one-shot
+    full build of the union."""
+    from pyspark.sql import functions as F
+
+    from snowflake_medtech_vigilance_lakehouse_spark.plans.runbook import incremental_publish
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import delta_lite as dl
+
+    path = str(tmp_path / "inc_counts")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "yyyy", F.year("o_orderdate"))
+    # integer-cents revenue: double summation is order-dependent across
+    # plans, and this test compares two independently-computed results
+    daily = orders.groupBy("yyyy", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+
+    years = sorted(r["yyyy"] for r in daily.select("yyyy").distinct().collect())
+    early, late = years[:-1], years[-1:]
+
+    v0 = incremental_publish(
+        spark, daily.filter(F.col("yyyy").isin(early)), path,
+        unique_key=["yyyy", "o_orderpriority"], partition_by=["yyyy"])
+    assert v0 == 0
+    # second batch: the last year (new keys) + a recomputed early year
+    # (same keys, updated values after late data arrived)
+    redo = early[-1]
+    batch2 = daily.filter(F.col("yyyy").isin([redo] + late)).withColumn(
+        "n", F.col("n") + F.lit(0))  # same shape; values recomputed
+    v1 = incremental_publish(spark, batch2, path,
+                             unique_key=["yyyy", "o_orderpriority"])
+    assert v1 == 1
+
+    got = dl.read_delta(spark, path)
+    want = daily.select(*got.columns)  # exceptAll compares positionally
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # idempotent re-delivery: same batch again, state unchanged
+    incremental_publish(spark, batch2, path, unique_key=["yyyy", "o_orderpriority"])
+    again = dl.read_delta(spark, path).select(*got.columns)
+    assert again.exceptAll(want).count() == 0 and again.count() == want.count()
