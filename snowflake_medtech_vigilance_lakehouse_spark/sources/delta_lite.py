@@ -223,15 +223,46 @@ def _add_action(path: str, rel: str, partition_by: list[str],
     return {"add": add}
 
 
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Highest ``txn.version`` committed for ``app_id``, or None. The
+    Delta PROTOCOL's idempotent-writer primitive: an application that
+    stamps each commit with a monotonically-increasing version can
+    detect its own re-deliveries by reading this back."""
+    latest: int | None = None
+    for v in _list_versions(path):
+        with open(_log_path(path, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    tv = int(t["version"])
+                    latest = tv if latest is None else max(latest, tv)
+    return latest
+
+
 def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
-                partition_by: list[str] | None = None) -> int:
+                partition_by: list[str] | None = None,
+                txn: tuple[str, int] | None = None) -> int:
     """Publish ``df`` at ``path`` as a Delta table; returns the
     committed version. ``mode``: 'overwrite' (logical replace — old
     files are removed in the log, not deleted from storage, which is
-    what makes time travel work) or 'append'."""
+    what makes time travel work) or 'append'.
+
+    ``txn=(app_id, app_version)`` makes the write IDEMPOTENT per the
+    protocol's transaction-identifier action: if the log already
+    carries a ``txn`` for ``app_id`` at or past ``app_version``, the
+    write is a no-op returning the current head — this is what turns
+    an at-least-once upstream (foreachBatch re-delivery after a
+    crash) into exactly-once table contents."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
     partition_by = list(partition_by or [])
+    if txn is not None:
+        prev = last_txn_version(path, txn[0])
+        if prev is not None and prev >= int(txn[1]):
+            return _list_versions(path)[-1]
     versions = _list_versions(path)
     version = (versions[-1] + 1) if versions else 0
     if versions:
@@ -253,6 +284,9 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1]),
+                                "lastUpdated": now_ms}})
     if version == 0:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
         actions.append({"metaData": {

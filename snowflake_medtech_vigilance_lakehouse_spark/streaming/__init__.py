@@ -7,4 +7,5 @@ from .ingest import (  # noqa: F401
     streaming_dedup,
 )
 from .stateful import streaming_sessionize  # noqa: F401
+from .delta_sink import write_stream_to_delta  # noqa: F401
 from .index_refresh import postings_stream, refresh_postings, bm25_from_postings  # noqa: F401

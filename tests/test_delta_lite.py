@@ -446,3 +446,24 @@ def test_zorder_key_is_monotone_per_fixed_other_column(spark):
         pairs.sort()
         zs = [z for _, z in pairs]
         assert zs == sorted(zs), f"z not monotone in a at b={b}"
+
+
+def test_txn_action_makes_writes_idempotent(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_txn")
+    o = _orders(spark, sf_dir).limit(50)
+    v0 = dl.write_delta(o, path, mode="append", txn=("app-1", 0))
+    n = dl.read_delta(spark, path).count()
+
+    # same (appId, version) re-delivered -> no-op, no new commit
+    v_again = dl.write_delta(o, path, mode="append", txn=("app-1", 0))
+    assert v_again == v0
+    assert dl.read_delta(spark, path).count() == n
+    assert len(dl._list_versions(path)) == 1
+
+    # next version commits; a DIFFERENT app with the same number also commits
+    dl.write_delta(o, path, mode="append", txn=("app-1", 1))
+    dl.write_delta(o, path, mode="append", txn=("app-2", 0))
+    assert dl.read_delta(spark, path).count() == 3 * n
+    assert dl.last_txn_version(path, "app-1") == 1
+    assert dl.last_txn_version(path, "app-2") == 0
+    assert dl.last_txn_version(path, "nobody") is None

@@ -115,3 +115,41 @@ def test_streaming_dedup_drops_redelivery_across_runs(spark, tmp_path):
     second = spark.read.parquet(out_dir)
     assert second.count() == 3
     assert second.filter(second.mdr_report_key == "S2").count() == 1
+
+
+def test_stream_to_delta_exactly_once_under_redelivery(spark, tmp_path):
+    """foreachBatch is at-least-once; the txn stamp must make the
+    TABLE exactly-once. Simulate the crash-after-write-before-
+    checkpoint window by re-delivering a committed batch id."""
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import delta_lite as dl
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import write_stream_to_delta
+
+    in_dir = tmp_path / "sink_in"; in_dir.mkdir()
+    table = str(tmp_path / "sink_table")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    _write_ndjson(in_dir / "a.ndjson", [
+        {"mdr_report_key": "S1", "report_number": "N1", "event_type": "Malfunction"},
+        {"mdr_report_key": "S2", "report_number": "N2"},
+    ])
+    stream = stream_ndjson_raw(spark, str(in_dir), RAW_SCHEMA)
+    write_stream_to_delta(stream, table, ckpt, app_id="ingest-1").awaitTermination(120)
+    assert dl.read_delta(spark, table).count() == 2
+    head = dl._list_versions(table)[-1]
+
+    # redeliver batch 0's rows with batch 0's txn stamp (what a restart
+    # does when the checkpoint write raced a crash): no-op
+    replay = dl.read_delta(spark, table)
+    dl.write_delta(replay, table, mode="append", txn=("ingest-1", 0))
+    assert dl.read_delta(spark, table).count() == 2
+    assert dl._list_versions(table)[-1] == head
+
+    # new file -> next availableNow run appends exactly the delta
+    _write_ndjson(in_dir / "b.ndjson", [
+        {"mdr_report_key": "S3", "report_number": "N3"},
+    ])
+    stream2 = stream_ndjson_raw(spark, str(in_dir), RAW_SCHEMA)
+    write_stream_to_delta(stream2, table, ckpt, app_id="ingest-1").awaitTermination(120)
+    out = dl.read_delta(spark, table)
+    assert out.count() == 3
+    assert {r["raw"]["mdr_report_key"] for r in out.collect()} == {"S1", "S2", "S3"}
