@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG_DIR = "_delta_log"
+_CDF_DIR = "_change_data"
 
 
 class DeltaConcurrentWriteError(RuntimeError):
@@ -127,10 +128,11 @@ def _list_versions(path: str) -> list[int]:
 
 def _data_files(path: str) -> set[str]:
     """Relative paths of parquet data files under the table root
-    (partition dirs included), excluding the log dir."""
+    (partition dirs included), excluding the log and change-data
+    dirs — change files are row-level history, never table data."""
     found = set()
     for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if d != _LOG_DIR]
+        dirs[:] = [d for d in dirs if d not in (_LOG_DIR, _CDF_DIR)]
         for f in files:
             if f.endswith(".parquet"):
                 rel = os.path.relpath(os.path.join(root, f), path)
@@ -456,6 +458,58 @@ def _pred(col: str, op: str, val):
             ">": c > F.lit(val), ">=": c >= F.lit(val)}[op]
 
 
+def read_change_feed(spark: SparkSession, path: str, *,
+                     from_version: int = 0,
+                     to_version: int | None = None) -> DataFrame:
+    """Row-level changes committed in ``[from_version, to_version]``,
+    with ``_change_type`` and ``_commit_version`` columns — the
+    incremental-consumption API (table_changes analog): a downstream
+    materialization reads only the deltas since its last high-water
+    mark instead of diffing snapshots.
+
+    Per commit: explicit ``cdc`` actions (written by
+    ``merge_delta(change_data=True)``) are read as-is; commits without
+    cdc synthesize the feed from their file actions the way real CDF
+    does — dataChange adds read as ``insert`` rows, dataChange removes
+    as ``delete`` rows (OPTIMIZE's dataChange=false swaps contribute
+    nothing). Synthesis reads the version's files, so it fails for
+    versions whose files were VACUUMed — same horizon as time travel.
+    """
+    versions = [v for v in _list_versions(path)
+                if v >= from_version and (to_version is None or v <= to_version)]
+    if not versions:
+        raise ValueError(f"no commits in range at {path}")
+    frames: list[DataFrame] = []
+    for v in versions:
+        with open(_log_path(path, v)) as f:
+            acts = [json.loads(line) for line in f if line.strip()]
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        if cdc:
+            files = [os.path.join(path, _decode_path(a["path"])) for a in cdc]
+            frames.append(
+                spark.read.parquet(*files).withColumn("_commit_version", F.lit(v))
+            )
+            continue
+        adds = [a["add"] for a in acts if "add" in a and a["add"].get("dataChange")]
+        removes = [a["remove"] for a in acts
+                   if "remove" in a and a["remove"].get("dataChange")]
+        for acts_sub, ctype in ((adds, "insert"), (removes, "delete")):
+            if not acts_sub:
+                continue
+            files = [os.path.join(path, _decode_path(a["path"])) for a in acts_sub]
+            frames.append(
+                spark.read.option("basePath", path).parquet(*files)
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn("_commit_version", F.lit(v))
+            )
+    if not frames:
+        raise ValueError(f"no change-producing commits in range at {path}")
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def compact_delta(spark: SparkSession, path: str, *,
                   target_file_bytes: int = 128 << 20,
                   zorder_by: list[str] | None = None) -> int:
@@ -542,7 +596,8 @@ def compact_delta(spark: SparkSession, path: str, *,
 
 def merge_delta(spark: SparkSession, path: str, source: DataFrame,
                 on: list[str], *, when_matched: str | None = "update",
-                when_not_matched: str | None = "insert") -> int:
+                when_not_matched: str | None = "insert",
+                change_data: bool = False) -> int:
     """MERGE INTO (upsert) via copy-on-write, the same shape real Delta
     uses: only data files that actually CONTAIN a matched key are
     rewritten; every other live file survives the commit untouched.
@@ -566,6 +621,13 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
     Multiple source rows per key would make the merge nondeterministic
     (which row wins?), so — like the real MERGE — that raises
     ValueError before anything is written.
+
+    ``change_data=True`` additionally emits the commit's row-level
+    CHANGE DATA FEED: parquet files under ``_change_data/`` carrying
+    a ``_change_type`` column (update_preimage / update_postimage /
+    delete / insert), logged as the protocol's ``cdc`` actions so
+    incremental consumers (``read_change_feed``) get exactly the
+    deltas without diffing snapshots.
 
     Returns the committed version. Raises
     :class:`DeltaConcurrentWriteError` if another writer takes the
@@ -641,6 +703,30 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
                 writer = writer.partitionBy(*partition_by)
             writer.save(path)
             new_files = _data_files(path) - before
+
+        cdc_files: list[str] = []
+        if change_data:
+            parts = []
+            ct = "_change_type"
+            if touched_files:
+                pre = resident.join(keys, on, "left_semi").select(*cols)
+                if when_matched == "update":
+                    parts.append(pre.withColumn(ct, F.lit("update_preimage")))
+                    parts.append(matched.withColumn(ct, F.lit("update_postimage")))
+                else:  # delete
+                    parts.append(pre.withColumn(ct, F.lit("delete")))
+            if inserts is not None:
+                parts.append(inserts.withColumn(ct, F.lit("insert")))
+            if parts:
+                changes = parts[0]
+                for p in parts[1:]:
+                    changes = changes.unionByName(p)
+                cdf_dir = os.path.join(path, _CDF_DIR, uuid.uuid4().hex)
+                changes.write.mode("overwrite").parquet(cdf_dir)
+                for f in os.listdir(cdf_dir):
+                    if f.endswith(".parquet"):
+                        cdc_files.append(
+                            os.path.relpath(os.path.join(cdf_dir, f), path))
     finally:
         live_rdds = jsc.getPersistentRDDs()
         for rid in src_ids:
@@ -660,6 +746,13 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
         }})
     for rel in sorted(new_files):
         actions.append(_add_action(path, rel, partition_by, now_ms, True))
+    for rel in sorted(cdc_files):
+        actions.append({"cdc": {
+            "path": _encode_path(rel.replace(os.sep, "/")),
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "dataChange": False,
+        }})
     actions.append({"commitInfo": {
         "timestamp": now_ms,
         "operation": "MERGE",

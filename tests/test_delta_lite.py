@@ -291,7 +291,7 @@ def test_merge_upsert_rewrites_only_touched_files(spark, sf_dir, tmp_path):
            .orderBy("o_orderkey").limit(5)
            .withColumn("o_totalprice", F.lit(999999.0)))
     mx = dl.read_delta(spark, path).agg(F.max("o_orderkey")).collect()[0][0]
-    new = upd.limit(2).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx))
+    new = upd.limit(2).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx + 1))
     src = upd.unionByName(new)
 
     n_before = dl.read_delta(spark, path).count()
@@ -467,3 +467,61 @@ def test_txn_action_makes_writes_idempotent(spark, sf_dir, tmp_path):
     assert dl.last_txn_version(path, "app-1") == 1
     assert dl.last_txn_version(path, "app-2") == 0
     assert dl.last_txn_version(path, "nobody") is None
+
+
+def test_change_data_feed_from_merge_and_synthesis(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_cdf")
+    o = _orders(spark, sf_dir).limit(100)
+    dl.write_delta(o, path)
+    n = 100
+
+    upd = (dl.read_delta(spark, path).orderBy("o_orderkey").limit(5)
+           .withColumn("o_totalprice", F.lit(111111.0)))
+    mx = dl.read_delta(spark, path).agg(F.max("o_orderkey")).collect()[0][0]
+    new = upd.limit(2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(mx + 1))
+    v1 = dl.merge_delta(spark, path, upd.unionByName(new), on=["o_orderkey"],
+                        change_data=True)
+
+    # v0 synthesizes inserts from dataChange adds; v1 reads explicit cdc
+    feed = dl.read_change_feed(spark, path)
+    by = {(r["_commit_version"], r["_change_type"]) for r in feed.collect()}
+    assert (0, "insert") in by and (1, "update_postimage") in by
+
+    v1_feed = dl.read_change_feed(spark, path, from_version=v1)
+    counts = {r["_change_type"]: r["n"] for r in
+              v1_feed.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"update_preimage": 5, "update_postimage": 5, "insert": 2}
+    # pre/post images carry old vs new values
+    pre = v1_feed.filter(F.col("_change_type") == "update_preimage")
+    post = v1_feed.filter(F.col("_change_type") == "update_postimage")
+    assert pre.filter(F.col("o_totalprice") == 111111.0).count() == 0
+    assert post.filter(F.col("o_totalprice") == 111111.0).count() == 5
+
+    # incremental consumer: applying the v1 deltas to the v0 snapshot
+    # reproduces the head snapshot exactly
+    base = dl.read_delta(spark, path, version=0)
+    gone = v1_feed.filter(
+        F.col("_change_type").isin("update_preimage", "delete")).select("o_orderkey")
+    arrived = v1_feed.filter(
+        F.col("_change_type").isin("update_postimage", "insert")).select(*base.columns)
+    derived = base.join(gone, "o_orderkey", "left_anti").unionByName(arrived)
+    head = dl.read_delta(spark, path).select(*base.columns)
+    assert derived.count() == head.count() == n + 2
+    assert derived.exceptAll(head).count() == 0 and head.exceptAll(derived).count() == 0
+
+    # CDF files are row history, not table data: snapshot reads ignore them
+    assert dl.read_delta(spark, path).columns == o.columns
+
+
+def test_change_feed_delete_mode(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_cdf_del")
+    o = _orders(spark, sf_dir).limit(30)
+    dl.write_delta(o, path)
+    victims = dl.read_delta(spark, path).orderBy("o_orderkey").limit(4)
+    v = dl.merge_delta(spark, path, victims, on=["o_orderkey"],
+                       when_matched="delete", when_not_matched=None,
+                       change_data=True)
+    feed = dl.read_change_feed(spark, path, from_version=v)
+    assert feed.filter(F.col("_change_type") == "delete").count() == 4
+    assert feed.count() == 4
