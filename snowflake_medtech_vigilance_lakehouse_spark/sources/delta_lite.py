@@ -229,9 +229,21 @@ def last_txn_version(path: str, app_id: str) -> int | None:
     """Highest ``txn.version`` committed for ``app_id``, or None. The
     Delta PROTOCOL's idempotent-writer primitive: an application that
     stamps each commit with a monotonically-increasing version can
-    detect its own re-deliveries by reading this back."""
+    detect its own re-deliveries by reading this back. Checkpoint-aware
+    (txn high-water marks are preserved across log expiry)."""
     latest: int | None = None
+    start = 0
+    ck = _checkpoint_info(path)
+    if ck and os.path.exists(_checkpoint_file(path, ck["version"])):
+        for row in _read_checkpoint_rows(path, ck["version"]):
+            t = row.get("txn")
+            if t and t.get("appId") == app_id:
+                tv = int(t["version"])
+                latest = tv if latest is None else max(latest, tv)
+        start = ck["version"] + 1
     for v in _list_versions(path):
+        if v < start:
+            continue
         with open(_log_path(path, v)) as f:
             for line in f:
                 if not line.strip():
@@ -327,11 +339,56 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
     return version
 
 
+def _checkpoint_info(path: str) -> dict | None:
+    """Contents of ``_delta_log/_last_checkpoint`` (version + size),
+    or None when the table has no checkpoint yet."""
+    f = os.path.join(path, _LOG_DIR, "_last_checkpoint")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def _checkpoint_file(path: str, version: int) -> str:
+    return os.path.join(path, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
+
+
+def _as_dict(v) -> dict:
+    """pyarrow map columns round-trip as lists of (k, v) pairs."""
+    if isinstance(v, dict):
+        return v
+    return dict(v or [])
+
+
+def _read_checkpoint_rows(path: str, version: int) -> list[dict]:
+    import pyarrow.parquet as pq
+    return pq.read_table(_checkpoint_file(path, version)).to_pylist()
+
+
 def _live_adds(path: str, version: int) -> dict[str, dict]:
-    """Replay the log through ``version``: the surviving add action per
-    live relative file path (carrying partitionValues and stats)."""
+    """State of the table at ``version``: the surviving add action per
+    live relative file path (carrying partitionValues and stats).
+
+    Replay starts from the newest checkpoint at or before ``version``
+    when one exists — O(live files + commits since checkpoint), not
+    O(all commits) — and falls back to a full JSON replay otherwise
+    (which also keeps time travel BEFORE the checkpoint working while
+    the JSON commits are still on disk)."""
     live: dict[str, dict] = {}
+    start = 0
+    ck = _checkpoint_info(path)
+    if ck and ck["version"] <= version and os.path.exists(
+            _checkpoint_file(path, ck["version"])):
+        for row in _read_checkpoint_rows(path, ck["version"]):
+            add = row.get("add")
+            if add:
+                add = dict(add)
+                add["partitionValues"] = _as_dict(add.get("partitionValues"))
+                live[_decode_path(add["path"])] = add
+        start = ck["version"] + 1
     for v in _list_versions(path):
+        if v < start:
+            continue
         if v > version:
             break
         with open(_log_path(path, v)) as f:
@@ -391,9 +448,23 @@ def _stats_can_skip(add: dict, col: str, op: str, val) -> bool:
 
 
 def table_metadata(path: str, version: int | None = None) -> dict:
-    """Latest (or as-of ``version``) metaData action of the table."""
+    """Latest (or as-of ``version``) metaData action of the table,
+    consulting the checkpoint when the JSON history before it has been
+    expired."""
     meta: dict | None = None
+    start = 0
+    ck = _checkpoint_info(path)
+    if ck and (version is None or ck["version"] <= version) and os.path.exists(
+            _checkpoint_file(path, ck["version"])):
+        for row in _read_checkpoint_rows(path, ck["version"]):
+            if row.get("metaData"):
+                meta = dict(row["metaData"])
+                meta["partitionColumns"] = list(meta.get("partitionColumns") or [])
+                meta["configuration"] = _as_dict(meta.get("configuration"))
+        start = ck["version"] + 1
     for v in _list_versions(path):
+        if v < start:
+            continue
         if version is not None and v > version:
             break
         with open(_log_path(path, v)) as f:
@@ -404,6 +475,135 @@ def table_metadata(path: str, version: int | None = None) -> dict:
     if meta is None:
         raise FileNotFoundError(f"no Delta log at {path}")
     return meta
+
+
+def checkpoint_delta(path: str) -> int:
+    """Write a protocol checkpoint of the head version: one parquet
+    file in ``_delta_log`` holding the full replayed state (protocol,
+    metaData, every live add with its stats, latest txn per appId) and
+    the ``_last_checkpoint`` pointer. After this, readers replay
+    O(live files + commits since checkpoint) instead of O(all
+    commits) — the metadata plane's compaction, same motivation as
+    OPTIMIZE for the data plane. At 100 TB with thousands of commits
+    this is what keeps snapshot construction constant-time.
+
+    The checkpoint is written driver-side with pyarrow (the log is
+    driver-side metadata; no Spark job needed). Returns the
+    checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    head = versions[-1]
+    adds = _live_adds(path, head)
+    meta = table_metadata(path, head)
+
+    txns: dict[str, dict] = {}
+
+    def _take(t: dict) -> None:
+        cur = txns.get(t["appId"])
+        if cur is None or int(t["version"]) > int(cur["version"]):
+            txns[t["appId"]] = {"appId": t["appId"],
+                                "version": int(t["version"]),
+                                "lastUpdated": t.get("lastUpdated")}
+
+    start = 0
+    ck = _checkpoint_info(path)
+    if ck and os.path.exists(_checkpoint_file(path, ck["version"])):
+        for row in _read_checkpoint_rows(path, ck["version"]):
+            if row.get("txn"):
+                _take(row["txn"])
+        start = ck["version"] + 1
+    for v in versions:
+        if v < start:
+            continue
+        with open(_log_path(path, v)) as f:
+            for line in f:
+                if line.strip():
+                    a = json.loads(line)
+                    if "txn" in a:
+                        _take(a["txn"])
+
+    rows: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": meta["id"],
+            "format": {"provider": meta["format"]["provider"],
+                       "options": _as_dict(meta["format"].get("options"))},
+            "schemaString": meta["schemaString"],
+            "partitionColumns": list(meta.get("partitionColumns") or []),
+            "configuration": _as_dict(meta.get("configuration")),
+            "createdTime": meta.get("createdTime"),
+        }},
+    ]
+    for rel in sorted(adds):
+        a = adds[rel]
+        rows.append({"add": {
+            "path": a["path"],
+            "partitionValues": _as_dict(a.get("partitionValues")),
+            "size": int(a["size"]),
+            "modificationTime": int(a.get("modificationTime") or 0),
+            "dataChange": False,
+            "stats": a.get("stats"),
+        }})
+    rows.extend({"txn": t} for _, t in sorted(txns.items()))
+
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", str_map)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])),
+        ("txn", pa.struct([("appId", pa.string()),
+                           ("version", pa.int64()),
+                           ("lastUpdated", pa.int64())])),
+    ])
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   _checkpoint_file(path, head))
+    pointer = os.path.join(path, _LOG_DIR, "_last_checkpoint")
+    tmp = pointer + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": head, "size": len(rows)}, f)
+    os.replace(tmp, pointer)
+    return head
+
+
+def expire_delta_log(path: str) -> list[int]:
+    """Delete JSON commits (and superseded checkpoints) strictly older
+    than the newest checkpoint — the log-retention half of checkpoint
+    maintenance. Versions before the checkpoint become untravelable
+    (their state lives only in the checkpoint), exactly the trade real
+    Delta's ``logRetentionDuration`` makes. Returns expired versions."""
+    ck = _checkpoint_info(path)
+    if ck is None or not os.path.exists(_checkpoint_file(path, ck["version"])):
+        raise ValueError("no checkpoint; run checkpoint_delta first")
+    expired: list[int] = []
+    for v in _list_versions(path):
+        if v < ck["version"]:
+            os.remove(_log_path(path, v))
+            expired.append(v)
+    log = os.path.join(path, _LOG_DIR)
+    for f in os.listdir(log):
+        if f.endswith(".checkpoint.parquet") and int(f.split(".")[0]) < ck["version"]:
+            os.remove(os.path.join(log, f))
+    return expired
 
 
 def read_delta(spark: SparkSession, path: str, *,

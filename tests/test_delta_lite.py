@@ -525,3 +525,59 @@ def test_change_feed_delete_mode(spark, sf_dir, tmp_path):
     feed = dl.read_change_feed(spark, path, from_version=v)
     assert feed.filter(F.col("_change_type") == "delete").count() == 4
     assert feed.count() == 4
+
+
+def test_checkpoint_bounds_replay_and_log_expiry(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_ckpt")
+    o = _orders(spark, sf_dir).limit(200)
+    a, b = o.filter(F.col("o_orderkey") % 2 == 0), o.filter(F.col("o_orderkey") % 2 == 1)
+    dl.write_delta(a, path, txn=("app-x", 0))
+    dl.write_delta(b, path, mode="append", txn=("app-x", 1))
+    n = dl.read_delta(spark, path).count()
+
+    head = dl.checkpoint_delta(path)
+    assert head == 1
+    assert os.path.exists(os.path.join(path, "_delta_log", "_last_checkpoint"))
+
+    # snapshot via checkpoint == snapshot via full JSON replay
+    assert dl.read_delta(spark, path).count() == n
+    # commits after the checkpoint replay on top of it
+    more = o.limit(10).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    dl.write_delta(more, path, mode="append", txn=("app-x", 2))
+    assert dl.read_delta(spark, path).count() == n + 10
+    # time travel before the checkpoint still works while JSON remains
+    assert dl.read_delta(spark, path, version=0).count() == a.count()
+
+    # expire: pre-checkpoint JSON goes away, state survives
+    expired = dl.expire_delta_log(path)
+    assert expired == [0]
+    assert dl.read_delta(spark, path).count() == n + 10
+    assert dl.table_metadata(path)["partitionColumns"] == []
+    # txn high-water mark survives expiry -> idempotence intact
+    assert dl.last_txn_version(path, "app-x") == 2
+    dl.write_delta(more, path, mode="append", txn=("app-x", 2))  # no-op
+    assert dl.read_delta(spark, path).count() == n + 10
+    # expired versions are gone for time travel
+    with pytest.raises(ValueError, match="not in log"):
+        dl.read_delta(spark, path, version=0)
+
+    # stats survive the checkpoint: predicates still skip losslessly
+    probe = dl.read_delta(spark, path).agg(F.min("o_orderkey")).collect()[0][0]
+    got = dl.read_delta(spark, path, predicates=[("o_orderkey", "<=", probe)])
+    assert got.count() == dl.read_delta(spark, path).filter(
+        F.col("o_orderkey") <= probe).count()
+
+
+def test_checkpoint_then_merge_uses_checkpoint_state(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_ckpt_merge")
+    o = _orders(spark, sf_dir).limit(60)
+    dl.write_delta(o, path)
+    dl.checkpoint_delta(path)
+    dl.expire_delta_log(path)
+
+    upd = (dl.read_delta(spark, path).orderBy("o_orderkey").limit(3)
+           .withColumn("o_totalprice", F.lit(55555.0)))
+    dl.merge_delta(spark, path, upd, on=["o_orderkey"])
+    out = dl.read_delta(spark, path)
+    assert out.count() == 60
+    assert out.filter(F.col("o_totalprice") == 55555.0).count() == 3
