@@ -258,7 +258,8 @@ def last_txn_version(path: str, app_id: str) -> int | None:
 
 def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
                 partition_by: list[str] | None = None,
-                txn: tuple[str, int] | None = None) -> int:
+                txn: tuple[str, int] | None = None,
+                merge_schema: bool = False) -> int:
     """Publish ``df`` at ``path`` as a Delta table; returns the
     committed version. ``mode``: 'overwrite' (logical replace — old
     files are removed in the log, not deleted from storage, which is
@@ -279,15 +280,37 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
             return _list_versions(path)[-1]
     versions = _list_versions(path)
     version = (versions[-1] + 1) if versions else 0
+    evolved_schema_json: str | None = None
     if versions:
         def _shape(schema_json: str) -> set[tuple[str, str]]:
             return {(f["name"], json.dumps(f["type"], sort_keys=True))
                     for f in json.loads(schema_json)["fields"]}
-        if _shape(table_metadata(path)["schemaString"]) != _shape(df.schema.json()):
-            raise ValueError(
-                "schema mismatch with committed Delta metaData; "
-                "delta_lite does not implement schema evolution"
-            )
+        committed = table_metadata(path)["schemaString"]
+        if _shape(committed) != _shape(df.schema.json()):
+            if not merge_schema:
+                raise ValueError(
+                    "schema mismatch with committed Delta metaData; pass "
+                    "merge_schema=True for additive evolution"
+                )
+            # ADDITIVE evolution only: same-named fields must keep
+            # their committed type; brand-new fields append to the
+            # schema. Old files read their missing columns as NULL
+            # (read_delta scans with the committed schema), so no data
+            # rewrite happens — evolution is a metaData-only commit.
+            old = json.loads(committed)["fields"]
+            new = json.loads(df.schema.json())["fields"]
+            old_types = {f["name"]: json.dumps(f["type"], sort_keys=True)
+                         for f in old}
+            for f in new:
+                t = json.dumps(f["type"], sort_keys=True)
+                if f["name"] in old_types and old_types[f["name"]] != t:
+                    raise ValueError(
+                        f"schema evolution cannot change the type of "
+                        f"{f['name']!r}; only adding columns is supported"
+                    )
+            merged = list(old) + [f for f in new if f["name"] not in old_types]
+            evolved_schema_json = json.dumps(
+                {"type": "struct", "fields": merged})
 
     before = _data_files(path)
     writer = df.write.mode("append").format("parquet")
@@ -312,6 +335,10 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
             "configuration": {},
             "createdTime": now_ms,
         }})
+    elif evolved_schema_json is not None:
+        evolved = dict(table_metadata(path))
+        evolved["schemaString"] = evolved_schema_json
+        actions.append({"metaData": evolved})
     if mode == "overwrite" and version > 0:
         for rel in sorted(_live_files(path, versions[-1])):
             actions.append({"remove": {
@@ -638,14 +665,18 @@ def read_delta(spark: SparkSession, path: str, *,
         live = [rel for rel in live
                 if not any(_stats_can_skip(adds[rel], c, o, x)
                            for c, o, x in predicates)]
+    from pyspark.sql.types import StructType
+    schema = StructType.fromJson(json.loads(table_metadata(path, v)["schemaString"]))
     if not live:
         # empty snapshot: zero-row frame with the committed schema
-        from pyspark.sql.types import StructType
-        schema = StructType.fromJson(json.loads(table_metadata(path, v)["schemaString"]))
         df = spark.createDataFrame([], schema)
     else:
+        # the COMMITTED schema drives the scan (the protocol's rule:
+        # metaData.schemaString is authoritative, parquet footers are
+        # not) — files predating an additive schema evolution simply
+        # read their missing columns as NULL
         files = [os.path.join(path, rel) for rel in live]
-        df = spark.read.option("basePath", path).parquet(*files)
+        df = spark.read.schema(schema).option("basePath", path).parquet(*files)
     if predicates:
         for col, op, val in predicates:
             df = df.filter(_pred(col, op, val))

@@ -581,3 +581,34 @@ def test_checkpoint_then_merge_uses_checkpoint_state(spark, sf_dir, tmp_path):
     out = dl.read_delta(spark, path)
     assert out.count() == 60
     assert out.filter(F.col("o_totalprice") == 55555.0).count() == 3
+
+
+def test_additive_schema_evolution(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_evolve")
+    o = _orders(spark, sf_dir).limit(40).select("o_orderkey", "o_totalprice")
+    dl.write_delta(o, path)
+
+    # appending a new column without opting in still fails loudly
+    widened = (_orders(spark, sf_dir).limit(10)
+               .select("o_orderkey", "o_totalprice")
+               .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+               .withColumn("channel", F.lit("web")))
+    with pytest.raises(ValueError, match="merge_schema"):
+        dl.write_delta(widened, path, mode="append")
+
+    v1 = dl.write_delta(widened, path, mode="append", merge_schema=True)
+    out = dl.read_delta(spark, path)
+    assert set(out.columns) == {"o_orderkey", "o_totalprice", "channel"}
+    assert out.count() == 50
+    # pre-evolution rows read the new column as NULL, no rewrite happened
+    assert out.filter(F.col("channel").isNull()).count() == 40
+    assert out.filter(F.col("channel") == "web").count() == 10
+    # time travel to v0 serves the ORIGINAL schema
+    assert set(dl.read_delta(spark, path, version=0).columns) == {
+        "o_orderkey", "o_totalprice"}
+
+    # changing an existing column's type is never evolution
+    bad = o.withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+    with pytest.raises(ValueError, match="cannot change the type"):
+        dl.write_delta(bad, path, mode="append", merge_schema=True)
+    assert v1 == 1
