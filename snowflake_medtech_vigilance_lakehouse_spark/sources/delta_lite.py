@@ -504,6 +504,87 @@ def table_metadata(path: str, version: int | None = None) -> dict:
     return meta
 
 
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY analog: one record per commit (newest first)
+    with version, timestamp, operation and operationParameters from
+    the commitInfo actions. Versions whose JSON was expired after a
+    checkpoint are summarized as a single 'CHECKPOINT' floor entry."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    out: list[dict] = []
+    for v in versions:
+        info: dict = {}
+        with open(_log_path(path, v)) as f:
+            for line in f:
+                if line.strip():
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        info = a["commitInfo"]
+        out.append({
+            "version": v,
+            "timestamp": info.get("timestamp"),
+            "operation": info.get("operation", "UNKNOWN"),
+            "operationParameters": info.get("operationParameters", {}),
+        })
+    ck = _checkpoint_info(path)
+    if ck and versions[0] > 0:
+        out.append({"version": None, "timestamp": None,
+                    "operation": "CHECKPOINT",
+                    "operationParameters": {
+                        "floorVersion": ck["version"],
+                        "expiredBelow": versions[0]}})
+    return sorted(out, key=lambda r: (r["version"] is None, -(r["version"] or 0)))
+
+
+def restore_delta(path: str, version: int) -> int:
+    """RESTORE TABLE analog: commit a new head whose live-file set is
+    exactly ``version``'s snapshot — files the head added since are
+    removed (logically), files it dropped are re-added. History is
+    preserved (restore is itself a commit; nothing is deleted), so a
+    bad merge/overwrite is undone in O(changed files) metadata without
+    touching data. Requires ``version`` to still be travelable (not
+    expired). Returns the committed version."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    head = versions[-1]
+    if version == head:
+        return head
+    target = _live_adds(path, version)  # raises naturally if unreadable
+    if version not in versions and (
+            (_checkpoint_info(path) or {}).get("version")) != version:
+        raise ValueError(f"version {version} not in log (have {versions})")
+    current = _live_adds(path, head)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    # schema rolls back with the data (RESTORE is whole-state)
+    old_meta = table_metadata(path, version)
+    if old_meta["schemaString"] != table_metadata(path, head)["schemaString"]:
+        actions.append({"metaData": old_meta})
+    for rel in sorted(set(current) - set(target)):
+        actions.append({"remove": {
+            "path": _encode_path(rel), "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }})
+    for rel in sorted(set(target) - set(current)):
+        add = dict(target[rel])
+        add["dataChange"] = True
+        actions.append({"add": add})
+    actions.append({"commitInfo": {
+        "timestamp": now_ms,
+        "operation": "RESTORE",
+        "operationParameters": {"version": version},
+        "engineInfo": "snowflake_medtech_vigilance_lakehouse_spark delta_lite",
+    }})
+    commit = _log_path(path, head + 1)
+    tmp = commit + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    commit_put_if_absent(tmp, commit)
+    return head + 1
+
+
 def checkpoint_delta(path: str) -> int:
     """Write a protocol checkpoint of the head version: one parquet
     file in ``_delta_log`` holding the full replayed state (protocol,

@@ -612,3 +612,50 @@ def test_additive_schema_evolution(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="cannot change the type"):
         dl.write_delta(bad, path, mode="append", merge_schema=True)
     assert v1 == 1
+
+
+def test_restore_and_history(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_restore")
+    o = _orders(spark, sf_dir).limit(80).select("o_orderkey", "o_totalprice")
+    dl.write_delta(o, path)
+    n0 = 80
+
+    # a bad merge bumps 10 rows and inserts 3
+    upd = (dl.read_delta(spark, path).orderBy("o_orderkey").limit(10)
+           .withColumn("o_totalprice", F.lit(-1.0)))
+    mx = dl.read_delta(spark, path).agg(F.max("o_orderkey")).collect()[0][0]
+    bad = upd.unionByName(
+        upd.limit(3).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx + 1)))
+    dl.merge_delta(spark, path, bad, on=["o_orderkey"])
+    assert dl.read_delta(spark, path).filter(F.col("o_totalprice") < 0).count() == 13
+
+    # restore undoes it in metadata; history shows the whole story
+    v = dl.restore_delta(path, 0)
+    assert v == 2
+    out = dl.read_delta(spark, path)
+    assert out.count() == n0
+    assert out.filter(F.col("o_totalprice") < 0).count() == 0
+    hist = dl.table_history(path)
+    assert [h["operation"] for h in hist] == ["RESTORE", "MERGE", "WRITE"]
+    assert hist[0]["operationParameters"]["version"] == 0
+
+    # restoring the head is a no-op; unknown versions raise
+    assert dl.restore_delta(path, 2) == 2
+    with pytest.raises(ValueError, match="not in log"):
+        dl.restore_delta(path, 99)
+
+
+def test_restore_rolls_back_schema_evolution(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_restore_schema")
+    o = _orders(spark, sf_dir).limit(20).select("o_orderkey", "o_totalprice")
+    dl.write_delta(o, path)
+    widened = o.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    ).withColumn("channel", F.lit("web"))
+    dl.write_delta(widened, path, mode="append", merge_schema=True)
+    assert "channel" in dl.read_delta(spark, path).columns
+
+    dl.restore_delta(path, 0)
+    out = dl.read_delta(spark, path)
+    assert set(out.columns) == {"o_orderkey", "o_totalprice"}
+    assert out.count() == 20
