@@ -140,7 +140,12 @@ def main() -> None:
     def timed(df) -> float:
         """Min wall time over REPS full executions through the noop
         sink — a fresh plan each rep so no result is reused, and the
-        min discards any rep a background task happened to pollute."""
+        min discards any rep a background task happened to pollute.
+        A JVM GC runs before the reps so one query's garbage (broadcast
+        blocks, AQE stage state) is not collected inside the NEXT
+        query's timing window — late-position queries were measuring
+        up to 2x their isolated time before this barrier."""
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
