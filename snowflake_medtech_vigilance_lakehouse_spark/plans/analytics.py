@@ -2057,6 +2057,33 @@ FROM dense
 """
 
 
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti in one plan: customers who placed at
+    least one order (semi) but none above 400k (anti). Both sides
+    shuffle on the same key, so the second join reuses the exchange;
+    neither join widens rows — semi/anti never duplicate the left
+    side, which is what makes them the scale-safe existence test."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    placed = o.select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        c.join(placed, c["c_custkey"] == placed["o_custkey"], "left_semi")
+        .join(big, F.col("c_custkey") == big["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_SEMI_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+"""
+
+
 def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension maintenance (operators/scd.py): seed a customer
     dimension, apply one deterministic update batch (changed segment +
@@ -2189,6 +2216,7 @@ QUERIES: dict[str, QueryFn] = {
     "enriched_documents": q_enriched_documents,
     "dedup_exact": q_dedup_exact,
     "scd2_dim": q_scd2_dim,
+    "semi_anti_join": q_semi_anti_join,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -2252,6 +2280,7 @@ ORACLES: dict[str, str] = {
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "scd2_dim": ORACLE_SCD2_DIM,
+    "semi_anti_join": ORACLE_SEMI_ANTI,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_curation": ORACLE_CORPUS_CURATION,
