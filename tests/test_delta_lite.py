@@ -659,3 +659,40 @@ def test_restore_rolls_back_schema_evolution(spark, sf_dir, tmp_path):
     out = dl.read_delta(spark, path)
     assert set(out.columns) == {"o_orderkey", "o_totalprice"}
     assert out.count() == 20
+
+
+def test_merge_differential_random_sequences(spark, tmp_path):
+    """Differential check of merge_delta: random upsert/delete batches
+    applied to the Delta table AND to a plain Python dict model; after
+    every commit the table must equal the model exactly. Deterministic
+    seeds so failures reproduce."""
+    import random
+
+    for seed in (20260813, 99):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"delta_fuzz_{seed}")
+        model: dict[int, tuple] = {}
+
+        init = [(k, rng.randint(0, 9), round(rng.uniform(0, 100), 2))
+                for k in rng.sample(range(1000), 60)]
+        df = spark.createDataFrame(init, "k long, g long, x double")
+        dl.write_delta(df, path)
+        model.update({r[0]: r for r in init})
+
+        for step in range(4):
+            op = rng.choice(["upsert", "delete"])
+            keys = rng.sample(range(1000), rng.randint(1, 40))
+            batch = [(k, rng.randint(0, 9), round(rng.uniform(0, 100), 2))
+                     for k in keys]
+            bdf = spark.createDataFrame(batch, "k long, g long, x double")
+            if op == "upsert":
+                dl.merge_delta(spark, path, bdf, on=["k"])
+                model.update({r[0]: r for r in batch})
+            else:
+                dl.merge_delta(spark, path, bdf, on=["k"],
+                               when_matched="delete", when_not_matched=None)
+                for k in keys:
+                    model.pop(k, None)
+            got = {r["k"]: (r["k"], r["g"], r["x"])
+                   for r in dl.read_delta(spark, path).collect()}
+            assert got == model, f"seed={seed} step={step} op={op}"
