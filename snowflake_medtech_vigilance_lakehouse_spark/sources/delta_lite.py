@@ -436,11 +436,34 @@ def _live_files(path: str, version: int) -> set[str]:
 
 
 def _stats_can_skip(add: dict, col: str, op: str, val) -> bool:
-    """True iff the add action's stats PROVE no row of the file can
-    satisfy ``col op val``. Missing/partial stats, or a type mismatch
-    between the stats value and the predicate value, mean False (the
-    file is scanned) — pruning is only ever an optimization."""
+    """True iff the add action PROVES no row of the file can satisfy
+    ``col op val`` — from its hive partition value when ``col`` is a
+    partition column, else from its logged min/max stats. Missing or
+    partial information, or a type mismatch between the logged value
+    and the predicate value, mean False (the file is scanned) —
+    pruning is only ever an optimization."""
     import datetime
+
+    pv = (add.get("partitionValues") or {}).get(col)
+    if pv is not None:
+        # dir values are strings; compare in the predicate value's type
+        try:
+            if isinstance(val, bool):
+                typed = pv.lower() == "true"
+            elif isinstance(val, int):
+                typed = int(pv)
+            elif isinstance(val, float):
+                typed = float(pv)
+            elif isinstance(val, (datetime.datetime, datetime.date)):
+                typed, val = pv, val.isoformat()
+            elif isinstance(val, str):
+                typed = pv
+            else:
+                return False
+        except ValueError:
+            return False
+        return {"==": typed != val, "<": typed >= val, "<=": typed > val,
+                ">": typed <= val, ">=": typed < val}.get(op, False)
 
     stats = add.get("stats")
     if not stats:

@@ -696,3 +696,27 @@ def test_merge_differential_random_sequences(spark, tmp_path):
             got = {r["k"]: (r["k"], r["g"], r["x"])
                    for r in dl.read_delta(spark, path).collect()}
             assert got == model, f"seed={seed} step={step} op={op}"
+
+
+def test_predicates_prune_by_partition_value(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_part_prune")
+    o = _orders(spark, sf_dir)
+    dl.write_delta(o, path, partition_by=["yyyy"])
+    adds = dl._live_adds(path, dl._list_versions(path)[-1])
+    years = sorted({int(a["partitionValues"]["yyyy"]) for a in adds.values()})
+    assert len(years) > 1
+    target = years[0]
+
+    preds = [("yyyy", "==", target)]
+    kept = [r for r, a in adds.items()
+            if not any(dl._stats_can_skip(a, c, op, v) for c, op, v in preds)]
+    assert kept and len(kept) < len(adds)
+    assert all(f"yyyy={target}" in r for r in kept)
+
+    got = dl.read_delta(spark, path, predicates=preds)
+    want = dl.read_delta(spark, path).filter(F.col("yyyy") == target)
+    assert got.count() == want.count() > 0
+    # range op on the partition column too
+    got_ge = dl.read_delta(spark, path, predicates=[("yyyy", ">=", years[-1])])
+    want_ge = dl.read_delta(spark, path).filter(F.col("yyyy") >= years[-1])
+    assert got_ge.count() == want_ge.count() > 0
