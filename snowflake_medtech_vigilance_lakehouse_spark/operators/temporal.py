@@ -226,3 +226,51 @@ def sessionize(events: DataFrame, *, key: str, ts: str,
         "session_id",
         F.concat(F.col(key).cast("string"), F.lit("#"), F.col("session_seq").cast("string")),
     )
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Ordered funnel analysis: how many users performed the ``steps``
+    event types IN ORDER (each step strictly after the previous one's
+    first qualifying occurrence — the standard product-analytics
+    funnel). Returns one row per step: (step_idx, step, n_users,
+    conv), where conv is the conversion rate from step 1.
+
+    Shape: per step, a filtered aggregation keyed on the user joined
+    to the previous step's first-completion time — k-1 equi-joins and
+    k aggregations, ALL keyed on the user column, so every exchange
+    after the first is reused; no windows over the event stream, no
+    per-user sorting of full histories. The per-step count frames are
+    k single-row aggregates; the conversion ratio is a window over
+    those k rows (driver-scale, not data-scale)."""
+    from pyspark.sql.window import Window
+
+    cur = None
+    count_frames = []
+    for i, st in enumerate(steps):
+        e = events.filter(F.col(type_col) == st).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
+        if cur is None:
+            cur = e.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                e.join(cur.select("_u", "_t"), "_u")
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy("_u").agg(F.min("_ts").alias("_t"))
+            )
+        count_frames.append(cur.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users")
+        ).select(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(st).alias("step"), "n_users",
+        ))
+    out = count_frames[0]
+    for fr in count_frames[1:]:
+        out = out.unionByName(fr)
+    w = Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "step_idx", "step", "n_users",
+        F.round(F.col("n_users").cast("double")
+                / F.first("n_users").over(w).cast("double"), 6).alias("conv"),
+    )

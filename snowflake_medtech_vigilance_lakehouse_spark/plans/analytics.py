@@ -2057,6 +2057,43 @@ FROM dense
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel over the event stream
+    (operators/temporal.py:funnel_counts): per-step completion counts
+    and conversion from step 1, each step strictly after the previous
+    step's first qualifying occurrence."""
+    from ..operators.temporal import funnel_counts
+
+    ev = read_events(spark, sf_dir)
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY 1
+), s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+), c AS (
+  SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', count(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', count(*) FROM s3
+)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(n_users * 1.0 / first_value(n_users) OVER (ORDER BY step_idx), 6) AS conv
+FROM c
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti in one plan: customers who placed at
     least one order (semi) but none above 400k (anti). Both sides
@@ -2217,6 +2254,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "scd2_dim": q_scd2_dim,
     "semi_anti_join": q_semi_anti_join,
+    "funnel_steps": q_funnel,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -2281,6 +2319,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "scd2_dim": ORACLE_SCD2_DIM,
     "semi_anti_join": ORACLE_SEMI_ANTI,
+    "funnel_steps": ORACLE_FUNNEL,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_curation": ORACLE_CORPUS_CURATION,

@@ -171,3 +171,28 @@ def test_interval_join_keyless_and_plan(spark):
     # banding must produce a hash join, not a nested-loop cartesian
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_funnel_requires_strict_order(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.temporal import funnel_counts
+
+    ev = spark.createDataFrame(
+        [
+            # u1 completes in order
+            (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            # u2 clicked BEFORE viewing: reaches view only
+            (2, "click", 5), (2, "view", 10),
+            # u3 view+click, purchase exactly at click time -> not strictly after
+            (3, "view", 1), (3, "click", 2), (3, "purchase", 2),
+            # u4 only purchases
+            (4, "purchase", 7),
+        ],
+        "user_id long, event_type string, ts long",
+    )
+    out = {r["step"]: r for r in
+           funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 2   # u1 and u3
+    assert out["purchase"]["n_users"] == 1  # only u1
+    assert out["view"]["conv"] == 1.0
+    assert abs(out["purchase"]["conv"] - round(1 / 3, 6)) < 1e-9
