@@ -2057,6 +2057,38 @@ FROM dense
 """
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide->long melt), the inverse of event_type_pivot:
+    three lineitem measures stacked into (metric, value) rows keyed by
+    (orderkey, linenumber). `stack` evaluates per-row with no shuffle
+    at all — the output is a projection, 3x the rows, same scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (metric, value)"
+        ),
+    ).select(
+        "l_orderkey", "l_linenumber", "metric",
+        F.round("value", 2).alias("value"),
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+       round(l_quantity, 2) AS value
+FROM lineitem WHERE l_orderkey % 50 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', round(l_extendedprice, 2)
+FROM lineitem WHERE l_orderkey % 50 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 2)
+FROM lineitem WHERE l_orderkey % 50 = 0
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view->click->purchase funnel over the event stream
     (operators/temporal.py:funnel_counts): per-step completion counts
@@ -2255,6 +2287,7 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_dim": q_scd2_dim,
     "semi_anti_join": q_semi_anti_join,
     "funnel_steps": q_funnel,
+    "unpivot_metrics": q_unpivot_metrics,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -2320,6 +2353,7 @@ ORACLES: dict[str, str] = {
     "scd2_dim": ORACLE_SCD2_DIM,
     "semi_anti_join": ORACLE_SEMI_ANTI,
     "funnel_steps": ORACLE_FUNNEL,
+    "unpivot_metrics": ORACLE_UNPIVOT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_curation": ORACLE_CORPUS_CURATION,
