@@ -720,3 +720,53 @@ def test_predicates_prune_by_partition_value(spark, sf_dir, tmp_path):
     got_ge = dl.read_delta(spark, path, predicates=[("yyyy", ">=", years[-1])])
     want_ge = dl.read_delta(spark, path).filter(F.col("yyyy") >= years[-1])
     assert got_ge.count() == want_ge.count() > 0
+
+
+def test_full_maintenance_lifecycle(spark, sf_dir, tmp_path):
+    """Compose the whole table-maintenance surface the way a real
+    pipeline would: write -> merge(+CDF) -> OPTIMIZE ZORDER ->
+    checkpoint -> expire log -> vacuum — and verify contents, change
+    feed, and stats-based skipping survive every step."""
+    from snowflake_medtech_vigilance_lakehouse_spark.sources.readers import read_events
+
+    path = str(tmp_path / "delta_lifecycle")
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "value")
+    dl.write_delta(ev.repartitionByRange(6, "event_id"), path, txn=("life", 0))
+    n = ev.count()
+
+    upd = (dl.read_delta(spark, path).orderBy("event_id").limit(7)
+           .withColumn("value", F.lit(424242.0)))
+    dl.merge_delta(spark, path, upd, on=["event_id"], change_data=True)
+
+    # downstream consumers drain the change feed BEFORE log expiry
+    feed = dl.read_change_feed(spark, path, from_version=1, to_version=1)
+    assert feed.filter(F.col("_change_type") == "update_postimage").count() == 7
+
+    v_opt = dl.compact_delta(spark, path, target_file_bytes=1 << 10,
+                             zorder_by=["user_id", "value"])
+    ck = dl.checkpoint_delta(path)
+    assert ck == v_opt
+    dl.expire_delta_log(path)
+    dl.vacuum_delta(path, retention_ms=0)
+
+    # contents intact through the whole lifecycle
+    out = dl.read_delta(spark, path)
+    assert out.count() == n
+    assert out.filter(F.col("value") == 424242.0).count() == 7
+    # expired versions' change feed is gone — the documented horizon
+    with pytest.raises(ValueError, match="no commits"):
+        dl.read_change_feed(spark, path, from_version=1, to_version=1)
+    # stats skipping still lossless off the checkpointed adds
+    med = out.agg(F.expr("percentile(user_id, 0.5)")).collect()[0][0]
+    preds = [("user_id", "<=", float(med))]
+    got = dl.read_delta(spark, path, predicates=preds).count()
+    assert got == out.filter(F.col("user_id") <= float(med)).count()
+    adds = dl._live_adds(path, dl._list_versions(path)[-1])
+    kept = [r for r, a in adds.items()
+            if not any(dl._stats_can_skip(a, c, op, x) for c, op, x in preds)]
+    assert len(kept) < len(adds)  # z-order made the skip real
+    # txn high-water survived checkpoint + expiry
+    assert dl.last_txn_version(path, "life") == 0
+    # history shows the floor entry for expired versions
+    ops = [h["operation"] for h in dl.table_history(path)]
+    assert "CHECKPOINT" in ops
