@@ -845,6 +845,67 @@ def read_change_feed(spark: SparkSession, path: str, *,
     return out
 
 
+def replicate_incremental(spark: SparkSession, src_path: str, dst_path: str,
+                          *, keys: list[str],
+                          app_id: str = "cdf-replicate") -> int | None:
+    """CDF-driven incremental replication: apply every source commit
+    since the last replicated version to ``dst_path`` — the
+    silver->gold sync pattern. Each source version becomes (at most)
+    two idempotent dst commits: upserts (insert + update_postimage
+    rows) then deletes, both txn-stamped, so a crashed or re-run sync
+    converges without re-copying the table. Work per sync is
+    O(changed rows since the high-water mark), never O(table).
+
+    The destination is created from the source's current snapshot on
+    first call (stamped as having replicated through that version).
+    Returns the last applied source version, or None if already up to
+    date. Source versions must still be travelable (sync before
+    ``expire_delta_log`` runs on the source, or checkpoint after
+    draining)."""
+    src_versions = _list_versions(src_path)
+    if not src_versions:
+        raise FileNotFoundError(f"no Delta log at {src_path}")
+    src_head = src_versions[-1]
+    if not os.path.isdir(os.path.join(dst_path, _LOG_DIR)):
+        snap = read_delta(spark, src_path, version=src_head)
+        meta = table_metadata(src_path, src_head)
+        write_delta(snap, dst_path,
+                    partition_by=list(meta.get("partitionColumns") or []),
+                    txn=(app_id, 2 * src_head + 1))
+        return src_head
+    last = last_txn_version(dst_path, app_id)
+    from_v = 0 if last is None else (last // 2) + 1
+    if from_v > src_head:
+        return None
+    applied = None
+    for v in [x for x in src_versions if x >= from_v]:
+        try:
+            feed = read_change_feed(spark, src_path, from_version=v, to_version=v)
+        except ValueError:
+            # change-less commit (OPTIMIZE, txn-only): advance the
+            # high-water mark with a txn-only merge of an empty batch
+            from pyspark.sql.types import StructType
+            schema = StructType.fromJson(
+                json.loads(table_metadata(dst_path)["schemaString"]))
+            merge_delta(spark, dst_path, spark.createDataFrame([], schema),
+                        on=keys, txn=(app_id, 2 * v + 1))
+            applied = v
+            continue
+        cols = [c for c in feed.columns
+                if c not in ("_change_type", "_commit_version")]
+        upserts = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*cols)
+        deletes = feed.filter(F.col("_change_type") == "delete").select(*cols)
+        merge_delta(spark, dst_path, upserts, on=keys,
+                    txn=(app_id, 2 * v))
+        merge_delta(spark, dst_path, deletes, on=keys,
+                    when_matched="delete", when_not_matched=None,
+                    txn=(app_id, 2 * v + 1))
+        applied = v
+    return applied
+
+
 def compact_delta(spark: SparkSession, path: str, *,
                   target_file_bytes: int = 128 << 20,
                   zorder_by: list[str] | None = None) -> int:
@@ -932,7 +993,8 @@ def compact_delta(spark: SparkSession, path: str, *,
 def merge_delta(spark: SparkSession, path: str, source: DataFrame,
                 on: list[str], *, when_matched: str | None = "update",
                 when_not_matched: str | None = "insert",
-                change_data: bool = False) -> int:
+                change_data: bool = False,
+                txn: tuple[str, int] | None = None) -> int:
     """MERGE INTO (upsert) via copy-on-write, the same shape real Delta
     uses: only data files that actually CONTAIN a matched key are
     rewritten; every other live file survives the commit untouched.
@@ -975,6 +1037,10 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
+    if txn is not None:
+        prev = last_txn_version(path, txn[0])
+        if prev is not None and prev >= int(txn[1]):
+            return versions[-1]  # idempotent re-delivery: no-op
     head = versions[-1]
     meta = table_metadata(path, head)
     partition_by = list(meta.get("partitionColumns") or [])
@@ -1071,6 +1137,9 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1]),
+                                "lastUpdated": now_ms}})
     for full in sorted(touched_files):
         # _metadata.file_path is a Hadoop URI ("file:/x" or "file:///x")
         local = urllib.parse.urlparse(full).path if ":" in full.split("/")[0] else full

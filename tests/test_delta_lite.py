@@ -770,3 +770,46 @@ def test_full_maintenance_lifecycle(spark, sf_dir, tmp_path):
     # history shows the floor entry for expired versions
     ops = [h["operation"] for h in dl.table_history(path)]
     assert "CHECKPOINT" in ops
+
+
+def test_cdf_incremental_replication(spark, sf_dir, tmp_path):
+    """silver->gold sync: replicate_incremental applies only the
+    change feed since its high-water mark; re-runs are no-ops and the
+    destination always equals the source head."""
+    src = str(tmp_path / "repl_src")
+    dst = str(tmp_path / "repl_dst")
+    o = _orders(spark, sf_dir).limit(120).select("o_orderkey", "o_totalprice")
+    dl.write_delta(o, src)
+
+    # first sync: full snapshot bootstrap
+    assert dl.replicate_incremental(spark, src, dst, keys=["o_orderkey"]) == 0
+    assert dl.read_delta(spark, dst).count() == 120
+    # already up to date
+    assert dl.replicate_incremental(spark, src, dst, keys=["o_orderkey"]) is None
+
+    # source evolves: merge (upsert 6 + insert 2, with CDF), then a
+    # delete-merge, then a change-less OPTIMIZE
+    upd = (dl.read_delta(spark, src).orderBy("o_orderkey").limit(6)
+           .withColumn("o_totalprice", F.lit(777.0)))
+    mx = dl.read_delta(spark, src).agg(F.max("o_orderkey")).collect()[0][0]
+    new = upd.limit(2).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx + 1))
+    dl.merge_delta(spark, src, upd.unionByName(new), on=["o_orderkey"],
+                   change_data=True)
+    victims = (dl.read_delta(spark, src).orderBy(F.desc("o_orderkey")).limit(3)
+               .select("o_orderkey", "o_totalprice"))
+    dl.merge_delta(spark, src, victims, on=["o_orderkey"],
+                   when_matched="delete", when_not_matched=None, change_data=True)
+    dl.compact_delta(spark, src, target_file_bytes=1 << 30)
+
+    applied = dl.replicate_incremental(spark, src, dst, keys=["o_orderkey"])
+    assert applied == dl._list_versions(src)[-1]
+
+    got = dl.read_delta(spark, dst).select("o_orderkey", "o_totalprice")
+    want = dl.read_delta(spark, src).select("o_orderkey", "o_totalprice")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # idempotent: a re-run (crash recovery) changes nothing
+    n_dst_versions = len(dl._list_versions(dst))
+    assert dl.replicate_incremental(spark, src, dst, keys=["o_orderkey"]) is None
+    assert len(dl._list_versions(dst)) == n_dst_versions
