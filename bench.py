@@ -67,9 +67,13 @@ def _guard_environment() -> float:
               file=sys.stderr)
         sys.exit(2)
 
-    # a fresh timing run should start on a quiet machine; half the
-    # cores busy means some other workload will steal executor threads
-    limit = (os.cpu_count() or 8) * 0.5
+    # a fresh timing run should start on a QUIET machine. Measured:
+    # even load ~1.8 (previous JVM's decay tail) doubles the most
+    # parallelism-hungry query (ngram 3.6s -> 8.3s at sf0.1, min of 2
+    # reps), so the settle threshold is a twentieth of the cores, not
+    # half; after 120s we proceed anyway and the recorded
+    # load_at_start flags the artifact as contended
+    limit = max(1.0, (os.cpu_count() or 8) * 0.05)
     deadline = time.time() + 120
     load = os.getloadavg()[0]
     while load > limit and time.time() < deadline:
