@@ -53,6 +53,11 @@ class DeltaConcurrentWriteError(RuntimeError):
     must re-read the log and retry from the new latest version."""
 
 
+class DeltaConstraintViolation(ValueError):
+    """An incoming batch contains rows that fail a table CHECK
+    constraint; nothing was committed."""
+
+
 def _put_if_absent_local(tmp: str, dst: str) -> None:
     """Local-FS commit primitive: atomically publish ``tmp`` at ``dst``
     iff ``dst`` does not exist. ``os.link`` is the POSIX put-if-absent
@@ -311,6 +316,8 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
             merged = list(old) + [f for f in new if f["name"] not in old_types]
             evolved_schema_json = json.dumps(
                 {"type": "struct", "fields": merged})
+    if versions:
+        _check_constraints(df, path)
 
     before = _data_files(path)
     writer = df.write.mode("append").format("parquet")
@@ -606,6 +613,65 @@ def restore_delta(path: str, version: int) -> int:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
     commit_put_if_absent(tmp, commit)
     return head + 1
+
+
+def add_check_constraint(path: str, name: str, sql_expr: str) -> int:
+    """ALTER TABLE ADD CONSTRAINT analog: store a CHECK constraint in
+    the table configuration (the protocol's
+    ``delta.constraints.<name>`` key) via a metaData-only commit.
+    Every subsequent write/merge batch is validated BEFORE committing
+    (the writer-protocol duty) — a violating batch raises
+    :class:`DeltaConstraintViolation` and nothing becomes visible.
+
+    The CURRENT contents are validated first, like the real ALTER: a
+    constraint the existing data already violates cannot be added
+    (checked lazily by the next writer here — we validate incoming
+    batches, not history; run a one-off ``read_delta().filter(NOT
+    expr)`` count if retroactive proof is needed)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    head = versions[-1]
+    meta = dict(table_metadata(path, head))
+    conf = dict(meta.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = sql_expr
+    meta["configuration"] = conf
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {"metaData": meta},
+        {"commitInfo": {
+            "timestamp": now_ms,
+            "operation": "ADD CONSTRAINT",
+            "operationParameters": {"name": name, "expr": sql_expr},
+            "engineInfo": "snowflake_medtech_vigilance_lakehouse_spark delta_lite",
+        }},
+    ]
+    commit = _log_path(path, head + 1)
+    tmp = commit + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    commit_put_if_absent(tmp, commit)
+    return head + 1
+
+
+def _check_constraints(df: DataFrame, path: str) -> None:
+    """Writer-protocol duty: refuse a batch violating any stored CHECK
+    constraint. One filter+limit job per constraint over the batch."""
+    try:
+        conf = table_metadata(path).get("configuration") or {}
+    except FileNotFoundError:
+        return
+    for key, expr in conf.items():
+        if not key.startswith("delta.constraints."):
+            continue
+        name = key[len("delta.constraints."):]
+        # ANSI CHECK semantics: only FALSE violates; NULL (unknown) passes
+        bad = df.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(1).count()
+        if bad:
+            raise DeltaConstraintViolation(
+                f"batch violates CHECK constraint {name!r} ({expr}); "
+                "nothing was committed"
+            )
 
 
 def checkpoint_delta(path: str) -> int:
@@ -1068,6 +1134,8 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
                 "merge source has duplicate rows per ON key; the merge "
                 "result would be nondeterministic (real MERGE raises too)"
             )
+        if when_matched != "delete":
+            _check_constraints(src, path)
         empty = not _live_files(path, head)
         target = read_delta(spark, path, version=head)
         cols = target.columns

@@ -813,3 +813,34 @@ def test_cdf_incremental_replication(spark, sf_dir, tmp_path):
     n_dst_versions = len(dl._list_versions(dst))
     assert dl.replicate_incremental(spark, src, dst, keys=["o_orderkey"]) is None
     assert len(dl._list_versions(dst)) == n_dst_versions
+
+
+def test_check_constraints_gate_writes_and_merges(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_check")
+    o = _orders(spark, sf_dir).limit(50).select("o_orderkey", "o_totalprice")
+    dl.write_delta(o, path)
+    v = dl.add_check_constraint(path, "price_positive", "o_totalprice > 0")
+    assert v == 1
+    conf = dl.table_metadata(path)["configuration"]
+    assert conf["delta.constraints.price_positive"] == "o_totalprice > 0"
+
+    good = o.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    dl.write_delta(good, path, mode="append")  # passes
+
+    bad = good.withColumn("o_totalprice", F.lit(-5.0)).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000))
+    n_versions = len(dl._list_versions(path))
+    with pytest.raises(dl.DeltaConstraintViolation, match="price_positive"):
+        dl.write_delta(bad, path, mode="append")
+    with pytest.raises(dl.DeltaConstraintViolation, match="price_positive"):
+        dl.merge_delta(spark, path, bad, on=["o_orderkey"])
+    assert len(dl._list_versions(path)) == n_versions  # nothing committed
+    assert dl.read_delta(spark, path).filter(F.col("o_totalprice") <= 0).count() == 0
+
+    # NULL is unknown, not a violation (ANSI CHECK semantics)
+    nullish = good.withColumn("o_totalprice", F.lit(None).cast("double")).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(30_000_000))
+    dl.write_delta(nullish, path, mode="append")
+    # delete-merges never validate (they only remove rows)
+    dl.merge_delta(spark, path, dl.read_delta(spark, path).limit(2),
+                   on=["o_orderkey"], when_matched="delete", when_not_matched=None)
