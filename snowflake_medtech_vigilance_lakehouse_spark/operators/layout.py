@@ -57,6 +57,13 @@ def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
         elif t in _NUMERIC or t.startswith("decimal"):
             num = F.col(c).cast("double")
             ranked_df = df.select(num.alias("_zq"))
+        elif t == "string":
+            # strings rank by hash: equality predicates (and the
+            # equality half of IN-lists) still skip via file min/max
+            # of co-located hash buckets, but RANGE predicates on the
+            # string don't benefit — document at the call site
+            num = F.xxhash64(F.col(c)).cast("double")
+            ranked_df = df.select(num.alias("_zq"))
         else:
             raise ValueError(f"zorder_key: unsupported type {t} for {c}")
         qs = ranked_df.stat.approxQuantile("_zq", probs, relative_error)

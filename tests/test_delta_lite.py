@@ -844,3 +844,15 @@ def test_check_constraints_gate_writes_and_merges(spark, sf_dir, tmp_path):
     # delete-merges never validate (they only remove rows)
     dl.merge_delta(spark, path, dl.read_delta(spark, path).limit(2),
                    on=["o_orderkey"], when_matched="delete", when_not_matched=None)
+
+
+def test_zorder_key_supports_string_columns_by_hash(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, f"cat-{i % 7}") for i in range(200)], "v long, tag string")
+    out = df.withColumn("z", zorder_key(df, ["v", "tag"], bits=4))
+    # deterministic and total: same tag+bucket -> same interleave bits
+    a = {(r["v"], r["tag"]): r["z"] for r in out.collect()}
+    b = {(r["v"], r["tag"]): r["z"] for r in out.collect()}
+    assert a == b and len(a) == 200
