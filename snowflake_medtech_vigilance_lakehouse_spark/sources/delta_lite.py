@@ -1253,7 +1253,12 @@ def vacuum_delta(path: str, *, retention_ms: int = 7 * 24 * 3600 * 1000,
     The retention window is the time-travel horizon: versions whose
     files are vacuumed can no longer be read (exactly the trade real
     VACUUM makes); the default 7 days mirrors the protocol's
-    convention. The head snapshot is never touched."""
+    convention. The head snapshot is never touched.
+
+    Change-data files under ``_change_data/`` age out on the same
+    retention (by mtime ≈ their commit time): the feed for a commit
+    older than the horizon is unreadable afterwards, consistent with
+    time travel — downstream consumers must drain within retention."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
@@ -1279,4 +1284,14 @@ def vacuum_delta(path: str, *, retention_ms: int = 7 * 24 * 3600 * 1000,
         if now - cutoff >= retention_ms:
             os.remove(full)
             deleted.append(rel)
+    cdf_root = os.path.join(path, _CDF_DIR)
+    if os.path.isdir(cdf_root):
+        for root, _dirs, files in os.walk(cdf_root, topdown=False):
+            for f in files:
+                full = os.path.join(root, f)
+                if now - int(os.path.getmtime(full) * 1000) >= retention_ms:
+                    os.remove(full)
+                    deleted.append(os.path.relpath(full, path))
+            if root != cdf_root and not os.listdir(root):
+                os.rmdir(root)
     return deleted

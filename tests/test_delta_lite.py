@@ -856,3 +856,76 @@ def test_zorder_key_supports_string_columns_by_hash(spark):
     a = {(r["v"], r["tag"]): r["z"] for r in out.collect()}
     b = {(r["v"], r["tag"]): r["z"] for r in out.collect()}
     assert a == b and len(a) == 200
+
+
+def test_vacuum_ages_out_change_data_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_vac_cdf")
+    o = _orders(spark, sf_dir).limit(40)
+    dl.write_delta(o, path)
+    upd = (dl.read_delta(spark, path).orderBy("o_orderkey").limit(3)
+           .withColumn("o_totalprice", F.lit(1.0)))
+    dl.merge_delta(spark, path, upd, on=["o_orderkey"], change_data=True)
+    cdf_root = os.path.join(path, "_change_data")
+    assert os.path.isdir(cdf_root) and any(os.scandir(cdf_root))
+
+    # within retention: feed intact
+    dl.vacuum_delta(path)
+    assert dl.read_change_feed(spark, path, from_version=1).count() > 0
+
+    # zero retention: change files reclaimed
+    deleted = dl.vacuum_delta(path, retention_ms=0)
+    assert any(r.startswith("_change_data") for r in deleted)
+    assert not any(
+        f for _, _, fs in os.walk(cdf_root) for f in fs if f.endswith(".parquet"))
+    # table data is untouched
+    assert dl.read_delta(spark, path).count() == 40
+
+
+def test_checkpoint_readable_by_independent_engine(spark, sf_dir, tmp_path):
+    """The protocol checkpoint parquet must be consumable WITHOUT our
+    reader or Spark: DuckDB reads the checkpoint file + tail JSON,
+    reconstructs the live-file set, scans those parquet files, and
+    must reproduce the table exactly."""
+    import urllib.parse
+
+    import duckdb
+
+    path = str(tmp_path / "delta_ckpt_interop")
+    o = _orders(spark, sf_dir).limit(150).select("o_orderkey", "o_totalprice")
+    a, b = o.filter(F.col("o_orderkey") % 2 == 0), o.filter(F.col("o_orderkey") % 2 == 1)
+    dl.write_delta(a, path)
+    dl.write_delta(b, path, mode="append")
+    dl.checkpoint_delta(path)
+    dl.expire_delta_log(path)
+    more = o.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    dl.write_delta(more, path, mode="append")
+
+    con = duckdb.connect()
+    ck = json.load(open(os.path.join(path, "_delta_log", "_last_checkpoint")))
+    ck_file = os.path.join(path, "_delta_log", f"{ck['version']:020d}.checkpoint.parquet")
+    live = {
+        urllib.parse.unquote(r[0])
+        for r in con.execute(
+            "SELECT add.path FROM read_parquet(?) WHERE add IS NOT NULL",
+            [ck_file]).fetchall()
+    }
+    log = os.path.join(path, "_delta_log")
+    for fname in sorted(os.listdir(log)):
+        if not fname.endswith(".json") or int(fname[:-5]) <= ck["version"]:
+            continue
+        for line in open(os.path.join(log, fname)):
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            if "add" in act:
+                live.add(urllib.parse.unquote(act["add"]["path"]))
+            elif "remove" in act:
+                live.discard(urllib.parse.unquote(act["remove"]["path"]))
+    files = [os.path.join(path, rel) for rel in sorted(live)]
+    n, s = con.execute(
+        "SELECT count(*), sum(o_totalprice) FROM read_parquet(?)", [files]
+    ).fetchone()
+    want = dl.read_delta(spark, path).agg(
+        F.count(F.lit(1)), F.sum("o_totalprice")).collect()[0]
+    assert n == want[0] == 155
+    assert abs(s - want[1]) < 1e-6
