@@ -1243,6 +1243,65 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
     return head + 1
 
 
+def with_commit_retry(fn, *, retries: int = 3):
+    """Run a commit-producing callable, retrying on
+    :class:`DeltaConcurrentWriteError`. Every writer here re-lists the
+    log at entry, so a retry automatically rebases on the new head —
+    correct for merges/appends/compactions, whose logical outcome is
+    head-relative. After ``retries`` losses the last error propagates
+    (a writer that ALWAYS loses indicates a pathological hot table; at
+    that point the caller should serialize its writers)."""
+    last: DeltaConcurrentWriteError | None = None
+    for _ in range(retries + 1):
+        try:
+            return fn()
+        except DeltaConcurrentWriteError as e:
+            last = e
+    raise last
+
+
+def maintain_delta(spark: SparkSession, path: str, *,
+                   max_small_files: int = 16,
+                   small_file_bytes: int = 32 << 20,
+                   target_file_bytes: int = 128 << 20,
+                   checkpoint_every: int = 10,
+                   retention_ms: int = 7 * 24 * 3600 * 1000,
+                   zorder_by: list[str] | None = None) -> dict:
+    """One-call table maintenance — the auto-compaction loop a managed
+    lakehouse runs implicitly, as an explicit scheduled job:
+
+    1. OPTIMIZE (bin-pack, optional Z-order) when more than
+       ``max_small_files`` live files are under ``small_file_bytes``;
+    2. checkpoint + expire the JSON log when more than
+       ``checkpoint_every`` commits follow the newest checkpoint;
+    3. VACUUM with ``retention_ms``.
+
+    Idempotent and incremental: a table within thresholds is left
+    untouched. Returns {'compacted': bool, 'checkpointed': bool,
+    'vacuumed': n_files} for observability."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    head = versions[-1]
+    adds = _live_adds(path, head)
+    small = [a for a in adds.values() if int(a["size"]) < small_file_bytes]
+    out = {"compacted": False, "checkpointed": False, "vacuumed": 0}
+    if len(small) > max_small_files:
+        with_commit_retry(lambda: compact_delta(
+            spark, path, target_file_bytes=target_file_bytes,
+            zorder_by=zorder_by))
+        out["compacted"] = True
+    ck = _checkpoint_info(path)
+    floor = -1 if ck is None else ck["version"]
+    head = _list_versions(path)[-1]
+    if head - floor > checkpoint_every:
+        checkpoint_delta(path)
+        expire_delta_log(path)
+        out["checkpointed"] = True
+    out["vacuumed"] = len(vacuum_delta(path, retention_ms=retention_ms))
+    return out
+
+
 def vacuum_delta(path: str, *, retention_ms: int = 7 * 24 * 3600 * 1000,
                  now_ms: int | None = None) -> list[str]:
     """Delete data files no longer reachable from the head snapshot

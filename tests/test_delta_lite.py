@@ -929,3 +929,64 @@ def test_checkpoint_readable_by_independent_engine(spark, sf_dir, tmp_path):
         F.count(F.lit(1)), F.sum("o_totalprice")).collect()[0]
     assert n == want[0] == 155
     assert abs(s - want[1]) < 1e-6
+
+
+def test_with_commit_retry_rebases_on_loss(spark, sf_dir, tmp_path, monkeypatch):
+    path = str(tmp_path / "delta_retry")
+    o = _orders(spark, sf_dir).limit(30)
+    dl.write_delta(o, path)
+
+    calls = {"n": 0}
+    real_put = dl.commit_put_if_absent
+
+    def flaky(tmp, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:  # first attempt loses the race
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise dl.DeltaConcurrentWriteError("simulated loss")
+        real_put(tmp, dst)
+
+    monkeypatch.setattr(dl, "commit_put_if_absent", flaky)
+    v = dl.with_commit_retry(
+        lambda: dl.write_delta(o.limit(5), path, mode="append"))
+    assert v == 1 and calls["n"] == 2
+    assert dl.read_delta(spark, path).count() == 35
+
+    # exhausted retries propagate
+    def always(tmp, dst):
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise dl.DeltaConcurrentWriteError("hot table")
+    monkeypatch.setattr(dl, "commit_put_if_absent", always)
+    with pytest.raises(dl.DeltaConcurrentWriteError):
+        dl.with_commit_retry(
+            lambda: dl.write_delta(o.limit(5), path, mode="append"), retries=2)
+
+
+def test_maintain_delta_policy(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "delta_maintain")
+    o = _orders(spark, sf_dir).limit(400)
+    # create lots of tiny files via many appends
+    dl.write_delta(o.limit(50).repartition(4), path)
+    for i in range(1, 6):
+        dl.write_delta(
+            o.filter(F.col("o_orderkey") % 6 == i).repartition(4),
+            path, mode="append")
+
+    report = dl.maintain_delta(spark, path, max_small_files=8,
+                               small_file_bytes=1 << 20,
+                               target_file_bytes=1 << 20,
+                               checkpoint_every=3, retention_ms=0)
+    assert report["compacted"] and report["checkpointed"]
+    assert report["vacuumed"] > 0
+    n_live = len(dl._live_files(path, dl._list_versions(path)[-1]))
+    assert n_live <= 8
+    n = dl.read_delta(spark, path).count()
+
+    # a healthy table is untouched on the next run
+    report2 = dl.maintain_delta(spark, path, max_small_files=8,
+                                small_file_bytes=1 << 20,
+                                checkpoint_every=3, retention_ms=0)
+    assert not report2["compacted"] and not report2["checkpointed"]
+    assert dl.read_delta(spark, path).count() == n
