@@ -26,7 +26,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REPS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+# min-of-3 by default: measured runs right after heavy JVM work (the
+# state a driver-run bench starts in) show 1.5-2x inflation on the
+# CPU-parallel queries even at 1-min load ~0.2; a third rep gives the
+# min a better chance to land in a quiet window
+REPS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def _orphan_spark_jvms() -> list[int]:
