@@ -352,3 +352,60 @@ def test_scd2_apply_null_safe_tracking(spark):
     chg = spark.createDataFrame([(1, "S", "2024-06-01")], "k long, seg string, eff string")
     assert scd2_apply(dim, noop, ["k"], ["seg"], effective_col="eff").count() == 1
     assert scd2_apply(dim, chg, ["k"], ["seg"], effective_col="eff").count() == 2
+
+
+def test_ngram_prefix_filter_is_lossless_vs_bruteforce(spark):
+    """The AllPairs prefix filter must be exactly lossless: compare
+    against an O(n^2) pure-Python Jaccard over random corpora (seeded).
+    Catches any future prefix-length / ordering regression."""
+    import random
+
+    for seed in (20260813, 31337):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = []
+        for i in range(40):
+            base = [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+            docs.append((i, " ".join(base)))
+            if rng.random() < 0.4:  # planted near-dups
+                mut = list(base)
+                for _ in range(rng.randint(0, 2)):
+                    mut[rng.randrange(len(mut))] = rng.choice(vocab)
+                docs.append((1000 + i, " ".join(mut)))
+
+        def sh(text, n=3):
+            toks = text.split(" ")
+            return {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+
+        expected = {}
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                ia, ta = docs[a]
+                ib, tb = docs[b]
+                sa, sb = sh(ta), sh(tb)
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                jac = inter / (len(sa) + len(sb) - inter)
+                if jac >= 0.5:
+                    expected[tuple(sorted((ia, ib)))] = round(jac, 6)
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+               for r in dd.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+        assert got == expected, f"seed={seed}"
+
+
+def test_dedup_plans_never_go_quadratic(spark, docs):
+    """Plan guards: the pair-generation paths must stay bucketed —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere (all-pairs
+    shapes that would melt at 100 TB)."""
+    for df in (
+        dd.ngram_jaccard_pairs(docs, threshold=0.5),
+        dd.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64),
+        dd.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=16),
+        dd.simhash_pairs(docs, max_hamming=3),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
