@@ -990,3 +990,20 @@ def test_maintain_delta_policy(spark, sf_dir, tmp_path):
                                 checkpoint_every=3, retention_ms=0)
     assert not report2["compacted"] and not report2["checkpointed"]
     assert dl.read_delta(spark, path).count() == n
+
+
+def test_zorder_key_temporal_columns(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.layout import zorder_key
+
+    df = spark.sql("""
+        SELECT id,
+               date_add(DATE '2024-01-01', CAST(id AS INT)) AS d,
+               timestamp_millis(1700000000000 + id * 3600000) AS ts
+        FROM range(0, 64)
+    """)
+    out = df.withColumn("z", zorder_key(df, ["d", "ts"], bits=4)).collect()
+    zs = {r["id"]: r["z"] for r in out}
+    assert len(set(zs.values())) > 1  # ranks spread, not constant
+    # both columns increase with id, so z must be monotone overall
+    ordered = [zs[i] for i in range(64)]
+    assert ordered == sorted(ordered)

@@ -409,3 +409,47 @@ def test_dedup_plans_never_go_quadratic(spark, docs):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_fuzz_against_python_model(spark):
+    """Differential: random update batches applied through scd2_apply
+    must match a plain-Python SCD2 state machine (seeded)."""
+    import random
+
+    for seed in (20260813, 4242):
+        rng = random.Random(seed)
+        from snowflake_medtech_vigilance_lakehouse_spark.operators.scd import scd2_apply
+
+        # model: key -> list of versions [(seg, vf, vt, cur)]
+        model = {}
+        rows = []
+        for k in range(30):
+            seg = rng.choice("ABCD")
+            model[k] = [(seg, "2020-01-01", None, True)]
+            rows.append((k, seg, "2020-01-01", None, True))
+        dim = spark.createDataFrame(
+            rows, "k long, seg string, valid_from string, valid_to string, is_current boolean")
+
+        for step, eff in enumerate(["2021-06-01", "2022-06-01", "2023-06-01"]):
+            keys = rng.sample(range(40), rng.randint(5, 20))  # some brand-new (>=30)
+            batch = [(k, rng.choice("ABCD"), eff) for k in keys]
+            dim = scd2_apply(
+                dim, spark.createDataFrame(batch, "k long, seg string, eff string"),
+                keys=["k"], tracked=["seg"], effective_col="eff")
+            for k, seg, _ in batch:
+                if k not in model:
+                    model[k] = [(seg, eff, None, True)]
+                    continue
+                vers = model[k]
+                (cseg, cvf, _, _) = vers[-1]
+                if cseg != seg:
+                    vers[-1] = (cseg, cvf, eff, False)
+                    vers.append((seg, eff, None, True))
+
+            got = {}
+            for r in dim.collect():
+                got.setdefault(r["k"], []).append(
+                    (r["seg"], r["valid_from"], r["valid_to"], r["is_current"]))
+            want = {k: sorted(v, key=lambda t: t[1]) for k, v in model.items()}
+            got = {k: sorted(v, key=lambda t: t[1]) for k, v in got.items()}
+            assert got == want, f"seed={seed} step={step}"
