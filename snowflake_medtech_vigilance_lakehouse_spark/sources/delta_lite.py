@@ -161,7 +161,15 @@ def _file_stats(full_path: str) -> str | None:
                 return v.decode("utf-8")
             except UnicodeDecodeError:
                 return None
-        if isinstance(v, (datetime.datetime, datetime.date)):
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                # keep every temporal stat a NAIVE UTC wall-time string
+                # so lexicographic compare == temporal compare across
+                # files regardless of the parquet logical type's
+                # isAdjustedToUTC flag
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+        if isinstance(v, datetime.date):
             return v.isoformat()
         if isinstance(v, (bool, int, float, str)):
             return v
@@ -450,6 +458,15 @@ def _stats_can_skip(add: dict, col: str, op: str, val) -> bool:
     and the predicate value, mean False (the file is scanned) —
     pruning is only ever an optimization."""
     import datetime
+
+    if isinstance(val, datetime.datetime) and val.tzinfo is not None:
+        # logged stats / hive dir values are NAIVE wall-time strings;
+        # an aware value keeps its '+HH:MM' suffix in isoformat(), so a
+        # lexicographic compare would mix instants with wall times and
+        # could wrongly prove a file skippable (silent row loss, since
+        # the row filter uses proper instant semantics). Normalize to
+        # naive UTC before serializing.
+        val = val.astimezone(datetime.timezone.utc).replace(tzinfo=None)
 
     pv = (add.get("partitionValues") or {}).get(col)
     if pv is not None:
@@ -963,10 +980,17 @@ def replicate_incremental(spark: SparkSession, src_path: str, dst_path: str,
             F.col("_change_type").isin("insert", "update_postimage")
         ).select(*cols)
         deletes = feed.filter(F.col("_change_type") == "delete").select(*cols)
-        merge_delta(spark, dst_path, upserts, on=keys,
-                    txn=(app_id, 2 * v))
+        # Deletes BEFORE upserts. True CDF feeds have disjoint
+        # delete/upsert key sets, so order is irrelevant there — but a
+        # synthesized feed (merge without change_data, or an overwrite)
+        # lists every key of a rewritten file as BOTH delete and
+        # insert; delete-first then re-insert converges to the source
+        # head, whereas upsert-first would let the trailing delete
+        # remove rows that still exist in the source.
         merge_delta(spark, dst_path, deletes, on=keys,
                     when_matched="delete", when_not_matched=None,
+                    txn=(app_id, 2 * v))
+        merge_delta(spark, dst_path, upserts, on=keys,
                     txn=(app_id, 2 * v + 1))
         applied = v
     return applied
@@ -1210,7 +1234,15 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
                                 "lastUpdated": now_ms}})
     for full in sorted(touched_files):
         # _metadata.file_path is a Hadoop URI ("file:/x" or "file:///x")
-        local = urllib.parse.urlparse(full).path if ":" in full.split("/")[0] else full
+        # whose path component is PERCENT-ENCODED — unquote it before
+        # computing rel (mirroring _decode_path), else a partition
+        # string value containing space/%/# gets double-encoded by
+        # _encode_path and the remove fails to match the original add,
+        # leaving the old file live (duplicate rows after the merge)
+        if ":" in full.split("/")[0]:
+            local = urllib.parse.unquote(urllib.parse.urlparse(full).path)
+        else:
+            local = full
         rel = os.path.relpath(local, path)
         actions.append({"remove": {
             "path": _encode_path(rel), "deletionTimestamp": now_ms,

@@ -328,6 +328,55 @@ def test_merge_delete_mode(spark, sf_dir, tmp_path):
     assert out.join(victims, "o_orderkey", "left_semi").count() == 0
 
 
+def test_merge_special_char_partition_values(spark, sf_dir, tmp_path):
+    """Regression: _metadata.file_path is a percent-encoded Hadoop URI;
+    merge must unquote it before re-encoding the remove path, or a
+    partition value containing space/%/# double-encodes, the remove
+    misses the original add, and the merge yields duplicate rows."""
+    path = str(tmp_path / "delta_merge_pct")
+    o = (_orders(spark, sf_dir).limit(40)
+         .select("o_orderkey", "o_totalprice")
+         .withColumn("seg", F.when(F.col("o_orderkey") % 2 == 0,
+                                   F.lit("hi tier 100%"))
+                             .otherwise(F.lit("lo#tier"))))
+    dl.write_delta(o, path, partition_by=["seg"])
+    n = dl.read_delta(spark, path).count()
+    upd = (dl.read_delta(spark, path).orderBy("o_orderkey").limit(6)
+           .withColumn("o_totalprice", F.lit(424242.0)))
+    dl.merge_delta(spark, path, upd, on=["o_orderkey"])
+    out = dl.read_delta(spark, path)
+    assert out.count() == n  # no duplicates: removes matched the adds
+    assert out.filter(F.col("o_totalprice") == 424242.0).count() == 6
+    assert out.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+
+
+def test_stats_skip_tz_aware_predicate(spark, sf_dir, tmp_path):
+    """Regression: a timezone-aware predicate value must not be
+    compared as a local wall-time string against naive file stats /
+    hive dir values — that could wrongly prove a file skippable and
+    silently drop rows."""
+    import datetime as _dt
+    naive_cut = _dt.datetime(1995, 1, 1)
+    # same instant expressed with a +05:00 offset
+    aware_cut = naive_cut.replace(
+        tzinfo=_dt.timezone.utc).astimezone(_dt.timezone(_dt.timedelta(hours=5)))
+    path = str(tmp_path / "delta_tz")
+    o = (_orders(spark, sf_dir).limit(500)
+         .select("o_orderkey", F.col("o_orderdate").cast("timestamp").alias("ts"))
+         .withColumn("yyyy", F.year("ts")))
+    dl.write_delta(o, path, partition_by=["yyyy"])
+    want = dl.read_delta(spark, path).filter(F.col("ts") >= F.lit(naive_cut)).count()
+    got = dl.read_delta(spark, path,
+                        predicates=[("ts", ">=", aware_cut)]).count()
+    assert got == want
+    # unit-level: an aware value never prunes differently from its
+    # naive-UTC equivalent
+    adds = dl._live_adds(path, dl._list_versions(path)[-1])
+    for rel, a in adds.items():
+        assert (dl._stats_can_skip(a, "ts", ">=", aware_cut)
+                == dl._stats_can_skip(a, "ts", ">=", naive_cut))
+
+
 def test_merge_duplicate_source_keys_raise(spark, sf_dir, tmp_path):
     path = str(tmp_path / "delta_merge_dup")
     o = _orders(spark, sf_dir).limit(20)
@@ -813,6 +862,39 @@ def test_cdf_incremental_replication(spark, sf_dir, tmp_path):
     n_dst_versions = len(dl._list_versions(dst))
     assert dl.replicate_incremental(spark, src, dst, keys=["o_orderkey"]) is None
     assert len(dl._list_versions(dst)) == n_dst_versions
+
+
+def test_cdf_replication_synthesized_feed(spark, sf_dir, tmp_path):
+    """Regression for the delete/upsert ordering bug: commits WITHOUT
+    explicit cdc actions (merge with change_data=False, or an
+    overwrite) synthesize the change feed from file actions, so every
+    key of a rewritten file shows up as BOTH 'delete' and 'insert' in
+    the same version — updated rows AND innocent co-resident rows.
+    Replication must apply deletes before upserts or those still-live
+    rows vanish from the destination."""
+    src = str(tmp_path / "synth_src")
+    dst = str(tmp_path / "synth_dst")
+    o = _orders(spark, sf_dir).limit(100).select("o_orderkey", "o_totalprice")
+    dl.write_delta(o.coalesce(1), src)  # one file => maximal co-residency
+    assert dl.replicate_incremental(spark, src, dst, keys=["o_orderkey"]) == 0
+
+    # v1: merge WITHOUT change_data — the synthesized feed lists all
+    # 100 co-resident keys as delete+insert, only 5 actually changed
+    upd = (dl.read_delta(spark, src).orderBy("o_orderkey").limit(5)
+           .withColumn("o_totalprice", F.lit(111.0)))
+    dl.merge_delta(spark, src, upd, on=["o_orderkey"])  # change_data=False
+
+    # v2: overwrite with a disjointly-modified snapshot (drops 10 rows)
+    keep = (dl.read_delta(spark, src).orderBy("o_orderkey")
+            .limit(90).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0)))
+    dl.write_delta(keep.coalesce(1), src, mode="overwrite")
+
+    applied = dl.replicate_incremental(spark, src, dst, keys=["o_orderkey"])
+    assert applied == dl._list_versions(src)[-1]
+    got = dl.read_delta(spark, dst).select("o_orderkey", "o_totalprice")
+    want = dl.read_delta(spark, src).select("o_orderkey", "o_totalprice")
+    assert got.count() == want.count() == 90
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
 def test_check_constraints_gate_writes_and_merges(spark, sf_dir, tmp_path):
