@@ -206,9 +206,17 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     Returns (doc_id_1, doc_id_2, jaccard) with doc_id_1 < doc_id_2.
     """
     arr = _shingle_hash_arrays(docs, text_col, id_col, n).filter(F.size("_h") > 0)
+    # ceil(t*|d|) in EXACT terms: some double products overshoot the
+    # true rational value (0.56*25 = 14.000000000000002 -> ceil 15,
+    # one too high), shortening the prefix below the lossless AllPairs
+    # bound and silently dropping pairs whose Jaccard sits exactly at
+    # the threshold. Subtract an epsilon far below 1/max_doc_size but
+    # far above double rounding error before taking the ceiling.
     plen = F.greatest(
         F.lit(1),
-        (F.size("_h") - F.ceil(F.size("_h") * F.lit(float(threshold))) + 1).cast("int"),
+        (F.size("_h")
+         - F.ceil(F.size("_h") * F.lit(float(threshold)) - F.lit(1e-9)) + 1
+         ).cast("int"),
     )
     inv = arr.select("_id", F.explode(F.slice("_h", F.lit(1), plen)).alias("_g"))
     posting = (

@@ -357,15 +357,20 @@ def test_scd2_apply_null_safe_tracking(spark):
 def test_ngram_prefix_filter_is_lossless_vs_bruteforce(spark):
     """The AllPairs prefix filter must be exactly lossless: compare
     against an O(n^2) pure-Python Jaccard over random corpora (seeded).
-    Catches any future prefix-length / ordering regression."""
+    Catches any future prefix-length / ordering regression. Thresholds
+    0.56 and 0.28 produce overshooting double products (0.56*25 =
+    14.000000000000002 -> naive ceil 15, one too high, prefix one too
+    short) at shingle-set sizes this corpus contains — they pin the
+    exact-ceil fix; 0.5 is the representable control."""
     import random
 
-    for seed in (20260813, 31337):
+    for seed, threshold in ((20260813, 0.5), (31337, 0.5),
+                            (20260813, 0.56), (31337, 0.28)):
         rng = random.Random(seed)
         vocab = [f"w{i}" for i in range(30)]
         docs = []
         for i in range(40):
-            base = [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+            base = [rng.choice(vocab) for _ in range(rng.randint(3, 32))]
             docs.append((i, " ".join(base)))
             if rng.random() < 0.4:  # planted near-dups
                 mut = list(base)
@@ -387,13 +392,34 @@ def test_ngram_prefix_filter_is_lossless_vs_bruteforce(spark):
                     continue
                 inter = len(sa & sb)
                 jac = inter / (len(sa) + len(sb) - inter)
-                if jac >= 0.5:
+                if jac >= threshold:
                     expected[tuple(sorted((ia, ib)))] = round(jac, 6)
 
         df = spark.createDataFrame(docs, "doc_id long, text string")
         got = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
-               for r in dd.ngram_jaccard_pairs(df, threshold=0.5).collect()}
-        assert got == expected, f"seed={seed}"
+               for r in dd.ngram_jaccard_pairs(df, threshold=threshold).collect()}
+        assert got == expected, f"seed={seed} t={threshold}"
+
+
+def test_ngram_prefix_exact_threshold_boundary(spark):
+    """Deterministic pin for the exact-ceil prefix bound: build a pair
+    at EXACTLY J = t = 0.56 with |a| = 25, where double arithmetic
+    overshoots (0.56*25 -> ceil 15 instead of 14) and doc a's 11
+    unique shingles all hash-sort before its 14 shared ones. A
+    one-too-short prefix then contains only unique shingles, generates
+    no candidate, and silently drops the pair."""
+    vocab = [f"v{i}" for i in range(50)]
+    hs = {r["t"]: r["h"] for r in spark.createDataFrame(
+        [(t,) for t in vocab], "t string")
+        .select("t", F.xxhash64(F.array("t")).alias("h")).collect()}
+    by_hash = sorted(vocab, key=lambda t: hs[t])
+    unique_a, shared = by_hash[:11], by_hash[11:25]
+    df = spark.createDataFrame(
+        [(1, " ".join(unique_a + shared)), (2, " ".join(shared))],
+        "doc_id long, text string")
+    got = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+           for r in dd.ngram_jaccard_pairs(df, threshold=0.56, n=1).collect()}
+    assert got == {(1, 2): round(14 / 25, 6)}
 
 
 def test_dedup_plans_never_go_quadratic(spark, docs):
