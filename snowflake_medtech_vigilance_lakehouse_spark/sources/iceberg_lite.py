@@ -10,21 +10,26 @@ Delta transaction-log protocol:
       data/...                       parquet, hive-style partition dirs
       metadata/
         v{N}.metadata.json           table metadata (spec "Table Metadata")
-        snap-{id}.manifest-list.json manifest list (one per snapshot)
-        mf-{uuid}.manifest.json      manifest (data-file entries)
+        snap-{id}-1-{uuid}.avro      manifest list (one per snapshot)
+        {uuid}-m0.avro               manifest (data-file entries)
         version-hint.text            latest N (HadoopCatalog discovery aid)
 
 Field names, nesting, field-ids, sequence numbers, snapshot lineage,
-and the commit protocol follow the public spec; **manifests and
-manifest lists are JSON, not Avro** — this container has no Avro
-library, and hand-rolled Avro binaries we could not independently
-verify would be a silent-corruption risk. The deviation is loud and
-documented here and in README scope: a spec reader maps each JSON
-object 1:1 onto the Avro record of the same name. Everything above
-the manifest encoding — optimistic concurrency via put-if-absent on
-``v{N}.metadata.json`` (what HadoopTables does with rename),
-snapshot time travel, metadata-level partition pruning, per-file
-record counts from parquet footers — is real and tested.
+and the commit protocol follow the public spec. Manifests and
+manifest lists are REAL Avro object-container files (encoded by
+``avro_lite``, a from-scratch implementation of the public Avro 1.11
+binary spec) carrying the spec's record schemas with Iceberg
+``field-id`` attributes — ``manifest_entry``/``r2``/``r102`` for
+manifests, ``manifest_file`` for manifest lists — plus the required
+file-metadata keys (``schema``, ``partition-spec``,
+``format-version``). Optional column-stats fields of ``data_file``
+are omitted (legal per spec; readers treat the files as unprunable at
+the column level). Tables written before the Avro encoder keep
+working: the reader branches on the manifest file extension and still
+parses the legacy JSON stand-ins. Optimistic concurrency via
+put-if-absent on ``v{N}.metadata.json`` (what HadoopTables does with
+rename), snapshot time travel, metadata-level partition pruning, and
+per-file record counts from parquet footers are all real and tested.
 
 At 100 TB the commit cost is O(new files) metadata, never data
 movement; appends carry prior manifests forward untouched (Iceberg's
@@ -36,10 +41,12 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import avro_lite
 from .delta_lite import commit_put_if_absent
 
 _META = "metadata"
@@ -230,6 +237,159 @@ def _partition_tuple(rel_path: str, partition_by: list[str]) -> dict[str, str]:
     return vals
 
 
+# -------------------------------------------------- manifest Avro layer
+
+# Spec "Manifest Lists": one manifest_file record per manifest.
+# Optional fields (partitions summary 507, key_metadata 519) omitted.
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+# Iceberg partition-value Avro types for identity transforms; anything
+# not listed is carried as its hive dir string (legal Avro; a
+# column-typed reader would need the source type widened — documented
+# simplification, same compare-as-string semantics the reader uses)
+_PART_AVRO = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+_EPOCH_ORDINAL = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+
+def _partition_avro_schema(table_schema: dict, spec_fields: list[dict]) -> dict:
+    """Spec 'Data Files': the partition struct (r102) is typed from the
+    table schema through the transform's result type (identity here)."""
+    by_id = {f["id"]: f for f in table_schema["fields"]}
+    fields = []
+    for pf in spec_fields:
+        src = by_id[pf["source-id"]]
+        src_t = src["type"] if isinstance(src["type"], str) else "string"
+        avro_t = _PART_AVRO.get(src_t, "string")
+        fields.append({"name": pf["name"], "type": ["null", avro_t],
+                       "default": None, "field-id": pf["field-id"]})
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _manifest_schema(partition_schema: dict) -> dict:
+    """Spec 'Manifests': manifest_entry wrapping data_file (r2).
+    Optional column-stats fields (value_counts 108, null_value_counts
+    110, lower_bounds 125, upper_bounds 128, ...) omitted — legal, and
+    honest: we don't compute them."""
+    data_file = {
+        "type": "record", "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_schema, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+def _type_partition_values(entry: dict, partition_schema: dict) -> dict:
+    """Dir-string partition tuple -> Avro-typed values per r102."""
+    import datetime
+
+    part = entry["data_file"]["partition"]
+    typed = {}
+    for f in partition_schema["fields"]:
+        v = part.get(f["name"])
+        if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+            typed[f["name"]] = None
+            continue
+        v = urllib.parse.unquote(v)  # hive dirs percent-encode specials
+        t = next(b for b in f["type"] if b != "null")
+        if t in ("int", "long"):
+            typed[f["name"]] = int(v)
+        elif isinstance(t, dict) and t.get("logicalType") == "date":
+            d = datetime.date.fromisoformat(v)
+            typed[f["name"]] = d.toordinal() - _EPOCH_ORDINAL
+        else:
+            typed[f["name"]] = v
+    out = dict(entry)
+    out["data_file"] = dict(entry["data_file"], partition=typed)
+    return out
+
+
+def _stringify_partition_values(rec: dict, partition_schema: dict) -> dict:
+    """Inverse of :func:`_type_partition_values` on decode, so every
+    caller keeps comparing partition values as strings regardless of
+    the on-disk Avro type."""
+    import datetime
+
+    part = rec["data_file"]["partition"]
+    back = {}
+    for f in partition_schema["fields"]:
+        v = part.get(f["name"])
+        if v is None:
+            back[f["name"]] = None
+        else:
+            t = next(b for b in f["type"] if b != "null")
+            if isinstance(t, dict) and t.get("logicalType") == "date":
+                back[f["name"]] = datetime.date.fromordinal(
+                    v + _EPOCH_ORDINAL).isoformat()
+            else:
+                back[f["name"]] = str(v)
+    rec = dict(rec)
+    rec["data_file"] = dict(rec["data_file"], partition=back)
+    return rec
+
+
+def _read_manifest_list(path: str, rel: str) -> list[dict]:
+    full = os.path.join(path, rel)
+    if rel.endswith(".avro"):
+        _, records, _ = avro_lite.read_object_container(full)
+        return records
+    with open(full) as f:  # legacy JSON stand-in (pre-Avro tables)
+        return json.load(f)["manifests"]
+
+
+def _read_manifest(path: str, rel: str) -> list[dict]:
+    full = os.path.join(path, rel)
+    if rel.endswith(".avro"):
+        schema, records, _ = avro_lite.read_object_container(full)
+        pschema = next(f["type"] for f in
+                       next(f["type"] for f in schema["fields"]
+                            if f["name"] == "data_file")["fields"]
+                       if f["name"] == "partition")
+        return [_stringify_partition_values(r, pschema) for r in records]
+    with open(full) as f:  # legacy JSON stand-in (pre-Avro tables)
+        return json.load(f)["entries"]
+
+
 # --------------------------------------------------------------- writer
 
 def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
@@ -244,18 +404,6 @@ def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
         raise ValueError(f"unsupported mode: {mode}")
     partition_by = list(partition_by or [])
 
-    versions = _list_meta_versions(path)
-    prev = table_metadata(path) if versions else None
-    if prev is not None:
-        schema, last_col = iceberg_schema(df.schema.json())
-        if schema != prev["schemas"][0]:
-            raise ValueError(
-                "schema mismatch with committed Iceberg metadata; "
-                "iceberg_lite does not implement schema evolution"
-            )
-    else:
-        schema, last_col = iceberg_schema(df.schema.json())
-
     # data files land under data/ first; the commit below is what
     # makes them part of the table (uncommitted files are invisible to
     # readers, exactly the spec's files-then-metadata ordering)
@@ -265,6 +413,37 @@ def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
         writer = writer.partitionBy(*partition_by)
     writer.save(os.path.join(path, _DATA))
     new_files = sorted(_data_files(path) - before)
+
+    return commit_data_files(df.schema.json(), path, new_files,
+                             mode=mode, partition_by=partition_by,
+                             summary_operation=_summary_operation)
+
+
+def commit_data_files(schema_json: str, path: str, rel_files: list[str],
+                      *, mode: str = "overwrite",
+                      partition_by: list[str] | None = None,
+                      summary_operation: str | None = None) -> int:
+    """Commit EXISTING parquet files (paths relative to ``path``) as a
+    new Iceberg snapshot — the metadata half of :func:`write_iceberg`,
+    exposed so one physical copy of data files can carry several
+    metadata planes (see ``sources.uniform``: Delta's UniForm does
+    exactly this — Iceberg metadata generated over Delta's files).
+    Commit cost is O(len(rel_files)) parquet-footer reads; no data
+    moves."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode: {mode}")
+    partition_by = list(partition_by or [])
+    _summary_operation = summary_operation
+
+    versions = _list_meta_versions(path)
+    prev = table_metadata(path) if versions else None
+    schema, last_col = iceberg_schema(schema_json)
+    if prev is not None and schema != prev["schemas"][0]:
+        raise ValueError(
+            "schema mismatch with committed Iceberg metadata; "
+            "iceberg_lite does not implement schema evolution"
+        )
+    new_files = sorted(rel_files)
 
     import pyarrow.parquet as pq
 
@@ -295,11 +474,35 @@ def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
             },
         })
 
+    spec_fields = []
+    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    for i, col in enumerate(partition_by):
+        spec_fields.append({
+            "name": col,
+            "transform": "identity",
+            "source-id": name_to_id[col],
+            "field-id": 1000 + i,
+        })
+
     meta_dir = os.path.join(path, _META)
     os.makedirs(meta_dir, exist_ok=True)
-    manifest_rel = f"{_META}/mf-{uuid.uuid4().hex}.manifest.json"
-    with open(os.path.join(path, manifest_rel), "w") as f:
-        json.dump({"spec-id": 0, "entries": entries}, f)
+    commit_uuid = uuid.uuid4().hex
+    manifest_rel = f"{_META}/{commit_uuid}-m0.avro"
+    pschema = _partition_avro_schema(schema, spec_fields)
+    avro_lite.write_object_container(
+        os.path.join(path, manifest_rel),
+        _manifest_schema(pschema),
+        [_type_partition_values(e, pschema) for e in entries],
+        metadata={
+            # spec "Manifests": required file-metadata keys
+            "schema": json.dumps(schema),
+            "schema-id": "0",
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
 
     manifest_entry = {
         "manifest_path": manifest_rel,
@@ -320,12 +523,19 @@ def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
     if mode == "append" and prev is not None and prev["current-snapshot-id"] is not None:
         cur = next(s for s in prev["snapshots"]
                    if s["snapshot-id"] == prev["current-snapshot-id"])
-        with open(os.path.join(path, cur["manifest-list"])) as f:
-            carried = json.load(f)["manifests"]
+        carried = _read_manifest_list(path, cur["manifest-list"])
 
-    mlist_rel = f"{_META}/snap-{snapshot_id}-{uuid.uuid4().hex}.manifest-list.json"
-    with open(os.path.join(path, mlist_rel), "w") as f:
-        json.dump({"manifests": carried + [manifest_entry]}, f)
+    mlist_rel = f"{_META}/snap-{snapshot_id}-1-{commit_uuid}.avro"
+    avro_lite.write_object_container(
+        os.path.join(path, mlist_rel),
+        _MANIFEST_LIST_SCHEMA,
+        carried + [manifest_entry],
+        metadata={
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
 
     snapshot = {
         "snapshot-id": snapshot_id,
@@ -342,15 +552,6 @@ def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
         "schema-id": 0,
     }
 
-    spec_fields = []
-    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
-    for i, col in enumerate(partition_by):
-        spec_fields.append({
-            "name": col,
-            "transform": "identity",
-            "source-id": name_to_id[col],
-            "field-id": 1000 + i,
-        })
     if prev is not None:
         prev_cols = [pf["name"] for pf in prev["partition-specs"][0]["fields"]]
         if prev_cols != partition_by:
@@ -419,20 +620,18 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int,
     if snap is None:
         have = [s["snapshot-id"] for s in meta["snapshots"]]
         raise ValueError(f"snapshot {snapshot_id} not in table (have {have})")
-    with open(os.path.join(path, snap["manifest-list"])) as f:
-        manifests = json.load(f)["manifests"]
+    manifests = _read_manifest_list(path, snap["manifest-list"])
     out = []
     for m in manifests:
-        with open(os.path.join(path, m["manifest_path"])) as f:
-            for e in json.load(f)["entries"]:
-                if e["status"] == 2:  # DELETED
-                    continue
-                part = e["data_file"]["partition"]
-                if partition_filter and any(
-                    str(part.get(k)) != str(v) for k, v in partition_filter.items()
-                ):
-                    continue
-                out.append(e["data_file"]["file_path"])
+        for e in _read_manifest(path, m["manifest_path"]):
+            if e["status"] == 2:  # DELETED
+                continue
+            part = e["data_file"]["partition"]
+            if partition_filter and any(
+                str(part.get(k)) != str(v) for k, v in partition_filter.items()
+            ):
+                continue
+            out.append(e["data_file"]["file_path"])
     return sorted(out)
 
 
@@ -462,7 +661,14 @@ def read_iceberg(spark: SparkSession, path: str, *,
         return spark.createDataFrame(
             [], StructType.fromJson({"type": "struct", "fields": spark_fields})
         )
-    base = os.path.join(path, _DATA)
+    # files written by write_iceberg live under data/; a uniform table
+    # (sources.uniform: Iceberg metadata over Delta's files) references
+    # files at the table root — pick the basePath that keeps the hive
+    # partition dirs between base and file in both layouts
+    if all(rel.split("/", 1)[0] == _DATA for rel in files):
+        base = os.path.join(path, _DATA)
+    else:
+        base = path
     return spark.read.option("basePath", base).parquet(
         *[os.path.join(path, rel) for rel in files]
     )
@@ -530,12 +736,10 @@ def expire_snapshots(path: str, *, retain_last: int = 1) -> list[str]:
         mlists, manifests, data = set(), set(), set()
         for s in snapshot_list:
             mlists.add(s["manifest-list"])
-            with open(os.path.join(path, s["manifest-list"])) as f:
-                for m in json.load(f)["manifests"]:
-                    manifests.add(m["manifest_path"])
-                    with open(os.path.join(path, m["manifest_path"])) as mf:
-                        for e in json.load(mf)["entries"]:
-                            data.add(e["data_file"]["file_path"])
+            for m in _read_manifest_list(path, s["manifest-list"]):
+                manifests.add(m["manifest_path"])
+                for e in _read_manifest(path, m["manifest_path"]):
+                    data.add(e["data_file"]["file_path"])
         return mlists | manifests | data
 
     keep = _reachable(retained)

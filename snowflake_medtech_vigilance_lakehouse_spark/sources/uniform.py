@@ -1,0 +1,70 @@
+"""Dual-format publication: ONE physical copy of parquet data files
+carrying BOTH a Delta transaction log and an Iceberg metadata tree —
+the literal "one copy, many engines" architecture the reference
+describes for its marts (/root/reference/README.md:121-124,141), and
+what Delta Lake's UniForm feature does in production: every Delta
+commit also generates Iceberg metadata pointing at the same files.
+
+Layout after ``publish_uniform(df, path)``::
+
+    path/
+      <hive dirs>/part-*.parquet   the single data copy (Delta layout)
+      _delta_log/                  delta_lite transaction log
+      metadata/                    iceberg_lite metadata + Avro manifests
+
+Both planes are written by the same commit call, Delta first (the
+data-owning plane, exactly like UniForm), then Iceberg metadata over
+the files the Delta commit added — O(files) footer reads, no data
+movement or copies. Readers pick their plane: ``read_delta`` replays
+``_delta_log``; ``read_iceberg`` walks the manifest tree. Each plane
+keeps its own independent maintenance/time-travel semantics over the
+shared files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import delta_lite as dl
+from . import iceberg_lite as il
+
+
+def publish_uniform(df: DataFrame, path: str, *,
+                    mode: str = "overwrite",
+                    partition_by: list[str] | None = None) -> tuple[int, int]:
+    """Publish ``df`` once, committing both metadata planes. Returns
+    ``(delta_version, iceberg_snapshot_id)``.
+
+    ``mode='overwrite'`` replaces the logical table in both planes
+    (prior files stay for each plane's time travel); ``'append'`` is
+    Delta append + Iceberg fast-append of exactly the new files."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode: {mode}")
+    partition_by = list(partition_by or [])
+
+    version = dl.write_delta(df, path, mode=mode,
+                             partition_by=partition_by or None)
+
+    # the files THIS delta commit added (decoded rel paths)
+    with open(dl._log_path(path, version)) as f:
+        acts = [json.loads(line) for line in f if line.strip()]
+    added = [dl._decode_path(a["add"]["path"]) for a in acts
+             if "add" in a and a["add"].get("dataChange")]
+
+    snapshot_id = il.commit_data_files(
+        df.schema.json(), path, added,
+        mode=mode, partition_by=partition_by)
+    return version, snapshot_id
+
+
+def uniform_file_sets(path: str) -> tuple[set[str], set[str]]:
+    """(delta live files, iceberg live files) as rel paths — equal for
+    a table maintained exclusively through :func:`publish_uniform`;
+    the invariant tests assert on."""
+    d_files = set(dl._live_files(path, dl._list_versions(path)[-1]))
+    meta = il.table_metadata(path)
+    i_files = set(il._snapshot_files(path, meta, meta["current-snapshot-id"]))
+    return d_files, i_files

@@ -1,7 +1,8 @@
 """iceberg_lite (S7 tail): table-spec v2 metadata tree — snapshots,
-manifests, field-id schemas, put-if-absent commits, metadata pruning.
-JSON manifests are the documented deviation (no Avro lib in this
-container); everything asserted here is spec structure."""
+Avro manifests, field-id schemas, put-if-absent commits, metadata
+pruning. Manifests/manifest lists are real Avro object-container
+files (see test_avro_lite.py for the independent-decoder bit-level
+round-trip); everything asserted here is spec structure."""
 
 from __future__ import annotations
 
@@ -113,13 +114,13 @@ def test_iceberg_metadata_structure_and_counts(spark, sf_dir, tmp_path):
     assert meta["partition-specs"][0]["fields"][0]["field-id"] == 1000
 
     snap = meta["snapshots"][-1]
-    with open(os.path.join(path, snap["manifest-list"])) as f:
-        manifests = json.load(f)["manifests"]
+    assert snap["manifest-list"].endswith(".avro")
+    manifests = il._read_manifest_list(path, snap["manifest-list"])
     added_rows = sum(m["added_rows_count"] for m in manifests)
     assert added_rows == 150  # parquet-footer record counts, not guesses
     # every manifest entry carries the hive partition tuple
-    with open(os.path.join(path, manifests[0]["manifest_path"])) as f:
-        entries = json.load(f)["entries"]
+    assert manifests[0]["manifest_path"].endswith(".avro")
+    entries = il._read_manifest(path, manifests[0]["manifest_path"])
     assert all("yyyy" in e["data_file"]["partition"] for e in entries)
     assert all(e["sequence_number"] == snap["sequence-number"] for e in entries)
 
@@ -136,8 +137,7 @@ def test_iceberg_append_carries_manifests_forward(spark, sf_dir, tmp_path):
     meta = il.table_metadata(path)
     lists = []
     for s in meta["snapshots"]:
-        with open(os.path.join(path, s["manifest-list"])) as f:
-            lists.append(json.load(f)["manifests"])
+        lists.append(il._read_manifest_list(path, s["manifest-list"]))
     assert [len(m) for m in lists] == [1, 2, 3]
     # earlier entries are byte-identical carried-forward references
     assert lists[2][:2] == lists[1]
@@ -231,14 +231,12 @@ def test_iceberg_readable_by_independent_engine(spark, sf_dir, tmp_path):
         meta = json.load(f)
     cur = next(s for s in meta["snapshots"]
                if s["snapshot-id"] == meta["current-snapshot-id"])
-    with open(os.path.join(path, cur["manifest-list"])) as f:
-        manifests = json.load(f)["manifests"]
+    manifests = il._read_manifest_list(path, cur["manifest-list"])
     files = []
     for m in manifests:
-        with open(os.path.join(path, m["manifest_path"])) as f:
-            for e in json.load(f)["entries"]:
-                if e["status"] != 2:
-                    files.append(os.path.join(path, e["data_file"]["file_path"]))
+        for e in il._read_manifest(path, m["manifest_path"]):
+            if e["status"] != 2:
+                files.append(os.path.join(path, e["data_file"]["file_path"]))
     assert files
 
     con = duckdb.connect()

@@ -1,0 +1,100 @@
+"""Dual-format (UniForm-analog) publication: one parquet copy, both a
+Delta log and an Iceberg metadata tree; read_delta and read_iceberg
+must return identical frames over the identical file set."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_medtech_vigilance_lakehouse_spark.sources import delta_lite as dl
+from snowflake_medtech_vigilance_lakehouse_spark.sources import iceberg_lite as il
+from snowflake_medtech_vigilance_lakehouse_spark.sources.uniform import (
+    publish_uniform, uniform_file_sets)
+
+
+def _orders(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .withColumn("yyyy", F.year("o_orderdate")))
+
+
+def _frames_identical(a, b, key):
+    assert a.schema == b.schema
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # order-insensitive value hash, the CORRECTNESS-gate style check
+    cols = sorted(a.columns)
+    ha = a.select(*cols).orderBy(*key).collect()
+    hb = b.select(*cols).orderBy(*key).collect()
+    assert ha == hb
+
+
+def test_uniform_one_copy_two_planes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "uni")
+    o = _orders(spark, sf_dir).limit(300)
+    v, sid = publish_uniform(o, path, partition_by=["yyyy"])
+
+    d = dl.read_delta(spark, path)
+    i = il.read_iceberg(spark, path)
+    _frames_identical(d.select(*sorted(d.columns)),
+                      i.select(*sorted(i.columns)), ["o_orderkey"])
+
+    # literally one copy: both planes reference the same rel paths,
+    # and there is no second data directory
+    d_files, i_files = uniform_file_sets(path)
+    assert d_files == i_files and d_files
+    assert not os.path.isdir(os.path.join(path, "data"))
+    # both metadata planes present
+    assert os.path.isdir(os.path.join(path, "_delta_log"))
+    assert os.path.isdir(os.path.join(path, "metadata"))
+    assert il.table_metadata(path)["current-snapshot-id"] == sid
+    assert dl._list_versions(path)[-1] == v
+
+
+def test_uniform_append_advances_both_planes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "uni_app")
+    o = _orders(spark, sf_dir).limit(120).select(
+        "o_orderkey", "o_totalprice", "yyyy")
+    publish_uniform(o, path, partition_by=["yyyy"])
+    publish_uniform(o, path, mode="append", partition_by=["yyyy"])
+
+    d = dl.read_delta(spark, path)
+    i = il.read_iceberg(spark, path)
+    assert d.count() == i.count() == 240
+    assert (d.agg(F.sum("o_orderkey")).first()[0]
+            == i.agg(F.sum("o_orderkey")).first()[0])
+    d_files, i_files = uniform_file_sets(path)
+    assert d_files == i_files
+
+    # each plane kept its own history: delta time travel to v0 and
+    # iceberg time travel to the first snapshot see the same 120 rows
+    assert dl.read_delta(spark, path, version=0).count() == 120
+    first_sid = il.table_metadata(path)["snapshots"][0]["snapshot-id"]
+    assert il.read_iceberg(spark, path, snapshot_id=first_sid).count() == 120
+
+
+def test_uniform_overwrite_replaces_both_planes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "uni_ow")
+    o = _orders(spark, sf_dir).limit(200)
+    publish_uniform(o, path, partition_by=["yyyy"])
+    sub = o.filter(F.col("yyyy") == 1995)
+    publish_uniform(sub, path, partition_by=["yyyy"])
+
+    n = sub.count()
+    assert dl.read_delta(spark, path).count() == n
+    assert il.read_iceberg(spark, path).count() == n
+    d_files, i_files = uniform_file_sets(path)
+    assert d_files == i_files
+
+    # pruning works on both planes over the shared files
+    pruned_i = il.read_iceberg(spark, path, partition_filter={"yyyy": "1995"})
+    pruned_d = dl.read_delta(spark, path, predicates=[("yyyy", "==", 1995)])
+    assert pruned_i.count() == pruned_d.count() == n
+
+
+def test_uniform_rejects_bad_mode(spark, sf_dir, tmp_path):
+    with pytest.raises(ValueError, match="unsupported mode"):
+        publish_uniform(_orders(spark, sf_dir).limit(5),
+                        str(tmp_path / "x"), mode="merge")
