@@ -14,6 +14,12 @@ the 1-minute load average to settle, and (c) runs every query REPS
 deterministic query is the machine-noise-free statistic. The start
 load and rep count are recorded in the JSON so a polluted environment
 is visible in the artifact instead of silently inflating numbers.
+
+Round 6 made the guard self-CALIBRATING (the round-5 artifact shipped
+33% inflated at load 1.48, under the load threshold): a committed
+pure-CPU probe with a stored clean range runs first; if it stays >25%
+over after 2 minutes of settling, the artifact carries
+``"contended": true`` and consumers discard the totals on evidence.
 """
 
 from __future__ import annotations
@@ -90,6 +96,52 @@ def _guard_environment() -> float:
               f"(> {limit:.0f}); numbers may be inflated", file=sys.stderr)
     return round(load, 2)
 
+
+# Committed clean-machine calibration range for _calibrate() below:
+# min-of-3 of the fixed CPU-parallel probe measured 0.23-0.28 s on
+# this 32-core container at load <= 0.7. Re-measure and update if the
+# probe or container changes.
+CALIBRATION_CLEAN_S = 0.25
+CALIBRATION_TOLERANCE = 1.3  # contended iff min > clean * tolerance
+
+
+def _calibrate(spark) -> tuple[float, bool]:
+    """Self-CALIBRATING contention gate (round-5's load guard was only
+    self-flagging: a 33%-inflated artifact shipped at load 1.48, under
+    the 1.6 settle threshold). A fixed pure-CPU probe — hash+sum over
+    spark.range, no I/O, no sf dependence — is timed min-of-3 against
+    the committed clean range; if it runs >25% over, keep settling and
+    re-probing for up to 2 minutes, then stamp ``contended: true`` so
+    downstream consumers discard the totals on evidence, not
+    forensics. Returns (calibration_s, contended)."""
+    from pyspark.sql import functions as F
+
+    # pmod keeps the running sum inside int64 (the session runs ANSI)
+    probe_col = F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000)))
+
+    def probe() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 64).select(probe_col).collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    deadline = time.time() + 120
+    cal = probe()
+    while cal > CALIBRATION_CLEAN_S * CALIBRATION_TOLERANCE:
+        if time.time() >= deadline:
+            print(f"bench: CONTENDED — calibration {cal:.2f}s vs clean "
+                  f"{CALIBRATION_CLEAN_S:.2f}s; artifact flagged",
+                  file=sys.stderr)
+            return round(cal, 3), True
+        print(f"bench: calibration {cal:.2f}s > "
+              f"{CALIBRATION_CLEAN_S * CALIBRATION_TOLERANCE:.2f}s, "
+              f"settling...", file=sys.stderr)
+        time.sleep(10)
+        cal = probe()
+    return round(cal, 3), False
+
 HEADLINE = (
     "pricing_summary",
     "quarterly_event_counts",
@@ -145,21 +197,29 @@ def main() -> None:
         else:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
-    def timed(df) -> float:
-        """Min wall time over REPS full executions through the noop
-        sink — a fresh plan each rep so no result is reused, and the
-        min discards any rep a background task happened to pollute.
-        A JVM GC runs before the reps so one query's garbage (broadcast
-        blocks, AQE stage state) is not collected inside the NEXT
-        query's timing window — late-position queries were measuring
-        up to 2x their isolated time before this barrier."""
+    calibration_s, contended = _calibrate(spark)
+
+    def timed_build(build) -> float:
+        """Min wall time over REPS of build-plan + full execution
+        through the noop sink. Plan CONSTRUCTION is inside the window
+        (fresh plan each rep, nothing reused) — for almost every query
+        that is sub-ms and irrelevant, but for eager operators
+        (semantic_dedup's connected-components loop runs Spark jobs at
+        plan time) it is the honest timing. A JVM GC runs before the
+        reps so one query's garbage (broadcast blocks, AQE stage
+        state) is not collected inside the NEXT query's timing window
+        — late-position queries were measuring up to 2x their isolated
+        time before this barrier."""
         spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            build().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
+
+    def timed(df) -> float:
+        return timed_build(lambda: df)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -172,7 +232,46 @@ def main() -> None:
     capped = dd.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64)
     timings["ngram_jaccard_capped64"] = timed(capped)
 
+    # semantic dedup END-TO-END: the connected-components loop runs
+    # Spark jobs eagerly at plan-construction time, so it must be
+    # (re)built INSIDE the timing window — timed_build, not timed
+    timings["semantic_dedup"] = timed_build(
+        lambda: qs["semantic_dedup"](spark, sf_dir))
+
     from pyspark.sql import functions as F
+
+    # indexed hybrid serving: postings PREBUILT to parquet (untimed —
+    # that is the point of a maintained index; the target_lag refresh
+    # loop pays it incrementally), then the same hybrid query served
+    # from the index. Compare against timings["hybrid_search"] (rescan)
+    # for the latency win.
+    import tempfile
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.retrieval import (
+        hybrid_search_indexed)
+    from snowflake_medtech_vigilance_lakehouse_spark.plans.analytics import (
+        HYBRID_QUERY_VEC_ID, HYBRID_SOURCES, HYBRID_TERMS)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        postings_stream, prune_term_buckets, with_term_buckets)
+
+    with tempfile.TemporaryDirectory(prefix="bench_postings_") as idx_dir:
+        # the production index layout: PARTITIONED by term bucket, so
+        # the query's term filter prunes to its buckets' directories
+        (with_term_buckets(postings_stream(docs))
+         .write.mode("overwrite").partitionBy("tb").parquet(idx_dir))
+        postings = prune_term_buckets(
+            spark.read.parquet(idx_dir), HYBRID_TERMS)
+        emb_for_hybrid = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        corpus = docs.join(
+            emb_for_hybrid.select(
+                F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        qvec = emb_for_hybrid.filter(
+            F.col("vec_id") == HYBRID_QUERY_VEC_ID).select("embedding")
+        timings["hybrid_search_indexed"] = timed(hybrid_search_indexed(
+            corpus, postings,
+            query_terms=HYBRID_TERMS, query_vec=qvec,
+            metadata_filter=F.col("source").isin(*HYBRID_SOURCES),
+            k=20, w_lexical=0.5, fusion="weighted"))
 
     # skewed-aggregate evidence (reference README.md:46 — one
     # manufacturer owns 30% of events): quarterly-style sum over a
@@ -221,6 +320,9 @@ def main() -> None:
         "recall_at_20_ivf": recall_ivf,
         "reps": REPS,
         "load_at_start": load_at_start,
+        "calibration_s": calibration_s,
+        "calibration_clean_s": CALIBRATION_CLEAN_S,
+        "contended": contended,
         "sf": sf,
     }))
 

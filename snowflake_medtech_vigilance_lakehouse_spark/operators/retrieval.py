@@ -94,7 +94,99 @@ def hybrid_search(docs: DataFrame, *, query_terms: Sequence[str],
         cand = cand.filter(metadata_filter)
 
     lex = bm25_scores(cand, query_terms, text_col=text_col, id_col=id_col)
+    return _hybrid_fuse(cand, lex, query_vec=query_vec, k=k,
+                        w_lexical=w_lexical, fusion=fusion,
+                        id_col=id_col, vec_col=vec_col)
 
+
+def hybrid_search_indexed(docs: DataFrame, postings: DataFrame, *,
+                          query_terms: Sequence[str],
+                          query_vec: Sequence[float] | DataFrame | None = None,
+                          metadata_filter: Column | str | None = None,
+                          k: int = 20, w_lexical: float = 0.5,
+                          fusion: str = "weighted",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          vec_col: str = "embedding") -> DataFrame:
+    """:func:`hybrid_search` served from a maintained postings index —
+    the Cortex-Search-service shape (README.md:61,73,117): the
+    ``target_lag`` refresh loop (streaming/index_refresh.py) keeps
+    ``postings`` = (doc_id, term, tf, dl) current, and the query reads
+    ONLY its terms' postings instead of re-tokenizing and re-scanning
+    every candidate's text for every term.
+
+    Results are identical to the rescan path (same formula, same
+    rounding, corpus stats restricted to the same filtered candidate
+    set — oracle-checked). The latency win scales with vocabulary:
+    term-filtered postings are a tiny fraction of the corpus, and at
+    100 TB the postings table is partitioned by term so the filter
+    prunes to the query terms' partitions before any scan.
+    """
+    cand = docs
+    if metadata_filter is not None:
+        cand = cand.filter(metadata_filter)
+
+    lex = _bm25_indexed(cand, postings, query_terms, id_col=id_col,
+                        text_col=text_col)
+    return _hybrid_fuse(cand, lex, query_vec=query_vec, k=k,
+                        w_lexical=w_lexical, fusion=fusion,
+                        id_col=id_col, vec_col=vec_col)
+
+
+def _bm25_indexed(cand: DataFrame, postings: DataFrame,
+                  terms: Sequence[str], *, id_col: str, text_col: str,
+                  k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 over the candidate set from the postings index; same
+    (id, bm25) contract as ``bm25_scores`` (round-6, > 0 filter), with
+    corpus stats (N, avgdl, df) computed over the CANDIDATE set
+    exactly as the rescan path does. (With more than two query terms
+    the per-term additions associate in row order rather than column
+    order; IEEE addition is commutative, so two-term queries — and any
+    query whose partial sums don't round differently at 1e-6 — are
+    bit-identical to the rescan path.)
+
+    Plan shape: the only postings touched are the query terms' rows
+    (filter before any join — partition-prunable at scale), semi-joined
+    to candidate ids; N/avgdl come from the candidate scan itself (one
+    map-side aggregate to a single broadcast row — the candidates are
+    being scanned anyway for the metadata filter and vector scores),
+    and per-row ``dl`` rides in the postings, so no candidate-wide
+    shuffle exists on the lexical side at all."""
+    from .text import tokens
+
+    ids = cand.select(F.col(id_col).alias("doc_id"))
+    stats = cand.select(
+        F.size(tokens(F.col(text_col))).cast("double").alias("_dl")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+    rel = (postings.filter(F.col("term").isin(*[str(t) for t in terms]))
+           .join(ids, "doc_id", "left_semi"))
+    df_per_term = rel.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    part = (idf * tf * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                 + F.lit(b) * dl / F.col("avgdl"))))
+    return (
+        rel.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(part), 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .select(F.col("doc_id").alias(id_col), "bm25")
+    )
+
+
+def _hybrid_fuse(cand: DataFrame, lex: DataFrame, *,
+                 query_vec: Sequence[float] | DataFrame | None,
+                 k: int, w_lexical: float, fusion: str,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """Shared fusion tail of the hybrid paths: vector scoring over the
+    candidates, weighted/rrf fusion of ``lex`` (id, bm25), top-k."""
     if query_vec is not None:
         if isinstance(query_vec, DataFrame):
             # enforce the 1-row probe contract IN the plan: a 0-row

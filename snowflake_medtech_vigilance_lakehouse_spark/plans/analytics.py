@@ -1356,6 +1356,35 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI6+AI7: the hybrid query served from the postings INDEX
+    (Cortex-Search-service shape — the target_lag refresh loop of
+    streaming/index_refresh.py maintains the postings table; here the
+    postings are derived in-plan from the same corpus so the oracle
+    can check indexed == rescan exactly). Same filtered candidates,
+    same fusion, same results as q_hybrid_search."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    qvec = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID).select("embedding")
+    from ..operators.retrieval import hybrid_search_indexed
+    from ..streaming.index_refresh import postings_stream
+
+    postings = postings_stream(docs)  # batch build of the index table
+    return hybrid_search_indexed(
+        corpus,
+        postings,
+        query_terms=HYBRID_TERMS,
+        query_vec=qvec,
+        metadata_filter=F.col("source").isin(*HYBRID_SOURCES),
+        k=20,
+        w_lexical=0.5,
+        fusion="weighted",
+    )
+
+
 ORACLE_HYBRID_RRF = """
 WITH cand AS (
   SELECT d.doc_id, string_split(d.text, ' ') AS w, e.embedding::DOUBLE[] AS v
@@ -2274,6 +2303,7 @@ QUERIES: dict[str, QueryFn] = {
     "masked_events": q_masked_events,
     "hybrid_search": q_hybrid_search,
     "hybrid_search_rrf": q_hybrid_search_rrf,
+    "hybrid_search_indexed": q_hybrid_search_indexed,
     "embed_documents": q_embed_documents,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -2338,6 +2368,8 @@ ORACLES: dict[str, str] = {
     "masked_events": ORACLE_MASKED_EVENTS,
     "hybrid_search": ORACLE_HYBRID_SEARCH,
     "hybrid_search_rrf": ORACLE_HYBRID_RRF,
+    # indexed path must reproduce the rescan results exactly
+    "hybrid_search_indexed": ORACLE_HYBRID_SEARCH,
     "asof_join": ORACLE_ASOF_JOIN,
     "interval_join": ORACLE_INTERVAL_JOIN,
     "gapfill_daily": ORACLE_GAPFILL_DAILY,

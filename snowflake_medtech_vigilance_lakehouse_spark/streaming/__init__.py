@@ -8,4 +8,11 @@ from .ingest import (  # noqa: F401
 )
 from .stateful import streaming_sessionize  # noqa: F401
 from .delta_sink import write_stream_to_delta  # noqa: F401
-from .index_refresh import postings_stream, refresh_postings, bm25_from_postings  # noqa: F401
+from .index_refresh import (  # noqa: F401
+    bm25_from_postings,
+    corpus_stats_from_sidecar,
+    postings_stream,
+    prune_term_buckets,
+    refresh_postings,
+    with_term_buckets,
+)

@@ -32,15 +32,38 @@ def postings_stream(docs: DataFrame, text_col: str = "text",
 
 
 def refresh_postings(stream_docs: DataFrame, out_path: str,
-                     checkpoint: str) -> StreamingQuery:
+                     checkpoint: str, *,
+                     bucketed: bool = False,
+                     n_buckets: int = 64) -> StreamingQuery:
     """Append the pending documents' postings to the index table
     (availableNow = one scheduled refresh tick; the checkpoint makes
     reruns incremental). Aggregation inside a streaming query needs
     complete/update mode, so the per-doc grouping runs in foreachBatch
-    — each batch is a closed set of whole documents."""
+    — each batch is a closed set of whole documents.
+
+    Each tick ALSO appends one row of corpus-stats deltas
+    (n_docs, sum_dl) to the ``{out_path}_stats`` sidecar — the
+    Lucene-norms analog: query-time N/avgdl then aggregate the tiny
+    sidecar (O(ticks) rows) instead of DISTINCT-scanning the whole
+    postings table, which is what keeps indexed scoring free of any
+    corpus-wide pass at 100 TB.
+
+    ``bucketed=True`` lays the index out partitioned by the ``tb``
+    term bucket (see :func:`with_term_buckets`) so queries prune to
+    their terms' directories."""
 
     def _append(batch: DataFrame, _epoch: int) -> None:
-        postings_stream(batch).write.mode("append").parquet(out_path)
+        post = postings_stream(batch)
+        if bucketed:
+            (with_term_buckets(post, n_buckets).write.mode("append")
+             .partitionBy("tb").parquet(out_path))
+        else:
+            post.write.mode("append").parquet(out_path)
+        (batch.select(F.size(F.split(F.col("text"), " "))
+                      .cast("long").alias("_dl"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("_dl").alias("sum_dl"))
+         .write.mode("append").parquet(out_path + "_stats"))
 
     return (
         stream_docs.writeStream.foreachBatch(_append)
@@ -50,14 +73,60 @@ def refresh_postings(stream_docs: DataFrame, out_path: str,
     )
 
 
+def corpus_stats_from_sidecar(spark, stats_path: str) -> DataFrame:
+    """1-row (n_docs, avgdl) frame from the refresh sidecar — a scan
+    of O(refresh ticks) tiny rows, never of the corpus."""
+    s = spark.read.parquet(stats_path)
+    return s.agg(
+        F.sum("n_docs").cast("double").alias("n_docs"),
+        (F.sum("sum_dl").cast("double")
+         / F.sum("n_docs").cast("double")).alias("avgdl"),
+    )
+
+
+def with_term_buckets(postings: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Add the ``tb`` term-bucket column (pmod(xxhash64(term), n)) the
+    index table is PARTITIONED by on disk. A query then prunes to its
+    terms' buckets before any scan — at 100 TB this is the difference
+    between reading ~df(term) rows and reading the whole postings
+    table (``prune_term_buckets`` is the read-side half)."""
+    return postings.withColumn(
+        "tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+
+
+def prune_term_buckets(postings: DataFrame, terms: tuple[str, ...],
+                       n_buckets: int = 64) -> DataFrame:
+    """Partition-prune a bucket-partitioned postings table to the
+    query terms' buckets. The ``tb`` predicate is a literal IN over
+    the partition column, so the parquet source skips every other
+    bucket directory at planning time (zero I/O); the exact ``term``
+    filter inside the surviving buckets still applies downstream."""
+    buckets = sorted({
+        b for (b,) in
+        postings.sparkSession.createDataFrame(
+            [(str(t),) for t in terms], "t string")
+        .select(F.pmod(F.xxhash64("t"), F.lit(n_buckets))).collect()
+    })
+    return postings.filter(F.col("tb").isin(buckets)).drop("tb")
+
+
 def bm25_from_postings(postings: DataFrame, terms: tuple[str, ...],
-                       k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                       k1: float = 1.2, b: float = 0.75,
+                       doc_stats: DataFrame | None = None) -> DataFrame:
     """Score documents against query terms from the postings table —
     no access to raw text; this is what serves after incremental
-    refreshes. Returns (doc_id, bm25)."""
-    n_and_avg = postings.select("doc_id", "dl").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+    refreshes. Returns (doc_id, bm25).
+
+    ``doc_stats`` is an optional 1-row (n_docs, avgdl) frame — pass
+    :func:`corpus_stats_from_sidecar` so corpus stats cost O(refresh
+    ticks); without it they are derived by DISTINCT-scanning the
+    postings (exact but corpus-wide — fine for tests, wrong at 100 TB
+    when ``postings`` was already term-pruned)."""
+    n_and_avg = doc_stats if doc_stats is not None else (
+        postings.select("doc_id", "dl").distinct().agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
     )
     rel = postings.filter(F.col("term").isin(*terms))
     df_per_term = rel.groupBy("term").agg(

@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 
 from snowflake_medtech_vigilance_lakehouse_spark.operators.text import bm25_scores
 from snowflake_medtech_vigilance_lakehouse_spark.streaming import (
-    bm25_from_postings, refresh_postings,
+    bm25_from_postings, corpus_stats_from_sidecar, prune_term_buckets,
+    refresh_postings,
 )
 
 DOCS_A = [(1, "spark join table"), (2, "spark spark stream")]
@@ -51,3 +52,79 @@ def test_incremental_index_matches_batch_bm25(spark, tmp_path):
     batch = {r["doc_id"]: r["bm25"]
              for r in bm25_scores(corpus, ("spark", "merge")).collect()}
     assert from_index == batch
+
+
+def test_bucketed_index_with_sidecar_matches_batch_bm25(spark, tmp_path):
+    """The full 100 TB serving shape: bucket-partitioned postings +
+    the corpus-stats sidecar. Scoring from only the query terms'
+    pruned buckets with sidecar stats must equal the batch operator
+    over the whole corpus — across two refresh ticks (the sidecar sums
+    deltas)."""
+    in_dir = tmp_path / "docs"; in_dir.mkdir()
+    idx, ckpt = str(tmp_path / "pb"), str(tmp_path / "ckb")
+
+    def refresh():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+        refresh_postings(stream, idx, ckpt, bucketed=True,
+                         n_buckets=8).awaitTermination(120)
+
+    _write(in_dir / "a.ndjson", DOCS_A)
+    refresh()
+    _write(in_dir / "b.ndjson", DOCS_B)
+    refresh()
+
+    # layout: hive dirs per bucket, sidecar has one row per tick
+    import os
+    assert any(d.startswith("tb=") for d in os.listdir(idx))
+    assert spark.read.parquet(idx + "_stats").count() == 2
+
+    terms = ("spark", "merge")
+    pruned = prune_term_buckets(spark.read.parquet(idx), terms, n_buckets=8)
+    stats = corpus_stats_from_sidecar(spark, idx + "_stats")
+    from_index = {r["doc_id"]: r["bm25"]
+                  for r in bm25_from_postings(pruned, terms,
+                                              doc_stats=stats).collect()}
+    corpus = spark.createDataFrame(DOCS_A + DOCS_B, "doc_id long, text string")
+    batch = {r["doc_id"]: r["bm25"]
+             for r in bm25_scores(corpus, terms).collect()}
+    assert from_index == batch
+    # pruning is real: the tb predicate reaches the scan as a
+    # PARTITION filter (directory-level skip, zero I/O for the rest)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    assert pruned.count() < spark.read.parquet(idx).count()
+
+
+def test_hybrid_search_indexed_matches_rescan_from_refresh(spark, sf_dir,
+                                                           tmp_path):
+    """The full serving loop: stream-refresh the postings table, then
+    hybrid_search_indexed over it must return EXACTLY what the rescan
+    hybrid_search returns — both fusion modes, with a metadata filter
+    (which exercises the candidate-set stats restriction)."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.retrieval import (
+        hybrid_search, hybrid_search_indexed)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+
+    # build the index through the real streaming refresh path
+    in_dir = tmp_path / "docs_in"; in_dir.mkdir()
+    docs.select("doc_id", "text").coalesce(1).write.json(str(in_dir / "batch"))
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ck")
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(in_dir / "batch"))
+    refresh_postings(stream, idx, ckpt).awaitTermination(120)
+    postings = spark.read.parquet(idx)
+
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding")
+    common = dict(query_terms=("spark", "merge"), query_vec=qvec,
+                  metadata_filter=F.col("source").isin("src0", "src1"),
+                  k=15, w_lexical=0.6)
+    for fusion in ("weighted", "rrf"):
+        rescan = hybrid_search(corpus, fusion=fusion, **common).collect()
+        indexed = hybrid_search_indexed(corpus, postings, fusion=fusion,
+                                        **common).collect()
+        assert indexed == rescan, fusion
