@@ -25,12 +25,17 @@ def test_lsh_knn_meets_recall_slo(spark, sf_dir):
 
 def test_ivf_knn_meets_recall_slo(spark, sf_dir):
     # IVF coarse-quantizer path: probing half the lists must clear the
-    # reference Recall@20 >= 0.7 SLO even on unclustered random vectors
+    # reference Recall@20 >= 0.7 SLO even on unclustered random
+    # vectors. The gate sits at 0.72, ABOVE the SLO floor: measured
+    # recall is 0.756 (bench, every round), so a centroid-seeding or
+    # list-assignment regression large enough to eat the 0.036 margin
+    # fails HERE rather than silently drifting across the 0.7 SLO
+    # between rounds (n_probe/recall curve: PLANS.md "Top-k").
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 8)
     exact = sim.knn_bruteforce(emb, q, k=20)
     approx = sim.knn_ivf(emb, q, k=20, n_lists=16, n_probe=8)
-    assert sim.recall_at_k(approx, exact, k=20) >= 0.7
+    assert sim.recall_at_k(approx, exact, k=20) >= 0.72
 
 
 def test_lsh_knn_tolerates_zero_vectors(spark, sf_dir):
