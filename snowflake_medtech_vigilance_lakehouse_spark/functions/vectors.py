@@ -32,6 +32,24 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
     Backs the k-NN similar-case search the reference declares
     (README.md:60,72,116) and the embedding-cosine near-dup operator.
+
+    Inline form — evaluates THREE interpreted folds per call (HOF
+    lambdas are not codegen'd). Inside a pair join, hoist the norms
+    to per-row projections on each side and use
+    ``cosine_from_norms`` instead: bit-identical (same fold per
+    vector, same divide) at a third of the per-pair work.
     """
     denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
+
+
+def cosine_from_norms(a: Column, b: Column,
+                      norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from precomputed side norms; NULL on zero norm.
+
+    FP-identical to ``cosine_similarity``: ``norm_a``/``norm_b`` must
+    be ``l2_norm`` of the same vectors, so the product and divide see
+    the exact same doubles — only *where* the norm fold runs moves
+    (once per row pre-join instead of once per pair post-join)."""
+    denom = norm_a * norm_b
     return F.when(denom != 0, dot(a, b) / denom)

@@ -21,6 +21,7 @@ from .similarity import (  # noqa: F401
     knn_lsh,
     knn_ivf,
     embedding_neardup_pairs,
+    embedding_neardup_pairs_blocked,
     recall_at_k,
 )
 from .text import (  # noqa: F401

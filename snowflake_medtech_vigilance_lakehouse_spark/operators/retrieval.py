@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_from_norms, cosine_similarity, l2_norm
 from .text import bm25_scores
 
 
@@ -209,14 +209,36 @@ def _hybrid_fuse(cand: DataFrame, lex: DataFrame, *,
                 )))
                 .alias("_qv")
             )
-            vec = cand.crossJoin(F.broadcast(qdf)).select(
+            # hoist both norms out of the per-row cosine (the corpus-side
+            # norm to its own pre-join projection, the 1-row query norm
+            # into the broadcast): cosine_from_norms is FP-identical to
+            # cosine_similarity but runs one interpreted fold per row
+            # instead of three
+            cvec = cand.select(
+                F.col(id_col), F.col(vec_col).alias("_cv"),
+                l2_norm(F.col(vec_col)).alias("_cvn"),
+            )
+            vec = cvec.crossJoin(F.broadcast(
+                qdf.withColumn("_qvn", l2_norm(F.col("_qv"))))).select(
                 F.col(id_col),
-                cosine_similarity(F.col(vec_col), F.col("_qv")).alias("_vs"),
+                cosine_from_norms(
+                    F.col("_cv"), F.col("_qv"), F.col("_cvn"), F.col("_qvn")
+                ).alias("_vs"),
             )
         else:
-            qv = F.lit([float(x) for x in query_vec]).cast("array<double>")
+            vals = [float(x) for x in query_vec]
+            qv = F.lit(vals).cast("array<double>")
+            # sequential Python sum of squares is IEEE-identical to the
+            # l2_norm fold (same order, same doubles); sqrt stays JVM-side
+            sq = 0.0
+            for x in vals:
+                sq += x * x
             vec = cand.select(
-                F.col(id_col), cosine_similarity(F.col(vec_col), qv).alias("_vs")
+                F.col(id_col),
+                cosine_from_norms(
+                    F.col(vec_col), qv,
+                    l2_norm(F.col(vec_col)), F.sqrt(F.lit(sq)),
+                ).alias("_vs"),
             )
         scored = (
             cand.select(id_col)

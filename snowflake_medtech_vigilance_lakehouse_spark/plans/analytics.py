@@ -1906,7 +1906,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantically deduplicated corpus; oracle is the recursive-CTE
     reachability twin."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = sim.embedding_neardup_pairs(
+    # blocked-GEMM pair stage: the output contract here is cluster
+    # MEMBERSHIP (no cosine column), and the blocked variant is
+    # pytest-gated pair-identical to the fold variant — at sf1 this
+    # stage was 119 s as an interpreted fold vs ~2 s blocked
+    pairs = sim.embedding_neardup_pairs_blocked(
         emb, emb.filter(F.col("vec_id") % 20 == 0), threshold=0.35
     )
     comps = dd.connected_components(pairs, left_col="id_1", right_col="id_2")

@@ -135,6 +135,34 @@ def test_recall_at_k_identity(spark, emb):
     assert sim.recall_at_k(ground, ground, k=20) == 1.0
 
 
+def test_neardup_blocked_matches_fold(spark, emb):
+    # the blocked-GEMM pair stage (semantic_dedup's engine) must emit
+    # the exact pair set AND rounded scores of the interpreted-fold
+    # contract, across thresholds spanning sparse to dense pair space
+    probes = emb.filter(F.col("vec_id") % 20 == 0)
+    for th in (0.9, 0.35, 0.1):
+        fold = sim.embedding_neardup_pairs(emb, probes, threshold=th)
+        blocked = sim.embedding_neardup_pairs_blocked(emb, probes, threshold=th)
+        assert blocked.exceptAll(fold).count() == 0, th
+        assert fold.exceptAll(blocked).count() == 0, th
+
+
+def test_neardup_blocked_zero_norm_and_empty_probe(spark):
+    # zero-norm vectors are NULL-cosine in the fold contract and must
+    # be dropped, not divide-by-zero'd; an empty probe set yields an
+    # empty frame with the contract schema
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]), (4, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter(F.col("vec_id") <= 2)
+    fold = sim.embedding_neardup_pairs(df, probes, threshold=0.5)
+    blocked = sim.embedding_neardup_pairs_blocked(df, probes, threshold=0.5)
+    assert sorted(map(tuple, blocked.collect())) == sorted(map(tuple, fold.collect())) == [
+        (2, 3, 1.0)]
+    empty = sim.embedding_neardup_pairs_blocked(
+        df, df.filter(F.col("vec_id") < 0), threshold=0.5)
+    assert empty.columns == ["id_1", "id_2", "cosine"] and empty.count() == 0
+
+
 def test_token_stats_known_values(spark):
     df = spark.createDataFrame([(1, "a b b c")], "doc_id long, text string")
     r = tx.token_stats(df).first()
