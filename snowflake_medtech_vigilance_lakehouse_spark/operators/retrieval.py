@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_from_norms, cosine_similarity, l2_norm
+from ..functions.vectors import cosine_from_norms, l2_norm
 from .text import bm25_scores
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_from_norms, cosine_similarity, l2_norm
+from ..functions.vectors import cosine_from_norms, l2_norm
 
 
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
