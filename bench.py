@@ -304,6 +304,19 @@ def main() -> None:
     from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probe = emb.filter(F.col("vec_id") < 8)
+
+    # IVF serving pair: direct (quantizer fit at plan time — the cost
+    # a session pays without an index, so timed_build) vs the
+    # persisted index (built untimed like the postings index; serving
+    # = centroid-sidecar lookup + partition-pruned scan)
+    with tempfile.TemporaryDirectory(prefix="bench_ivf_") as ivf_dir:
+        ivf_path = ivf_dir + "/idx"
+        sim.build_ivf_index(emb, ivf_path, n_lists=16)
+        timings["knn_ivf_direct"] = timed_build(
+            lambda: sim.knn_ivf(emb, probe, k=20, n_lists=16, n_probe=8))
+        timings["knn_ivf_indexed"] = timed_build(
+            lambda: sim.knn_ivf_indexed(spark, ivf_path, probe, k=20, n_probe=8))
+
     exact = sim.knn_bruteforce(emb, probe, k=20)
     recall = round(sim.recall_at_k(sim.knn_lsh(emb, probe, k=20), exact, k=20), 4)
     recall_ivf = round(

@@ -22,6 +22,8 @@ from .similarity import (  # noqa: F401
     knn_ivf,
     embedding_neardup_pairs,
     embedding_neardup_pairs_blocked,
+    build_ivf_index,
+    knn_ivf_indexed,
     recall_at_k,
 )
 from .text import (  # noqa: F401

@@ -303,6 +303,99 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> None:
+    """Persist an IVF index for :func:`knn_ivf_indexed` — the
+    vector-side analog of the maintained BM25 postings index
+    (streaming/index_refresh.py): pay the coarse quantizer once at
+    build time, serve every query from a partition-pruned scan.
+
+    Layout: corpus rows land in one parquet directory per inverted
+    list (``partitionBy(list_id)``), each row carrying its
+    ``l2_norm`` precomputed at WRITE time so query-time scoring is a
+    single dot-product fold per row; a ``{path}_centroids`` sidecar
+    (n_lists tiny rows) holds the quantizer. At 100 TB this is the
+    layout where ``n_probe``/``n_lists`` of the data is all a query
+    can touch — the skipping is directory-level metadata, not a
+    filter over a full scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features",
+                   predictionCol="list_id").fit(c)
+    (model.transform(c).select(id_col, "_v", "_nrm", "list_id")
+     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+    centroids = [(i, [float(x) for x in ctr])
+                 for i, ctr in enumerate(model.clusterCenters())]
+    (corpus.sparkSession.createDataFrame(
+        centroids, "list_id int, _ctr array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path + "_centroids"))
+
+
+def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
+                    n_probe: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Serve IVF kNN from a :func:`build_ivf_index` table. Scores and
+    ranking are identical to :func:`knn_ivf` at the same
+    (n_lists, seed) — same quantizer, same cosine folds — but the
+    corpus scan reads ONLY the probed lists' parquet directories:
+    the probe-list ids are resolved against the centroid sidecar
+    (n_lists rows — a metadata-scale lookup, like Delta's touched-file
+    listing) and pushed into the partitioned read as a static IN
+    predicate, so pruning happens at file-listing time
+    (plan-asserted in tests). The per-query (query, list) pairs then
+    broadcast-join the pruned scan."""
+    cdf = spark.read.parquet(path + "_centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cdf.withColumn("_ctrn", l2_norm(F.col("_ctr")))))
+        .select(
+            "query_id", "_qv", "_qn", "list_id",
+            cosine_from_norms(
+                F.col("_qv"), F.col("_ctr"), F.col("_qn"), F.col("_ctrn")
+            ).alias("_cs"),
+        )
+    )
+    w_lists = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("list_id"))
+    probe_lists = probed.select(
+        "query_id", "_qv", "_qn", "list_id", F.row_number().over(w_lists).alias("_pr")
+    ).filter(F.col("_pr") <= n_probe).drop("_pr")
+
+    touched = sorted({r["list_id"] for r in
+                      probe_lists.select("list_id").distinct().collect()})
+    idx = spark.read.parquet(path).filter(F.col("list_id").isin(touched))
+    scored = (
+        idx.join(F.broadcast(probe_lists), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"),
+            cosine_from_norms(
+                F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_nrm")
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select(
+            "query_id", "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 20) -> float:
     """Recall@k of an approximate kNN result against the brute-force
     ground truth (both shaped (query_id, neighbor_id, rank)). Driver-side

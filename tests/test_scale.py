@@ -38,6 +38,27 @@ def test_ivf_knn_meets_recall_slo(spark, sf_dir):
     assert sim.recall_at_k(approx, exact, k=20) >= 0.72
 
 
+def test_ivf_index_serving_matches_direct_and_prunes(spark, sf_dir, tmp_path):
+    # the persisted-IVF serving path must (a) return exactly what the
+    # in-session knn_ivf computes at the same (n_lists, seed) — same
+    # quantizer, same cosine folds, write-time norms — and (b) read
+    # ONLY the probed lists' directories: the list filter must land in
+    # the scan's PartitionFilters (directory-level skipping), not as a
+    # post-scan data filter
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, n_lists=8, seed=42)
+    served = sim.knn_ivf_indexed(spark, idx, q, k=10, n_probe=3)
+    direct = sim.knn_ivf(emb, q, k=10, n_lists=8, n_probe=3, seed=42)
+    assert served.exceptAll(direct).count() == 0
+    assert direct.exceptAll(served).count() == 0
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters"):].split("]")[0]
+    assert "list_id" in pf and "IN" in pf.upper()
+
+
 def test_lsh_knn_tolerates_zero_vectors(spark, sf_dir):
     # regression: approxSimilarityJoin re-plans inputs so the
     # unit-vector projection can run before the row filter — a
