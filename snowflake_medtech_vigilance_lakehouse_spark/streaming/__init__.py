@@ -9,10 +9,12 @@ from .ingest import (  # noqa: F401
 from .stateful import streaming_sessionize  # noqa: F401
 from .delta_sink import write_stream_to_delta  # noqa: F401
 from .index_refresh import (  # noqa: F401
+    assign_ivf_lists,
     bm25_from_postings,
     corpus_stats_from_sidecar,
     postings_stream,
     prune_term_buckets,
+    refresh_ivf_index,
     refresh_postings,
     with_term_buckets,
 )

@@ -147,3 +147,73 @@ def bm25_from_postings(postings: DataFrame, terms: tuple[str, ...],
         )
     )
     return scored.groupBy("doc_id").agg(F.round(F.sum("_s"), 6).alias("bm25"))
+
+
+def assign_ivf_lists(vecs: DataFrame, centroids: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to their nearest existing IVF list — the
+    quantizer is the persisted centroid sidecar, frozen at build time.
+
+    Distance is squared Euclidean computed as ONE sequential fold of
+    (x-c)^2 per (vector, centroid) — the same accumulation order as
+    MLlib's dense ``Vectors.sqdist`` loop, so assignments match
+    ``KMeansModel.transform`` except where MLlib's norm-trick fast
+    path rounds differently on a near-equidistant tie (ties broken by
+    list_id here, as in MLlib). n_lists folds per vector — fine for a
+    refresh delta; the bulk corpus pays this once, at build.
+
+    Returns (id, _v double-array, _nrm, list_id) — the index row
+    layout of :func:`operators.similarity.build_ivf_index`."""
+    from ..functions.vectors import l2_norm
+    from pyspark.sql.window import Window
+
+    v = vecs.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+    )
+    diff2 = F.zip_with("_v", "_ctr", lambda x, c: (x - c) * (x - c))
+    scored = (
+        v.crossJoin(F.broadcast(centroids.select("list_id", "_ctr")))
+        .withColumn("_d2", F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("list_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_v", "_nrm", "list_id")
+    )
+
+
+def refresh_ivf_index(stream_vecs: DataFrame, path: str, checkpoint: str,
+                      *, id_col: str = "vec_id",
+                      vec_col: str = "embedding"):
+    """``target_lag`` analog for the ANN index (the vector twin of
+    :func:`refresh_postings`): an availableNow tick appends the
+    pending vectors to their nearest list's parquet directory, so
+    :func:`operators.similarity.knn_ivf_indexed` serves them on the
+    next query with no refit and no rebuild.
+
+    The quantizer stays frozen; appended mass drifts the true
+    centroids, so each tick also appends per-list counts to a
+    ``{path}_growth`` sidecar. A maintenance policy reads the sidecar
+    and triggers ``build_ivf_index`` anew when growth crosses its
+    threshold — rebuild-on-evidence, the OPTIMIZE analog, instead of
+    silent recall decay."""
+
+    def _append(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        centroids = spark.read.parquet(path + "_centroids")
+        assigned = assign_ivf_lists(batch, centroids, id_col, vec_col)
+        assigned.write.mode("append").partitionBy("list_id").parquet(path)
+        (assigned.groupBy("list_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_appended"))
+         .write.mode("append").parquet(path + "_growth"))
+
+    return (
+        stream_vecs.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -128,3 +128,53 @@ def test_hybrid_search_indexed_matches_rescan_from_refresh(spark, sf_dir,
         indexed = hybrid_search_indexed(corpus, postings, fusion=fusion,
                                         **common).collect()
         assert indexed == rescan, fusion
+
+
+def test_ivf_refresh_assigns_appends_and_serves(spark, sf_dir, tmp_path):
+    """target_lag analog for the ANN index: new vectors stream into
+    the frozen-quantizer layout and are served on the next query with
+    no refit. Checks (a) the fold-based assigner agrees with MLlib's
+    KMeansModel assignments across the whole build corpus, (b) an
+    appended exact twin is found at rank 1 by the indexed search,
+    (c) the growth sidecar records the appended mass per list."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import (
+        assign_ivf_lists, refresh_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx, ckpt = str(tmp_path / "ivf"), str(tmp_path / "ckpt")
+    sim.build_ivf_index(emb, idx, n_lists=8, seed=42)
+
+    # (a) assigner parity: re-assigning the build corpus through the
+    # frozen centroid sidecar must reproduce the stored list_ids
+    centroids = spark.read.parquet(idx + "_centroids")
+    ours = assign_ivf_lists(emb, centroids).select("vec_id", "list_id")
+    stored = spark.read.parquet(idx).select("vec_id", "list_id")
+    assert ours.exceptAll(stored).count() == 0
+    assert stored.exceptAll(ours).count() == 0
+
+    # (b)+(c) stream in a twin of vec 0 plus one fresh vector
+    new_dir = tmp_path / "new"; new_dir.mkdir()
+    base = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    fresh = [float(i % 7 - 3) for i in range(len(base))]
+    spark.createDataFrame(
+        [(999999, list(base)), (999998, fresh)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(new_dir))
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(str(new_dir))
+    refresh_ivf_index(stream, idx, ckpt).awaitTermination(120)
+
+    after = spark.read.parquet(idx)
+    assert after.count() == emb.count() + 2
+    twin_list = after.filter(F.col("vec_id") == 999999).first()["list_id"]
+    orig_list = after.filter(F.col("vec_id") == 0).first()["list_id"]
+    assert twin_list == orig_list  # identical vector, identical argmin
+
+    served = sim.knn_ivf_indexed(
+        spark, idx, emb.filter(F.col("vec_id") == 0), k=5, n_probe=3)
+    top = served.filter(F.col("rank") == 1).first()
+    assert top["neighbor_id"] == 999999 and top["cosine"] == 1.0
+
+    growth = spark.read.parquet(idx + "_growth")
+    assert growth.agg(F.sum("n_appended")).first()[0] == 2
