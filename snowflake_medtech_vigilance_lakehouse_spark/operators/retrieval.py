@@ -319,3 +319,66 @@ def _hybrid_fuse(cand: DataFrame, lex: DataFrame, *,
         raise ValueError(f"unknown fusion: {fusion}")
 
     return _ranked_topk(scored, id_col, k)
+
+
+def hybrid_search_ann(spark, ivf_path: str, postings: DataFrame, *,
+                      query_terms: Sequence[str], query_vec: DataFrame,
+                      allowed_ids: DataFrame | None = None,
+                      k: int = 20, w_lexical: float = 0.5,
+                      n_probe: int = 8, m_vec: int = 100,
+                      doc_stats: DataFrame | None = None,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Fully index-served hybrid top-k — the complete search-service
+    shape (reference README.md:61,73,117): the lexical side scores
+    from the maintained postings table (term-pruned, sidecar stats)
+    and the vector side from the persisted IVF index
+    (partition-pruned, top-``m_vec`` candidates via
+    :func:`~..operators.similarity.knn_ivf_indexed`), so a query
+    touches NO corpus text and NO full embedding scan. APPROXIMATE by
+    design: vector candidates are bounded by ``m_vec`` and IVF
+    recall, so this is graded by top-k overlap against the exact
+    :func:`hybrid_search` (pytest gate), the same way the IVF path is
+    recall-gated against brute force — not hash-equality.
+
+    ``query_vec`` is a 1-row (id, vector) frame; ``allowed_ids`` is
+    the metadata filter materialized as an id frame (in a served
+    index, filterable attributes live in an index, not in a text
+    scan). Weighted fusion only: min-max over each side's scored set,
+    missing side contributes 0 — the rank-only RRF variant needs
+    exact global ranks, which an m_vec-bounded candidate set cannot
+    provide honestly.
+
+    Returns (id, score, rank) like the other hybrid variants.
+    """
+    from .similarity import knn_ivf_indexed
+    from ..streaming.index_refresh import bm25_from_postings
+
+    vec = knn_ivf_indexed(
+        spark, ivf_path, query_vec, k=m_vec, n_probe=n_probe,
+        id_col=query_vec.columns[0], vec_col=query_vec.columns[1],
+    ).select(F.col("neighbor_id").alias(id_col), F.col("cosine").alias("_vs"))
+    lex = bm25_from_postings(postings, tuple(query_terms),
+                             doc_stats=doc_stats).select(
+        F.col("doc_id").alias(id_col), F.col("bm25").alias("_ls"))
+    if allowed_ids is not None:
+        ids = allowed_ids.select(F.col(allowed_ids.columns[0]).alias(id_col))
+        vec = vec.join(ids, id_col, "left_semi")
+        lex = lex.join(ids, id_col, "left_semi")
+
+    scored = lex.join(vec, id_col, "full").select(
+        id_col,
+        F.coalesce("_ls", F.lit(0.0)).alias("_ls"),
+        F.col("_vs"),
+    )
+    stats = scored.agg(
+        F.min("_ls").alias("_ls_lo"), F.max("_ls").alias("_ls_hi"),
+        F.min("_vs").alias("_vs_lo"), F.max("_vs").alias("_vs_hi"),
+    )
+    nvs = F.when(F.col("_vs").isNull(), F.lit(0.0)).otherwise(
+        _minmax(F.col("_vs"), F.col("_vs_lo"), F.col("_vs_hi")))
+    fused = scored.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        (F.lit(w_lexical) * _minmax(F.col("_ls"), F.col("_ls_lo"), F.col("_ls_hi"))
+         + F.lit(1.0 - w_lexical) * nvs).alias("_score"),
+    )
+    return _ranked_topk(fused, id_col, k)

@@ -211,3 +211,59 @@ def test_rrf_does_not_leak_cached_dataframes(corpus, spark):
         f"rrf added {after - baseline} persistent RDDs "
         f"(baseline {baseline}, after {after})"
     )
+
+
+def test_hybrid_ann_overlaps_exact_and_scans_no_text(corpus, spark, sf_dir, tmp_path):
+    """The fully index-served hybrid (postings + persisted IVF) must
+    (a) honor the materialized metadata filter, (b) overlap the exact
+    hybrid's top-k at >= 0.7 — the reference's recall SLO applied to
+    the approximate serving tier — and (c) plan no scan of the
+    documents parquet: both sides come from index tables."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.retrieval import (
+        hybrid_search_ann)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        similarity as sim_ops)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        postings_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    sim_ops.build_ivf_index(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), ivf,
+        n_lists=8, id_col="doc_id", seed=42)
+    postings = postings_stream(docs)
+    postings.write.mode("overwrite").parquet(str(tmp_path / "postings"))
+    postings = spark.read.parquet(str(tmp_path / "postings"))
+
+    terms = ("spark", "merge")
+    qvec = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    # the metadata filter is served from its own materialized index
+    # too (filterable attributes of a search service live in index
+    # tables, not in a text scan)
+    docs.filter(F.col("source").isin("src0", "src1", "src2", "src3"))\
+        .select("doc_id").write.mode("overwrite")\
+        .parquet(str(tmp_path / "meta_idx"))
+    allowed = spark.read.parquet(str(tmp_path / "meta_idx"))
+
+    served = hybrid_search_ann(
+        spark, ivf, postings, query_terms=terms, query_vec=qvec,
+        allowed_ids=allowed, k=20, n_probe=8, m_vec=100)
+    got = served.collect()
+    assert len(got) == 20
+    allowed_set = {r["doc_id"] for r in allowed.collect()}
+    assert {r["doc_id"] for r in got} <= allowed_set
+    assert [r["rank"] for r in got] == list(range(1, 21))
+
+    exact = hybrid_search(
+        corpus, query_terms=terms,
+        query_vec=emb.filter(F.col("vec_id") == 3).select("embedding"),
+        metadata_filter=F.col("source").isin("src0", "src1", "src2", "src3"),
+        k=20)
+    overlap = len({r["doc_id"] for r in got}
+                  & {r["doc_id"] for r in exact.collect()}) / 20
+    assert overlap >= 0.7, overlap
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan  # index tables only
