@@ -273,6 +273,32 @@ def main() -> None:
             metadata_filter=F.col("source").isin(*HYBRID_SOURCES),
             k=20, w_lexical=0.5, fusion="weighted"))
 
+        # fully index-served tier (approximate, overlap-gated in
+        # pytest): postings + persisted IVF + materialized metadata
+        # ids — index builds untimed, the query touches no corpus scan
+        from snowflake_medtech_vigilance_lakehouse_spark.operators.retrieval import (
+            hybrid_search_ann)
+        from snowflake_medtech_vigilance_lakehouse_spark.operators.similarity import (
+            build_ivf_index)
+
+        with tempfile.TemporaryDirectory(prefix="bench_ann_") as ann_dir:
+            build_ivf_index(
+                emb_for_hybrid.select(
+                    F.col("vec_id").alias("doc_id"), "embedding"),
+                ann_dir + "/ivf", n_lists=16, id_col="doc_id")
+            (docs.filter(F.col("source").isin(*HYBRID_SOURCES))
+             .select("doc_id").write.mode("overwrite")
+             .parquet(ann_dir + "/meta"))
+            allowed = spark.read.parquet(ann_dir + "/meta")
+            qvec_ann = emb_for_hybrid.filter(
+                F.col("vec_id") == HYBRID_QUERY_VEC_ID).select(
+                F.col("vec_id").alias("doc_id"), "embedding")
+            timings["hybrid_search_ann"] = timed_build(
+                lambda: hybrid_search_ann(
+                    spark, ann_dir + "/ivf", postings,
+                    query_terms=HYBRID_TERMS, query_vec=qvec_ann,
+                    allowed_ids=allowed, k=20, n_probe=8, m_vec=100))
+
     # skewed-aggregate evidence (reference README.md:46 — one
     # manufacturer owns 30% of events): quarterly-style sum over a
     # 30%-hot key, plain vs salted_agg. Expected PARITY — Spark's
