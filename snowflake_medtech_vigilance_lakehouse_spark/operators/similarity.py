@@ -130,12 +130,21 @@ def embedding_neardup_pairs_blocked(corpus: DataFrame, probes: DataFrame,
     import numpy as np
     import pandas as pd
 
-    rows = probes.select(id_col, vec_col).collect()
+    rows = [r for r in probes.select(id_col, vec_col).collect()
+            if r[1] is not None]  # NULL probe vector = NULL cosine = dropped
     spark = corpus.sparkSession
     out_schema = "id_1 long, id_2 long, _raw double"
     if not rows:
         return spark.createDataFrame([], out_schema).select(
             "id_1", "id_2", F.round("_raw", 6).alias("cosine"))
+    dims = {len(r[1]) for r in rows}
+    if len(dims) != 1:
+        # the fold variant silently drops length-mismatched PAIRS;
+        # a single probe matrix cannot reproduce that per-pair rule,
+        # so refuse loudly instead of diverging quietly
+        raise ValueError(
+            f"blocked variant requires uniform probe dims, got {sorted(dims)};"
+            f" use embedding_neardup_pairs")
     pids = np.array([r[0] for r in rows], dtype=np.int64)
     P = np.array([list(r[1]) for r in rows], dtype=np.float64)
     pn = np.sqrt((P * P).sum(axis=1))
@@ -144,9 +153,21 @@ def embedding_neardup_pairs_blocked(corpus: DataFrame, probes: DataFrame,
 
     def score_blocks(batches):
         b_pids, b_Pt, b_pn = bc.value
+        d = b_Pt.shape[0]
         for pdf in batches:
+            # fold-path parity on dirty rows: a NULL vector or a
+            # dimension mismatch yields NULL cosine there (zip_with
+            # pads, the fold propagates NULL) and the row is dropped —
+            # here they must be filtered, not np.stack crashes
+            vecs = pdf[vec_col].to_numpy()
+            ok = np.array([v is not None and len(v) == d for v in vecs])
+            if not ok.all():
+                pdf = pdf[ok]
+                vecs = vecs[ok]
+            if not len(pdf):
+                continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
-            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            C = np.stack(vecs).astype(np.float64)
             cn = np.sqrt((C * C).sum(axis=1))
             denom = np.outer(cn, b_pn)
             with np.errstate(divide="ignore", invalid="ignore"):

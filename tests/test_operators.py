@@ -163,6 +163,27 @@ def test_neardup_blocked_zero_norm_and_empty_probe(spark):
     assert empty.columns == ["id_1", "id_2", "cosine"] and empty.count() == 0
 
 
+def test_neardup_blocked_dirty_rows_match_fold(spark):
+    # NULL and wrong-dimension corpus vectors are dropped by the fold
+    # contract (NULL-propagating zip_with) — the blocked variant must
+    # filter them, not crash in np.stack; a NULL probe is dropped; a
+    # mixed-dimension PROBE set cannot be represented as one matrix
+    # and must refuse loudly rather than silently diverge
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None),
+            (4, [1.0, 0.0, 0.0]), (5, [0.6, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter(F.col("vec_id").isin(1, 3))
+    fold = sim.embedding_neardup_pairs(df, probes, threshold=0.5)
+    blocked = sim.embedding_neardup_pairs_blocked(df, probes, threshold=0.5)
+    assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, blocked.collect()))
+    assert {r["id_2"] for r in blocked.collect()} == {2, 5}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="uniform probe dims"):
+        sim.embedding_neardup_pairs_blocked(
+            df, df.filter(F.col("vec_id").isin(1, 4)), threshold=0.5)
+
+
 def test_token_stats_known_values(spark):
     df = spark.createDataFrame([(1, "a b b c")], "doc_id long, text string")
     r = tx.token_stats(df).first()
