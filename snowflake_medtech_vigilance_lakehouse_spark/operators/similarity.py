@@ -266,7 +266,9 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.ml.functions import array_to_vector
 
     def _vec(df: DataFrame, keep: str) -> DataFrame:
-        return df.select(
+        # NULL vectors NPE array_to_vector inside the KMeans fit —
+        # drop them here; they could never score (NULL cosine) anyway
+        return df.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias(keep),
             F.col(vec_col).cast("array<double>").alias(f"_arr_{keep}"),
             l2_norm(F.col(vec_col)).alias(f"_nrm_{keep}"),
@@ -343,7 +345,9 @@ def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = corpus.select(
+    # NULL vectors NPE array_to_vector inside the KMeans fit and could
+    # never be retrieved (NULL cosine) — excluded from the index
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
         l2_norm(F.col(vec_col)).alias("_nrm"),

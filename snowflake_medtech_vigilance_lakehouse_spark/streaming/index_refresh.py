@@ -168,7 +168,10 @@ def assign_ivf_lists(vecs: DataFrame, centroids: DataFrame,
     from ..functions.vectors import l2_norm
     from pyspark.sql.window import Window
 
-    v = vecs.select(
+    # NULL vectors sort first under a NULL distance (asc puts NULLs
+    # first) and would land in list 0 as dead rows — drop them, same
+    # as the build-time exclusion in build_ivf_index
+    v = vecs.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
         l2_norm(F.col(vec_col)).alias("_nrm"),

@@ -59,6 +59,26 @@ def test_ivf_index_serving_matches_direct_and_prunes(spark, sf_dir, tmp_path):
     assert "list_id" in pf and "IN" in pf.upper()
 
 
+def test_ivf_index_tolerates_null_vectors(spark, sf_dir, tmp_path):
+    # a NULL embedding must not NPE the KMeans fit at build time, must
+    # not enter the index, and must be dropped (not filed into list 0)
+    # by the streaming assigner
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        assign_ivf_lists,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dirty = emb.unionByName(spark.createDataFrame(
+        [(888888, None, 0)], emb.schema))
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(dirty, idx, n_lists=8, seed=42)
+    stored = spark.read.parquet(idx)
+    assert stored.count() == emb.count()
+    assert stored.filter(F.col("vec_id") == 888888).count() == 0
+    centroids = spark.read.parquet(idx + "_centroids")
+    assert assign_ivf_lists(dirty, centroids).filter(
+        F.col("vec_id") == 888888).count() == 0
+
+
 def test_lsh_knn_tolerates_zero_vectors(spark, sf_dir):
     # regression: approxSimilarityJoin re-plans inputs so the
     # unit-vector projection can run before the row filter — a
