@@ -290,6 +290,18 @@ def main() -> None:
              .select("doc_id").write.mode("overwrite")
              .parquet(ann_dir + "/meta"))
             allowed = spark.read.parquet(ann_dir + "/meta")
+            # corpus stats must come from a sidecar (the refresh
+            # loop's Lucene-norms analog), NOT be derived from the
+            # term-pruned postings frame — that would compute N/avgdl
+            # over the query terms' bucket survivors and distort idf
+            from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+                corpus_stats_from_sidecar)
+            (docs.select(F.size(F.split("text", " "))
+                         .cast("long").alias("_dl"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum("_dl").alias("sum_dl"))
+             .write.mode("overwrite").parquet(ann_dir + "/stats"))
+            ann_stats = corpus_stats_from_sidecar(spark, ann_dir + "/stats")
             qvec_ann = emb_for_hybrid.filter(
                 F.col("vec_id") == HYBRID_QUERY_VEC_ID).select(
                 F.col("vec_id").alias("doc_id"), "embedding")
@@ -297,7 +309,8 @@ def main() -> None:
                 lambda: hybrid_search_ann(
                     spark, ann_dir + "/ivf", postings,
                     query_terms=HYBRID_TERMS, query_vec=qvec_ann,
-                    allowed_ids=allowed, k=20, n_probe=8, m_vec=100))
+                    allowed_ids=allowed, doc_stats=ann_stats,
+                    k=20, n_probe=8, m_vec=100))
 
     # skewed-aggregate evidence (reference README.md:46 — one
     # manufacturer owns 30% of events): quarterly-style sum over a

@@ -50,6 +50,29 @@ def _minmax(c: Column, lo: Column, hi: Column) -> Column:
     return F.when(hi == lo, F.lit(0.5)).otherwise((c - lo) / (hi - lo))
 
 
+def _weighted_fuse(scored: DataFrame, w_lexical: float,
+                   id_col: str) -> DataFrame:
+    """Weighted min-max fusion over a (_ls, _vs) score frame — ONE
+    implementation shared by the exact tier (_hybrid_fuse) and the
+    served tier (hybrid_search_ann), so the NULL-_vs convention
+    (contributes 0, excluded from min/max) and the hi==lo -> 0.5 rule
+    can never silently diverge between them. Returns (id, _score)."""
+    stats = scored.agg(
+        F.min("_ls").alias("_ls_lo"), F.max("_ls").alias("_ls_hi"),
+        F.min("_vs").alias("_vs_lo"), F.max("_vs").alias("_vs_hi"),
+    )
+    nvs = F.when(F.col("_vs").isNull(), F.lit(0.0)).otherwise(
+        _minmax(F.col("_vs"), F.col("_vs_lo"), F.col("_vs_hi"))
+    )
+    return scored.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        (
+            F.lit(w_lexical) * _minmax(F.col("_ls"), F.col("_ls_lo"), F.col("_ls_hi"))
+            + F.lit(1.0 - w_lexical) * nvs
+        ).alias("_score"),
+    )
+
+
 def _ranked_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
     """Distributed top-k by (_score desc, id asc) + rank over the <=k
     survivors. The orderBy+limit pair compiles to
@@ -301,20 +324,7 @@ def _hybrid_fuse(cand: DataFrame, lex: DataFrame, *,
     elif fusion == "weighted":
         # min/max aggregates ignore NULL _vs, matching the SQL-window
         # formulation; a NULL-cosine doc contributes vector score 0
-        stats = scored.agg(
-            F.min("_ls").alias("_ls_lo"), F.max("_ls").alias("_ls_hi"),
-            F.min("_vs").alias("_vs_lo"), F.max("_vs").alias("_vs_hi"),
-        )
-        nvs = F.when(F.col("_vs").isNull(), F.lit(0.0)).otherwise(
-            _minmax(F.col("_vs"), F.col("_vs_lo"), F.col("_vs_hi"))
-        )
-        scored = scored.crossJoin(F.broadcast(stats)).select(
-            F.col(id_col),
-            (
-                F.lit(w_lexical) * _minmax(F.col("_ls"), F.col("_ls_lo"), F.col("_ls_hi"))
-                + F.lit(1.0 - w_lexical) * nvs
-            ).alias("_score"),
-        )
+        scored = _weighted_fuse(scored, w_lexical, id_col)
     else:
         raise ValueError(f"unknown fusion: {fusion}")
 
@@ -370,15 +380,4 @@ def hybrid_search_ann(spark, ivf_path: str, postings: DataFrame, *,
         F.coalesce("_ls", F.lit(0.0)).alias("_ls"),
         F.col("_vs"),
     )
-    stats = scored.agg(
-        F.min("_ls").alias("_ls_lo"), F.max("_ls").alias("_ls_hi"),
-        F.min("_vs").alias("_vs_lo"), F.max("_vs").alias("_vs_hi"),
-    )
-    nvs = F.when(F.col("_vs").isNull(), F.lit(0.0)).otherwise(
-        _minmax(F.col("_vs"), F.col("_vs_lo"), F.col("_vs_hi")))
-    fused = scored.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col),
-        (F.lit(w_lexical) * _minmax(F.col("_ls"), F.col("_ls_lo"), F.col("_ls_hi"))
-         + F.lit(1.0 - w_lexical) * nvs).alias("_score"),
-    )
-    return _ranked_topk(fused, id_col, k)
+    return _ranked_topk(_weighted_fuse(scored, w_lexical, id_col), id_col, k)

@@ -145,14 +145,19 @@ def embedding_neardup_pairs_blocked(corpus: DataFrame, probes: DataFrame,
         raise ValueError(
             f"blocked variant requires uniform probe dims, got {sorted(dims)};"
             f" use embedding_neardup_pairs")
-    pids = np.array([r[0] for r in rows], dtype=np.int64)
+    b_pids = np.array([r[0] for r in rows], dtype=np.int64)
     P = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    pn = np.sqrt((P * P).sum(axis=1))
-    bc = spark.sparkContext.broadcast((pids, P.T.copy(), pn))
+    b_pn = np.sqrt((P * P).sum(axis=1))
+    b_Pt = P.T.copy()
     slack = float(threshold) - 1.001e-6
 
+    # the probe matrix travels in the UDF closure, NOT a
+    # SparkContext.broadcast: an explicit broadcast created per call
+    # has session lifetime and no owner to destroy it (destroying at
+    # function exit would break the lazy plan), so repeated calls
+    # leak probe-matrix copies; the closure is serialized into the
+    # plan and garbage-collected with it
     def score_blocks(batches):
-        b_pids, b_Pt, b_pn = bc.value
         d = b_Pt.shape[0]
         for pdf in batches:
             # fold-path parity on dirty rows: a NULL vector or a

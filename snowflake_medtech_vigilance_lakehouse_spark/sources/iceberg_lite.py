@@ -387,7 +387,17 @@ def _read_manifest(path: str, rel: str) -> list[dict]:
                        if f["name"] == "partition")
         return [_stringify_partition_values(r, pschema) for r in records]
     with open(full) as f:  # legacy JSON stand-in (pre-Avro tables)
-        return json.load(f)["entries"]
+        entries = json.load(f)["entries"]
+    # legacy manifests stored raw hive-dir strings (percent-encoded);
+    # Avro manifests store decoded values — normalize legacy reads to
+    # decoded so partition_filter matches consistently across the two
+    # generations of one table
+    for e in entries:
+        part = (e.get("data_file") or {}).get("partition") or {}
+        for k, v in part.items():
+            if isinstance(v, str):
+                part[k] = urllib.parse.unquote(v)
+    return entries
 
 
 # --------------------------------------------------------------- writer
@@ -403,6 +413,26 @@ def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
     partition_by = list(partition_by or [])
+
+    # pre-flight the commit-time validations BEFORE any data lands:
+    # a rejected write must fail with nothing written — files written
+    # first and then refused by commit_data_files would be orphans no
+    # snapshot references and expire_snapshots can never reclaim
+    versions = _list_meta_versions(path)
+    if versions:
+        prev = table_metadata(path)
+        schema, _ = iceberg_schema(df.schema.json())
+        if schema != prev["schemas"][0]:
+            raise ValueError(
+                "schema mismatch with committed Iceberg metadata; "
+                "iceberg_lite does not implement schema evolution"
+            )
+        prev_cols = [pf["name"] for pf in prev["partition-specs"][0]["fields"]]
+        if prev_cols != partition_by:
+            raise ValueError(
+                f"partition_by {partition_by} does not match committed "
+                f"spec {prev_cols}"
+            )
 
     # data files land under data/ first; the commit below is what
     # makes them part of the table (uncommitted files are invisible to
@@ -443,6 +473,15 @@ def commit_data_files(schema_json: str, path: str, rel_files: list[str],
             "schema mismatch with committed Iceberg metadata; "
             "iceberg_lite does not implement schema evolution"
         )
+    if prev is not None:
+        # validate the spec BEFORE any manifest file is written —
+        # a refusal below this point would orphan manifests
+        prev_cols = [pf["name"] for pf in prev["partition-specs"][0]["fields"]]
+        if prev_cols != partition_by:
+            raise ValueError(
+                f"partition_by {partition_by} does not match committed "
+                f"spec {prev_cols}"
+            )
     new_files = sorted(rel_files)
 
     import pyarrow.parquet as pq
@@ -551,14 +590,6 @@ def commit_data_files(schema_json: str, path: str, rel_files: list[str],
         "manifest-list": mlist_rel,
         "schema-id": 0,
     }
-
-    if prev is not None:
-        prev_cols = [pf["name"] for pf in prev["partition-specs"][0]["fields"]]
-        if prev_cols != partition_by:
-            raise ValueError(
-                f"partition_by {partition_by} does not match committed "
-                f"spec {prev_cols}"
-            )
 
     metadata = {
         "format-version": 2,

@@ -52,18 +52,26 @@ def refresh_postings(stream_docs: DataFrame, out_path: str,
     term bucket (see :func:`with_term_buckets`) so queries prune to
     their terms' directories."""
 
-    def _append(batch: DataFrame, _epoch: int) -> None:
+    def _append(batch: DataFrame, epoch: int) -> None:
+        # per-tick OVERWRITE directories make the foreachBatch sink
+        # idempotent under at-least-once replay: a batch that reran
+        # after a crash-before-checkpoint replaces its own tick dir
+        # instead of appending duplicate postings/stats (which would
+        # silently double tf/df/N/avgdl). Readers see `tick` as one
+        # more discovered partition column, which every consumer
+        # ignores.
         post = postings_stream(batch)
+        tick = f"{out_path}/tick={epoch}"
         if bucketed:
-            (with_term_buckets(post, n_buckets).write.mode("append")
-             .partitionBy("tb").parquet(out_path))
+            (with_term_buckets(post, n_buckets).write.mode("overwrite")
+             .partitionBy("tb").parquet(tick))
         else:
-            post.write.mode("append").parquet(out_path)
+            post.write.mode("overwrite").parquet(tick)
         (batch.select(F.size(F.split(F.col("text"), " "))
                       .cast("long").alias("_dl"))
          .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
               F.sum("_dl").alias("sum_dl"))
-         .write.mode("append").parquet(out_path + "_stats"))
+         .write.mode("overwrite").parquet(f"{out_path}_stats/tick={epoch}"))
 
     return (
         stream_docs.writeStream.foreachBatch(_append)
@@ -180,6 +188,12 @@ def assign_ivf_lists(vecs: DataFrame, centroids: DataFrame,
     scored = (
         v.crossJoin(F.broadcast(centroids.select("list_id", "_ctr")))
         .withColumn("_d2", F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x))
+        # a dimension-mismatched vector yields NULL _d2 against EVERY
+        # centroid (zip_with pads with NULL); without this filter it
+        # would sort first (asc puts NULLs first) and be filed into
+        # list 0 as a dead row — the build-time KMeans fit would have
+        # rejected it, so the streaming path must drop it too
+        .filter(F.col("_d2").isNotNull())
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("list_id").asc())
     return (
@@ -205,14 +219,38 @@ def refresh_ivf_index(stream_vecs: DataFrame, path: str, checkpoint: str,
     threshold — rebuild-on-evidence, the OPTIMIZE analog, instead of
     silent recall decay."""
 
-    def _append(batch: DataFrame, _epoch: int) -> None:
+    def _append(batch: DataFrame, epoch: int) -> None:
+        import os
+        import shutil
+
         spark = batch.sparkSession
         centroids = spark.read.parquet(path + "_centroids")
         assigned = assign_ivf_lists(batch, centroids, id_col, vec_col)
-        assigned.write.mode("append").partitionBy("list_id").parquet(path)
+        # idempotent publish into the existing list_id layout (a tick=
+        # level above list_id= would break partition discovery): stage
+        # the tick, clear any files a crashed earlier attempt of THIS
+        # tick left behind, then move under deterministic tick-stamped
+        # names — an at-least-once replay overwrites itself instead of
+        # appending duplicate rows
+        stage = os.path.join(path + "_stage", f"tick={epoch}")
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(stage)
+        prefix = f"tick{epoch}-"
+        for root, _, files in os.walk(path):
+            for fn in files:
+                if fn.startswith(prefix):
+                    os.remove(os.path.join(root, fn))
+        for root, _, files in os.walk(stage):
+            rel_dir = os.path.relpath(root, stage)
+            for i, fn in enumerate(
+                    sorted(f for f in files if f.endswith(".parquet"))):
+                tgt = os.path.join(path, rel_dir)
+                os.makedirs(tgt, exist_ok=True)
+                os.replace(os.path.join(root, fn),
+                           os.path.join(tgt, f"{prefix}{i:05d}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
         (assigned.groupBy("list_id")
          .agg(F.count(F.lit(1)).cast("long").alias("n_appended"))
-         .write.mode("append").parquet(path + "_growth"))
+         .write.mode("overwrite").parquet(f"{path}_growth/tick={epoch}"))
 
     return (
         stream_vecs.writeStream.foreachBatch(_append)

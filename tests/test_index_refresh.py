@@ -73,9 +73,14 @@ def test_bucketed_index_with_sidecar_matches_batch_bm25(spark, tmp_path):
     _write(in_dir / "b.ndjson", DOCS_B)
     refresh()
 
-    # layout: hive dirs per bucket, sidecar has one row per tick
+    # layout: one OVERWRITE dir per refresh tick (idempotent under
+    # at-least-once batch replay) with hive bucket dirs inside;
+    # sidecar has one row per tick
     import os
-    assert any(d.startswith("tb=") for d in os.listdir(idx))
+    ticks = [d for d in os.listdir(idx) if d.startswith("tick=")]
+    assert len(ticks) == 2
+    assert any(d.startswith("tb=")
+               for d in os.listdir(os.path.join(idx, ticks[0])))
     assert spark.read.parquet(idx + "_stats").count() == 2
 
     terms = ("spark", "merge")
@@ -178,3 +183,60 @@ def test_ivf_refresh_assigns_appends_and_serves(spark, sf_dir, tmp_path):
 
     growth = spark.read.parquet(idx + "_growth")
     assert growth.agg(F.sum("n_appended")).first()[0] == 2
+
+
+def test_postings_refresh_idempotent_under_replay(spark, tmp_path):
+    """At-least-once replay (crash after the tick's writes, before the
+    checkpoint commit) must not double-count postings or stats: the
+    replayed batch overwrites its own tick directory. Simulated by
+    dropping the checkpoint so the same input replays as epoch 0."""
+    import shutil
+
+    in_dir = tmp_path / "docs"; in_dir.mkdir()
+    idx, ckpt = str(tmp_path / "pr"), str(tmp_path / "ckr")
+    _write(in_dir / "a.ndjson", DOCS_A)
+
+    def refresh():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+        refresh_postings(stream, idx, ckpt).awaitTermination(120)
+
+    refresh()
+    first = spark.read.parquet(idx)
+    n1, s1 = first.count(), spark.read.parquet(idx + "_stats").collect()
+    shutil.rmtree(ckpt)
+    refresh()  # same files, same epoch -> same tick dir, overwritten
+    assert spark.read.parquet(idx).count() == n1
+    assert spark.read.parquet(idx + "_stats").collect() == s1
+
+
+def test_ivf_refresh_idempotent_under_replay(spark, sf_dir, tmp_path):
+    """The IVF tick publishes under deterministic tick-stamped file
+    names inside the list_id layout; a replayed batch replaces its own
+    files instead of appending duplicates."""
+    import shutil
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import refresh_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx, ckpt = str(tmp_path / "ivf"), str(tmp_path / "ckpt")
+    sim.build_ivf_index(emb, idx, n_lists=4, seed=42)
+    new_dir = tmp_path / "new"; new_dir.mkdir()
+    base = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    spark.createDataFrame([(999999, list(base))],
+                          "vec_id long, embedding array<float>")\
+        .write.mode("overwrite").parquet(str(new_dir))
+
+    def refresh():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>").parquet(str(new_dir))
+        refresh_ivf_index(stream, idx, ckpt).awaitTermination(120)
+
+    refresh()
+    n1 = spark.read.parquet(idx).count()
+    g1 = spark.read.parquet(idx + "_growth").agg(F.sum("n_appended")).first()[0]
+    shutil.rmtree(ckpt)
+    refresh()  # replay of the same batch, same epoch
+    assert spark.read.parquet(idx).count() == n1 == emb.count() + 1
+    assert spark.read.parquet(idx + "_growth").agg(
+        F.sum("n_appended")).first()[0] == g1 == 1

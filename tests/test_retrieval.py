@@ -224,7 +224,8 @@ def test_hybrid_ann_overlaps_exact_and_scans_no_text(corpus, spark, sf_dir, tmp_
     from snowflake_medtech_vigilance_lakehouse_spark.operators import (
         similarity as sim_ops)
     from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
-        postings_stream)
+        corpus_stats_from_sidecar, postings_stream, prune_term_buckets,
+        with_term_buckets)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -232,11 +233,19 @@ def test_hybrid_ann_overlaps_exact_and_scans_no_text(corpus, spark, sf_dir, tmp_
     sim_ops.build_ivf_index(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), ivf,
         n_lists=8, id_col="doc_id", seed=42)
-    postings = postings_stream(docs)
-    postings.write.mode("overwrite").parquet(str(tmp_path / "postings"))
-    postings = spark.read.parquet(str(tmp_path / "postings"))
-
     terms = ("spark", "merge")
+    # the bench configuration exactly: bucket-partitioned postings
+    # pruned to the query terms, corpus stats from a sidecar (never
+    # derived from the pruned frame — that would distort idf)
+    (with_term_buckets(postings_stream(docs)).write.mode("overwrite")
+     .partitionBy("tb").parquet(str(tmp_path / "postings")))
+    postings = prune_term_buckets(
+        spark.read.parquet(str(tmp_path / "postings")), terms)
+    (docs.select(F.size(F.split("text", " ")).cast("long").alias("_dl"))
+     .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+          F.sum("_dl").alias("sum_dl"))
+     .write.mode("overwrite").parquet(str(tmp_path / "stats")))
+    doc_stats = corpus_stats_from_sidecar(spark, str(tmp_path / "stats"))
     qvec = emb.filter(F.col("vec_id") == 3).select(
         F.col("vec_id").alias("doc_id"), "embedding")
     # the metadata filter is served from its own materialized index
@@ -249,7 +258,7 @@ def test_hybrid_ann_overlaps_exact_and_scans_no_text(corpus, spark, sf_dir, tmp_
 
     served = hybrid_search_ann(
         spark, ivf, postings, query_terms=terms, query_vec=qvec,
-        allowed_ids=allowed, k=20, n_probe=8, m_vec=100)
+        allowed_ids=allowed, doc_stats=doc_stats, k=20, n_probe=8, m_vec=100)
     got = served.collect()
     assert len(got) == 20
     allowed_set = {r["doc_id"] for r in allowed.collect()}

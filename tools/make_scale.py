@@ -118,8 +118,16 @@ def main() -> None:
     spark = get_spark("make_scale")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from snowflake_medtech_vigilance_lakehouse_spark.sources.readers import read_events
+
     for table, (keys, files) in KEY_SHIFTS.items():
-        df = spark.read.parquet(f"{src}/{table}.parquet")
+        if table == "events":
+            # one shipped fixture shape stores ts as TIMESTAMP(NANOS),
+            # which the vanilla parquet reader rejects — go through the
+            # normalizing reader every other consumer uses
+            df = read_events(spark, src)
+        else:
+            df = spark.read.parquet(f"{src}/{table}.parquet")
         if not keys:  # fixed dimensions: pass through
             out = df
         elif table == "documents":
