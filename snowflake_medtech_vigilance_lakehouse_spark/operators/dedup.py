@@ -178,6 +178,37 @@ def _shingle_hash_arrays(docs: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _df_ordered_arrays(arr: DataFrame) -> DataFrame:
+    """Re-order each doc's shingle-hash array by ASCENDING document
+    frequency (ties by hash) — the canonical AllPairs token order.
+
+    The prefix lemma is valid under ANY global total order, but the
+    candidate volume it produces is wildly order-dependent: under raw
+    hash order a boilerplate shingle shared by hundreds of docs lands
+    inside prefixes and its posting bucket goes quadratic (measured
+    94M candidate pairs at sf3); under df order the prefixes hold each
+    doc's RAREST shingles, hot shingles sink into the un-indexed
+    suffix, and the same corpus generates ~200x fewer candidates with
+    bit-identical final output. Costs one (doc, shingle) join +
+    re-collect — linear in corpus shingles, repaid orders of magnitude
+    over in pair generation. (df asc, hash asc) is a total order, so
+    losslessness is untouched (pytest brute-force sweeps)."""
+    ex = arr.select("_id", F.explode("_h").alias("_g"))
+    dfp = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    # both sides are corpus-sized (every shingle occurrence vs every
+    # distinct shingle): force the shuffle hash join — the groupBy
+    # above already partitioned both by _g, so the exchange is reused;
+    # letting AQE "optimize" this into a broadcast OOMs the driver at
+    # sf3 and would be absurd at 100 TB
+    return (
+        ex.join(dfp.hint("shuffle_hash"), "_g")
+        .groupBy("_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("_df", "_g"))),
+            lambda s: s["_g"]).alias("_h"))
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_doc_freq: int | None = None) -> DataFrame:
@@ -205,7 +236,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     underestimate). The DuckDB oracle runs with None.
     Returns (doc_id_1, doc_id_2, jaccard) with doc_id_1 < doc_id_2.
     """
-    arr = _shingle_hash_arrays(docs, text_col, id_col, n).filter(F.size("_h") > 0)
+    arr = _df_ordered_arrays(
+        _shingle_hash_arrays(docs, text_col, id_col, n).filter(F.size("_h") > 0))
     # ceil(t*|d|) in EXACT terms: some double products overshoot the
     # true rational value (0.56*25 = 14.000000000000002 -> ceil 15,
     # one too high), shortening the prefix below the lossless AllPairs
