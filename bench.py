@@ -295,12 +295,8 @@ def main() -> None:
             # term-pruned postings frame — that would compute N/avgdl
             # over the query terms' bucket survivors and distort idf
             from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
-                corpus_stats_from_sidecar)
-            (docs.select(F.size(F.split("text", " "))
-                         .cast("long").alias("_dl"))
-             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                  F.sum("_dl").alias("sum_dl"))
-             .write.mode("overwrite").parquet(ann_dir + "/stats"))
+                corpus_stats_from_sidecar, write_corpus_stats)
+            write_corpus_stats(docs, ann_dir + "/stats")
             ann_stats = corpus_stats_from_sidecar(spark, ann_dir + "/stats")
             qvec_ann = emb_for_hybrid.filter(
                 F.col("vec_id") == HYBRID_QUERY_VEC_ID).select(

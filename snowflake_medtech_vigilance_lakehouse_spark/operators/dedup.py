@@ -152,14 +152,15 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int,
 
 def _shingle_hash_arrays(docs: DataFrame, text_col: str, id_col: str,
                          n: int, widen: bool = True) -> DataFrame:
-    """(_id, _h): per doc, the SORTED array of distinct 8-byte n-gram
-    hashes. The n-gram is hashed as the token slice itself
+    """(_id, _h): per doc, the array of DISTINCT 8-byte n-gram hashes
+    (unordered). The n-gram is hashed as the token slice itself
     (``xxhash64(slice(tokens, i, n))`` — Spark's hash of complex types
     is stable), skipping the concat_ws string build entirely; distinct
     over hashes == distinct over n-grams modulo 64-bit collisions
     (~1e-11 at 30k shingles, same bet the index already made). The
-    ascending sort IS the global token order that prefix filtering
-    relies on (any total order is valid)."""
+    global token order prefix filtering relies on is NOT imposed here:
+    :func:`_df_ordered_arrays` re-sorts by (df, hash) downstream, so a
+    per-doc hash sort would be paid only to be discarded."""
     base = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     if widen:
         p = docs.sparkSession.sparkContext.defaultParallelism
@@ -173,7 +174,7 @@ def _shingle_hash_arrays(docs: DataFrame, text_col: str, id_col: str,
     )
     return toks.select(
         "_id",
-        F.when(k >= n, F.array_sort(F.array_distinct(grams)))
+        F.when(k >= n, F.array_distinct(grams))
         .otherwise(F.array().cast("array<long>")).alias("_h"),
     )
 

@@ -271,9 +271,13 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.ml.functions import array_to_vector
 
     def _vec(df: DataFrame, keep: str) -> DataFrame:
-        # NULL vectors NPE array_to_vector inside the KMeans fit —
-        # drop them here; they could never score (NULL cosine) anyway
-        return df.filter(F.col(vec_col).isNotNull()).select(
+        # NULL vectors AND vectors carrying a NULL element NPE
+        # array_to_vector inside the KMeans fit — drop them here; the
+        # fold contract drops them anyway (NULL-propagating cosine)
+        return df.filter(
+            F.col(vec_col).isNotNull()
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        ).select(
             F.col(id_col).alias(keep),
             F.col(vec_col).cast("array<double>").alias(f"_arr_{keep}"),
             l2_norm(F.col(vec_col)).alias(f"_nrm_{keep}"),
@@ -350,9 +354,13 @@ def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # NULL vectors NPE array_to_vector inside the KMeans fit and could
-    # never be retrieved (NULL cosine) — excluded from the index
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    # NULL vectors (and vectors carrying a NULL element) NPE
+    # array_to_vector inside the KMeans fit and could never be
+    # retrieved (NULL cosine) — excluded from the index
+    c = corpus.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
         l2_norm(F.col(vec_col)).alias("_nrm"),

@@ -402,6 +402,38 @@ def _read_manifest(path: str, rel: str) -> list[dict]:
 
 # --------------------------------------------------------------- writer
 
+def validate_against_committed(path: str, schema_json: str,
+                               partition_by: list[str], *,
+                               _prev: dict | None = None,
+                               _schema: dict | None = None) -> None:
+    """The ONE schema + partition-spec validation against committed
+    table metadata, shared by write_iceberg's and publish_uniform's
+    pre-flights and commit_data_files' commit gate — three callers,
+    one rule, so the pre-flight can never silently diverge from the
+    commit check it exists to front-run. No-op on an uncommitted
+    (new) table. ``_prev``/``_schema`` let commit_data_files pass the
+    objects it already loaded."""
+    if _prev is None:
+        if not _list_meta_versions(path):
+            return
+        _prev = table_metadata(path)
+    if _prev is None:
+        return
+    if _schema is None:
+        _schema, _ = iceberg_schema(schema_json)
+    if _schema != _prev["schemas"][0]:
+        raise ValueError(
+            "schema mismatch with committed Iceberg metadata; "
+            "iceberg_lite does not implement schema evolution"
+        )
+    prev_cols = [pf["name"] for pf in _prev["partition-specs"][0]["fields"]]
+    if prev_cols != list(partition_by):
+        raise ValueError(
+            f"partition_by {list(partition_by)} does not match committed "
+            f"spec {prev_cols}"
+        )
+
+
 def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
                   partition_by: list[str] | None = None,
                   _summary_operation: str | None = None) -> int:
@@ -418,21 +450,7 @@ def write_iceberg(df: DataFrame, path: str, *, mode: str = "overwrite",
     # a rejected write must fail with nothing written — files written
     # first and then refused by commit_data_files would be orphans no
     # snapshot references and expire_snapshots can never reclaim
-    versions = _list_meta_versions(path)
-    if versions:
-        prev = table_metadata(path)
-        schema, _ = iceberg_schema(df.schema.json())
-        if schema != prev["schemas"][0]:
-            raise ValueError(
-                "schema mismatch with committed Iceberg metadata; "
-                "iceberg_lite does not implement schema evolution"
-            )
-        prev_cols = [pf["name"] for pf in prev["partition-specs"][0]["fields"]]
-        if prev_cols != partition_by:
-            raise ValueError(
-                f"partition_by {partition_by} does not match committed "
-                f"spec {prev_cols}"
-            )
+    validate_against_committed(path, df.schema.json(), partition_by)
 
     # data files land under data/ first; the commit below is what
     # makes them part of the table (uncommitted files are invisible to
@@ -468,20 +486,10 @@ def commit_data_files(schema_json: str, path: str, rel_files: list[str],
     versions = _list_meta_versions(path)
     prev = table_metadata(path) if versions else None
     schema, last_col = iceberg_schema(schema_json)
-    if prev is not None and schema != prev["schemas"][0]:
-        raise ValueError(
-            "schema mismatch with committed Iceberg metadata; "
-            "iceberg_lite does not implement schema evolution"
-        )
-    if prev is not None:
-        # validate the spec BEFORE any manifest file is written —
-        # a refusal below this point would orphan manifests
-        prev_cols = [pf["name"] for pf in prev["partition-specs"][0]["fields"]]
-        if prev_cols != partition_by:
-            raise ValueError(
-                f"partition_by {partition_by} does not match committed "
-                f"spec {prev_cols}"
-            )
+    # validate BEFORE any manifest file is written — a refusal below
+    # this point would orphan manifests
+    validate_against_committed(path, schema_json, partition_by,
+                               _prev=prev, _schema=schema)
     new_files = sorted(rel_files)
 
     import pyarrow.parquet as pq

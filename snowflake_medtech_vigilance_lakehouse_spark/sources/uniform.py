@@ -50,19 +50,7 @@ def publish_uniform(df: DataFrame, path: str, *,
     # refusal (schema drift, partition-spec mismatch) would leave the
     # planes permanently diverged — the one state this module's
     # invariant (uniform_file_sets equality) must never reach
-    if il._list_meta_versions(path):
-        prev = il.table_metadata(path)
-        schema, _ = il.iceberg_schema(df.schema.json())
-        if schema != prev["schemas"][0]:
-            raise ValueError(
-                "publish_uniform: schema mismatch with committed Iceberg "
-                "metadata — refusing before either plane commits")
-        prev_cols = [pf["name"] for pf in prev["partition-specs"][0]["fields"]]
-        if prev_cols != partition_by:
-            raise ValueError(
-                f"publish_uniform: partition_by {partition_by} does not "
-                f"match committed spec {prev_cols} — refusing before "
-                f"either plane commits")
+    il.validate_against_committed(path, df.schema.json(), partition_by)
 
     version = dl.write_delta(df, path, mode=mode,
                              partition_by=partition_by or None)

@@ -60,6 +60,8 @@ def refresh_postings(stream_docs: DataFrame, out_path: str,
         # silently double tf/df/N/avgdl). Readers see `tick` as one
         # more discovered partition column, which every consumer
         # ignores.
+        _require_tick_layout(out_path)
+        _require_tick_layout(out_path + "_stats")
         post = postings_stream(batch)
         tick = f"{out_path}/tick={epoch}"
         if bucketed:
@@ -67,11 +69,7 @@ def refresh_postings(stream_docs: DataFrame, out_path: str,
              .partitionBy("tb").parquet(tick))
         else:
             post.write.mode("overwrite").parquet(tick)
-        (batch.select(F.size(F.split(F.col("text"), " "))
-                      .cast("long").alias("_dl"))
-         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-              F.sum("_dl").alias("sum_dl"))
-         .write.mode("overwrite").parquet(f"{out_path}_stats/tick={epoch}"))
+        write_corpus_stats(batch, out_path + "_stats", tick=epoch)
 
     return (
         stream_docs.writeStream.foreachBatch(_append)
@@ -79,6 +77,23 @@ def refresh_postings(stream_docs: DataFrame, out_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_corpus_stats(docs: DataFrame, stats_path: str, *,
+                       text_col: str = "text",
+                       tick: int | None = None) -> None:
+    """Append one (n_docs, sum_dl) delta row for ``docs`` to the
+    stats sidecar — THE definition of the sidecar contract (schema +
+    whitespace tokenization), shared by the refresh loop, the bench,
+    and the tests so no copy can drift. ``tick`` selects the
+    idempotent per-tick overwrite dir; None = a one-shot overwrite
+    (batch-built indexes)."""
+    out = (docs.select(F.size(F.split(F.col(text_col), " "))
+                       .cast("long").alias("_dl"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("_dl").alias("sum_dl")))
+    dst = stats_path if tick is None else f"{stats_path}/tick={tick}"
+    out.write.mode("overwrite").parquet(dst)
 
 
 def corpus_stats_from_sidecar(spark, stats_path: str) -> DataFrame:
@@ -157,6 +172,21 @@ def bm25_from_postings(postings: DataFrame, terms: tuple[str, ...],
     return scored.groupBy("doc_id").agg(F.round(F.sum("_s"), 6).alias("bm25"))
 
 
+def _require_tick_layout(path: str) -> None:
+    """Refuse to write the per-tick overwrite layout over a
+    pre-existing flat append layout: root-level part files next to
+    ``tick=N/`` dirs make Spark's partition discovery throw
+    'Conflicting directory structures' at SERVE time — fail loudly at
+    refresh time instead, naming the migration."""
+    import os
+    if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)):
+        raise ValueError(
+            f"{path} holds root-level parquet files (the pre-tick "
+            f"append layout); move them under '{path}/tick=-1/' or "
+            f"rebuild the index before refreshing with this version")
+
+
 def assign_ivf_lists(vecs: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -232,8 +262,24 @@ def refresh_ivf_index(stream_vecs: DataFrame, path: str, checkpoint: str,
         # tick left behind, then move under deterministic tick-stamped
         # names — an at-least-once replay overwrites itself instead of
         # appending duplicate rows
+        _require_tick_layout(path + "_growth")
         stage = os.path.join(path + "_stage", f"tick={epoch}")
         assigned.write.mode("overwrite").partitionBy("list_id").parquet(stage)
+        if not os.path.isdir(stage):
+            # the move below is driver-side POSIX; on an object store
+            # the walk would silently find nothing and the tick's
+            # vectors would vanish while the growth sidecar claims
+            # they were served
+            raise RuntimeError(
+                f"refresh_ivf_index requires a driver-visible POSIX "
+                f"index path; {stage} is not readable from the driver")
+        # growth counts from the STAGED parquet (already materialized,
+        # list_id-partitioned, tiny) — recomputing from `assigned`
+        # would re-run the whole centroid crossJoin + window per tick
+        staged = spark.read.parquet(stage)
+        (staged.groupBy("list_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_appended"))
+         .write.mode("overwrite").parquet(f"{path}_growth/tick={epoch}"))
         prefix = f"tick{epoch}-"
         for root, _, files in os.walk(path):
             for fn in files:
@@ -248,9 +294,6 @@ def refresh_ivf_index(stream_vecs: DataFrame, path: str, checkpoint: str,
                 os.replace(os.path.join(root, fn),
                            os.path.join(tgt, f"{prefix}{i:05d}.parquet"))
         shutil.rmtree(stage, ignore_errors=True)
-        (assigned.groupBy("list_id")
-         .agg(F.count(F.lit(1)).cast("long").alias("n_appended"))
-         .write.mode("overwrite").parquet(f"{path}_growth/tick={epoch}"))
 
     return (
         stream_vecs.writeStream.foreachBatch(_append)

@@ -225,7 +225,7 @@ def test_hybrid_ann_overlaps_exact_and_scans_no_text(corpus, spark, sf_dir, tmp_
         similarity as sim_ops)
     from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
         corpus_stats_from_sidecar, postings_stream, prune_term_buckets,
-        with_term_buckets)
+        with_term_buckets, write_corpus_stats)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -241,10 +241,7 @@ def test_hybrid_ann_overlaps_exact_and_scans_no_text(corpus, spark, sf_dir, tmp_
      .partitionBy("tb").parquet(str(tmp_path / "postings")))
     postings = prune_term_buckets(
         spark.read.parquet(str(tmp_path / "postings")), terms)
-    (docs.select(F.size(F.split("text", " ")).cast("long").alias("_dl"))
-     .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-          F.sum("_dl").alias("sum_dl"))
-     .write.mode("overwrite").parquet(str(tmp_path / "stats")))
+    write_corpus_stats(docs, str(tmp_path / "stats"))
     doc_stats = corpus_stats_from_sidecar(spark, str(tmp_path / "stats"))
     qvec = emb.filter(F.col("vec_id") == 3).select(
         F.col("vec_id").alias("doc_id"), "embedding")

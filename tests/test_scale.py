@@ -67,8 +67,11 @@ def test_ivf_index_tolerates_null_vectors(spark, sf_dir, tmp_path):
         assign_ivf_lists,
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    null_elem = [0.5] * dim
+    null_elem[3] = None  # a NULL ELEMENT also NPEs array_to_vector
     dirty = emb.unionByName(spark.createDataFrame(
-        [(888888, None, 0)], emb.schema))
+        [(888888, None, 0), (888887, null_elem, 0)], emb.schema))
     idx = str(tmp_path / "ivf")
     sim.build_ivf_index(dirty, idx, n_lists=8, seed=42)
     stored = spark.read.parquet(idx)
