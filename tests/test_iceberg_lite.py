@@ -298,3 +298,19 @@ def test_expire_snapshots_deletes_only_unreachable(spark, sf_dir, tmp_path):
     live = set(il._snapshot_files(path, meta, meta["current-snapshot-id"]))
     assert not (set(deleted) & live)
     assert live <= il._data_files(path)
+
+
+def test_iceberg_rejected_write_orphans_no_files(spark, sf_dir, tmp_path):
+    """A write the commit would refuse must fail with NOTHING written:
+    data files written first and refused later would be unreferenced
+    by any snapshot and unreclaimable by expire_snapshots."""
+    path = str(tmp_path / "ice_orphan")
+    o = _orders(spark, sf_dir).limit(20)
+    il.write_iceberg(o, path, partition_by=["yyyy"])
+    before = il._data_files(path)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        il.write_iceberg(o.drop("yyyy"), path, mode="append",
+                         partition_by=["yyyy"])
+    with pytest.raises(ValueError, match="partition_by"):
+        il.write_iceberg(o, path, mode="append", partition_by=[])
+    assert il._data_files(path) == before

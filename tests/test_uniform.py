@@ -98,3 +98,28 @@ def test_uniform_rejects_bad_mode(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="unsupported mode"):
         publish_uniform(_orders(spark, sf_dir).limit(5),
                         str(tmp_path / "x"), mode="merge")
+
+
+def test_uniform_refusal_leaves_both_planes_untouched(spark, sf_dir, tmp_path):
+    """A publish the Iceberg plane would refuse (schema drift,
+    partition-spec change) must fail BEFORE the Delta plane commits —
+    a half-committed publish would permanently diverge the planes the
+    uniform invariant promises equal."""
+    path = str(tmp_path / "uni_refuse")
+    o = _orders(spark, sf_dir).limit(40)
+    publish_uniform(o, path, partition_by=["yyyy"])
+    v0 = dl._list_versions(path)[-1]
+    s0 = il.table_metadata(path)["current-snapshot-id"]
+    d0, i0 = uniform_file_sets(path)
+    assert d0 == i0
+
+    with pytest.raises(ValueError, match="partition_by"):
+        publish_uniform(o, path, mode="append", partition_by=[])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        publish_uniform(o.drop("yyyy"), path, mode="append",
+                        partition_by=["yyyy"])
+
+    # neither plane moved, file sets still equal
+    assert dl._list_versions(path)[-1] == v0
+    assert il.table_metadata(path)["current-snapshot-id"] == s0
+    assert uniform_file_sets(path) == (d0, i0)
