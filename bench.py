@@ -238,6 +238,12 @@ def main() -> None:
     timings["semantic_dedup"] = timed_build(
         lambda: qs["semantic_dedup"](spark, sf_dir))
 
+    # FULL-corpus semantic dedup (every vector a candidate, bucket-
+    # bounded pair stage, no driver collect) — the 100 TB shape; the
+    # quantizer fit happens at plan time, so timed_build is honest
+    timings["semantic_dedup_full"] = timed_build(
+        lambda: qs["semantic_dedup_full"](spark, sf_dir))
+
     from pyspark.sql import functions as F
 
     # indexed hybrid serving: postings PREBUILT to parquet (untimed —

