@@ -358,10 +358,24 @@ def hybrid_search_ann(spark, ivf_path: str, postings: DataFrame, *,
     exact global ranks, which an m_vec-bounded candidate set cannot
     provide honestly.
 
+    ``doc_stats`` (the 1-row (n_docs, avgdl) sidecar frame,
+    :func:`~..streaming.index_refresh.corpus_stats_from_sidecar`) is
+    REQUIRED: callers of the served tier pass term-pruned postings,
+    and deriving N/avgdl from a pruned frame silently distorts idf —
+    this tier has no way to tell pruned from full postings, so it
+    refuses to guess.
+
     Returns (id, score, rank) like the other hybrid variants.
     """
     from .similarity import knn_ivf_indexed
     from ..streaming.index_refresh import bm25_from_postings
+
+    if doc_stats is None:
+        raise ValueError(
+            "hybrid_search_ann requires doc_stats (the corpus-stats "
+            "sidecar frame): deriving n_docs/avgdl from the passed "
+            "postings would be computed over term-pruned survivors "
+            "and silently distort idf")
 
     vec = knn_ivf_indexed(
         spark, ivf_path, query_vec, k=m_vec, n_probe=n_probe,

@@ -605,8 +605,18 @@ def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
     (n_lists rows — a metadata-scale lookup, like Delta's touched-file
     listing) and pushed into the partitioned read as a static IN
     predicate, so pruning happens at file-listing time
-    (plan-asserted in tests). The per-query (query, list) pairs then
-    broadcast-join the pruned scan."""
+    (plan-asserted in tests).
+
+    The probe ASSIGNMENT — (query, list) pairs bounded by
+    |queries| x n_probe, a metadata-scale set like the touched-file
+    listing — is collected ONCE and re-shipped as a literal broadcast
+    frame, so the centroid-ranking subplan runs exactly one job and is
+    never re-evaluated inside the serving join. An empty query set
+    short-circuits to an empty frame with the contract schema (the
+    degenerate ``isin([])`` plan never builds)."""
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
     cdf = spark.read.parquet(path + "_centroids")
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -623,12 +633,21 @@ def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
         )
     )
     w_lists = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("list_id"))
-    probe_lists = probed.select(
+    probe_plan = probed.select(
         "query_id", "_qv", "_qn", "list_id", F.row_number().over(w_lists).alias("_pr")
     ).filter(F.col("_pr") <= n_probe).drop("_pr")
 
-    touched = sorted({r["list_id"] for r in
-                      probe_lists.select("list_id").distinct().collect()})
+    probe_rows = probe_plan.collect()
+    if not probe_rows:
+        return spark.createDataFrame([], StructType([
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("neighbor_id",
+                        spark.read.parquet(path).schema[id_col].dataType),
+            StructField("rank", IntegerType(), False),
+            StructField("cosine", DoubleType()),
+        ]))
+    probe_lists = spark.createDataFrame(probe_rows, probe_plan.schema)
+    touched = sorted({r["list_id"] for r in probe_rows})
     idx = spark.read.parquet(path).filter(F.col("list_id").isin(touched))
     scored = (
         idx.join(F.broadcast(probe_lists), "list_id")

@@ -71,6 +71,8 @@ def refresh_postings(stream_docs: DataFrame, out_path: str,
             post.write.mode("overwrite").parquet(tick)
         write_corpus_stats(batch, out_path + "_stats", tick=epoch)
 
+    _require_checkpoint_owns_ticks(
+        checkpoint, [out_path, out_path + "_stats"])
     return (
         stream_docs.writeStream.foreachBatch(_append)
         .option("checkpointLocation", checkpoint)
@@ -170,6 +172,50 @@ def bm25_from_postings(postings: DataFrame, terms: tuple[str, ...],
         )
     )
     return scored.groupBy("doc_id").agg(F.round(F.sum("_s"), 6).alias("bm25"))
+
+
+def _require_checkpoint_owns_ticks(checkpoint: str, tick_dirs: list[str],
+                                   file_prefix_root: str | None = None) -> None:
+    """Refuse to start a refresh whose index already holds tick data
+    but whose checkpoint is missing/empty.
+
+    Per-tick overwrite idempotency keys ticks by the foreachBatch
+    epoch, which is unique only within ONE checkpoint's lifetime. A
+    lost/recreated checkpoint restarts epochs at 0 while the index
+    persists: with NEW input, the first tick would silently OVERWRITE
+    the prior lineage's tick-0 postings/stats (and the IVF path would
+    delete its tick0-* files) while the prior run's later ticks
+    survive — undetected data loss plus double-counted tf/df/N/avgdl.
+    True at-least-once replay (crash after the tick's writes, before
+    the checkpoint commit) keeps the checkpoint's offsets, so it
+    passes this guard and the same-epoch overwrite stays idempotent;
+    only the epoch-REUSE-across-lineages state is refused."""
+    import os
+    import re
+
+    offsets = os.path.join(checkpoint, "offsets")
+    if os.path.isdir(offsets) and os.listdir(offsets):
+        return
+    owned = []
+    for d in tick_dirs:
+        if os.path.isdir(d) and any(
+                n.startswith("tick=") for n in os.listdir(d)):
+            owned.append(d)
+    if file_prefix_root and os.path.isdir(file_prefix_root):
+        pat = re.compile(r"^tick\d+-")
+        for root, _, files in os.walk(file_prefix_root):
+            if any(pat.match(f) for f in files):
+                owned.append(file_prefix_root)
+                break
+    if owned:
+        raise ValueError(
+            f"refresh refused: {sorted(set(owned))} hold tick data from "
+            f"an earlier refresh lineage, but checkpoint {checkpoint} is "
+            f"empty — a fresh checkpoint restarts epochs at 0 and would "
+            f"overwrite/delete the earlier lineage's tick-0 output while "
+            f"reprocessing all input. Restore the original checkpoint, "
+            f"or rebuild the index from scratch (clear the tick data) "
+            f"before refreshing with a new checkpoint")
 
 
 def _require_tick_layout(path: str) -> None:
@@ -295,6 +341,8 @@ def refresh_ivf_index(stream_vecs: DataFrame, path: str, checkpoint: str,
                            os.path.join(tgt, f"{prefix}{i:05d}.parquet"))
         shutil.rmtree(stage, ignore_errors=True)
 
+    _require_checkpoint_owns_ticks(
+        checkpoint, [path + "_growth"], file_prefix_root=path)
     return (
         stream_vecs.writeStream.foreachBatch(_append)
         .option("checkpointLocation", checkpoint)

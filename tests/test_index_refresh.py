@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from snowflake_medtech_vigilance_lakehouse_spark.operators.text import bm25_scores
@@ -185,13 +186,26 @@ def test_ivf_refresh_assigns_appends_and_serves(spark, sf_dir, tmp_path):
     assert growth.agg(F.sum("n_appended")).first()[0] == 2
 
 
+def _uncommit_last_batch(ckpt: str) -> None:
+    """Simulate the real at-least-once crash window: the tick's writes
+    landed but the checkpoint COMMIT didn't. Offsets survive (the
+    checkpoint still owns the index's ticks), only the latest commit
+    marker is gone, so the restarted stream re-executes that batch
+    with the SAME epoch id."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    latest = max(f for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):  # local-FS checksum twin of the marker
+        os.remove(crc)
+
+
 def test_postings_refresh_idempotent_under_replay(spark, tmp_path):
     """At-least-once replay (crash after the tick's writes, before the
     checkpoint commit) must not double-count postings or stats: the
-    replayed batch overwrites its own tick directory. Simulated by
-    dropping the checkpoint so the same input replays as epoch 0."""
-    import shutil
-
+    replayed batch overwrites its own tick directory."""
     in_dir = tmp_path / "docs"; in_dir.mkdir()
     idx, ckpt = str(tmp_path / "pr"), str(tmp_path / "ckr")
     _write(in_dir / "a.ndjson", DOCS_A)
@@ -203,18 +217,63 @@ def test_postings_refresh_idempotent_under_replay(spark, tmp_path):
     refresh()
     first = spark.read.parquet(idx)
     n1, s1 = first.count(), spark.read.parquet(idx + "_stats").collect()
-    shutil.rmtree(ckpt)
-    refresh()  # same files, same epoch -> same tick dir, overwritten
+    _uncommit_last_batch(ckpt)
+    refresh()  # same batch, same epoch -> same tick dir, overwritten
     assert spark.read.parquet(idx).count() == n1
     assert spark.read.parquet(idx + "_stats").collect() == s1
+
+
+def test_refresh_refuses_fresh_checkpoint_over_existing_ticks(spark, tmp_path):
+    """A LOST (not crashed) checkpoint is the one state per-tick
+    idempotency cannot survive: epochs restart at 0 and the first tick
+    would overwrite/delete the prior lineage's tick-0 output while
+    reprocessing everything. Both refresh loops must refuse to start,
+    for a missing checkpoint and an empty (created-but-unused) one."""
+    import shutil
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import refresh_ivf_index
+
+    in_dir = tmp_path / "docs"; in_dir.mkdir()
+    idx, ckpt = str(tmp_path / "pg"), str(tmp_path / "ckg")
+    _write(in_dir / "a.ndjson", DOCS_A)
+
+    def refresh(ck):
+        stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+        refresh_postings(stream, idx, ck).awaitTermination(120)
+
+    refresh(ckpt)
+    shutil.rmtree(ckpt)
+    with pytest.raises(ValueError, match="refresh refused"):
+        refresh(ckpt)
+    with pytest.raises(ValueError, match="refresh refused"):
+        refresh(str(tmp_path / "ck_new"))
+
+    # the IVF twin: tick data lives as tickN- file prefixes inside the
+    # list_id layout plus the _growth sidecar
+    emb = spark.read.parquet(f"/root/testdata/sf0.001/embeddings.parquet")
+    ivf, ckv = str(tmp_path / "ivfg"), str(tmp_path / "ckvg")
+    sim.build_ivf_index(emb, ivf, n_lists=4, seed=42)
+    new_dir = tmp_path / "newv"; new_dir.mkdir()
+    emb.limit(1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    ).write.mode("overwrite").parquet(str(new_dir))
+
+    def vrefresh(ck):
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>").parquet(str(new_dir))
+        refresh_ivf_index(stream, ivf, ck).awaitTermination(120)
+
+    vrefresh(ckv)
+    shutil.rmtree(ckv)
+    with pytest.raises(ValueError, match="refresh refused"):
+        vrefresh(ckv)
 
 
 def test_ivf_refresh_idempotent_under_replay(spark, sf_dir, tmp_path):
     """The IVF tick publishes under deterministic tick-stamped file
     names inside the list_id layout; a replayed batch replaces its own
     files instead of appending duplicates."""
-    import shutil
-
     from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
     from snowflake_medtech_vigilance_lakehouse_spark.streaming import refresh_ivf_index
 
@@ -235,7 +294,7 @@ def test_ivf_refresh_idempotent_under_replay(spark, sf_dir, tmp_path):
     refresh()
     n1 = spark.read.parquet(idx).count()
     g1 = spark.read.parquet(idx + "_growth").agg(F.sum("n_appended")).first()[0]
-    shutil.rmtree(ckpt)
+    _uncommit_last_batch(ckpt)
     refresh()  # replay of the same batch, same epoch
     assert spark.read.parquet(idx).count() == n1 == emb.count() + 1
     assert spark.read.parquet(idx + "_growth").agg(

@@ -273,3 +273,11 @@ def test_hybrid_ann_overlaps_exact_and_scans_no_text(corpus, spark, sf_dir, tmp_
 
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan  # index tables only
+
+    # the served tier cannot tell pruned from full postings, so it
+    # must refuse to derive corpus stats itself rather than compute
+    # idf over the query terms' bucket survivors
+    with pytest.raises(ValueError, match="doc_stats"):
+        hybrid_search_ann(
+            spark, ivf, postings, query_terms=terms, query_vec=qvec,
+            allowed_ids=allowed, k=20, n_probe=8, m_vec=100)

@@ -58,6 +58,15 @@ def test_ivf_index_serving_matches_direct_and_prunes(spark, sf_dir, tmp_path):
     pf = plan[plan.index("PartitionFilters"):].split("]")[0]
     assert "list_id" in pf and "IN" in pf.upper()
 
+    # an EMPTY query frame must short-circuit to an empty result with
+    # the contract schema — not a degenerate isin([]) plan
+    none = sim.knn_ivf_indexed(
+        spark, idx, q.filter(F.col("vec_id") < 0), k=10, n_probe=3)
+    assert none.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert none.count() == 0
+    assert [f.dataType.simpleString() for f in none.schema.fields] == [
+        "bigint", "bigint", "int", "double"]
+
 
 def test_ivf_index_tolerates_null_vectors(spark, sf_dir, tmp_path):
     # a NULL embedding must not NPE the KMeans fit at build time, must
