@@ -272,7 +272,8 @@ def last_txn_version(path: str, app_id: str) -> int | None:
 def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
                 partition_by: list[str] | None = None,
                 txn: tuple[str, int] | None = None,
-                merge_schema: bool = False) -> int:
+                merge_schema: bool = False,
+                mirror_iceberg: bool = True) -> int:
     """Publish ``df`` at ``path`` as a Delta table; returns the
     committed version. ``mode``: 'overwrite' (logical replace — old
     files are removed in the log, not deleted from storage, which is
@@ -283,7 +284,15 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
     carries a ``txn`` for ``app_id`` at or past ``app_version``, the
     write is a no-op returning the current head — this is what turns
     an at-least-once upstream (foreachBatch re-delivery after a
-    crash) into exactly-once table contents."""
+    crash) into exactly-once table contents.
+
+    On a uniform table (an Iceberg metadata plane at the same path,
+    sources.uniform) the Iceberg plane is kept in sync: the plane's
+    commit validations run BEFORE any data lands, and the new head is
+    mirrored into an Iceberg snapshot after the Delta commit.
+    ``mirror_iceberg=False`` suppresses only the mirror —
+    ``publish_uniform`` passes it because it commits the Iceberg
+    plane itself (fast-append aware); no other caller should."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
     partition_by = list(partition_by or [])
@@ -326,6 +335,8 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
                 {"type": "struct", "fields": merged})
     if versions:
         _check_constraints(df, path)
+    _uniform_prevalidate(path, evolved_schema_json or df.schema.json(),
+                         partition_by)
 
     before = _data_files(path)
     writer = df.write.mode("append").format("parquet")
@@ -378,6 +389,8 @@ def write_delta(df: DataFrame, path: str, *, mode: str = "overwrite",
     # txn; put-if-absent (not rename) so a concurrent writer racing
     # for the same version loses loudly (see commit_put_if_absent)
     commit_put_if_absent(tmp, commit)
+    if mirror_iceberg:
+        _uniform_mirror(path)
     return version
 
 
@@ -607,6 +620,8 @@ def restore_delta(path: str, version: int) -> int:
     actions: list[dict] = []
     # schema rolls back with the data (RESTORE is whole-state)
     old_meta = table_metadata(path, version)
+    _uniform_prevalidate(path, old_meta["schemaString"],
+                         list(old_meta.get("partitionColumns") or []))
     if old_meta["schemaString"] != table_metadata(path, head)["schemaString"]:
         actions.append({"metaData": old_meta})
     for rel in sorted(set(current) - set(target)):
@@ -629,6 +644,7 @@ def restore_delta(path: str, version: int) -> int:
     with open(tmp, "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
     commit_put_if_absent(tmp, commit)
+    _uniform_mirror(path)
     return head + 1
 
 
@@ -996,6 +1012,32 @@ def replicate_incremental(spark: SparkSession, src_path: str, dst_path: str,
     return applied
 
 
+def _uniform_prevalidate(path: str, schema_json: str,
+                         partition_by: list[str]) -> None:
+    """Run the ICEBERG plane's commit validations BEFORE a Delta-plane
+    commit on a uniform table (sources.uniform): committing Delta and
+    then failing the Iceberg mirror would leave the planes permanently
+    diverged — the one unreachable state the uniform invariant
+    promises. No-op for plain Delta tables."""
+    from . import iceberg_lite as il
+    from . import uniform
+    if uniform.has_iceberg_plane(path):
+        il.validate_against_committed(path, schema_json, partition_by)
+
+
+def _uniform_mirror(path: str) -> None:
+    """Mirror the just-committed Delta head into the Iceberg plane of
+    a uniform table — every file-set-changing Delta commit (WRITE,
+    MERGE, OPTIMIZE, RESTORE) must reach Iceberg readers too, exactly
+    like real UniForm generates Iceberg metadata per Delta commit.
+    Without this, a MERGE would rewrite data files the Iceberg
+    CURRENT snapshot still lists: wrong data (or missing-file errors)
+    for every Iceberg reader. No-op for plain Delta tables."""
+    from . import uniform
+    if uniform.has_iceberg_plane(path):
+        uniform.mirror_delta_head_into_iceberg(path)
+
+
 def compact_delta(spark: SparkSession, path: str, *,
                   target_file_bytes: int = 128 << 20,
                   zorder_by: list[str] | None = None) -> int:
@@ -1027,6 +1069,7 @@ def compact_delta(spark: SparkSession, path: str, *,
         return head
     meta = table_metadata(path, head)
     partition_by = list(meta.get("partitionColumns") or [])
+    _uniform_prevalidate(path, meta["schemaString"], partition_by)
 
     total = sum(os.path.getsize(os.path.join(path, rel)) for rel in live)
     n_out = max(1, -(-total // max(1, target_file_bytes)))  # ceil div
@@ -1077,6 +1120,7 @@ def compact_delta(spark: SparkSession, path: str, *,
     with open(tmp, "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
     commit_put_if_absent(tmp, commit)
+    _uniform_mirror(path)
     return head + 1
 
 
@@ -1140,6 +1184,7 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
                 for f in json.loads(schema_json)["fields"]}
     if _shape(meta["schemaString"]) != _shape(source.schema.json()):
         raise ValueError("merge source schema does not match table schema")
+    _uniform_prevalidate(path, meta["schemaString"], partition_by)
 
     jsc = spark.sparkContext._jsc
 
@@ -1272,6 +1317,7 @@ def merge_delta(spark: SparkSession, path: str, source: DataFrame,
     with open(tmp, "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
     commit_put_if_absent(tmp, commit)
+    _uniform_mirror(path)
     return head + 1
 
 
@@ -1349,11 +1395,26 @@ def vacuum_delta(path: str, *, retention_ms: int = 7 * 24 * 3600 * 1000,
     Change-data files under ``_change_data/`` age out on the same
     retention (by mtime ≈ their commit time): the feed for a commit
     older than the horizon is unreadable afterwards, consistent with
-    time travel — downstream consumers must drain within retention."""
+    time travel — downstream consumers must drain within retention.
+
+    On a uniform table, files referenced by ANY retained Iceberg
+    snapshot are never deleted, whatever their Delta tombstone age:
+    the Iceberg plane keeps its own time-travel horizon, and a vacuum
+    that honored only Delta's would physically delete files older
+    Iceberg snapshots still list — missing-file errors for Iceberg
+    readers. Run ``iceberg_lite.expire_snapshots`` first to shrink
+    that retained set."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
-    head_live = _live_files(path, versions[-1])
+    head_live = set(_live_files(path, versions[-1]))
+    from . import uniform
+    if uniform.has_iceberg_plane(path):
+        from . import iceberg_lite as il
+        imeta = il.table_metadata(path)
+        for s in imeta["snapshots"]:
+            head_live.update(
+                il._snapshot_files(path, imeta, s["snapshot-id"]))
     tombstone: dict[str, int] = {}
     for v in versions:
         with open(_log_path(path, v)) as f:

@@ -783,6 +783,19 @@ def expire_snapshots(path: str, *, retain_last: int = 1) -> list[str]:
 
     keep = _reachable(retained)
     drop = _reachable(expired) - keep
+    # uniform table (sources.uniform — a Delta log owns the same data
+    # files): expiring an Iceberg snapshot must not physically delete
+    # a DATA file any surviving Delta version still references — that
+    # plane has its own time-travel horizon, reclaimed by its own
+    # vacuum_delta under its own retention. Iceberg-internal metadata
+    # (manifest lists/manifests) never appears in the Delta log and
+    # still expires here.
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        from . import delta_lite as _dl
+        protected: set[str] = set()
+        for v in _dl._list_versions(path):
+            protected.update(_dl._live_files(path, v))
+        drop -= protected
 
     now_ms = int(time.time() * 1000)
     new_meta = dict(meta)

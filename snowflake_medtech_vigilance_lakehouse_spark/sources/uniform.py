@@ -53,7 +53,8 @@ def publish_uniform(df: DataFrame, path: str, *,
     il.validate_against_committed(path, df.schema.json(), partition_by)
 
     version = dl.write_delta(df, path, mode=mode,
-                             partition_by=partition_by or None)
+                             partition_by=partition_by or None,
+                             mirror_iceberg=False)
 
     # the files THIS delta commit added (decoded rel paths)
     with open(dl._log_path(path, version)) as f:
@@ -65,6 +66,31 @@ def publish_uniform(df: DataFrame, path: str, *,
         df.schema.json(), path, added,
         mode=mode, partition_by=partition_by)
     return version, snapshot_id
+
+
+def has_iceberg_plane(path: str) -> bool:
+    """True when ``path`` carries a committed iceberg_lite metadata
+    plane next to its data — the signature of a uniform table. A bare
+    ``metadata/`` dir with no version files doesn't count."""
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        return False
+    return bool(il._list_meta_versions(path))
+
+
+def mirror_delta_head_into_iceberg(path: str) -> int:
+    """Commit an Iceberg snapshot whose live file set is EXACTLY the
+    Delta head's — how Delta-plane maintenance (MERGE / OPTIMIZE /
+    RESTORE / direct writes) keeps the Iceberg plane current, the way
+    real UniForm mirrors every commit. Called automatically by the
+    delta_lite maintenance entry points when they detect the plane;
+    O(live files) footer reads, no data movement. Returns the new
+    snapshot id."""
+    head = dl._list_versions(path)[-1]
+    meta = dl.table_metadata(path, head)
+    live = sorted(dl._live_files(path, head))
+    return il.commit_data_files(
+        meta["schemaString"], path, live, mode="overwrite",
+        partition_by=list(meta.get("partitionColumns") or []))
 
 
 def uniform_file_sets(path: str) -> tuple[set[str], set[str]]:

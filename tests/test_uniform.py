@@ -123,3 +123,94 @@ def test_uniform_refusal_leaves_both_planes_untouched(spark, sf_dir, tmp_path):
     assert dl._list_versions(path)[-1] == v0
     assert il.table_metadata(path)["current-snapshot-id"] == s0
     assert uniform_file_sets(path) == (d0, i0)
+
+
+def test_uniform_merge_mirrors_into_iceberg(spark, sf_dir, tmp_path):
+    """Delta-plane maintenance on a uniform table must reach Iceberg
+    readers: MERGE rewrites data files in the Delta plane, and without
+    the mirror the Iceberg CURRENT snapshot would list removed files —
+    wrong data (or missing-file errors) for every Iceberg reader."""
+    path = str(tmp_path / "uni_merge")
+    o = _orders(spark, sf_dir).limit(100).select(
+        "o_orderkey", "o_totalprice", "yyyy")
+    publish_uniform(o, path, partition_by=["yyyy"])
+
+    src = o.limit(10).withColumn("o_totalprice", F.lit(0.0))
+    dl.merge_delta(spark, path, src, on=["o_orderkey"],
+                   when_matched="update", when_not_matched=None)
+
+    d_files, i_files = uniform_file_sets(path)
+    assert d_files == i_files and d_files
+    d = dl.read_delta(spark, path)
+    i = il.read_iceberg(spark, path)
+    _frames_identical(d.select(*sorted(d.columns)),
+                      i.select(*sorted(i.columns)), ["o_orderkey"])
+    assert i.filter(F.col("o_totalprice") == 0.0).count() == 10
+
+
+def test_uniform_compact_and_restore_mirror(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "uni_maint")
+    o = _orders(spark, sf_dir).limit(60).select(
+        "o_orderkey", "o_totalprice", "yyyy")
+    publish_uniform(o.repartition(6), path)
+    publish_uniform(o.limit(20), path, mode="append")
+
+    dl.compact_delta(spark, path, target_file_bytes=1 << 30)
+    d_files, i_files = uniform_file_sets(path)
+    assert d_files == i_files
+    assert il.read_iceberg(spark, path).count() == 80
+
+    dl.restore_delta(path, 0)
+    d_files, i_files = uniform_file_sets(path)
+    assert d_files == i_files
+    assert il.read_iceberg(spark, path).count() == 60
+
+
+def test_uniform_direct_write_delta_mirrors(spark, sf_dir, tmp_path):
+    """A direct write_delta on a uniform table path (not via
+    publish_uniform) must keep the planes equal too — a documented
+    trap is still a trap."""
+    path = str(tmp_path / "uni_direct")
+    o = _orders(spark, sf_dir).limit(50).select("o_orderkey", "yyyy")
+    publish_uniform(o, path)
+    s0 = il.table_metadata(path)["current-snapshot-id"]
+
+    dl.write_delta(o.limit(5), path, mode="append")
+    d_files, i_files = uniform_file_sets(path)
+    assert d_files == i_files
+    assert il.read_iceberg(spark, path).count() == 55
+    assert il.table_metadata(path)["current-snapshot-id"] != s0
+
+    # the plane's validations still gate a drifted direct write BEFORE
+    # the Delta commit (nothing diverges even transiently)
+    with pytest.raises(ValueError):
+        dl.write_delta(
+            o.withColumn("extra", F.lit(1)), path, mode="append",
+            merge_schema=True)
+    assert uniform_file_sets(path) == (d_files, i_files)
+
+
+def test_uniform_vacuum_protects_iceberg_snapshots(spark, sf_dir, tmp_path):
+    """vacuum_delta must never physically delete a file any RETAINED
+    Iceberg snapshot references, whatever its Delta tombstone age;
+    after expire_snapshots shrinks the Iceberg horizon the same
+    vacuum may reclaim it."""
+    path = str(tmp_path / "uni_vac")
+    o = _orders(spark, sf_dir).limit(40).select("o_orderkey", "yyyy")
+    publish_uniform(o, path)
+    first_files = set(dl._live_files(path, 0))
+    publish_uniform(o.limit(10), path)  # overwrite: v0 files tombstoned
+
+    # tombstones are old enough to reclaim by Delta's clock alone
+    future = int(__import__("time").time() * 1000) + 10 * 24 * 3600 * 1000
+    deleted = dl.vacuum_delta(path, retention_ms=0, now_ms=future)
+    assert not set(deleted) & first_files
+    for rel in first_files:
+        assert os.path.exists(os.path.join(path, rel))
+    # the overwritten snapshot is still readable through Iceberg
+    first_sid = il.table_metadata(path)["snapshots"][0]["snapshot-id"]
+    assert il.read_iceberg(spark, path, snapshot_id=first_sid).count() == 40
+
+    il.expire_snapshots(path, retain_last=1)
+    deleted = dl.vacuum_delta(path, retention_ms=0, now_ms=future)
+    assert first_files <= set(deleted)
