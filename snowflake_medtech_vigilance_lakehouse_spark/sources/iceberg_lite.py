@@ -288,11 +288,29 @@ def _partition_avro_schema(table_schema: dict, spec_fields: list[dict]) -> dict:
     return {"type": "record", "name": "r102", "fields": fields}
 
 
+def _stats_map_schema(key_id: int, value_id: int, value_type: str) -> list:
+    """Spec 'Appendix A: Avro' — Iceberg maps with non-string keys use
+    the array-of-record representation (``logicalType: map``, records
+    named ``k{key-id}_v{value-id}`` with ``key``/``value`` fields)."""
+    return ["null", {
+        "type": "array", "logicalType": "map",
+        "items": {
+            "type": "record", "name": f"k{key_id}_v{value_id}",
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+    }]
+
+
 def _manifest_schema(partition_schema: dict) -> dict:
-    """Spec 'Manifests': manifest_entry wrapping data_file (r2).
-    Optional column-stats fields (value_counts 108, null_value_counts
-    110, lower_bounds 125, upper_bounds 128, ...) omitted — legal, and
-    honest: we don't compute them."""
+    """Spec 'Manifests': manifest_entry wrapping data_file (r2), with
+    the optional column-stats fields external planners prune on
+    (value_counts 108, null_value_counts 110, lower_bounds 125,
+    upper_bounds 128 — bounds in the spec's single-value binary
+    serialization). Writers that can't compute a column's stats write
+    null, which readers must treat as unprunable."""
     data_file = {
         "type": "record", "name": "r2",
         "fields": [
@@ -302,6 +320,14 @@ def _manifest_schema(partition_schema: dict) -> dict:
             {"name": "partition", "type": partition_schema, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "value_counts", "type": _stats_map_schema(119, 120, "long"),
+             "default": None, "field-id": 108},
+            {"name": "null_value_counts", "type": _stats_map_schema(121, 122, "long"),
+             "default": None, "field-id": 110},
+            {"name": "lower_bounds", "type": _stats_map_schema(126, 127, "bytes"),
+             "default": None, "field-id": 125},
+            {"name": "upper_bounds", "type": _stats_map_schema(129, 130, "bytes"),
+             "default": None, "field-id": 128},
         ],
     }
     return {
@@ -316,6 +342,138 @@ def _manifest_schema(partition_schema: dict) -> dict:
              "default": None, "field-id": 4},
             {"name": "data_file", "type": data_file, "field-id": 2},
         ],
+    }
+
+
+def _encode_bound(t: str, v) -> bytes | None:
+    """Spec 'Appendix D: Single-value serialization' for the primitive
+    types this writer produces: little-endian fixed-width numerics,
+    UTF-8 strings, date as days-from-epoch int, timestamps as
+    microseconds-from-epoch long. Unknown types return None (the
+    column's bounds are simply not written)."""
+    import datetime
+    import struct as _struct
+
+    try:
+        if t == "int":
+            return _struct.pack("<i", int(v))
+        if t == "long":
+            return _struct.pack("<q", int(v))
+        if t == "float":
+            return _struct.pack("<f", float(v))
+        if t == "double":
+            return _struct.pack("<d", float(v))
+        if t == "boolean":
+            return b"\x01" if v else b"\x00"
+        if t == "string":
+            return str(v).encode("utf-8")
+        if t == "date":
+            return _struct.pack("<i", v.toordinal() - _EPOCH_ORDINAL)
+        if t in ("timestamp", "timestamptz"):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            epoch = datetime.datetime(1970, 1, 1)
+            return _struct.pack("<q", round((v - epoch).total_seconds() * 1e6))
+    except (ValueError, OverflowError, _struct.error):
+        return None
+    return None
+
+
+def _decode_bound(t: str, b: bytes):
+    """Inverse of :func:`_encode_bound`; None for unknown types."""
+    import datetime
+    import struct as _struct
+
+    try:
+        if t == "int":
+            return _struct.unpack("<i", b)[0]
+        if t == "long":
+            return _struct.unpack("<q", b)[0]
+        if t == "float":
+            return _struct.unpack("<f", b)[0]
+        if t == "double":
+            return _struct.unpack("<d", b)[0]
+        if t == "boolean":
+            return b != b"\x00"
+        if t == "string":
+            return b.decode("utf-8")
+        if t == "date":
+            return datetime.date.fromordinal(
+                _struct.unpack("<i", b)[0] + _EPOCH_ORDINAL)
+        if t in ("timestamp", "timestamptz"):
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=_struct.unpack("<q", b)[0])
+    except (ValueError, _struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _file_column_stats(full_path: str, schema: dict) -> dict:
+    """Per-column stats of one parquet file from its FOOTER (no data
+    pages read) keyed by Iceberg field id: value_counts,
+    null_value_counts, and single-value-serialized lower/upper bounds
+    — the r2 optional fields external planners prune on. Columns
+    whose chunks lack min/max, nested leaves, and types without a
+    bound serialization are omitted (readers treat them as
+    unprunable). Everything is returned in the Avro array-of-record
+    map representation; empty maps collapse to None."""
+    import pyarrow.parquet as pq
+
+    cols = {f["name"]: (f["id"], f["type"])
+            for f in schema["fields"] if isinstance(f["type"], str)}
+    try:
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return {}
+    counts: dict = {}
+    nulls: dict = {}
+    mins: dict = {}
+    maxs: dict = {}
+    complete: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in cols:
+                continue
+            counts[name] = counts.get(name, 0) + g.num_rows
+            st = col.statistics
+            ok = st is not None and st.has_min_max
+            complete[name] = complete.get(name, True) and ok
+            if st is not None and st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if ok:
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        complete[name] = False
+                        continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+
+    def _amap(d: dict) -> list | None:
+        out = [{"key": cols[n][0], "value": v} for n, v in sorted(d.items())]
+        return out or None
+
+    lower: dict = {}
+    upper: dict = {}
+    for name in mins:
+        if not complete.get(name):
+            continue
+        t = cols[name][1]
+        lo_b = _encode_bound(t, mins[name])
+        hi_b = _encode_bound(t, maxs[name])
+        if lo_b is not None and hi_b is not None:
+            lower[name] = lo_b
+            upper[name] = hi_b
+    return {
+        "value_counts": _amap(counts),
+        "null_value_counts": _amap(nulls),
+        "lower_bounds": _amap(lower),
+        "upper_bounds": _amap(upper),
     }
 
 
@@ -518,6 +676,10 @@ def commit_data_files(schema_json: str, path: str, rel_files: list[str],
                 "partition": _partition_tuple(rel, partition_by),
                 "record_count": nrows,
                 "file_size_in_bytes": os.path.getsize(full),
+                # column stats from the same footer (field-id keyed;
+                # what gives EXTERNAL engines file-level pruning, the
+                # Iceberg-plane analog of delta_lite's add.stats)
+                **_file_column_stats(full, schema),
             },
         })
 
@@ -649,16 +811,66 @@ def commit_data_files(schema_json: str, path: str, rel_files: list[str],
 
 # --------------------------------------------------------------- reader
 
+def _bounds_can_skip(data_file: dict, col_id: int, t: str, op: str,
+                     val) -> bool:
+    """True iff the manifest's lower/upper bounds PROVE no row of the
+    file satisfies ``col op val``. Missing bounds (legacy manifests,
+    unstatted columns), unknown types, or a type mismatch mean False —
+    pruning is only ever an optimization."""
+    import datetime
+
+    lb = next((e["value"] for e in (data_file.get("lower_bounds") or [])
+               if e["key"] == col_id), None)
+    ub = next((e["value"] for e in (data_file.get("upper_bounds") or [])
+               if e["key"] == col_id), None)
+    if lb is None or ub is None:
+        return False
+    lo, hi = _decode_bound(t, lb), _decode_bound(t, ub)
+    if lo is None or hi is None:
+        return False
+    num = (int, float)
+    if isinstance(val, bool) or isinstance(lo, bool):
+        return False
+    if isinstance(val, datetime.datetime):
+        if not isinstance(lo, datetime.datetime):
+            return False
+        if val.tzinfo is not None:
+            # bounds are naive UTC wall times (see _encode_bound)
+            val = val.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    elif isinstance(val, datetime.date):
+        if not isinstance(lo, datetime.date) or isinstance(lo, datetime.datetime):
+            return False
+    elif isinstance(val, num):
+        if not isinstance(lo, num):
+            return False
+    elif isinstance(val, str):
+        if not isinstance(lo, str):
+            return False
+    else:
+        return False
+    return {"==": val < lo or val > hi, "<": lo >= val, "<=": lo > val,
+            ">": hi <= val, ">=": hi < val}.get(op, False)
+
+
 def _snapshot_files(path: str, meta: dict, snapshot_id: int,
-                    partition_filter: dict[str, str] | None = None) -> list[str]:
+                    partition_filter: dict[str, str] | None = None,
+                    predicates: list[tuple[str, str, object]] | None = None,
+                    ) -> list[str]:
     """Live data-file paths of a snapshot, optionally pruned by exact
     partition-tuple match at the METADATA level — files whose manifest
     partition tuple misses the filter are never handed to Spark, the
-    Iceberg-side analog of delta_lite's log-level pruning."""
+    Iceberg-side analog of delta_lite's log-level pruning — and/or by
+    column-stats ``(col, op, val)`` predicates against the manifests'
+    lower/upper bounds."""
     snap = next((s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None)
     if snap is None:
         have = [s["snapshot-id"] for s in meta["snapshots"]]
         raise ValueError(f"snapshot {snapshot_id} not in table (have {have})")
+    col_info: dict[str, tuple[int, str]] = {}
+    if predicates:
+        col_info = {f["name"]: (f["id"], f["type"])
+                    for f in meta["schemas"][0]["fields"]
+                    if isinstance(f["type"], str)}
     manifests = _read_manifest_list(path, snap["manifest-list"])
     out = []
     for m in manifests:
@@ -670,22 +882,40 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int,
                 str(part.get(k)) != str(v) for k, v in partition_filter.items()
             ):
                 continue
+            if predicates and any(
+                c in col_info and _bounds_can_skip(
+                    e["data_file"], col_info[c][0], col_info[c][1], o, x)
+                for c, o, x in predicates
+            ):
+                continue
             out.append(e["data_file"]["file_path"])
     return sorted(out)
 
 
 def read_iceberg(spark: SparkSession, path: str, *,
                  snapshot_id: int | None = None,
-                 partition_filter: dict[str, str] | None = None) -> DataFrame:
+                 partition_filter: dict[str, str] | None = None,
+                 predicates: list[tuple[str, str, object]] | None = None,
+                 ) -> DataFrame:
     """Read an iceberg_lite table (current snapshot, or time-traveled
     to ``snapshot_id``). Partition columns come back via ``basePath``
     over the hive-style data layout, so predicate pruning behaves
     exactly as on the plain partitioned mart; ``partition_filter``
     additionally prunes at the metadata level before Spark ever lists
-    a file."""
+    a file.
+
+    ``predicates`` — a conjunction of ``(col, op, val)`` with op in
+    {==, <, <=, >, >=} — enables STATS-BASED FILE SKIPPING from the
+    manifests' lower/upper bounds (the delta_lite ``predicates``
+    twin). The predicate is ALSO applied as a row filter, so results
+    are identical whether or not any file was skipped."""
+    if predicates:
+        for col, op, val in predicates:
+            if op not in ("==", "<", "<=", ">", ">="):
+                raise ValueError(f"unsupported predicate op: {op}")
     meta = table_metadata(path)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
-    files = _snapshot_files(path, meta, sid, partition_filter)
+    files = _snapshot_files(path, meta, sid, partition_filter, predicates)
     if not files:
         from pyspark.sql.types import StructType
         spark_fields = [
@@ -708,9 +938,14 @@ def read_iceberg(spark: SparkSession, path: str, *,
         base = os.path.join(path, _DATA)
     else:
         base = path
-    return spark.read.option("basePath", base).parquet(
+    df = spark.read.option("basePath", base).parquet(
         *[os.path.join(path, rel) for rel in files]
     )
+    if predicates:
+        from .delta_lite import _pred
+        for col, op, val in predicates:
+            df = df.filter(_pred(col, op, val))
+    return df
 
 
 # --------------------------------------------------------- maintenance

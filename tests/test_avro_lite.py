@@ -270,6 +270,13 @@ def test_iceberg_reader_still_parses_legacy_json_manifests(spark, sf_dir,
     legacy_manifests = []
     for m in manifests:
         entries = il._read_manifest(path, m["manifest_path"])
+        # the pre-Avro layout predates column stats (binary bounds are
+        # not JSON-representable); legacy entries never carried them
+        for e in entries:
+            e["data_file"] = {
+                k: v for k, v in e["data_file"].items()
+                if k not in ("value_counts", "null_value_counts",
+                             "lower_bounds", "upper_bounds")}
         mrel = m["manifest_path"].replace(".avro", ".manifest.json")
         with open(os.path.join(path, mrel), "w") as f:
             json.dump({"spec-id": 0, "entries": entries}, f)

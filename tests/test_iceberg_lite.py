@@ -314,3 +314,89 @@ def test_iceberg_rejected_write_orphans_no_files(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="partition_by"):
         il.write_iceberg(o, path, mode="append", partition_by=[])
     assert il._data_files(path) == before
+
+
+def test_manifests_carry_column_stats_and_pruning_is_lossless(
+        spark, sf_dir, tmp_path):
+    """data_file's optional stats fields (value_counts 108,
+    null_value_counts 110, lower_bounds 125, upper_bounds 128) must be
+    REAL: bounds in the spec's single-value binary serialization keyed
+    by field id, and read_iceberg(predicates=...) must skip files from
+    them losslessly — the Iceberg-plane twin of
+    test_add_actions_carry_stats_and_pruning_is_lossless."""
+    path = str(tmp_path / "ice_stats")
+    o = _orders(spark, sf_dir).orderBy("o_orderkey").repartitionByRange(
+        4, "o_orderkey")
+    il.write_iceberg(o.sortWithinPartitions("o_orderkey"), path)
+
+    meta = il.table_metadata(path)
+    fields = {f["name"]: (f["id"], f["type"])
+              for f in meta["schemas"][0]["fields"]}
+    snap = meta["snapshots"][-1]
+    entries = []
+    for m in il._read_manifest_list(path, snap["manifest-list"]):
+        entries.extend(il._read_manifest(path, m["manifest_path"]))
+    assert len(entries) >= 4
+    okey_id, okey_t = fields["o_orderkey"]
+    lows, highs = [], []
+    for e in entries:
+        dfd = e["data_file"]
+        vc = {x["key"]: x["value"] for x in dfd["value_counts"]}
+        assert vc[okey_id] == dfd["record_count"]
+        nc = {x["key"]: x["value"] for x in dfd["null_value_counts"]}
+        assert nc.get(okey_id) == 0
+        lb = {x["key"]: x["value"] for x in dfd["lower_bounds"]}
+        ub = {x["key"]: x["value"] for x in dfd["upper_bounds"]}
+        assert isinstance(lb[okey_id], bytes)
+        lo = il._decode_bound(okey_t, lb[okey_id])
+        hi = il._decode_bound(okey_t, ub[okey_id])
+        assert lo <= hi
+        lows.append(lo)
+        highs.append(hi)
+        # string + date bounds decode to their native domains too
+        d_id, d_t = fields["o_orderdate"]
+        pr_id, pr_t = fields["o_orderpriority"]
+        import datetime
+        assert isinstance(
+            il._decode_bound(d_t, {x["key"]: x["value"]
+                                   for x in dfd["lower_bounds"]}[d_id]),
+            datetime.date)
+        assert isinstance(
+            il._decode_bound(pr_t, {x["key"]: x["value"]
+                                    for x in dfd["lower_bounds"]}[pr_id]),
+            str)
+    # range layout: file bounds are disjoint-ish, so a point predicate
+    # proves most files empty
+    probe = min(lows) + 1
+    preds = [("o_orderkey", "<=", probe)]
+    full = il.read_iceberg(spark, path).filter(F.col("o_orderkey") <= probe)
+    pruned = il.read_iceberg(spark, path, predicates=preds)
+    assert pruned.count() == full.count() > 0
+    assert len(pruned.inputFiles()) < len(entries)
+
+    # conservative rules: type mismatch and unknown column never prune
+    e0 = entries[0]["data_file"]
+    assert il._bounds_can_skip(e0, okey_id, okey_t, ">=", "zzz") is False
+    assert il._bounds_can_skip(e0, 99999, "int", "==", 1) is False
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        il.read_iceberg(spark, path, predicates=[("o_orderkey", "!=", 1)])
+
+
+def test_uniform_tables_get_iceberg_stats_too(spark, sf_dir, tmp_path):
+    """The uniform publication path commits through commit_data_files,
+    so the Iceberg plane over Delta-owned files must carry the same
+    prunable bounds."""
+    from snowflake_medtech_vigilance_lakehouse_spark.sources.uniform import (
+        publish_uniform)
+
+    path = str(tmp_path / "uni_stats")
+    o = _orders(spark, sf_dir).orderBy("o_orderkey").repartitionByRange(
+        4, "o_orderkey").sortWithinPartitions("o_orderkey")
+    publish_uniform(o, path)
+    probe = il.read_iceberg(spark, path).agg(
+        F.min("o_orderkey")).first()[0] + 1
+    pruned = il.read_iceberg(
+        spark, path, predicates=[("o_orderkey", "<=", probe)])
+    full = il.read_iceberg(spark, path).filter(F.col("o_orderkey") <= probe)
+    assert pruned.count() == full.count() > 0
+    assert len(pruned.inputFiles()) < 4
