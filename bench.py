@@ -314,6 +314,29 @@ def main() -> None:
                     allowed_ids=allowed, doc_stats=ann_stats,
                     k=20, n_probe=8, m_vec=100))
 
+            # tick-compaction pair: the SAME postings served from 16
+            # accumulated refresh-tick dirs vs one compacted dir — the
+            # serving cost that compact_index_ticks exists to bound
+            # (O(ticks) directory listings + footers at plan time)
+            from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+                bm25_from_postings, compact_index_ticks)
+
+            tick_root = ann_dir + "/postings_ticks"
+            for t in range(16):
+                (with_term_buckets(
+                    postings_stream(docs.filter(F.col("doc_id") % 16 == t)))
+                 .write.mode("overwrite").partitionBy("tb")
+                 .parquet(f"{tick_root}/tick={t}"))
+            p_ticks = prune_term_buckets(
+                spark.read.parquet(tick_root), HYBRID_TERMS)
+            timings["bm25_served_ticks16"] = timed(bm25_from_postings(
+                p_ticks, HYBRID_TERMS, doc_stats=ann_stats))
+            compact_index_ticks(spark, tick_root, keep_ticks=1)
+            p_comp = prune_term_buckets(
+                spark.read.parquet(tick_root), HYBRID_TERMS)
+            timings["bm25_served_compacted"] = timed(bm25_from_postings(
+                p_comp, HYBRID_TERMS, doc_stats=ann_stats))
+
     # skewed-aggregate evidence (reference README.md:46 — one
     # manufacturer owns 30% of events): quarterly-style sum over a
     # 30%-hot key, plain vs salted_agg. Expected PARITY — Spark's

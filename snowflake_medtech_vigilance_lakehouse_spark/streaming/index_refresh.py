@@ -279,6 +279,139 @@ def assign_ivf_lists(vecs: DataFrame, centroids: DataFrame,
     )
 
 
+def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
+    """Merge old refresh-tick directories into one — the OPTIMIZE for
+    the tick-partitioned index layout. ``refresh_postings`` (and the
+    ``_stats``/``_growth`` sidecars) accumulate one ``tick=N`` dir per
+    refresh forever: every dir is another listing + another parquet
+    footer at serve time, so query planning cost grows O(ticks) while
+    the data doesn't. This merges every tick below the newest
+    ``keep_ticks`` into a single consolidated dir (named for the
+    oldest merged tick), preserving rows exactly — readers ignore
+    ``tick`` beyond partition discovery, so reader results are
+    IDENTICAL across a compaction (pytest-pinned).
+
+    ``keep_ticks >= 1`` (default) never touches the newest tick: only
+    the latest uncommitted batch can ever replay under at-least-once,
+    so every merged tick is replay-dead and the per-tick overwrite
+    idempotency contract is preserved. Term-bucket (``tb=``) hive
+    dirs inside ticks are re-partitioned into the consolidated dir.
+
+    Staged like the other maintenance swaps (consolidated dir written
+    first, superseded ticks moved to ``{path}_compact_trash``, then
+    deleted): a crash mid-swap leaves the trash dir next to the index
+    — recoverable by moving its ticks back, never silently wrong.
+    Returns the merged tick ids ([] = nothing to do)."""
+    import os
+    import shutil
+
+    if keep_ticks < 1:
+        raise ValueError("keep_ticks must be >= 1 (the newest tick is "
+                         "the only one that can replay; it must survive)")
+    if not os.path.isdir(path):
+        return []
+    ticks = sorted(int(d.split("=", 1)[1]) for d in os.listdir(path)
+                   if d.startswith("tick="))
+    merge = ticks[:-keep_ticks]
+    if len(merge) <= 1:
+        return []
+    df = spark.read.parquet(path).filter(F.col("tick").isin(merge))
+    has_tb = any(
+        n.startswith("tb=")
+        for n in os.listdir(os.path.join(path, f"tick={merge[0]}")))
+    stage = path + "_compact_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    writer = df.drop("tick").write.mode("overwrite")
+    if has_tb:
+        writer = writer.partitionBy("tb")
+    writer.parquet(stage)
+    trash = path + "_compact_trash"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.makedirs(trash)
+    for t in merge:
+        os.rename(os.path.join(path, f"tick={t}"),
+                  os.path.join(trash, f"tick={t}"))
+    os.rename(stage, os.path.join(path, f"tick={merge[0]}"))
+    shutil.rmtree(trash)
+    return merge
+
+
+def maintain_ivf_index(spark, path: str, *, threshold: float = 0.2,
+                       id_col: str = "vec_id", seed: int = 42) -> bool:
+    """Rebuild-on-evidence for the persisted IVF index — the policy
+    the ``_growth`` sidecar exists for (and which, through round 6,
+    was documented but never executable). The quantizer is frozen at
+    build time; every :func:`refresh_ivf_index` tick appends vectors
+    under it, so the true centroids drift and recall decays silently.
+    This op turns the sidecar's evidence into action:
+
+    1. read ``_growth`` (O(ticks x lists) tiny rows) and the per-list
+       row counts of the index (a metadata-ish aggregate over the
+       partitioned layout);
+    2. appended mass per list = growth; built mass = current - growth.
+       Trigger when the GLOBAL appended/built ratio crosses
+       ``threshold``, or any single list's does (a list absorbing
+       disproportionate appends is exactly where the frozen quantizer
+       is most wrong);
+    3. on trigger: re-run ``build_ivf_index`` over the index's own
+       rows (same n_lists, fresh k-means) into a staging dir, swap it
+       in with two directory renames, clear ``_growth`` (drift is now
+       zero). The refresh checkpoint stays valid — it tracks INPUT
+       files, and the rebuild folds all previously-appended ticks
+       into the new base, so the next tick continues from the same
+       offsets with a fresh growth ledger.
+
+    Returns True iff a rebuild ran. The swap is staged (rename old
+    away, rename new in), not single-syscall-atomic: a crash between
+    the renames leaves ``{path}_retired`` next to a missing index —
+    loud and recoverable (rename it back), never silently wrong.
+    Like the refresh loop, requires a driver-visible POSIX path."""
+    import os
+    import shutil
+
+    from ..operators.similarity import build_ivf_index
+
+    growth_path = path + "_growth"
+    if not os.path.isdir(growth_path):
+        return False  # no appends since build: nothing to weigh
+    growth = (spark.read.parquet(growth_path)
+              .groupBy("list_id").agg(F.sum("n_appended").alias("appended")))
+    current = (spark.read.parquet(path)
+               .groupBy("list_id").agg(F.count(F.lit(1)).alias("total")))
+    stats = (current.join(growth, "list_id", "left")
+             .select("list_id",
+                     F.coalesce("appended", F.lit(0)).alias("appended"),
+                     "total")
+             .collect())  # n_lists rows — metadata scale
+    appended = sum(r["appended"] for r in stats)
+    built = sum(r["total"] - r["appended"] for r in stats)
+    if appended == 0:
+        return False
+    per_list = max(
+        r["appended"] / max(1, r["total"] - r["appended"]) for r in stats)
+    if appended / max(1, built) < threshold and per_list < threshold:
+        return False
+
+    n_lists = spark.read.parquet(path + "_centroids").count()
+    corpus = spark.read.parquet(path).select(id_col, "_v")
+    stage = path + "_rebuild"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(stage + "_centroids", ignore_errors=True)
+    build_ivf_index(corpus, stage, n_lists=n_lists, id_col=id_col,
+                    vec_col="_v", seed=seed)
+    retired = path + "_retired"
+    shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(retired + "_centroids", ignore_errors=True)
+    os.rename(path, retired)
+    os.rename(path + "_centroids", retired + "_centroids")
+    os.rename(stage, path)
+    os.rename(stage + "_centroids", path + "_centroids")
+    shutil.rmtree(growth_path, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(retired + "_centroids", ignore_errors=True)
+    return True
+
+
 def refresh_ivf_index(stream_vecs: DataFrame, path: str, checkpoint: str,
                       *, id_col: str = "vec_id",
                       vec_col: str = "embedding"):
@@ -290,10 +423,10 @@ def refresh_ivf_index(stream_vecs: DataFrame, path: str, checkpoint: str,
 
     The quantizer stays frozen; appended mass drifts the true
     centroids, so each tick also appends per-list counts to a
-    ``{path}_growth`` sidecar. A maintenance policy reads the sidecar
-    and triggers ``build_ivf_index`` anew when growth crosses its
-    threshold — rebuild-on-evidence, the OPTIMIZE analog, instead of
-    silent recall decay."""
+    ``{path}_growth`` sidecar. :func:`maintain_ivf_index` reads the
+    sidecar and triggers ``build_ivf_index`` anew when growth crosses
+    its threshold — rebuild-on-evidence, the OPTIMIZE analog, instead
+    of silent recall decay."""
 
     def _append(batch: DataFrame, epoch: int) -> None:
         import os

@@ -299,3 +299,115 @@ def test_ivf_refresh_idempotent_under_replay(spark, sf_dir, tmp_path):
     assert spark.read.parquet(idx).count() == n1 == emb.count() + 1
     assert spark.read.parquet(idx + "_growth").agg(
         F.sum("n_appended")).first()[0] == g1 == 1
+
+
+def test_maintain_ivf_rebuilds_on_growth_and_recall_holds(spark, tmp_path):
+    """The rebuild-on-evidence loop end-to-end: build on a third of
+    the corpus, stream-append the other two thirds (6x the built mass
+    in one list's worth of drift), and maintain_ivf_index must
+    (a) not fire below threshold, (b) fire above it, rebuilding with a
+    fresh quantizer and clearing _growth, (c) leave the index serving
+    the same vector set with recall at the pytest gate."""
+    import os
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import (
+        maintain_ivf_index, refresh_ivf_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx, ckpt = str(tmp_path / "ivf"), str(tmp_path / "ck")
+    built = emb.filter(F.col("vec_id") % 3 == 0)
+    sim.build_ivf_index(built, idx, n_lists=16, seed=42)
+
+    # nothing appended yet: no evidence, no rebuild
+    assert maintain_ivf_index(spark, idx, threshold=0.2) is False
+
+    new_dir = tmp_path / "new"; new_dir.mkdir()
+    emb.filter(F.col("vec_id") % 3 != 0).write.mode("overwrite")\
+        .parquet(str(new_dir))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>").parquet(str(new_dir))
+    refresh_ivf_index(stream, idx, ckpt).awaitTermination(120)
+    assert spark.read.parquet(idx).count() == emb.count()
+
+    # appended mass is ~2x built: far over a 10x threshold? no — but
+    # a sky-high threshold must NOT fire (the policy is evidence-led,
+    # not unconditional)
+    assert maintain_ivf_index(spark, idx, threshold=100.0) is False
+    assert os.path.isdir(idx + "_growth")
+
+    c_before = spark.read.parquet(idx + "_centroids").collect()
+    assert maintain_ivf_index(spark, idx, threshold=0.2) is True
+    # growth ledger cleared, same vectors, fresh quantizer
+    assert not os.path.isdir(idx + "_growth")
+    assert spark.read.parquet(idx).count() == emb.count()
+    assert spark.read.parquet(idx + "_centroids").count() == 16
+    assert spark.read.parquet(idx + "_centroids").collect() != c_before
+
+    # served recall over the rebuilt index clears the IVF gate
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = sim.knn_bruteforce(emb, q, k=20)
+    served = sim.knn_ivf_indexed(spark, idx, q, k=20, n_probe=8)
+    assert sim.recall_at_k(served, exact, k=20) >= 0.72
+
+
+def test_compact_index_ticks_preserves_readers_and_respects_newest(
+        spark, tmp_path):
+    """Compaction across refresh ticks must be invisible to every
+    reader: postings rows, BM25 scores (with sidecar stats), and the
+    stats sidecar's sums are identical before/after; the newest tick
+    (the only replay-eligible one) is never merged."""
+    import os
+
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import (
+        compact_index_ticks)
+
+    in_dir = tmp_path / "docs"; in_dir.mkdir()
+    idx, ckpt = str(tmp_path / "pc"), str(tmp_path / "ckc")
+
+    def refresh():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+        refresh_postings(stream, idx, ckpt, bucketed=True,
+                         n_buckets=4).awaitTermination(120)
+
+    for t, rows in enumerate([DOCS_A, DOCS_B,
+                              [(4, "merge table scan")],
+                              [(5, "spark scan")]]):
+        _write(in_dir / f"t{t}.ndjson", rows)
+        refresh()
+    assert len([d for d in os.listdir(idx) if d.startswith("tick=")]) == 4
+
+    terms = ("spark", "merge")
+    stats_before = corpus_stats_from_sidecar(spark, idx + "_stats").collect()
+    pruned = prune_term_buckets(spark.read.parquet(idx), terms, n_buckets=4)
+    scores_before = sorted(map(tuple, bm25_from_postings(
+        pruned, terms, doc_stats=corpus_stats_from_sidecar(
+            spark, idx + "_stats")).collect()))
+    rows_before = sorted(map(tuple, spark.read.parquet(idx)
+                             .drop("tick").collect()))
+
+    merged = compact_index_ticks(spark, idx, keep_ticks=1)
+    assert merged == [0, 1, 2]
+    merged_stats = compact_index_ticks(spark, idx + "_stats", keep_ticks=1)
+    assert merged_stats == [0, 1, 2]
+    # idempotent: nothing left to merge
+    assert compact_index_ticks(spark, idx, keep_ticks=1) == []
+
+    left = sorted(d for d in os.listdir(idx) if d.startswith("tick="))
+    assert left == ["tick=0", "tick=3"]
+    assert sorted(map(tuple, spark.read.parquet(idx)
+                      .drop("tick").collect())) == rows_before
+    assert corpus_stats_from_sidecar(
+        spark, idx + "_stats").collect() == stats_before
+    pruned2 = prune_term_buckets(spark.read.parquet(idx), terms, n_buckets=4)
+    assert sorted(map(tuple, bm25_from_postings(
+        pruned2, terms, doc_stats=corpus_stats_from_sidecar(
+            spark, idx + "_stats")).collect())) == scores_before
+
+    # a further refresh keeps appending new ticks after compaction
+    _write(in_dir / "t4.ndjson", [(6, "stream merge")])
+    refresh()
+    assert spark.read.parquet(idx).filter(F.col("doc_id") == 6).count() > 0
+
+    with pytest.raises(ValueError, match="keep_ticks"):
+        compact_index_ticks(spark, idx, keep_ticks=0)
