@@ -362,6 +362,45 @@ def main() -> None:
     timings["skew_sum_plain"] = timed(plain)
     timings["skew_sum_salted"] = timed(salted)
 
+    # join-side skew trio (reference README.md:46 heavy-hitter): the
+    # same 30%-hot-key fact-to-orders sort-merge join (a) as planned
+    # by default (hot partition under the 256 MB trigger at this sf —
+    # the default plan absorbs it), (b) with AQE's OptimizeSkewedJoin
+    # forced live via production-shaped thresholds (the 100 TB
+    # mechanism, plan-asserted in tests/test_scale.py), (c) through
+    # the manual salted_join lever. Broadcast is disabled for the trio
+    # so all three compare the same shuffle-join shape.
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.skew import salted_join
+    orders_b = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    jleft = li.select(
+        F.when(F.col("l_linenumber") % 10 < 3, F.lit(1))
+        .otherwise(F.col("l_orderkey")).alias("k"),
+        "l_quantity", "l_extendedprice")
+    jright = orders_b.select(F.col("o_orderkey").alias("k"),
+                             "o_custkey", "o_totalprice")
+    _tight = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    _bcast_old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        timings["skew_join_plain"] = timed(
+            jleft.hint("merge").join(jright, "k"))
+        for k, v in _tight.items():
+            spark.conf.set(k, v)
+        try:
+            timings["skew_join_aqe_split"] = timed(
+                jleft.hint("merge").join(jright, "k"))
+        finally:
+            for k in _tight:
+                spark.conf.unset(k)
+        timings["skew_join_salted"] = timed(
+            salted_join(jleft, jright, "k", num_salts=8))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _bcast_old)
+
     # retrieval-quality SLO (README.md:86,138 analog): Recall@20 of
     # BOTH scale paths (LSH bucketed, IVF n_probe-pruned) against the
     # brute-force ground truth

@@ -367,7 +367,7 @@ def hybrid_search_ann(spark, ivf_path: str, postings: DataFrame, *,
 
     Returns (id, score, rank) like the other hybrid variants.
     """
-    from .similarity import knn_ivf_indexed
+    from .similarity import _ivf_indexed_scored
     from ..streaming.index_refresh import bm25_from_postings
 
     if doc_stats is None:
@@ -377,21 +377,48 @@ def hybrid_search_ann(spark, ivf_path: str, postings: DataFrame, *,
             "postings would be computed over term-pruned survivors "
             "and silently distort idf")
 
-    vec = knn_ivf_indexed(
-        spark, ivf_path, query_vec, k=m_vec, n_probe=n_probe,
-        id_col=query_vec.columns[0], vec_col=query_vec.columns[1],
-    ).select(F.col("neighbor_id").alias(id_col), F.col("cosine").alias("_vs"))
+    # same scored subplan as knn_ivf_indexed, but the top-m_vec cut is
+    # orderBy+limit (TakeOrderedAndProject): the 1-row query contract
+    # makes the per-query window — and its exchange — unnecessary on
+    # this interactive path. Identical candidate set and scores.
+    raw = _ivf_indexed_scored(
+        spark, ivf_path, query_vec, n_probe,
+        query_vec.columns[0], query_vec.columns[1])
+    if raw is None:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        vec = spark.createDataFrame([], StructType([
+            StructField(id_col, postings.schema["doc_id"].dataType),
+            StructField("_vs", DoubleType()),
+        ]))
+    else:
+        vec = (raw.orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+               .limit(m_vec)
+               .select(F.col("neighbor_id").alias(id_col),
+                       F.round("_cos", 6).alias("_vs")))
     lex = bm25_from_postings(postings, tuple(query_terms),
                              doc_stats=doc_stats).select(
         F.col("doc_id").alias(id_col), F.col("bm25").alias("_ls"))
-    if allowed_ids is not None:
-        ids = allowed_ids.select(F.col(allowed_ids.columns[0]).alias(id_col))
-        vec = vec.join(ids, id_col, "left_semi")
-        lex = lex.join(ids, id_col, "left_semi")
 
-    scored = lex.join(vec, id_col, "full").select(
-        id_col,
-        F.coalesce("_ls", F.lit(0.0)).alias("_ls"),
-        F.col("_vs"),
+    # merge the two scored sides with union + max-aggregate, NOT a
+    # full outer join: full outer can't broadcast, so the join would
+    # plan a sort-merge with an exchange+sort per side — two extra
+    # stages on a sub-second interactive path. Ids are unique within
+    # each side (bm25 groups by doc, kNN ranks one query), so max()
+    # just picks the side that scored; a doc only one side saw keeps
+    # NULL for the other, exactly the full-join semantics.
+    null_d = F.lit(None).cast("double")
+    scored = (
+        lex.select(id_col, "_ls", null_d.alias("_vs"))
+        .unionByName(vec.select(id_col, null_d.alias("_ls"), "_vs"))
+    )
+    if allowed_ids is not None:
+        # ONE broadcast semi-join over the unioned sides (filter
+        # before fusion so min-max stats see allowed candidates only)
+        ids = allowed_ids.select(F.col(allowed_ids.columns[0]).alias(id_col))
+        scored = scored.join(F.broadcast(ids), id_col, "left_semi")
+    scored = (
+        scored.groupBy(id_col)
+        .agg(F.max("_ls").alias("_ls"), F.max("_vs").alias("_vs"))
+        .select(id_col, F.coalesce("_ls", F.lit(0.0)).alias("_ls"), "_vs")
     )
     return _ranked_topk(_weighted_fuse(scored, w_lexical, id_col), id_col, k)

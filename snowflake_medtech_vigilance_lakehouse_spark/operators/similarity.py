@@ -203,6 +203,36 @@ def embedding_neardup_pairs_blocked(corpus: DataFrame, probes: DataFrame,
     )
 
 
+def _kmeans_fit(X, k: int, seed: int, iters: int = 15):
+    """Driver-side Lloyd's k-means with k-means++ seeding over a small
+    numpy sample — the coarse quantizer for the bucketed pair stage.
+    Deterministic for a given (sample, k, seed)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    first = int(rng.randint(len(X)))
+    idx = [first]
+    d2 = ((X - X[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = d2.sum()
+        if total > 0:
+            nxt = int(rng.choice(len(X), p=d2 / total))
+        else:
+            nxt = int(rng.randint(len(X)))
+        idx.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[idx].copy()
+    for _ in range(iters):
+        dist = ((X * X).sum(axis=1)[:, np.newaxis]
+                - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[np.newaxis, :])
+        a = np.argmin(dist, axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
 def embedding_neardup_pairs_bucketed(corpus: DataFrame,
                                      threshold: float = 0.9, *,
                                      n_lists: int = 16,
@@ -241,9 +271,11 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
     replaces (``embedding_neardup_pairs_blocked`` collects its whole
     probe side; ``q_semantic_dedup`` fed it corpus/20):
 
-    1. quantizer: one k-means fit (an index-build-time cost; pass
-       ``centroids`` — e.g. the ``build_ivf_index`` sidecar — to skip
-       it). Only the n_lists centroid vectors ever reach the driver.
+    1. quantizer: a driver-side k-means fit over a BOUNDED 4096-row
+       sample (pass ``centroids`` — e.g. the ``build_ivf_index``
+       sidecar — to skip it). Only that fixed-size sample and the
+       n_lists centroids ever reach the driver, never a
+       corpus-proportional slice.
     2. assignment: ``mapInPandas`` — each Arrow batch computes
        distances to all centroids with one GEMM and emits the row's
        home list + its n_probe nearest lists. Narrow, no shuffle.
@@ -293,20 +325,26 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
              ).filter(l2_norm(F.col("_v")) > 0)
 
     if centroids is None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        # quantize in NORMALIZED space — the geometry the probe bound
-        # (and cosine itself) lives in
-        unit = F.transform("_v", lambda x: x / F.col("_n"))
-        feats = (clean.withColumn("_n", l2_norm(F.col("_v")))
-                 .select(array_to_vector(unit).alias("features")))
-        model = KMeans(k=n_lists, seed=seed, featuresCol="features",
-                       predictionCol="list_id").fit(feats)
-        ctr_rows = [[float(x) for x in c] for c in model.clusterCenters()]
+        # quantizer fit on a BOUNDED driver sample (4096 rows, not
+        # corpus-proportional), in NORMALIZED space — the geometry the
+        # probe bound (and cosine itself) lives in. A numpy Lloyd's
+        # fit here, not MLlib: at this sample size the MLlib fit is
+        # pure per-iteration job overhead (~4 s vs ~ms), and the
+        # quantizer's QUALITY only moves the probe fan-out — the
+        # triangle bound keeps the pair set exact under ANY centroids,
+        # so a sample-biased fit costs throughput, never correctness.
+        sample = [r[0] for r in clean.select("_v").limit(4096).collect()]
+        sizes = {len(v) for v in sample}
+        if len(sizes) > 1:
+            raise ValueError(
+                f"embedding_neardup_pairs_bucketed requires uniform "
+                f"vector dims, got {sorted(sizes)}")
+        X = np.array(sample, dtype=np.float64)
+        X = X / np.sqrt((X * X).sum(axis=1))[:, np.newaxis]
+        Ctr = _kmeans_fit(X, min(n_lists, len(X)), seed)
     else:
-        ctr_rows = [[float(x) for x in c] for c in centroids]
-    Ctr = np.array(ctr_rows, dtype=np.float64)          # (L, d)
+        Ctr = np.array([[float(x) for x in c] for c in centroids],
+                       dtype=np.float64)
     n_lists = Ctr.shape[0]
     probe_cap = None if n_probe is None else min(int(n_probe), n_lists)
     d = Ctr.shape[1]
@@ -609,36 +647,21 @@ def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
 
     The probe ASSIGNMENT — (query, list) pairs bounded by
     |queries| x n_probe, a metadata-scale set like the touched-file
-    listing — is collected ONCE and re-shipped as a literal broadcast
-    frame, so the centroid-ranking subplan runs exactly one job and is
-    never re-evaluated inside the serving join. An empty query set
+    listing — is ranked DRIVER-side over the collected centroid
+    sidecar (n_lists rows) and query set (small by contract) with the
+    exact same sequential-fold arithmetic as the in-plan
+    ``cosine_from_norms`` (same IEEE-754 accumulation order, so the
+    chosen lists are bit-identical to :func:`knn_ivf`'s window plan —
+    served≡direct stays pytest-pinned), then shipped as one literal
+    broadcast frame. Serving therefore runs exactly two metadata-scale
+    collect jobs before the single pruned-scan job. An empty query set
     short-circuits to an empty frame with the contract schema (the
     degenerate ``isin([])`` plan never builds)."""
-    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
-                                   StructType)
-
-    cdf = spark.read.parquet(path + "_centroids")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
-    )
-    probed = (
-        q.crossJoin(F.broadcast(cdf.withColumn("_ctrn", l2_norm(F.col("_ctr")))))
-        .select(
-            "query_id", "_qv", "_qn", "list_id",
-            cosine_from_norms(
-                F.col("_qv"), F.col("_ctr"), F.col("_qn"), F.col("_ctrn")
-            ).alias("_cs"),
-        )
-    )
-    w_lists = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("list_id"))
-    probe_plan = probed.select(
-        "query_id", "_qv", "_qn", "list_id", F.row_number().over(w_lists).alias("_pr")
-    ).filter(F.col("_pr") <= n_probe).drop("_pr")
-
-    probe_rows = probe_plan.collect()
-    if not probe_rows:
+    scored = _ivf_indexed_scored(spark, path, queries, n_probe,
+                                 id_col, vec_col)
+    if scored is None:
+        from pyspark.sql.types import (DoubleType, IntegerType,
+                                       StructField, StructType)
         return spark.createDataFrame([], StructType([
             StructField("query_id", queries.schema[id_col].dataType),
             StructField("neighbor_id",
@@ -646,19 +669,6 @@ def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
             StructField("rank", IntegerType(), False),
             StructField("cosine", DoubleType()),
         ]))
-    probe_lists = spark.createDataFrame(probe_rows, probe_plan.schema)
-    touched = sorted({r["list_id"] for r in probe_rows})
-    idx = spark.read.parquet(path).filter(F.col("list_id").isin(touched))
-    scored = (
-        idx.join(F.broadcast(probe_lists), "list_id")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id", F.col(id_col).alias("neighbor_id"),
-            cosine_from_norms(
-                F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_nrm")
-            ).alias("_cos"),
-        )
-    )
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.select(
@@ -667,6 +677,124 @@ def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
             F.round(F.col("_cos"), 6).alias("cosine"),
         )
         .filter(F.col("rank") <= k)
+    )
+
+
+_IDX_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _idx_schema(spark, path: str):
+    """Schema of a build_ivf_index layout, cached per (path, dir
+    mtime). None when the path can't be statted driver-side (remote
+    FS) — the caller falls back to Spark's own inference."""
+    import os
+
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return None
+    if key not in _IDX_SCHEMA_CACHE:
+        for stale in [k for k in _IDX_SCHEMA_CACHE if k[0] == path]:
+            del _IDX_SCHEMA_CACHE[stale]  # superseded build of this path
+        _IDX_SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _IDX_SCHEMA_CACHE[key]
+
+
+def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
+                        n_probe: int, id_col: str,
+                        vec_col: str) -> DataFrame | None:
+    """Shared scoring subplan of the served-IVF paths: driver-side
+    probe ranking + pruned scan + broadcast join, returning RAW
+    (query_id, neighbor_id, _cos) — :func:`knn_ivf_indexed` windows it
+    into per-query ranks; :func:`~.retrieval.hybrid_search_ann` cuts
+    it with orderBy+limit (TakeOrderedAndProject — its single-query
+    contract needs no window exchange). None = no probeable query.
+
+    The centroid sidecar is read driver-side through pyarrow when the
+    path allows (no Spark job for n_lists tiny rows), falling back to
+    a Spark collect; ranking uses the exact sequential-fold arithmetic
+    of the in-plan ``cosine_from_norms`` (same IEEE-754 accumulation
+    order), so probed lists are bit-identical to :func:`knn_ivf`'s
+    window plan — served≡direct stays pytest-pinned."""
+    import math
+
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    def _fold_dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    try:
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(path + "_centroids")
+        centroids = list(zip(tbl.column("list_id").to_pylist(),
+                             tbl.column("_ctr").to_pylist()))
+    except Exception:
+        centroids = [(r["list_id"], r["_ctr"]) for r in
+                     spark.read.parquet(path + "_centroids").collect()]
+    ctr = sorted((lid, [float(x) for x in c]) for lid, c in centroids)
+    ctr_norms = [(lid, c, math.sqrt(_fold_dot(c, c))) for lid, c in ctr]
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+
+    probe_rows = []
+    for r in q_rows:
+        qid, qv = r[0], r[1]
+        if qv is None:
+            continue
+        qv = [float(x) for x in qv]
+        qn = math.sqrt(_fold_dot(qv, qv))
+
+        def _cs(c, cn):
+            # cosine_from_norms semantics: NULL on zero denom, NULL on
+            # length mismatch (zip_with pads -> NULL-propagating fold)
+            if len(c) != len(qv) or qn * cn == 0:
+                return None
+            return _fold_dot(qv, c) / (qn * cn)
+
+        scored_lists = [(_cs(c, cn), lid) for lid, c, cn in ctr_norms]
+        # window orderBy(_cs desc, list_id asc); desc puts NULLs last
+        ranked = sorted(scored_lists,
+                        key=lambda t: (t[0] is None,
+                                       -t[0] if t[0] is not None else 0.0,
+                                       t[1]))
+        for _cs_v, lid in ranked[:n_probe]:
+            probe_rows.append((qid, qv, qn, lid))
+
+    if not probe_rows:
+        return None
+    probe_lists = spark.createDataFrame(probe_rows, StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("_qv", ArrayType(DoubleType())),
+        StructField("_qn", DoubleType()),
+        StructField("list_id", IntegerType()),
+    ]))
+    touched = sorted({r[3] for r in probe_rows})
+    # list ONLY the probed lists' directories (basePath keeps list_id
+    # as a partition column); the isin filter stays on top so the plan
+    # records the pruning predicate in PartitionFilters either way —
+    # at serve time the driver never even stats the unprobed dirs.
+    # The index schema is cached per (path, mtime) so repeat queries
+    # skip the footer-inference read — index metadata caching, the
+    # serving-system steady state (a rebuild swaps the directory and
+    # so changes its mtime, invalidating the entry).
+    reader = spark.read.option("basePath", path)
+    cached = _idx_schema(spark, path)
+    if cached is not None:
+        reader = reader.schema(cached)
+    idx = (reader.parquet(*[f"{path}/list_id={t}" for t in touched])
+           .filter(F.col("list_id").isin(touched)))
+    return (
+        idx.join(F.broadcast(probe_lists), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"),
+            cosine_from_norms(
+                F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_nrm")
+            ).alias("_cos"),
+        )
     )
 
 

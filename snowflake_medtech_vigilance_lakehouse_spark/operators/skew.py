@@ -24,11 +24,17 @@ The reference names a 30%-one-manufacturer heavy-hitter distribution
   output (the reference's LISTAGG narrative) still serializes on the
   final per-key sort whichever way the collection was built.
 
-- **Join-side skew** is AQE's job (`skewJoin.enabled`, on in our
-  session): the hot partition splits once it exceeds
+- **Join-side skew** is AQE's job first (`skewJoin.enabled`, on in
+  our session): the hot partition splits once it exceeds
   ``skewedPartitionThresholdInBytes`` (256 MB default — real at
   100 TB; at bench scale the hot partition is ~90 MB, below the
   trigger, which is itself evidence the default plan absorbs it).
+  The split firing is PLAN-ASSERTED in tests (``skew=true`` on the
+  sort-merge join under tightened thresholds) and benched against
+  :func:`salted_join` — the manual lever for the cases AQE cannot
+  touch (a skewed AGGREGATION feeding the join in the same stage, a
+  broadcast-ineligible dimension under a streaming micro-batch, or a
+  pre-AQE engine reading our tables).
 """
 
 from __future__ import annotations
@@ -80,6 +86,40 @@ def salted_agg(df: DataFrame, keys: Sequence[str],
     ]
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str, *,
+                num_salts: int = 16, how: str = "inner",
+                salt_cols: Sequence[str] | None = None) -> DataFrame:
+    """Replicated-dimension salted equi-join: the manual skew-join for
+    a heavy-hitter key on the ``left`` (fact) side joining a small-ish
+    (but non-broadcastable) ``right`` side.
+
+    Each left row gets a deterministic content-hash salt in
+    [0, num_salts); every right row is replicated once per salt value,
+    and the join runs on (key, salt) — the hot key's rows land on
+    ``num_salts`` reducers instead of one. Result equals the plain
+    join exactly (each left row still meets each matching right row
+    exactly once, on its own salt's replica). Cost: right shuffles
+    ``num_salts`` x its size — cheap iff right is much smaller than
+    the hot key's mass, the regime where the straggler hurts.
+
+    The salt hashes ``salt_cols`` (default: all left columns) rather
+    than using spark_partition_id(), for the same reasons as
+    :func:`salted_agg`: per-row spread within every input partition,
+    deterministic plans. Prefer AQE's skew split where it applies —
+    this operator is for the shapes it can't reach (see module doc).
+
+    ``how``: 'inner' or 'left' (right-side rows never survive
+    unmatched under replication, so right/full joins would need an
+    anti-join patch — refused instead of silently wrong)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    cols = [F.col(c) for c in (salt_cols or left.columns)]
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(*cols), F.lit(num_salts)))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)])))
+    return l.join(r, [on, "_salt"], how).drop("_salt")
 
 
 def salted_collect(df: DataFrame, keys: Sequence[str], col: str,

@@ -146,7 +146,13 @@ def bm25_from_postings(postings: DataFrame, terms: tuple[str, ...],
     :func:`corpus_stats_from_sidecar` so corpus stats cost O(refresh
     ticks); without it they are derived by DISTINCT-scanning the
     postings (exact but corpus-wide — fine for tests, wrong at 100 TB
-    when ``postings`` was already term-pruned)."""
+    when ``postings`` was already term-pruned).
+
+    Relies on the index contract that postings are (doc_id, term)
+    UNIQUE — ``refresh_postings`` aggregates per (doc, term) within a
+    tick and each document is ingested by exactly one tick — so df is
+    a plain count, not a two-phase distinct (one exchange round fewer
+    on the interactive serving path)."""
     n_and_avg = doc_stats if doc_stats is not None else (
         postings.select("doc_id", "dl").distinct().agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -155,7 +161,7 @@ def bm25_from_postings(postings: DataFrame, terms: tuple[str, ...],
     )
     rel = postings.filter(F.col("term").isin(*terms))
     df_per_term = rel.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
+        F.count(F.lit(1)).cast("double").alias("df")
     )
     scored = (
         rel.join(F.broadcast(df_per_term), "term")

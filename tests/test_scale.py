@@ -266,3 +266,70 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hot = orders.agg(F.min("o_orderkey")).first()[0]
+    # 30%-heavy-hitter fact side, reference README.md:46 shape
+    left = li.select(
+        F.when(F.col("l_linenumber") % 10 < 3, F.lit(hot))
+        .otherwise(F.col("l_orderkey")).alias("k"),
+        "l_quantity", "l_extendedprice")
+    right = orders.select(F.col("o_orderkey").alias("k"), "o_custkey")
+
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        salted = salted_join(left, right, "k", how=how, num_salts=8)
+        assert salted.exceptAll(plain).count() == 0, how
+        assert plain.exceptAll(salted).count() == 0, how
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", how="full")
+
+
+def test_aqe_skew_split_fires_on_hot_key(spark):
+    """Join-side skew evidence, measured not predicted: under
+    production-shaped thresholds a 60%-hot-key sort-merge join gets
+    its hot partition SPLIT by AQE's OptimizeSkewedJoin (the
+    'skew=true' marker on the final adaptive plan); under the default
+    256 MB threshold the same join at this scale does not trigger —
+    the default plan absorbs it, which is the PLANS.md claim this
+    test pins in both directions."""
+    left = spark.range(0, 300_000).select(
+        F.when(F.col("id") % 10 < 6, F.lit(7))
+        .otherwise(F.col("id") % 1000).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 512).alias("rpay"))
+
+    tight = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+
+    def run(confs):
+        old = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            j = left.hint("merge").join(right, "k").select(
+                F.length("payload").alias("x"))
+            n = len(j.collect())
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            return n, plan
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+    n_tight, plan_tight = run(tight)
+    assert "isFinalPlan=true" in plan_tight
+    assert "skew=true" in plan_tight  # OptimizeSkewedJoin fired
+    n_plain, plan_plain = run({})
+    assert "skew=true" not in plan_plain  # below default threshold
+    assert n_tight == n_plain == 300_000  # split is plan-only
