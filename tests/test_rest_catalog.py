@@ -1,0 +1,108 @@
+"""REST catalog surface (S7 tail; the reference's Open Catalog
+discovery point, README.md:121-124): tables resolved by
+namespace.name through an HTTP endpoint, metadata-only traffic."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_medtech_vigilance_lakehouse_spark.sources import iceberg_lite as il
+from snowflake_medtech_vigilance_lakehouse_spark.sources import rest_catalog as rc
+
+
+def _orders(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .withColumn("yyyy", F.year("o_orderdate")))
+
+
+def test_catalog_discovery_and_read_by_name(spark, sf_dir, tmp_path):
+    t1 = str(tmp_path / "t1")
+    t2 = str(tmp_path / "t2")
+    o = _orders(spark, sf_dir).limit(120)
+    il.write_iceberg(o, t1, partition_by=["yyyy"])
+    il.write_iceberg(o.limit(30), t2)
+    root = str(tmp_path / "cat")
+    rc.register_table(root, "marts", "adverse_events_enriched", t1)
+    rc.register_table(root, "marts", "small", t2)
+    rc.register_table(root, "raw", "events", t2)
+
+    with rc.CatalogServer(root) as srv:
+        assert rc.list_namespaces(srv.uri) == ["marts", "raw"]
+        assert rc.list_tables(srv.uri, "marts") == [
+            "adverse_events_enriched", "small"]
+
+        res = rc.load_table(srv.uri, "marts", "adverse_events_enriched")
+        # LoadTableResult: current metadata-location + full table-spec
+        # metadata (snapshots, field-id schema) — what an engine plans
+        # its scan from
+        assert res["metadata-location"].endswith(".metadata.json")
+        assert res["metadata"]["format-version"] == 2
+        assert res["metadata"]["snapshots"]
+
+        # reading BY NAME equals reading by path, predicates included
+        by_name = rc.read_catalog_table(
+            spark, srv.uri, "marts", "adverse_events_enriched")
+        by_path = il.read_iceberg(spark, t1)
+        assert by_name.count() == by_path.count() == 120
+        assert by_name.exceptAll(by_path).count() == 0
+        probe = by_path.agg(F.min("o_orderkey")).first()[0]
+        pruned = rc.read_catalog_table(
+            spark, srv.uri, "marts", "adverse_events_enriched",
+            predicates=[("o_orderkey", "<=", probe)])
+        assert pruned.count() == by_path.filter(
+            F.col("o_orderkey") <= probe).count() > 0
+
+        # unknown names are typed 404s, not HTML stack traces
+        for route in ("/v1/namespaces/nope/tables",
+                      "/v1/namespaces/marts/tables/nope"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                rc._get(srv.uri, route)
+            assert e.value.code == 404
+            assert json.loads(e.value.read())["error"]["type"] == \
+                "NoSuchObjectException"
+
+
+def test_catalog_register_endpoint_and_drop(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    il.write_iceberg(_orders(spark, sf_dir).limit(40), t)
+    root = str(tmp_path / "cat")
+
+    with rc.CatalogServer(root) as srv:
+        # spec RegisterTableRequest: register an EXISTING table by its
+        # metadata-location through the endpoint itself
+        version = il._list_meta_versions(t)[-1]
+        body = json.dumps({
+            "name": "events",
+            "metadata-location": il._meta_path(t, version),
+        }).encode()
+        req = urllib.request.Request(
+            f"{srv.uri}/v1/namespaces/bronze/register", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            res = json.loads(r.read())
+        assert res["metadata"]["snapshots"]
+        assert rc.list_tables(srv.uri, "bronze") == ["events"]
+        assert rc.read_catalog_table(
+            spark, srv.uri, "bronze", "events").count() == 40
+
+        # a new COMMIT is visible on the next load (the catalog always
+        # serves the current metadata version)
+        il.write_iceberg(_orders(spark, sf_dir).limit(10), t, mode="append")
+        assert rc.read_catalog_table(
+            spark, srv.uri, "bronze", "events").count() == 50
+
+        rc.drop_table(root, "bronze", "events")
+        assert rc.list_namespaces(srv.uri) == []
+    # data untouched by the drop (external-table semantics)
+    assert il.read_iceberg(spark, t).count() == 50
+
+
+def test_catalog_refuses_uncommitted_table(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        rc.register_table(str(tmp_path / "cat"), "ns", "t",
+                          str(tmp_path / "not_a_table"))
