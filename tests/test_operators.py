@@ -232,6 +232,43 @@ def test_neardup_bucketed_dirty_rows_and_string_ids(spark):
             threshold=0.5)
 
 
+def test_neardup_bucketed_probe_bound_prunes_on_clustered_corpus(spark):
+    # the triangle probe bound's ADAPTIVITY: on a corpus with real
+    # cluster structure (the SemDedup regime — near-dups are tight
+    # clusters) at a production threshold, the mean probe fan-out
+    # must prune most lists while the pair set stays EXACT. On the
+    # driver's random fixture the bound honestly degrades toward
+    # all-pairs (no structure to exploit) — that case is covered by
+    # the parity tests above; this one pins the pruning claim with a
+    # measured fan-out, mirroring the operator's own probe rule.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    K, n, dim = 16, 2500, 32
+    centers = rng.randn(K, dim)
+    centers /= np.linalg.norm(centers, axis=1)[:, np.newaxis]
+    X = centers[rng.randint(0, K, n)] + 0.02 * rng.randn(n, dim)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = sim.embedding_neardup_pairs_bucketed(emb2, threshold=0.95,
+                                               n_lists=K)
+    fold = sim.embedding_neardup_pairs(emb2, emb2, threshold=0.95)
+    assert got.exceptAll(fold).count() == 0
+    assert fold.exceptAll(got).count() == 0
+    assert fold.count() > 0
+
+    # measured fan-out under the operator's own probe rule
+    sample = np.array([r[1] for r in rows[:4096]], dtype=np.float64)
+    sample /= np.linalg.norm(sample, axis=1)[:, np.newaxis]
+    C = sim._kmeans_fit(sample, K, 42)
+    d = np.sqrt(np.maximum(
+        1.0 + (C * C).sum(1)[np.newaxis, :] - 2.0 * sample @ C.T, 0.0))
+    two_r = 2.0 * (max(0.0, 2.0 - 2.0 * (0.95 - 1.001e-6)) ** 0.5)
+    fan = (d <= d.min(1)[:, np.newaxis] + two_r + 1e-9).sum(1)
+    assert fan.mean() <= K / 4, fan.mean()  # prunes >= 4x of the lists
+
+
 def test_neardup_bucketed_no_driver_collect_of_corpus(spark, emb):
     # the plan must stay fully distributed: building it runs no Spark
     # job over the corpus besides the quantizer fit, and the physical
