@@ -187,3 +187,39 @@ def pack_sequences(docs: DataFrame, *, budget: int = 512,
             F.pmod(start, F.lit(budget)).cast("long").alias("bin_offset"),
         )
     )
+
+
+def shuffle_shards(docs: DataFrame, *, num_shards: int = 8,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle + sharding: every
+    document gets a content-hash sort key, a shard assignment, and its
+    position within the shard — the "shuffle the corpus before
+    training" step as a reproducible operator instead of a
+    `rand()`-ordered write (which no two engines, or even two runs,
+    agree on).
+
+    Key = md5-derived 32-bit hash of the id (the dedup family's
+    oracle-checkable convention, dedup.py:md5_hash32), shard =
+    key % num_shards, position = rank of (key, id) within the shard.
+    One exchange on the shard id; each shard's sort is independent, so
+    writing shards as separate files parallelizes end-to-end — at
+    100 TB `num_shards` is sized so one shard ~ one output file, and
+    no global sort ever runs. Consumers reading shards in id order of
+    (shard, pos) replay the identical global permutation anywhere.
+
+    Returns (id, shard, pos) with pos 0-based."""
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_hash32
+
+    key = md5_hash32(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            key.alias("sort_key"),
+        )
+        .withColumn("shard", F.pmod("sort_key", F.lit(num_shards)).cast("long"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos", "sort_key")
+    )

@@ -194,3 +194,31 @@ def pii_counts(text: Column) -> list[Column]:
         cols.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, pat, rep)
     return cols
+
+
+# BPE-ish pretokenizer: letter runs, digit runs, punctuation runs —
+# each optionally glued to one leading space (the GPT-2 pretokenizer
+# shape, restricted to constructs Java regex and RE2 evaluate
+# identically: no lookarounds, ASCII classes only)
+SUBWORD_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def subword_stats(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Token counting under a BPE-ish pretokenizer regex next to the
+    whitespace count — the budget-estimation stat a training pipeline
+    sizes batches with (subword budgets, not word budgets). Pure
+    ``regexp_extract_all``: codegen, linear scan, and the pattern is
+    Java/RE2-identical so the DuckDB oracle runs the same expression.
+
+    Returns (id, n_subwords, n_ws_tokens, subwords_per_token)."""
+    n_sub = F.size(F.regexp_extract_all(F.col(text_col),
+                                        F.lit(SUBWORD_PATTERN), 0))
+    n_ws = F.size(tokens(F.col(text_col)))
+    return docs.select(
+        F.col(id_col),
+        n_sub.cast("long").alias("n_subwords"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.round(n_sub.cast("double") / n_ws.cast("double"), 6)
+        .alias("subwords_per_token"),
+    )

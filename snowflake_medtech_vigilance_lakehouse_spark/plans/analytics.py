@@ -2008,6 +2008,46 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting next to the whitespace token count —
+    the batch-budget stat of a training pipeline, as one codegen
+    regexp pass (Java/RE2-identical pattern, so the oracle runs the
+    same regex)."""
+    return tx.subword_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_SUBWORD_STATS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))::BIGINT AS n_subwords,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+       round(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))::DOUBLE
+             / len(string_split(text, ' '))::DOUBLE, 6) AS subwords_per_token
+FROM documents
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order:
+    md5-derived sort key, shard = key % 8, 0-based position within
+    the shard — reproducible across engines (same md5 arithmetic in
+    the oracle), one exchange, no global sort."""
+    return cu.shuffle_shards(_t(spark, sf_dir, "documents"), num_shards=8)
+
+
+ORACLE_CORPUS_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS sort_key
+  FROM documents
+)
+SELECT doc_id, sort_key % 8 AS shard,
+       (row_number() OVER (PARTITION BY sort_key % 8
+                           ORDER BY sort_key, doc_id) - 1)::BIGINT AS pos,
+       sort_key
+FROM k
+"""
+
+
 ORACLE_TOKEN_STATS = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id,
@@ -2393,6 +2433,8 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_full": q_semantic_dedup_full,
     "hard_negatives": q_hard_negatives,
+    "subword_stats": q_subword_stats,
+    "corpus_shuffle": q_corpus_shuffle,
 }
 
 ORACLES: dict[str, str] = {
@@ -2461,4 +2503,6 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "semantic_dedup_full": ORACLE_SEMANTIC_DEDUP_FULL,
     "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "subword_stats": ORACLE_SUBWORD_STATS,
+    "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
 }

@@ -154,3 +154,42 @@ def test_pack_sequences_single_exchange(spark):
     df = _docs(spark, [(i, "a b c") for i in range(10)])
     plan = cu.pack_sequences(df, budget=8, num_shards=2)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_shuffle_shards_is_deterministic_permutation(spark, sf_dir):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        shuffle_shards)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shuffle_shards(docs, num_shards=4)
+    rows = out.collect()
+    # a permutation: every doc exactly once, shards partition the ids
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    assert {r["shard"] for r in rows} <= set(range(4))
+    # positions are dense 0..n_shard-1 within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), shard
+    # deterministic across invocations (content-hash order, no rand())
+    again = shuffle_shards(docs, num_shards=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # and genuinely shuffled: position order is not id order
+    s0 = sorted((r["pos"], r["doc_id"]) for r in rows if r["shard"] == 0)
+    assert [d for _, d in s0] != sorted(d for _, d in s0)
+
+
+def test_subword_stats_known_values(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.text import (
+        subword_stats)
+
+    df = spark.createDataFrame(
+        [(1, "don't count2x this!"), (2, "plain words here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in subword_stats(df).collect()}
+    # don|'|t| count|2|x| this|! -> 8 subwords over 3 ws tokens
+    assert out[1]["n_subwords"] == 8 and out[1]["n_ws_tokens"] == 3
+    assert out[2]["n_subwords"] == 3 and out[2]["n_ws_tokens"] == 3
+    assert out[2]["subwords_per_token"] == 1.0
