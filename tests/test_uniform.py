@@ -214,3 +214,54 @@ def test_uniform_vacuum_protects_iceberg_snapshots(spark, sf_dir, tmp_path):
     il.expire_snapshots(path, retain_last=1)
     deleted = dl.vacuum_delta(path, retention_ms=0, now_ms=future)
     assert first_files <= set(deleted)
+
+
+def test_uniform_random_op_sequences_keep_planes_equal(spark, sf_dir, tmp_path):
+    """Property tier for the maintenance mirror: a seeded random
+    sequence of publish/append/merge/compact/restore/direct-append
+    ops on a uniform table must leave the planes file-set-equal and
+    content-identical after EVERY step — the invariant no single-op
+    test can exhaust."""
+    import random
+
+    base = (_orders(spark, sf_dir).limit(80)
+            .select("o_orderkey", "o_totalprice", "yyyy"))
+    rng = random.Random(20260814)
+
+    for trial in range(2):
+        path = str(tmp_path / f"uni_fuzz{trial}")
+        publish_uniform(base, path)
+        delta_versions = [0]
+        for step in range(7):
+            op = rng.choice(["append", "merge_update", "merge_delete",
+                             "compact", "restore", "direct_append"])
+            n = rng.randrange(5, 25)
+            seed_rows = base.orderBy(F.rand(rng.randrange(1 << 16))).limit(n)
+            if op == "append":
+                v, _ = publish_uniform(seed_rows, path, mode="append")
+            elif op == "merge_update":
+                src = seed_rows.withColumn(
+                    "o_totalprice", F.col("o_totalprice") * 2).dropDuplicates(
+                    ["o_orderkey"])
+                v = dl.merge_delta(spark, path, src, on=["o_orderkey"],
+                                   when_matched="update")
+            elif op == "merge_delete":
+                src = seed_rows.dropDuplicates(["o_orderkey"])
+                v = dl.merge_delta(spark, path, src, on=["o_orderkey"],
+                                   when_matched="delete",
+                                   when_not_matched=None)
+            elif op == "compact":
+                v = dl.compact_delta(spark, path, target_file_bytes=1 << 30)
+            elif op == "restore":
+                v = dl.restore_delta(path, rng.choice(delta_versions))
+            else:
+                v = dl.write_delta(seed_rows, path, mode="append")
+            delta_versions.append(v)
+
+            d_files, i_files = uniform_file_sets(path)
+            assert d_files == i_files, (trial, step, op)
+            d = dl.read_delta(spark, path)
+            i = il.read_iceberg(spark, path)
+            assert d.count() == i.count(), (trial, step, op)
+            assert d.exceptAll(i).count() == 0, (trial, step, op)
+            assert i.exceptAll(d).count() == 0, (trial, step, op)
