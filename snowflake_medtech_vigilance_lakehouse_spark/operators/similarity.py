@@ -334,6 +334,12 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
         # triangle bound keeps the pair set exact under ANY centroids,
         # so a sample-biased fit costs throughput, never correctness.
         sample = [r[0] for r in clean.select("_v").limit(4096).collect()]
+        if not sample:
+            # nothing survived the clean filter (empty corpus, or all
+            # vectors NULL / zero-norm): the fold contract yields an
+            # empty pair frame, not a numpy crash in the fit
+            return corpus.sparkSession.createDataFrame(
+                [], f"id_1 {id_sql}, id_2 {id_sql}, cosine double")
         sizes = {len(v) for v in sample}
         if len(sizes) > 1:
             raise ValueError(
@@ -662,10 +668,12 @@ def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
     if scored is None:
         from pyspark.sql.types import (DoubleType, IntegerType,
                                        StructField, StructType)
+        idx_schema = _idx_schema(spark, path)  # cached per (path, mtime)
+        if idx_schema is None:
+            idx_schema = spark.read.parquet(path).schema
         return spark.createDataFrame([], StructType([
             StructField("query_id", queries.schema[id_col].dataType),
-            StructField("neighbor_id",
-                        spark.read.parquet(path).schema[id_col].dataType),
+            StructField("neighbor_id", idx_schema[id_col].dataType),
             StructField("rank", IntegerType(), False),
             StructField("cosine", DoubleType()),
         ]))
@@ -776,16 +784,36 @@ def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
     # as a partition column); the isin filter stays on top so the plan
     # records the pruning predicate in PartitionFilters either way —
     # at serve time the driver never even stats the unprobed dirs.
+    # An EMPTY inverted list writes no directory (partitionBy emits
+    # dirs only for present values) while its centroid still exists in
+    # the sidecar — probing it must contribute zero rows, not a
+    # path-not-found error, so only existing dirs are listed; when the
+    # path isn't driver-statable (remote FS) fall back to the full
+    # discovery read, which tolerates missing lists by construction.
     # The index schema is cached per (path, mtime) so repeat queries
     # skip the footer-inference read — index metadata caching, the
     # serving-system steady state (a rebuild swaps the directory and
     # so changes its mtime, invalidating the entry).
+    import os
+
     reader = spark.read.option("basePath", path)
     cached = _idx_schema(spark, path)
     if cached is not None:
         reader = reader.schema(cached)
-    idx = (reader.parquet(*[f"{path}/list_id={t}" for t in touched])
-           .filter(F.col("list_id").isin(touched)))
+    try:
+        dirs = [f"{path}/list_id={t}" for t in touched
+                if os.path.isdir(os.path.join(path, f"list_id={t}"))]
+        statable = os.path.isdir(path)
+    except OSError:
+        statable = False
+    if statable:
+        if not dirs:
+            return None
+        idx = (reader.parquet(*dirs)
+               .filter(F.col("list_id").isin(touched)))
+    else:
+        idx = (spark.read.parquet(path)
+               .filter(F.col("list_id").isin(touched)))
     return (
         idx.join(F.broadcast(probe_lists), "list_id")
         .filter(F.col(id_col) != F.col("query_id"))

@@ -175,14 +175,47 @@ def _file_stats(full_path: str) -> str | None:
             return v
         return None
 
+    walked = _walk_column_stats(full_path, _j)
+    if walked is None:
+        return None
+    num_rows, _counts, nulls, null_complete, mins, maxs, complete = walked
+    stats = {
+        "numRecords": num_rows,
+        "minValues": {k: v for k, v in mins.items() if complete.get(k)},
+        "maxValues": {k: v for k, v in maxs.items() if complete.get(k)},
+        # a null count summed over row groups MISSING statistics would
+        # understate — readers prune 'IS NULL' on nullCount==0, so an
+        # incomplete column is omitted (missing stats = unprunable)
+        "nullCount": {k: v for k, v in nulls.items()
+                      if null_complete.get(k)},
+    }
+    return json.dumps(stats)
+
+
+def _walk_column_stats(full_path: str, normalize):
+    """ONE parquet-footer stats walk shared by the Delta ``add.stats``
+    builder and iceberg_lite's ``data_file`` column stats (both planes
+    must apply identical completeness rules or they drift).
+
+    ``normalize(value) -> value | None`` maps a row group's raw
+    min/max into the caller's comparison domain (Delta: JSON-safe ISO
+    strings; Iceberg: native values with bytes utf8-decoded); None
+    marks the column incomplete. Returns ``(num_rows, counts, nulls,
+    null_complete, mins, maxs, complete)`` — per-column dicts over
+    top-level leaves, counts = per-column value counts, ``complete``
+    gating min/max and ``null_complete`` gating null counts (a column
+    whose row groups lack statistics must be OMITTED, never summed
+    partially). None if the footer is unreadable."""
     try:
         import pyarrow.parquet as pq
         md = pq.ParquetFile(full_path).metadata
     except Exception:
         return None
+    counts: dict = {}
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    null_complete: dict = {}
     complete: dict = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -191,25 +224,22 @@ def _file_stats(full_path: str) -> str | None:
             name = col.path_in_schema
             if "." in name:  # nested leaf: not a top-level column
                 continue
+            counts[name] = counts.get(name, 0) + g.num_rows
             st = col.statistics
             ok = st is not None and st.has_min_max
             complete[name] = complete.get(name, True) and ok
-            if st is not None and st.null_count is not None:
+            has_nulls = st is not None and st.null_count is not None
+            null_complete[name] = null_complete.get(name, True) and has_nulls
+            if has_nulls:
                 nulls[name] = nulls.get(name, 0) + st.null_count
             if ok:
-                lo, hi = _j(st.min), _j(st.max)
+                lo, hi = normalize(st.min), normalize(st.max)
                 if lo is None or hi is None:
                     complete[name] = False
                     continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    stats = {
-        "numRecords": md.num_rows,
-        "minValues": {k: v for k, v in mins.items() if complete.get(k)},
-        "maxValues": {k: v for k, v in maxs.items() if complete.get(k)},
-        "nullCount": nulls,
-    }
-    return json.dumps(stats)
+    return md.num_rows, counts, nulls, null_complete, mins, maxs, complete
 
 
 def _partition_values(rel_path: str, partition_by: list[str]) -> dict[str, str]:

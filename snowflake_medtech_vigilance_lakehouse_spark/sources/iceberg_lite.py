@@ -417,51 +417,35 @@ def _file_column_stats(full_path: str, schema: dict) -> dict:
     bound serialization are omitted (readers treat them as
     unprunable). Everything is returned in the Avro array-of-record
     map representation; empty maps collapse to None."""
-    import pyarrow.parquet as pq
+    from .delta_lite import _walk_column_stats
 
     cols = {f["name"]: (f["id"], f["type"])
             for f in schema["fields"] if isinstance(f["type"], str)}
-    try:
-        md = pq.ParquetFile(full_path).metadata
-    except Exception:
+
+    def _native(v):
+        # iceberg bounds serialize from native values; bytes must be
+        # valid utf8 text (undecodable -> incomplete, no bound)
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        return v
+
+    walked = _walk_column_stats(full_path, _native)
+    if walked is None:
         return {}
-    counts: dict = {}
-    nulls: dict = {}
-    mins: dict = {}
-    maxs: dict = {}
-    complete: dict = {}
-    for rg in range(md.num_row_groups):
-        g = md.row_group(rg)
-        for ci in range(g.num_columns):
-            col = g.column(ci)
-            name = col.path_in_schema
-            if "." in name or name not in cols:
-                continue
-            counts[name] = counts.get(name, 0) + g.num_rows
-            st = col.statistics
-            ok = st is not None and st.has_min_max
-            complete[name] = complete.get(name, True) and ok
-            if st is not None and st.null_count is not None:
-                nulls[name] = nulls.get(name, 0) + st.null_count
-            if ok:
-                lo, hi = st.min, st.max
-                if isinstance(lo, bytes):
-                    try:
-                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
-                    except UnicodeDecodeError:
-                        complete[name] = False
-                        continue
-                mins[name] = lo if name not in mins else min(mins[name], lo)
-                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    _num_rows, counts, nulls, null_complete, mins, maxs, complete = walked
 
     def _amap(d: dict) -> list | None:
-        out = [{"key": cols[n][0], "value": v} for n, v in sorted(d.items())]
+        out = [{"key": cols[n][0], "value": v}
+               for n, v in sorted(d.items()) if n in cols]
         return out or None
 
     lower: dict = {}
     upper: dict = {}
     for name in mins:
-        if not complete.get(name):
+        if not complete.get(name) or name not in cols:
             continue
         t = cols[name][1]
         lo_b = _encode_bound(t, mins[name])
@@ -471,7 +455,11 @@ def _file_column_stats(full_path: str, schema: dict) -> dict:
             upper[name] = hi_b
     return {
         "value_counts": _amap(counts),
-        "null_value_counts": _amap(nulls),
+        # partial sums over stats-less row groups would understate —
+        # external planners prune 'IS NULL' on null_count==0, so
+        # incomplete columns are omitted (missing = unprunable)
+        "null_value_counts": _amap({k: v for k, v in nulls.items()
+                                    if null_complete.get(k)}),
         "lower_bounds": _amap(lower),
         "upper_bounds": _amap(upper),
     }

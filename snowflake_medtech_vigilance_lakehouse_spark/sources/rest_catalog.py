@@ -152,7 +152,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         parts = [urllib.parse.unquote(p)
-                 for p in self.path.strip("/").split("/")]
+                 for p in self.path.split("?")[0].strip("/").split("/")]
         try:
             if (len(parts) == 4 and parts[:2] == ["v1", "namespaces"]
                     and parts[3] == "register"):

@@ -82,15 +82,33 @@ def mirror_delta_head_into_iceberg(path: str) -> int:
     Delta head's — how Delta-plane maintenance (MERGE / OPTIMIZE /
     RESTORE / direct writes) keeps the Iceberg plane current, the way
     real UniForm mirrors every commit. Called automatically by the
-    delta_lite maintenance entry points when they detect the plane;
-    O(live files) footer reads, no data movement. Returns the new
-    snapshot id."""
+    delta_lite maintenance entry points when they detect the plane.
+    Returns the new snapshot id.
+
+    Commit cost follows the commit, not the table: a head whose
+    actions are PURE ADDS (an append) mirrors as an Iceberg
+    fast-append of exactly those files — O(commit's files) footer
+    reads — so N streamed appends cost O(N) total, not O(N^2); any
+    commit carrying removes (MERGE/OPTIMIZE/RESTORE/overwrite)
+    mirrors the full live set as an overwrite snapshot, the O(live
+    files) full resync those operations inherently are."""
+    import json as _json
+
     head = dl._list_versions(path)[-1]
     meta = dl.table_metadata(path, head)
+    partition_by = list(meta.get("partitionColumns") or [])
+    with open(dl._log_path(path, head)) as f:
+        acts = [_json.loads(line) for line in f if line.strip()]
+    adds = [dl._decode_path(a["add"]["path"]) for a in acts if "add" in a]
+    has_removes = any("remove" in a for a in acts)
+    if adds and not has_removes and head > 0:
+        return il.commit_data_files(
+            meta["schemaString"], path, adds, mode="append",
+            partition_by=partition_by)
     live = sorted(dl._live_files(path, head))
     return il.commit_data_files(
         meta["schemaString"], path, live, mode="overwrite",
-        partition_by=list(meta.get("partitionColumns") or []))
+        partition_by=partition_by)
 
 
 def uniform_file_sets(path: str) -> tuple[set[str], set[str]]:

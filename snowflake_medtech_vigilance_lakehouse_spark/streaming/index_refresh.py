@@ -303,11 +303,16 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
     idempotency contract is preserved. Term-bucket (``tb=``) hive
     dirs inside ticks are re-partitioned into the consolidated dir.
 
-    Staged like the other maintenance swaps (consolidated dir written
-    first, superseded ticks moved to ``{path}_compact_trash``, then
-    deleted): a crash mid-swap leaves the trash dir next to the index
-    — recoverable by moving its ticks back, never silently wrong.
-    Returns the merged tick ids ([] = nothing to do)."""
+    Swap discipline: the COMPLETE post-compaction layout is built in
+    a staging root first (consolidated dir + hardlinks of every kept
+    tick's files — no data copied), then swapped in with two
+    directory renames via ``{path}_compact_retired``. A crash before
+    the swap leaves the index untouched; between the renames it
+    leaves the index path MISSING next to the retired dir — loud and
+    recoverable (rename it back), never a silently shrunken index
+    (the naive move-ticks-out-then-rename-in order has a window
+    where readers see the survivors only). Returns the merged tick
+    ids ([] = nothing to do)."""
     import os
     import shutil
 
@@ -325,24 +330,39 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
     has_tb = any(
         n.startswith("tb=")
         for n in os.listdir(os.path.join(path, f"tick={merge[0]}")))
-    stage = path + "_compact_stage"
-    shutil.rmtree(stage, ignore_errors=True)
+    root = path + "_compact_stage"
+    shutil.rmtree(root, ignore_errors=True)
     writer = df.drop("tick").write.mode("overwrite")
     if has_tb:
         writer = writer.partitionBy("tb")
-    writer.parquet(stage)
-    trash = path + "_compact_trash"
-    shutil.rmtree(trash, ignore_errors=True)
-    os.makedirs(trash)
-    for t in merge:
-        os.rename(os.path.join(path, f"tick={t}"),
-                  os.path.join(trash, f"tick={t}"))
-    os.rename(stage, os.path.join(path, f"tick={merge[0]}"))
-    shutil.rmtree(trash)
+    writer.parquet(os.path.join(root, f"tick={merge[0]}"))
+    # hardlink every SURVIVING entry (kept ticks + any non-tick files)
+    # into the staging root so it is the complete next layout
+    merged_names = {f"tick={t}" for t in merge}
+    for entry in os.listdir(path):
+        if entry in merged_names:
+            continue
+        src = os.path.join(path, entry)
+        dst = os.path.join(root, entry)
+        if os.path.isdir(src):
+            for sub, _, files in os.walk(src):
+                rel = os.path.relpath(sub, src)
+                os.makedirs(os.path.join(dst, rel), exist_ok=True)
+                for fn in files:
+                    os.link(os.path.join(sub, fn),
+                            os.path.join(dst, rel, fn))
+        else:
+            os.link(src, dst)
+    retired = path + "_compact_retired"
+    shutil.rmtree(retired, ignore_errors=True)
+    os.rename(path, retired)
+    os.rename(root, path)
+    shutil.rmtree(retired)
     return merge
 
 
-def maintain_ivf_index(spark, path: str, *, threshold: float = 0.2,
+def maintain_ivf_index(spark, path: str, checkpoint: str, *,
+                       threshold: float = 0.2,
                        id_col: str = "vec_id", seed: int = 42) -> bool:
     """Rebuild-on-evidence for the persisted IVF index — the policy
     the ``_growth`` sidecar exists for (and which, through round 6,
@@ -371,7 +391,16 @@ def maintain_ivf_index(spark, path: str, *, threshold: float = 0.2,
     away, rename new in), not single-syscall-atomic: a crash between
     the renames leaves ``{path}_retired`` next to a missing index —
     loud and recoverable (rename it back), never silently wrong.
-    Like the refresh loop, requires a driver-visible POSIX path."""
+    Like the refresh loop, requires a driver-visible POSIX path.
+
+    ``checkpoint`` is the REFRESH loop's checkpoint location: a
+    rebuild folds every appended tick into un-prefixed base files, so
+    a tick that could still REPLAY (its writes landed, its checkpoint
+    commit didn't — the at-least-once crash window) would be
+    re-appended after the rebuild and duplicate its vectors. The
+    maintenance op therefore refuses to run while the newest batch is
+    uncommitted — re-run the refresh (which replays idempotently into
+    the tick layout) and retry."""
     import os
     import shutil
 
@@ -380,6 +409,23 @@ def maintain_ivf_index(spark, path: str, *, threshold: float = 0.2,
     growth_path = path + "_growth"
     if not os.path.isdir(growth_path):
         return False  # no appends since build: nothing to weigh
+
+    offsets = os.path.join(checkpoint, "offsets")
+    batches = [int(f) for f in os.listdir(offsets) if f.isdigit()] \
+        if os.path.isdir(offsets) else []
+    if not batches:
+        raise ValueError(
+            f"maintain_ivf_index: {growth_path} holds appended ticks "
+            f"but checkpoint {checkpoint} is empty — wrong checkpoint "
+            f"path, or the index belongs to a lost refresh lineage")
+    latest = max(batches)
+    if not os.path.exists(os.path.join(checkpoint, "commits", str(latest))):
+        raise ValueError(
+            f"maintain_ivf_index: refresh batch {latest} is "
+            f"uncommitted (crash window) — folding its tick into a "
+            f"rebuild would duplicate it on replay. Re-run the "
+            f"refresh to let the batch replay idempotently, then "
+            f"retry maintenance")
     growth = (spark.read.parquet(growth_path)
               .groupBy("list_id").agg(F.sum("n_appended").alias("appended")))
     current = (spark.read.parquet(path)

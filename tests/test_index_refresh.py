@@ -320,7 +320,7 @@ def test_maintain_ivf_rebuilds_on_growth_and_recall_holds(spark, tmp_path):
     sim.build_ivf_index(built, idx, n_lists=16, seed=42)
 
     # nothing appended yet: no evidence, no rebuild
-    assert maintain_ivf_index(spark, idx, threshold=0.2) is False
+    assert maintain_ivf_index(spark, idx, ckpt, threshold=0.2) is False
 
     new_dir = tmp_path / "new"; new_dir.mkdir()
     emb.filter(F.col("vec_id") % 3 != 0).write.mode("overwrite")\
@@ -333,11 +333,25 @@ def test_maintain_ivf_rebuilds_on_growth_and_recall_holds(spark, tmp_path):
     # appended mass is ~2x built: far over a 10x threshold? no — but
     # a sky-high threshold must NOT fire (the policy is evidence-led,
     # not unconditional)
-    assert maintain_ivf_index(spark, idx, threshold=100.0) is False
+    assert maintain_ivf_index(spark, idx, ckpt, threshold=100.0) is False
     assert os.path.isdir(idx + "_growth")
 
+    # the newest refresh batch must be COMMITTED before a rebuild may
+    # fold its tick: an uncommitted batch replays after the rebuild
+    # and would duplicate its vectors
+    _uncommit_last_batch(ckpt)
+    with pytest.raises(ValueError, match="uncommitted"):
+        maintain_ivf_index(spark, idx, ckpt, threshold=0.2)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>").parquet(str(new_dir))
+    refresh_ivf_index(stream, idx, ckpt).awaitTermination(120)  # replay
+    assert spark.read.parquet(idx).count() == emb.count()
+    with pytest.raises(ValueError, match="is empty"):
+        maintain_ivf_index(spark, idx, str(tmp_path / "wrong_ck"),
+                           threshold=0.2)
+
     c_before = spark.read.parquet(idx + "_centroids").collect()
-    assert maintain_ivf_index(spark, idx, threshold=0.2) is True
+    assert maintain_ivf_index(spark, idx, ckpt, threshold=0.2) is True
     # growth ledger cleared, same vectors, fresh quantizer
     assert not os.path.isdir(idx + "_growth")
     assert spark.read.parquet(idx).count() == emb.count()

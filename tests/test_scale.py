@@ -67,6 +67,25 @@ def test_ivf_index_serving_matches_direct_and_prunes(spark, sf_dir, tmp_path):
     assert [f.dataType.simpleString() for f in none.schema.fields] == [
         "bigint", "bigint", "int", "double"]
 
+    # an EMPTY inverted list (k-means can leave a cluster empty;
+    # partitionBy writes no dir for it while the centroid survives in
+    # the sidecar) must contribute zero rows, not a path-not-found
+    # crash — probe EVERY list so the empty one is always touched
+    import shutil
+    shutil.rmtree(f"{idx}/list_id=3")
+    served_all = sim.knn_ivf_indexed(spark, idx, q.limit(2), k=5, n_probe=8)
+    assert served_all.count() == 10  # 2 queries x top-5, crash-free
+
+
+def test_neardup_bucketed_empty_corpus(spark):
+    # all vectors NULL/zero-norm -> the fold contract yields an empty
+    # frame; the bucketed quantizer fit must not crash in numpy
+    df = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    out = sim.embedding_neardup_pairs_bucketed(df, threshold=0.5, n_lists=4)
+    assert out.columns == ["id_1", "id_2", "cosine"]
+    assert out.count() == 0
+
 
 def test_ivf_index_tolerates_null_vectors(spark, sf_dir, tmp_path):
     # a NULL embedding must not NPE the KMeans fit at build time, must
