@@ -235,6 +235,7 @@ def _kmeans_fit(X, k: int, seed: int, iters: int = 15):
 
 def embedding_neardup_pairs_bucketed(corpus: DataFrame,
                                      threshold: float = 0.9, *,
+                                     probes: DataFrame | None = None,
                                      n_lists: int = 16,
                                      n_probe: int | None = None,
                                      id_col: str = "vec_id",
@@ -299,6 +300,17 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
     Numerics: identical discipline to the blocked variant — float64
     GEMM, 1e-6 slack prefilter in numpy, exact ``round(_,6) >=
     threshold`` applied JVM-side.
+
+    ``probes`` switches to PROBE-SET semantics — the distributed twin
+    of :func:`embedding_neardup_pairs` (and the collect-free
+    replacement for the blocked variant's driver-collected probe
+    matrix): pairs are (probe, corpus) with ``id_1 < id_2``, probe
+    rows fan out to their triangle-bound (or n_probe-capped) lists
+    while corpus rows land only in their home list — the same
+    coverage guarantee applies with u := the probe, so exact mode
+    stays exact. Both frames must share the id/vec column names; a
+    probe that also appears in the corpus contributes each pair once
+    (strict ``id_1 < id_2``, fold-identical).
     """
     import numpy as np
     import pandas as pd
@@ -312,17 +324,25 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
         raise ValueError(
             f"embedding_neardup_pairs_bucketed requires an integral or "
             f"string id column, got {id_col}: {id_type.simpleString()}")
+    if probes is not None and probes.schema[id_col].dataType != id_type:
+        raise ValueError(
+            f"probes.{id_col} type "
+            f"{probes.schema[id_col].dataType.simpleString()} must match "
+            f"corpus ({id_type.simpleString()})")
     id_sql = id_type.simpleString()
 
     # zero-norm vectors can't be placed in normalized space and score
     # NaN cosine against everything (always dropped) — exclude with
     # the NULL/NULL-element rows
-    clean = corpus.filter(
-        F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-    ).select(F.col(id_col).alias("_id"),
-             F.col(vec_col).cast("array<double>").alias("_v"),
-             ).filter(l2_norm(F.col("_v")) > 0)
+    def _clean(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.col(vec_col).isNotNull()
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        ).select(F.col(id_col).alias("_id"),
+                 F.col(vec_col).cast("array<double>").alias("_v"),
+                 ).filter(l2_norm(F.col("_v")) > 0)
+
+    clean = _clean(corpus)
 
     if centroids is None:
         # quantizer fit on a BOUNDED driver sample (4096 rows, not
@@ -398,13 +418,26 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
                 "_probes": probes,
             })
 
-    assigned = clean.mapInPandas(assign, assign_schema)
-    home_rows = assigned.select(
-        F.col("_home").alias("list_id"), "_id", "_v",
-        F.lit("h").alias("_role"))
-    probe_rows = assigned.select(
-        F.explode("_probes").alias("list_id"), "_id", "_v",
-        F.lit("p").alias("_role"))
+    probe_mode = probes is not None
+    if probe_mode:
+        # probe-set semantics: corpus rows land in their HOME list
+        # only (each pair can then be scored in at most one bucket —
+        # the h side appears once — so no dedupe shuffle is needed);
+        # probe rows fan out to their triangle-bound/n_probe lists
+        home_rows = clean.mapInPandas(assign, assign_schema).select(
+            F.col("_home").alias("list_id"), "_id", "_v",
+            F.lit("h").alias("_role"))
+        probe_rows = _clean(probes).mapInPandas(assign, assign_schema).select(
+            F.explode("_probes").alias("list_id"), "_id", "_v",
+            F.lit("p").alias("_role"))
+    else:
+        assigned = clean.mapInPandas(assign, assign_schema)
+        home_rows = assigned.select(
+            F.col("_home").alias("list_id"), "_id", "_v",
+            F.lit("h").alias("_role"))
+        probe_rows = assigned.select(
+            F.explode("_probes").alias("list_id"), "_id", "_v",
+            F.lit("p").alias("_role"))
     slack = float(threshold) - 1.001e-6
     pair_schema = f"id_1 {id_sql}, id_2 {id_sql}, _raw double"
 
@@ -425,14 +458,24 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
                 denom = np.outer(pn, hn[lo:hi])
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = (Pm @ Hm[lo:hi].T) / denom
-                keep = (denom != 0) & (cos >= slack) & (
-                    pid[:, np.newaxis] != hid[np.newaxis, lo:hi])
-                pi, ci = np.nonzero(keep)
-                a = pid[pi]
-                b = hid[lo + ci]
-                lt = a < b
-                out1.append(np.where(lt, a, b))
-                out2.append(np.where(lt, b, a))
+                hblock = hid[np.newaxis, lo:hi]
+                if probe_mode:
+                    # fold contract for probe queries: emit strictly
+                    # (probe, corpus) ordered pairs — id_1 IS the probe
+                    keep = (denom != 0) & (cos >= slack) & (
+                        pid[:, np.newaxis] < hblock)
+                    pi, ci = np.nonzero(keep)
+                    out1.append(pid[pi])
+                    out2.append(hid[lo + ci])
+                else:
+                    keep = (denom != 0) & (cos >= slack) & (
+                        pid[:, np.newaxis] != hblock)
+                    pi, ci = np.nonzero(keep)
+                    a = pid[pi]
+                    b = hid[lo + ci]
+                    lt = a < b
+                    out1.append(np.where(lt, a, b))
+                    out2.append(np.where(lt, b, a))
                 outc.append(cos[pi, ci])
         if not out1:
             return pd.DataFrame({"id_1": pd.Series([], dtype=object),
@@ -444,9 +487,14 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
 
     raw = (home_rows.unionByName(probe_rows)
            .groupBy("list_id").applyInPandas(score, pair_schema))
+    if not probe_mode:
+        # a full-mode pair probed from both endpoints lands in both
+        # home buckets; dedupe deterministically. Probe mode scores
+        # each pair in exactly one bucket (the h side's home), so the
+        # extra shuffle would be pure cost there.
+        raw = raw.groupBy("id_1", "id_2").agg(F.max("_raw").alias("_raw"))
     return (
-        raw.groupBy("id_1", "id_2").agg(F.max("_raw").alias("_raw"))
-        .select("id_1", "id_2", F.round("_raw", 6).alias("cosine"))
+        raw.select("id_1", "id_2", F.round("_raw", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

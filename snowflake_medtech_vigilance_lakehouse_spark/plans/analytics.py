@@ -1906,12 +1906,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantically deduplicated corpus; oracle is the recursive-CTE
     reachability twin."""
     emb = _t(spark, sf_dir, "embeddings")
-    # blocked-GEMM pair stage: the output contract here is cluster
-    # MEMBERSHIP (no cosine column), and the blocked variant is
-    # pytest-gated pair-identical to the fold variant — at sf1 this
-    # stage was 119 s as an interpreted fold vs ~2 s blocked
-    pairs = sim.embedding_neardup_pairs_blocked(
-        emb, emb.filter(F.col("vec_id") % 20 == 0), threshold=0.35
+    # bucketed-GEMM pair stage in PROBE mode (round 7 — retires the
+    # r6 weak shape for good): the probe slice streams through the
+    # same one-shuffle bucket plan as the full-corpus variant instead
+    # of being collected to the driver as the blocked tier's probe
+    # matrix; exact at any threshold via the triangle probe bound,
+    # pytest-gated pair-identical to the fold contract
+    pairs = sim.embedding_neardup_pairs_bucketed(
+        emb, threshold=0.35,
+        probes=emb.filter(F.col("vec_id") % 20 == 0),
     )
     comps = dd.connected_components(pairs, left_col="id_1", right_col="id_2")
     return (

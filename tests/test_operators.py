@@ -199,6 +199,25 @@ def test_neardup_bucketed_exact_mode_matches_fold(spark, emb):
         assert fold.exceptAll(bucketed).count() == 0, th
 
 
+def test_neardup_bucketed_probe_mode_matches_fold(spark, emb):
+    # probe-set semantics (the collect-free replacement for the
+    # blocked tier's driver-collected probe matrix): exact mode must
+    # reproduce the fold contract's (probe, corpus) ordered pairs and
+    # rounded scores; id type mismatch between frames refuses loudly
+    probes = emb.filter(F.col("vec_id") % 20 == 0)
+    for th in (0.45, 0.35):
+        fold = sim.embedding_neardup_pairs(emb, probes, threshold=th)
+        bucketed = sim.embedding_neardup_pairs_bucketed(
+            emb, threshold=th, probes=probes, n_lists=16)
+        assert bucketed.exceptAll(fold).count() == 0, th
+        assert fold.exceptAll(bucketed).count() == 0, th
+    with pytest.raises(ValueError, match="must match"):
+        sim.embedding_neardup_pairs_bucketed(
+            emb, threshold=0.35,
+            probes=probes.select(
+                F.col("vec_id").cast("string").alias("vec_id"), "embedding"))
+
+
 def test_neardup_bucketed_capped_probe_is_subset(spark, emb):
     # an integer n_probe trades recall for fixed cost: the result must
     # be a strict SUBSET of the exact pair set (never a wrong pair,
