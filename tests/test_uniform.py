@@ -265,3 +265,35 @@ def test_uniform_random_op_sequences_keep_planes_equal(spark, sf_dir, tmp_path):
             assert d.count() == i.count(), (trial, step, op)
             assert d.exceptAll(i).count() == 0, (trial, step, op)
             assert i.exceptAll(d).count() == 0, (trial, step, op)
+
+
+def test_uniform_streaming_sink_mirrors_each_batch(spark, sf_dir, tmp_path):
+    """The exactly-once streaming sink targets write_delta, so a
+    uniform table fed by a stream must mirror EVERY micro-batch into
+    the Iceberg plane (as fast-appends — pure-add commits)."""
+    import json as _json
+
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import (
+        write_stream_to_delta)
+
+    path = str(tmp_path / "uni_stream")
+    o = _orders(spark, sf_dir).limit(30).select("o_orderkey", "yyyy")
+    publish_uniform(o, path)
+
+    in_dir = tmp_path / "in"; in_dir.mkdir()
+    o.limit(10).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "yyyy"
+    ).write.mode("overwrite").parquet(str(in_dir))
+    stream = spark.readStream.schema("o_orderkey long, yyyy int")\
+        .parquet(str(in_dir))
+    write_stream_to_delta(
+        stream, path, checkpoint=str(tmp_path / "ck"),
+        app_id="uni_stream_test").awaitTermination(120)
+
+    d_files, i_files = uniform_file_sets(path)
+    assert d_files == i_files
+    assert il.read_iceberg(spark, path).count() == 40
+    # the mirrored commit is a fast-append (operation 'append'), not a
+    # full overwrite resync
+    last = il.table_metadata(path)["snapshots"][-1]
+    assert last["summary"]["operation"] == "append"
