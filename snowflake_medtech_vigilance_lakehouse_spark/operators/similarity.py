@@ -418,13 +418,36 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
                 "_probes": probes,
             })
 
+    home_schema = f"_id {id_sql}, _v array<double>, _home int"
+
+    def assign_home(batches):
+        # argmin-only assignment for the h side of probe mode: the
+        # corpus never needs the probe-set mask (mapInPandas is a
+        # black box, so Spark could not prune it away if computed)
+        for pdf in batches:
+            vecs = pdf["_v"].to_numpy()
+            ok = np.array([len(v) == d for v in vecs], dtype=bool)
+            if not ok.all():
+                pdf = pdf[ok]
+                vecs = vecs[ok]
+            if not len(pdf):
+                continue
+            X = np.stack(vecs).astype(np.float64)
+            X = X / np.sqrt((X * X).sum(axis=1))[:, np.newaxis]
+            d2 = ctr_sq[np.newaxis, :] - 2.0 * (X @ Ctr.T)
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(),
+                "_v": [np.asarray(v) for v in vecs],
+                "_home": np.argmin(d2, axis=1).astype(np.int32),
+            })
+
     probe_mode = probes is not None
     if probe_mode:
         # probe-set semantics: corpus rows land in their HOME list
         # only (each pair can then be scored in at most one bucket —
         # the h side appears once — so no dedupe shuffle is needed);
         # probe rows fan out to their triangle-bound/n_probe lists
-        home_rows = clean.mapInPandas(assign, assign_schema).select(
+        home_rows = clean.mapInPandas(assign_home, home_schema).select(
             F.col("_home").alias("list_id"), "_id", "_v",
             F.lit("h").alias("_role"))
         probe_rows = _clean(probes).mapInPandas(assign, assign_schema).select(
@@ -848,18 +871,14 @@ def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
     cached = _idx_schema(spark, path)
     if cached is not None:
         reader = reader.schema(cached)
-    try:
+    if os.path.isdir(path):
         dirs = [f"{path}/list_id={t}" for t in touched
                 if os.path.isdir(os.path.join(path, f"list_id={t}"))]
-        statable = os.path.isdir(path)
-    except OSError:
-        statable = False
-    if statable:
         if not dirs:
             return None
         idx = (reader.parquet(*dirs)
                .filter(F.col("list_id").isin(touched)))
-    else:
+    else:  # not driver-statable (remote FS): full-discovery read
         idx = (spark.read.parquet(path)
                .filter(F.col("list_id").isin(touched)))
     return (

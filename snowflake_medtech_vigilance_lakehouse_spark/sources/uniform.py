@@ -85,27 +85,41 @@ def mirror_delta_head_into_iceberg(path: str) -> int:
     delta_lite maintenance entry points when they detect the plane.
     Returns the new snapshot id.
 
-    Commit cost follows the commit, not the table: a head whose
-    actions are PURE ADDS (an append) mirrors as an Iceberg
-    fast-append of exactly those files — O(commit's files) footer
-    reads — so N streamed appends cost O(N) total, not O(N^2); any
-    commit carrying removes (MERGE/OPTIMIZE/RESTORE/overwrite)
-    mirrors the full live set as an overwrite snapshot, the O(live
-    files) full resync those operations inherently are."""
+    Commit cost follows the commit, not the table — with the sync
+    preconditions that keep the mirror IDEMPOTENT and SELF-HEALING:
+
+    - already in sync (Iceberg current file set == Delta head's):
+      no-op returning the current snapshot id, so re-invoking at a
+      mirrored head never double-appends;
+    - pure-add head (an append) AND Iceberg current == the Delta
+      PARENT version's live set: fast-append of exactly the commit's
+      files — O(commit's files) footer reads, so N streamed appends
+      cost O(N) total, not O(N^2);
+    - anything else (removes in the commit, or a mirror gap from a
+      crash between a Delta commit and its mirror): full-live-set
+      overwrite snapshot — the O(live files) resync that heals any
+      divergence, whatever its history."""
     import json as _json
 
     head = dl._list_versions(path)[-1]
     meta = dl.table_metadata(path, head)
     partition_by = list(meta.get("partitionColumns") or [])
+    live_head = set(dl._live_files(path, head))
+    imeta = il.table_metadata(path)
+    current_sid = imeta["current-snapshot-id"]
+    iceberg_live = set(il._snapshot_files(path, imeta, current_sid))
+    if iceberg_live == live_head:
+        return current_sid  # already mirrored — idempotent no-op
     with open(dl._log_path(path, head)) as f:
         acts = [_json.loads(line) for line in f if line.strip()]
     adds = [dl._decode_path(a["add"]["path"]) for a in acts if "add" in a]
     has_removes = any("remove" in a for a in acts)
-    if adds and not has_removes and head > 0:
+    if (adds and not has_removes and head > 0
+            and iceberg_live == set(dl._live_files(path, head - 1))):
         return il.commit_data_files(
             meta["schemaString"], path, adds, mode="append",
             partition_by=partition_by)
-    live = sorted(dl._live_files(path, head))
+    live = sorted(live_head)
     return il.commit_data_files(
         meta["schemaString"], path, live, mode="overwrite",
         partition_by=partition_by)

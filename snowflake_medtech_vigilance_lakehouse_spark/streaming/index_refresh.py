@@ -344,15 +344,21 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
             continue
         src = os.path.join(path, entry)
         dst = os.path.join(root, entry)
+        def _place(s: str, t: str) -> None:
+            try:
+                os.link(s, t)  # no data copied where links work
+            except OSError:  # link-restricted FS (NFS/CIFS/FUSE)
+                shutil.copy2(s, t)
+
         if os.path.isdir(src):
             for sub, _, files in os.walk(src):
                 rel = os.path.relpath(sub, src)
                 os.makedirs(os.path.join(dst, rel), exist_ok=True)
                 for fn in files:
-                    os.link(os.path.join(sub, fn),
-                            os.path.join(dst, rel, fn))
+                    _place(os.path.join(sub, fn),
+                           os.path.join(dst, rel, fn))
         else:
-            os.link(src, dst)
+            _place(src, dst)
     retired = path + "_compact_retired"
     shutil.rmtree(retired, ignore_errors=True)
     os.rename(path, retired)
@@ -409,23 +415,6 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
     growth_path = path + "_growth"
     if not os.path.isdir(growth_path):
         return False  # no appends since build: nothing to weigh
-
-    offsets = os.path.join(checkpoint, "offsets")
-    batches = [int(f) for f in os.listdir(offsets) if f.isdigit()] \
-        if os.path.isdir(offsets) else []
-    if not batches:
-        raise ValueError(
-            f"maintain_ivf_index: {growth_path} holds appended ticks "
-            f"but checkpoint {checkpoint} is empty — wrong checkpoint "
-            f"path, or the index belongs to a lost refresh lineage")
-    latest = max(batches)
-    if not os.path.exists(os.path.join(checkpoint, "commits", str(latest))):
-        raise ValueError(
-            f"maintain_ivf_index: refresh batch {latest} is "
-            f"uncommitted (crash window) — folding its tick into a "
-            f"rebuild would duplicate it on replay. Re-run the "
-            f"refresh to let the batch replay idempotently, then "
-            f"retry maintenance")
     growth = (spark.read.parquet(growth_path)
               .groupBy("list_id").agg(F.sum("n_appended").alias("appended")))
     current = (spark.read.parquet(path)
@@ -443,6 +432,27 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
         r["appended"] / max(1, r["total"] - r["appended"]) for r in stats)
     if appended / max(1, built) < threshold and per_list < threshold:
         return False
+
+    # the checkpoint gate protects only the REBUILD branch: below
+    # threshold the function returns False harmlessly whatever the
+    # checkpoint state, so a periodic maintenance job keeps running
+    # through the at-least-once crash window instead of erroring
+    offsets = os.path.join(checkpoint, "offsets")
+    batches = [int(f) for f in os.listdir(offsets) if f.isdigit()] \
+        if os.path.isdir(offsets) else []
+    if not batches:
+        raise ValueError(
+            f"maintain_ivf_index: {growth_path} holds appended ticks "
+            f"but checkpoint {checkpoint} is empty — wrong checkpoint "
+            f"path, or the index belongs to a lost refresh lineage")
+    latest = max(batches)
+    if not os.path.exists(os.path.join(checkpoint, "commits", str(latest))):
+        raise ValueError(
+            f"maintain_ivf_index: refresh batch {latest} is "
+            f"uncommitted (crash window) — folding its tick into a "
+            f"rebuild would duplicate it on replay. Re-run the "
+            f"refresh to let the batch replay idempotently, then "
+            f"retry maintenance")
 
     n_lists = spark.read.parquet(path + "_centroids").count()
     corpus = spark.read.parquet(path).select(id_col, "_v")

@@ -297,3 +297,36 @@ def test_uniform_streaming_sink_mirrors_each_batch(spark, sf_dir, tmp_path):
     # full overwrite resync
     last = il.table_metadata(path)["snapshots"][-1]
     assert last["summary"]["operation"] == "append"
+
+
+def test_uniform_mirror_idempotent_and_self_healing(spark, sf_dir, tmp_path):
+    """The fast-append mirror must keep the old overwrite-mirror's two
+    safety properties: re-invoking at an already-mirrored head is a
+    no-op (never a double-append), and a MISSED mirror (crash between
+    a Delta commit and its mirror, or a txn-deduped replay that skips
+    it) heals on the next mirror call instead of diverging forever."""
+    from snowflake_medtech_vigilance_lakehouse_spark.sources.uniform import (
+        mirror_delta_head_into_iceberg)
+
+    path = str(tmp_path / "uni_heal")
+    o = _orders(spark, sf_dir).limit(40).select("o_orderkey", "yyyy")
+    publish_uniform(o, path)
+
+    v, _ = publish_uniform(o.limit(10), path, mode="append")
+    sid = il.table_metadata(path)["current-snapshot-id"]
+    # idempotent: mirroring an already-mirrored append head is a no-op
+    assert mirror_delta_head_into_iceberg(path) == sid
+    assert il.table_metadata(path)["current-snapshot-id"] == sid
+    assert il.read_iceberg(spark, path).count() == 50
+
+    # mirror GAP: a Delta append whose mirror never ran...
+    dl.write_delta(o.limit(5), path, mode="append", mirror_iceberg=False)
+    d_files, i_files = uniform_file_sets(path)
+    assert d_files != i_files  # diverged (the simulated crash window)
+    # ...heals on the NEXT mirrored commit (fast-append precondition
+    # fails -> full resync), with no file double-counted
+    dl.write_delta(o.limit(3), path, mode="append")
+    d_files, i_files = uniform_file_sets(path)
+    assert d_files == i_files
+    assert il.read_iceberg(spark, path).count() == 58
+    assert dl.read_delta(spark, path).count() == 58
