@@ -1,0 +1,140 @@
+"""Second-engine read of iceberg_lite tables, OFFLINE: DuckDB executes
+the data scan while an INDEPENDENT metadata walk (the test-local Avro
+decoder from test_avro_lite + fresh JSON/bounds parsing written here,
+sharing no code with iceberg_lite's reader) resolves the current
+snapshot's files — the closest in-container stand-in for the
+reference's "same table readable by a second engine" claim
+(/root/reference/README.md:121-124,141) while the DuckDB
+iceberg/delta extensions stay network-blocked."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_medtech_vigilance_lakehouse_spark.sources import iceberg_lite as il
+from snowflake_medtech_vigilance_lakehouse_spark.sources.uniform import publish_uniform
+from tests.test_avro_lite import _ind_read_container
+
+
+def _ind_current_files(path):
+    """Independent snapshot resolution: version-hint -> metadata JSON
+    -> manifest list (Avro) -> manifests (Avro) -> live data files.
+    Returns (rel_paths, manifest_entries)."""
+    with open(os.path.join(path, "metadata", "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(path, "metadata",
+                           f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, manifests, _ = _ind_read_container(
+        os.path.join(path, snap["manifest-list"]))
+    entries = []
+    for m in manifests:
+        _, recs, _ = _ind_read_container(
+            os.path.join(path, m["manifest_path"]))
+        entries.extend(r for r in recs if r["status"] != 2)
+    return [e["data_file"]["file_path"] for e in entries], entries
+
+
+def test_duckdb_reads_iceberg_table_via_independent_metadata_walk(
+        spark, sf_dir, tmp_path):
+    path = str(tmp_path / "ice2")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .withColumn("yyyy", F.year("o_orderdate")).limit(300))
+    il.write_iceberg(o, path, partition_by=["yyyy"])
+    il.write_iceberg(o.limit(50), path, mode="append",
+                     partition_by=["yyyy"])
+
+    files, _ = _ind_current_files(path)
+    assert files
+    con = duckdb.connect()
+    globs = [os.path.join(path, rel) for rel in files]
+    n, s = con.execute(
+        "SELECT count(*), sum(o_orderkey) FROM read_parquet(?)",
+        [globs]).fetchone()
+    # the second engine sees exactly what iceberg_lite (and the
+    # source frame) see
+    assert n == 350
+    assert s == (o.agg(F.sum("o_orderkey")).first()[0]
+                 + o.limit(50).agg(F.sum("o_orderkey")).first()[0])
+    ours = il.read_iceberg(spark, path)
+    assert ours.count() == n
+    assert ours.agg(F.sum("o_orderkey")).first()[0] == s
+
+
+def test_duckdb_prunes_from_independently_decoded_bounds(
+        spark, sf_dir, tmp_path):
+    """File skipping an EXTERNAL planner would do: decode the
+    manifests' lower/upper bounds with a fresh single-value
+    deserializer (little-endian struct.unpack written here), plan the
+    file list for a point predicate, and let DuckDB scan only the
+    survivors — result equals DuckDB's own full-scan filter."""
+    path = str(tmp_path / "ice_prune")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .orderBy("o_orderkey").repartitionByRange(4, "o_orderkey")
+         .sortWithinPartitions("o_orderkey"))
+    il.write_iceberg(o, path)
+
+    with open(os.path.join(path, "metadata", "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(path, "metadata",
+                           f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    okey_id = next(f_["id"] for f_ in meta["schemas"][0]["fields"]
+                   if f_["name"] == "o_orderkey")
+
+    files, entries = _ind_current_files(path)
+    con = duckdb.connect()
+    all_globs = [os.path.join(path, rel) for rel in files]
+    probe = con.execute(
+        "SELECT min(o_orderkey) + 1 FROM read_parquet(?)",
+        [all_globs]).fetchone()[0]
+
+    keep = []
+    for e in entries:
+        lb = {x["key"]: x["value"] for x in e["data_file"]["lower_bounds"]}
+        lo = struct.unpack("<q", lb[okey_id])[0]  # spec: long, little-endian
+        if lo <= probe:  # predicate o_orderkey <= probe can match
+            keep.append(os.path.join(path, e["data_file"]["file_path"]))
+    assert 0 < len(keep) < len(files)  # pruning is real
+    pruned_n = con.execute(
+        "SELECT count(*) FROM read_parquet(?) WHERE o_orderkey <= ?",
+        [keep, probe]).fetchone()[0]
+    full_n = con.execute(
+        "SELECT count(*) FROM read_parquet(?) WHERE o_orderkey <= ?",
+        [all_globs, probe]).fetchone()[0]
+    assert pruned_n == full_n > 0  # lossless from the external side
+
+
+def test_duckdb_reads_uniform_table_through_iceberg_plane(
+        spark, sf_dir, tmp_path):
+    """One physical copy, three readers: delta_lite, iceberg_lite, and
+    DuckDB through the independently-walked Iceberg plane — after a
+    MERGE has exercised the maintenance mirror."""
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+
+    path = str(tmp_path / "uni2")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .withColumn("yyyy", F.year("o_orderdate")).limit(100)
+         .select("o_orderkey", "o_totalprice", "yyyy"))
+    publish_uniform(o, path, partition_by=["yyyy"])
+    src = o.limit(10).withColumn("o_totalprice", F.lit(0.0))
+    dl.merge_delta(spark, path, src, on=["o_orderkey"],
+                   when_matched="update", when_not_matched=None)
+
+    files, _ = _ind_current_files(path)
+    con = duckdb.connect()
+    n, zeros = con.execute(
+        "SELECT count(*), sum(CASE WHEN o_totalprice = 0 THEN 1 ELSE 0 END)"
+        " FROM read_parquet(?)",
+        [[os.path.join(path, rel) for rel in files]]).fetchone()
+    assert n == 100 and zeros == 10
+    assert dl.read_delta(spark, path).count() == 100
