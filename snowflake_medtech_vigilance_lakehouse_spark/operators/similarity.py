@@ -476,30 +476,39 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
             pid = P["_id"].to_numpy()
             hn = np.sqrt((Hm * Hm).sum(axis=1))
             pn = np.sqrt((Pm * Pm).sum(axis=1))
-            for lo in range(0, len(H), block_rows):
-                hi = min(lo + block_rows, len(H))
-                denom = np.outer(pn, hn[lo:hi])
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = (Pm @ Hm[lo:hi].T) / denom
-                hblock = hid[np.newaxis, lo:hi]
-                if probe_mode:
-                    # fold contract for probe queries: emit strictly
-                    # (probe, corpus) ordered pairs — id_1 IS the probe
-                    keep = (denom != 0) & (cos >= slack) & (
-                        pid[:, np.newaxis] < hblock)
-                    pi, ci = np.nonzero(keep)
-                    out1.append(pid[pi])
-                    out2.append(hid[lo + ci])
-                else:
-                    keep = (denom != 0) & (cos >= slack) & (
-                        pid[:, np.newaxis] != hblock)
-                    pi, ci = np.nonzero(keep)
-                    a = pid[pi]
-                    b = hid[lo + ci]
-                    lt = a < b
-                    out1.append(np.where(lt, a, b))
-                    out2.append(np.where(lt, b, a))
-                outc.append(cos[pi, ci])
+            # block BOTH sides: a loose threshold fans the whole
+            # corpus into every bucket as probes, so a one-sided
+            # block still allocates |P| x block_rows score matrices
+            # (~2 GB per block at 60k probes) — double blocking caps
+            # every temporary at block_rows^2 doubles
+            for plo in range(0, len(P), block_rows):
+                phi = min(plo + block_rows, len(P))
+                pblk = pid[plo:phi]
+                for lo in range(0, len(H), block_rows):
+                    hi = min(lo + block_rows, len(H))
+                    denom = np.outer(pn[plo:phi], hn[lo:hi])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = (Pm[plo:phi] @ Hm[lo:hi].T) / denom
+                    hblock = hid[np.newaxis, lo:hi]
+                    if probe_mode:
+                        # fold contract for probe queries: emit
+                        # strictly (probe, corpus) ordered pairs —
+                        # id_1 IS the probe
+                        keep = (denom != 0) & (cos >= slack) & (
+                            pblk[:, np.newaxis] < hblock)
+                        pi, ci = np.nonzero(keep)
+                        out1.append(pblk[pi])
+                        out2.append(hid[lo + ci])
+                    else:
+                        keep = (denom != 0) & (cos >= slack) & (
+                            pblk[:, np.newaxis] != hblock)
+                        pi, ci = np.nonzero(keep)
+                        a = pblk[pi]
+                        b = hid[lo + ci]
+                        lt = a < b
+                        out1.append(np.where(lt, a, b))
+                        out2.append(np.where(lt, b, a))
+                    outc.append(cos[pi, ci])
         if not out1:
             return pd.DataFrame({"id_1": pd.Series([], dtype=object),
                                  "id_2": pd.Series([], dtype=object),
