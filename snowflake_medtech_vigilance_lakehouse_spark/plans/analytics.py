@@ -2157,6 +2157,50 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "n_bytes", F.col("idx").cast("long").alias("idx"), "val")
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-shaped 1->many plumbing): payloads slice
+    into 256-byte frames, every 2nd kept. The operator slices BYTES;
+    the oracle is expressible because the fixture adapter's payloads
+    are ASCII (md5/substring over chars == over bytes there) — the
+    byte-true behavior is separately unit-tested on non-UTF8 input."""
+    docs = _t(spark, sf_dir, "documents")
+    return mm.sample_frames(mm.documents_as_media(docs), fake=True,
+                            frame_size=256, stride=2)
+
+
+ORACLE_MEDIA_FRAMES = """
+WITH m AS (
+  SELECT doc_id::BIGINT AS media_id, coalesce(text, '') AS t
+  FROM documents
+), f AS (
+  SELECT media_id, t, unnest(range(((length(t) + 255) // 256))) AS i
+  FROM m WHERE length(t) > 0
+)
+SELECT media_id, i::BIGINT AS frame_idx,
+       length(substr(t, (i * 256 + 1)::INT, 256))::BIGINT AS n_bytes,
+       md5(substr(t, (i * 256 + 1)::INT, 256)) AS frame_md5
+FROM f WHERE i % 2 = 0
+"""
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing: binary in, ceil(n/4)-byte fake
+    resample out, summarized as md5 + sizes (same ASCII-oracle note
+    as q_media_frames)."""
+    docs = _t(spark, sf_dir, "documents")
+    return mm.resize_media(mm.documents_as_media(docs), fake=True, factor=4)
+
+
+ORACLE_MEDIA_RESIZE = """
+SELECT doc_id::BIGINT AS media_id,
+       length(coalesce(text, ''))::BIGINT AS n_bytes_in,
+       ((length(coalesce(text, '')) + 3) // 4)::BIGINT AS n_bytes_out,
+       md5(substr(coalesce(text, ''), 1,
+                  ((length(coalesce(text, '')) + 3) // 4)::INT)) AS resized_md5
+FROM documents
+"""
+
+
 ORACLE_MEDIA_FEATURES = """
 WITH m AS (
   SELECT doc_id::BIGINT AS media_id,
@@ -2438,6 +2482,8 @@ QUERIES: dict[str, QueryFn] = {
     "hard_negatives": q_hard_negatives,
     "subword_stats": q_subword_stats,
     "corpus_shuffle": q_corpus_shuffle,
+    "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2508,4 +2554,6 @@ ORACLES: dict[str, str] = {
     "hard_negatives": ORACLE_HARD_NEGATIVES,
     "subword_stats": ORACLE_SUBWORD_STATS,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
+    "media_frames": ORACLE_MEDIA_FRAMES,
+    "media_resize": ORACLE_MEDIA_RESIZE,
 }

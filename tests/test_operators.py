@@ -644,3 +644,36 @@ def test_scd2_fuzz_against_python_model(spark):
             want = {k: sorted(v, key=lambda t: t[1]) for k, v in model.items()}
             got = {k: sorted(v, key=lambda t: t[1]) for k, v in got.items()}
             assert got == want, f"seed={seed} step={step}"
+
+
+def test_media_frames_and_resize_are_byte_true(spark):
+    # the fake sampler/resizer slice BYTES, not characters: non-UTF8
+    # payloads must slice and hash correctly, empty payloads yield no
+    # frames / a zero-size resize, and the real decoders stay gated
+    import hashlib
+
+    payload = bytes(range(256)) * 2 + b"\xff\x00\xfe"  # 515 bytes, non-UTF8
+    rows = [(1, "video", payload), (2, "video", b""), (3, "video", None)]
+    media = mm.attach_media_meta(spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"))
+
+    frames = {(r["frame_idx"]): r for r in mm.sample_frames(
+        media, fake=True, frame_size=256, stride=2).collect()}
+    # 515 bytes -> 3 frames (256/256/3), stride 2 keeps idx 0 and 2
+    assert set(frames) == {0, 2}
+    assert frames[0]["n_bytes"] == 256 and frames[2]["n_bytes"] == 3
+    assert frames[0]["frame_md5"] == hashlib.md5(payload[:256]).hexdigest()
+    assert frames[2]["frame_md5"] == hashlib.md5(payload[512:]).hexdigest()
+
+    resized = {r["media_id"]: r for r in mm.resize_media(
+        media, fake=True, factor=4).collect()}
+    assert resized[1]["n_bytes_out"] == 129  # ceil(515/4)
+    assert resized[1]["resized_md5"] == hashlib.md5(
+        payload[:129]).hexdigest()
+    assert resized[2]["n_bytes_out"] == resized[3]["n_bytes_out"] == 0
+
+    for op in (mm.sample_frames, mm.resize_media):
+        with pytest.raises(Exception) as e:
+            op(media).collect()
+        assert "NotImplementedError" in str(e.value) or isinstance(
+            e.value, NotImplementedError)
