@@ -48,6 +48,20 @@ def refresh_postings(stream_docs: DataFrame, out_path: str,
     postings table, which is what keeps indexed scoring free of any
     corpus-wide pass at 100 TB.
 
+    The index contract is (doc_id, term) UNIQUE across ticks — df is
+    then a plain count and N/avgdl a plain sidecar sum. That holds
+    only if each document is ingested by exactly ONE tick, so the
+    refresh ENFORCES it instead of documenting it: a ``{out_path}_docs``
+    sidecar records each tick's doc_ids (one thin column — the same
+    O(N_docs) scale as the doc-length norms every Lucene segment
+    keeps), and a tick whose batch carries an already-ingested doc_id
+    is REFUSED before anything lands. Re-ingesting a changed document
+    is an update, which this append-only layout cannot express —
+    stale postings for the doc's removed terms would linger whatever
+    df did — so it must be a rebuild, not a silently absorbed tick.
+    The check skips the current epoch's own sidecar dir, so an
+    at-least-once replay of a crashed tick still passes.
+
     ``bucketed=True`` lays the index out partitioned by the ``tb``
     term bucket (see :func:`with_term_buckets`) so queries prune to
     their terms' directories."""
@@ -62,6 +76,7 @@ def refresh_postings(stream_docs: DataFrame, out_path: str,
         # ignores.
         _require_tick_layout(out_path)
         _require_tick_layout(out_path + "_stats")
+        _refuse_reingested_docs(batch, out_path, epoch)
         post = postings_stream(batch)
         tick = f"{out_path}/tick={epoch}"
         if bucketed:
@@ -70,9 +85,11 @@ def refresh_postings(stream_docs: DataFrame, out_path: str,
         else:
             post.write.mode("overwrite").parquet(tick)
         write_corpus_stats(batch, out_path + "_stats", tick=epoch)
+        (batch.select("doc_id").distinct().write.mode("overwrite")
+         .parquet(f"{out_path}_docs/tick={epoch}"))
 
     _require_checkpoint_owns_ticks(
-        checkpoint, [out_path, out_path + "_stats"])
+        checkpoint, [out_path, out_path + "_stats", out_path + "_docs"])
     return (
         stream_docs.writeStream.foreachBatch(_append)
         .option("checkpointLocation", checkpoint)
@@ -150,9 +167,11 @@ def bm25_from_postings(postings: DataFrame, terms: tuple[str, ...],
 
     Relies on the index contract that postings are (doc_id, term)
     UNIQUE — ``refresh_postings`` aggregates per (doc, term) within a
-    tick and each document is ingested by exactly one tick — so df is
-    a plain count, not a two-phase distinct (one exchange round fewer
-    on the interactive serving path)."""
+    tick and ENFORCES one-tick-per-document via the ``_docs`` sidecar
+    (a re-ingested doc_id refuses the tick, see
+    :func:`_refuse_reingested_docs`) — so df is a plain count, not a
+    two-phase distinct (one exchange round fewer on the interactive
+    serving path)."""
     n_and_avg = doc_stats if doc_stats is not None else (
         postings.select("doc_id", "dl").distinct().agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -222,6 +241,34 @@ def _require_checkpoint_owns_ticks(checkpoint: str, tick_dirs: list[str],
             f"reprocessing all input. Restore the original checkpoint, "
             f"or rebuild the index from scratch (clear the tick data) "
             f"before refreshing with a new checkpoint")
+
+
+def _refuse_reingested_docs(batch: DataFrame, out_path: str,
+                            epoch: int) -> None:
+    """Enforce the postings contract (each doc_id ingested by exactly
+    one tick) at refresh time: join the incoming batch's doc_ids
+    against the ``_docs`` sidecar (every prior tick's ids, one thin
+    column) and refuse the tick on any hit. The current epoch's own
+    dir is excluded so idempotent at-least-once replays pass."""
+    import os
+
+    docs_side = out_path + "_docs"
+    _require_tick_layout(docs_side)
+    if not (os.path.isdir(docs_side) and any(
+            n.startswith("tick=") for n in os.listdir(docs_side))):
+        return
+    prior = (batch.sparkSession.read.parquet(docs_side)
+             .filter(F.col("tick") != epoch).select("doc_id"))
+    dups = (batch.select("doc_id").distinct()
+            .join(prior, "doc_id").limit(5).collect())
+    if dups:
+        raise ValueError(
+            f"refresh refused: doc_ids {[r[0] for r in dups]}… were "
+            f"already ingested by an earlier tick of {out_path}. The "
+            f"postings index is append-only per (doc_id, term); "
+            f"re-ingesting a document would inflate df/tf/N/avgdl and "
+            f"leave stale postings for its removed terms. Rebuild the "
+            f"index (or dedupe the input stream) instead")
 
 
 def _require_tick_layout(path: str) -> None:
@@ -312,7 +359,14 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
     recoverable (rename it back), never a silently shrunken index
     (the naive move-ticks-out-then-rename-in order has a window
     where readers see the survivors only). Returns the merged tick
-    ids ([] = nothing to do)."""
+    ids ([] = nothing to do).
+
+    Concurrency: maintenance MUST run with the refresh stream for
+    this index stopped (compaction is the scheduled-OPTIMIZE slot).
+    The tick listing is re-verified immediately before the swap and
+    the run aborts (index untouched) if a new tick committed while
+    staging was being built — the naive swap would strand that tick
+    in the retired dir and delete it."""
     import os
     import shutil
 
@@ -359,6 +413,22 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
                            os.path.join(dst, rel, fn))
         else:
             _place(src, dst)
+    # last-moment re-verification: the staging root was built from the
+    # entry listing; a refresh tick that committed since then exists
+    # in `path` but NOT in staging, so the swap would silently drop it
+    # into the retired dir. Abort with the index untouched instead —
+    # the contract is that the refresh stream is stopped during
+    # maintenance, and this turns a violation into a loud error.
+    now_ticks = sorted(int(d.split("=", 1)[1]) for d in os.listdir(path)
+                       if d.startswith("tick="))
+    if now_ticks != ticks:
+        shutil.rmtree(root, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_index_ticks aborted: {path} changed while the "
+            f"compacted layout was being staged (a refresh tick "
+            f"committed concurrently). Stop the refresh stream for "
+            f"this index and re-run compaction — the index was left "
+            f"untouched")
     retired = path + "_compact_retired"
     shutil.rmtree(retired, ignore_errors=True)
     os.rename(path, retired)
@@ -406,7 +476,12 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
     re-appended after the rebuild and duplicate its vectors. The
     maintenance op therefore refuses to run while the newest batch is
     uncommitted — re-run the refresh (which replays idempotently into
-    the tick layout) and retry."""
+    the tick layout) and retry. The checkpoint state is captured at
+    that gate and RE-VERIFIED immediately before the swap: a tick
+    that commits during the rebuild would be absent from the staged
+    index, so the swap aborts loudly (live index untouched) instead
+    of silently dropping it — run maintenance with the refresh
+    stream stopped."""
     import os
     import shutil
 
@@ -454,6 +529,16 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
             f"refresh to let the batch replay idempotently, then "
             f"retry maintenance")
 
+    def _ckpt_state() -> tuple[frozenset, frozenset]:
+        commits = os.path.join(checkpoint, "commits")
+        return (
+            frozenset(os.listdir(offsets)) if os.path.isdir(offsets)
+            else frozenset(),
+            frozenset(os.listdir(commits)) if os.path.isdir(commits)
+            else frozenset(),
+        )
+
+    ckpt_before = _ckpt_state()
     n_lists = spark.read.parquet(path + "_centroids").count()
     corpus = spark.read.parquet(path).select(id_col, "_v")
     stage = path + "_rebuild"
@@ -461,6 +546,22 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
     shutil.rmtree(stage + "_centroids", ignore_errors=True)
     build_ivf_index(corpus, stage, n_lists=n_lists, id_col=id_col,
                     vec_col="_v", seed=seed)
+    # last-moment re-verification before the swap: the rebuild read
+    # the index as of the gate; a refresh tick that committed DURING
+    # the (slow) rebuild appended vectors the staged index does not
+    # contain, so swapping would silently drop them. Abort with the
+    # live index untouched — the maintenance contract is no
+    # concurrent refresh, and this turns a violation into a loud
+    # error instead of data loss.
+    if _ckpt_state() != ckpt_before:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage + "_centroids", ignore_errors=True)
+        raise RuntimeError(
+            f"maintain_ivf_index aborted: checkpoint {checkpoint} "
+            f"advanced while the rebuild was staging (a refresh tick "
+            f"committed concurrently); the staged index would drop "
+            f"that tick's vectors. Stop the refresh stream and re-run "
+            f"maintenance — the live index was left untouched")
     retired = path + "_retired"
     shutil.rmtree(retired, ignore_errors=True)
     shutil.rmtree(retired + "_centroids", ignore_errors=True)

@@ -425,3 +425,128 @@ def test_compact_index_ticks_preserves_readers_and_respects_newest(
 
     with pytest.raises(ValueError, match="keep_ticks"):
         compact_index_ticks(spark, idx, keep_ticks=0)
+
+
+def test_refresh_refuses_reingested_doc(spark, tmp_path):
+    """The (doc_id, term)-unique postings contract is ENFORCED, not
+    documented: a later tick that carries an already-ingested doc_id
+    (an update this append-only layout cannot express) is refused via
+    the _docs sidecar before anything lands — otherwise df/tf/N/avgdl
+    silently inflate and stale postings linger."""
+    in_dir = tmp_path / "docs"; in_dir.mkdir()
+    idx, ckpt = str(tmp_path / "pu"), str(tmp_path / "cku")
+
+    def refresh():
+        stream = spark.readStream.schema(
+            "doc_id long, text string").json(str(in_dir))
+        refresh_postings(stream, idx, ckpt).awaitTermination(120)
+
+    _write(in_dir / "a.ndjson", DOCS_A)
+    refresh()
+    n1 = spark.read.parquet(idx).count()
+
+    # doc 1 comes back with changed text — an update, refused loudly
+    _write(in_dir / "b.ndjson", [(1, "totally different words"),
+                                 (7, "fresh doc")])
+    with pytest.raises(Exception, match="already ingested"):
+        refresh()
+    # nothing from the refused tick landed
+    assert spark.read.parquet(idx).count() == n1
+    assert spark.read.parquet(idx).filter(F.col("doc_id") == 7).count() == 0
+
+
+def test_compact_aborts_on_concurrent_tick_commit(spark, tmp_path):
+    """The swap guard: a refresh tick that commits while the compacted
+    layout is being staged is NOT in the staging root, so the rename
+    would strand it in the retired dir and delete it. The re-listing
+    immediately before the swap must abort instead, leaving the index
+    untouched."""
+    import os
+    import shutil as _sh
+
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import (
+        compact_index_ticks)
+
+    in_dir = tmp_path / "docs"; in_dir.mkdir()
+    idx, ckpt = str(tmp_path / "pa"), str(tmp_path / "cka")
+
+    def refresh():
+        stream = spark.readStream.schema(
+            "doc_id long, text string").json(str(in_dir))
+        refresh_postings(stream, idx, ckpt).awaitTermination(120)
+
+    for t, rows in enumerate([DOCS_A, DOCS_B, [(4, "merge table scan")]]):
+        _write(in_dir / f"t{t}.ndjson", rows)
+        refresh()
+    rows_before = sorted(map(tuple, spark.read.parquet(idx).collect()))
+
+    # simulate the concurrent commit: the first hardlink placed while
+    # staging triggers a new tick dir appearing in the live index
+    real_link = os.link
+    fired = []
+
+    def racing_link(src, dst):
+        if not fired:
+            fired.append(True)
+            _sh.copytree(os.path.join(idx, "tick=2"),
+                         os.path.join(idx, "tick=9"))
+        return real_link(src, dst)
+
+    import unittest.mock as mock
+    with mock.patch("os.link", side_effect=racing_link):
+        with pytest.raises(RuntimeError, match="compact_index_ticks aborted"):
+            compact_index_ticks(spark, idx, keep_ticks=1)
+
+    # live index untouched: original ticks + the racing tick, all rows
+    ticks = sorted(d for d in os.listdir(idx) if d.startswith("tick="))
+    assert ticks == ["tick=0", "tick=1", "tick=2", "tick=9"]
+    _sh.rmtree(os.path.join(idx, "tick=9"))
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == rows_before
+    # and with no race, compaction proceeds normally
+    assert compact_index_ticks(spark, idx, keep_ticks=1) == [0, 1]
+
+
+def test_maintain_aborts_on_concurrent_checkpoint_advance(spark, tmp_path):
+    """maintain_ivf_index captures the refresh checkpoint state at its
+    gate and re-verifies it immediately before the swap: a tick that
+    commits during the (slow) rebuild is absent from the staged index,
+    so the swap must abort loudly with the live index untouched."""
+    import os
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import (
+        index_refresh as ir)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx, ckpt = str(tmp_path / "ivf"), str(tmp_path / "ck")
+    sim.build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), idx,
+                        n_lists=4, seed=42)
+    new_dir = tmp_path / "new"; new_dir.mkdir()
+    emb.filter(F.col("vec_id") % 3 != 0).write.mode("overwrite")\
+        .parquet(str(new_dir))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>").parquet(str(new_dir))
+    ir.refresh_ivf_index(stream, idx, ckpt).awaitTermination(120)
+
+    real_build = sim.build_ivf_index
+
+    def racing_build(*a, **kw):
+        real_build(*a, **kw)
+        # a refresh tick commits while the rebuild was staging
+        with open(os.path.join(ckpt, "commits", "999"), "w") as f:
+            f.write("{}")
+
+    import unittest.mock as mock
+    n_before = spark.read.parquet(idx).count()
+    with mock.patch.object(sim, "build_ivf_index",
+                           side_effect=racing_build):
+        with pytest.raises(RuntimeError, match="maintain_ivf_index aborted"):
+            ir.maintain_ivf_index(spark, idx, ckpt, threshold=0.2)
+    os.remove(os.path.join(ckpt, "commits", "999"))
+
+    # live index untouched, growth ledger intact, then a clean rerun
+    # succeeds
+    assert spark.read.parquet(idx).count() == n_before
+    assert os.path.isdir(idx + "_growth")
+    assert ir.maintain_ivf_index(spark, idx, ckpt, threshold=0.2) is True
+    assert spark.read.parquet(idx).count() == n_before
