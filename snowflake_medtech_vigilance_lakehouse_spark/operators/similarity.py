@@ -720,7 +720,8 @@ def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
 
 def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
                     n_probe: int = 8, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding", *,
+                    max_driver_queries: int = 4096) -> DataFrame:
     """Serve IVF kNN from a :func:`build_ivf_index` table. Scores and
     ranking are identical to :func:`knn_ivf` at the same
     (n_lists, seed) — same quantizer, same cosine folds — but the
@@ -742,9 +743,22 @@ def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
     broadcast frame. Serving therefore runs exactly two metadata-scale
     collect jobs before the single pruned-scan job. An empty query set
     short-circuits to an empty frame with the contract schema (the
-    degenerate ``isin([])`` plan never builds)."""
+    degenerate ``isin([])`` plan never builds).
+
+    The driver ranking is only safe for interactively-sized query
+    frames, so it is CAPPED: a frame larger than
+    ``max_driver_queries`` rows (e.g. a recall sweep using the corpus
+    as queries) falls back to the fully distributed
+    broadcast-centroid window plan — same arithmetic, same ranking
+    tiebreaks, no driver materialization — at the price of a
+    full-discovery index read (probe lists are then data-dependent,
+    so no static directory pruning). A query with a NULL vector
+    yields k null-cosine rows (first-n_probe lists by id, the NULLS-
+    LAST window order), identical to :func:`knn_ivf` on the same
+    input."""
     scored = _ivf_indexed_scored(spark, path, queries, n_probe,
-                                 id_col, vec_col)
+                                 id_col, vec_col,
+                                 max_driver_queries=max_driver_queries)
     if scored is None:
         from pyspark.sql.types import (DoubleType, IntegerType,
                                        StructField, StructType)
@@ -788,9 +802,60 @@ def _idx_schema(spark, path: str):
     return _IDX_SCHEMA_CACHE[key]
 
 
+def _ivf_indexed_scored_distributed(spark, path: str, queries: DataFrame,
+                                    n_probe: int, id_col: str,
+                                    vec_col: str) -> DataFrame:
+    """Distributed twin of :func:`_ivf_indexed_scored` for
+    corpus-scale query frames (the pre-driver-ranking served shape):
+    queries stay a DataFrame, the n_lists-row centroid sidecar is the
+    broadcast side of a crossJoin, and a per-query window keeps the
+    n_probe best lists. Arithmetic and tiebreaks (``_cs`` desc NULLS
+    last, ``list_id`` asc) are identical to the driver ranking, so
+    results match the fast path exactly (pytest-pinned). The index
+    scan is a full-discovery read joined on ``list_id`` — probe lists
+    are data-dependent here, so static directory pruning is
+    impossible, which is the honest cost of a query side too big to
+    materialize; the n_lists-key join shuffle is AQE-skew territory
+    and the plan leaves it to AQE."""
+    cdf = spark.read.parquet(path + "_centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cdf.withColumn("_ctrn", l2_norm(F.col("_ctr")))))
+        .select(
+            "query_id", "_qv", "_qn", "list_id",
+            cosine_from_norms(
+                F.col("_qv"), F.col("_ctr"), F.col("_qn"), F.col("_ctrn")
+            ).alias("_cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("list_id").asc())
+    probe_lists = (
+        probed.select("query_id", "_qv", "_qn", "list_id",
+                      F.row_number().over(w).alias("_pr"))
+        .filter(F.col("_pr") <= n_probe).drop("_pr")
+    )
+    idx = spark.read.parquet(path)
+    return (
+        idx.join(probe_lists, "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"),
+            cosine_from_norms(
+                F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_nrm")
+            ).alias("_cos"),
+        )
+    )
+
+
 def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
                         n_probe: int, id_col: str,
-                        vec_col: str) -> DataFrame | None:
+                        vec_col: str, *,
+                        max_driver_queries: int = 4096) -> DataFrame | None:
     """Shared scoring subplan of the served-IVF paths: driver-side
     probe ranking + pruned scan + broadcast join, returning RAW
     (query_id, neighbor_id, _cos) — :func:`knn_ivf_indexed` windows it
@@ -803,7 +868,16 @@ def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
     a Spark collect; ranking uses the exact sequential-fold arithmetic
     of the in-plan ``cosine_from_norms`` (same IEEE-754 accumulation
     order), so probed lists are bit-identical to :func:`knn_ivf`'s
-    window plan — served≡direct stays pytest-pinned."""
+    window plan — served≡direct stays pytest-pinned.
+
+    The query collect is capped at ``max_driver_queries`` rows; a
+    larger frame routes to
+    :func:`_ivf_indexed_scored_distributed` (result-identical, no
+    driver materialization) instead of risking a driver OOM on a
+    contract violation. NULL-vector queries probe the first n_probe
+    lists with a NULL cosine everywhere — the NULLS-LAST/list_id-asc
+    order the window plan produces — so degenerate inputs keep the
+    k-null-rows output contract instead of vanishing."""
     import math
 
     from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
@@ -825,12 +899,22 @@ def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
                      spark.read.parquet(path + "_centroids").collect()]
     ctr = sorted((lid, [float(x) for x in c]) for lid, c in centroids)
     ctr_norms = [(lid, c, math.sqrt(_fold_dot(c, c))) for lid, c in ctr]
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_rows = (queries.select(F.col(id_col), F.col(vec_col))
+              .limit(max_driver_queries + 1).collect())
+    if len(q_rows) > max_driver_queries:
+        return _ivf_indexed_scored_distributed(
+            spark, path, queries, n_probe, id_col, vec_col)
 
     probe_rows = []
     for r in q_rows:
         qid, qv = r[0], r[1]
         if qv is None:
+            # window-plan parity for degenerate queries: every list
+            # scores NULL, desc puts NULLs last, ties break list_id
+            # asc — so the first n_probe list ids are probed and every
+            # emitted cosine is NULL (ctr_norms is list_id-sorted)
+            for lid, _c, _cn in ctr_norms[:n_probe]:
+                probe_rows.append((qid, None, 0.0, lid))
             continue
         qv = [float(x) for x in qv]
         qn = math.sqrt(_fold_dot(qv, qv))

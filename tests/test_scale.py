@@ -352,3 +352,52 @@ def test_aqe_skew_split_fires_on_hot_key(spark):
     n_plain, plan_plain = run({})
     assert "skew=true" not in plan_plain  # below default threshold
     assert n_tight == n_plain == 300_000  # split is plan-only
+
+
+def test_ivf_serving_large_query_frame_falls_back_distributed(
+        spark, sf_dir, tmp_path):
+    """The driver-side probe ranking is capped: a query frame above
+    max_driver_queries (e.g. a recall sweep using the corpus as
+    queries) must route to the distributed broadcast-centroid window
+    plan and return EXACTLY what the driver fast path returns — no
+    driver materialization of a corpus-scale frame, no silent
+    divergence."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 12)
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, n_lists=8, seed=42)
+
+    fast = sim.knn_ivf_indexed(spark, idx, q, k=10, n_probe=3)
+    # cap of 4 < 12 queries -> distributed fallback
+    dist = sim.knn_ivf_indexed(spark, idx, q, k=10, n_probe=3,
+                               max_driver_queries=4)
+    assert dist.exceptAll(fast).count() == 0
+    assert fast.exceptAll(dist).count() == 0
+    # and against the non-indexed direct plan too
+    direct = sim.knn_ivf(emb, q, k=10, n_lists=8, n_probe=3, seed=42)
+    assert dist.exceptAll(direct).count() == 0
+    assert direct.exceptAll(dist).count() == 0
+
+
+def test_ivf_serving_null_query_keeps_k_null_rows(spark, sf_dir, tmp_path):
+    """A NULL-vector query emits k null-cosine rows (the window plan's
+    NULLS-LAST/list_id-asc shape) on BOTH serving paths — the output
+    contract knn_ivf has for degenerate inputs, preserved by the
+    driver ranking instead of silently dropping the query."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, n_lists=8, seed=42)
+    q = spark.createDataFrame(
+        [(900000, None)], "vec_id long, embedding array<float>").unionByName(
+        emb.filter(F.col("vec_id") < 2).select("vec_id", "embedding"))
+
+    direct = sim.knn_ivf(emb, q, k=5, n_lists=8, n_probe=3, seed=42)
+    served = sim.knn_ivf_indexed(spark, idx, q, k=5, n_probe=3)
+    dist = sim.knn_ivf_indexed(spark, idx, q, k=5, n_probe=3,
+                               max_driver_queries=1)
+    for res in (direct, served, dist):
+        nulls = res.filter(F.col("query_id") == 900000)
+        assert nulls.count() == 5
+        assert nulls.filter(F.col("cosine").isNull()).count() == 5
+    assert served.exceptAll(direct).count() == 0
+    assert dist.exceptAll(direct).count() == 0
