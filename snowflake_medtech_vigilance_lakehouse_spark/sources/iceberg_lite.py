@@ -624,6 +624,28 @@ def commit_data_files(schema_json: str, path: str, rel_files: list[str],
     exactly this — Iceberg metadata generated over Delta's files).
     Commit cost is O(len(rel_files)) parquet-footer reads; no data
     moves."""
+    metadata, version = build_commit_metadata(
+        schema_json, path, rel_files, mode=mode,
+        partition_by=partition_by, summary_operation=summary_operation)
+    return publish_commit_metadata(path, metadata, version)
+
+
+def build_commit_metadata(schema_json: str, path: str, rel_files: list[str],
+                          *, mode: str = "overwrite",
+                          partition_by: list[str] | None = None,
+                          summary_operation: str | None = None
+                          ) -> tuple[dict, int]:
+    """Build (but do NOT publish) the next table-metadata document for
+    committing ``rel_files`` — the staging half of
+    :func:`commit_data_files`, split out so a commit can be MEDIATED
+    by a catalog (``rest_catalog`` commitTable: the engine builds the
+    metadata against the served base, the catalog performs the
+    version swap with its own optimistic-concurrency check). Writes
+    the manifest + manifest-list Avro files (content-addressed by a
+    fresh uuid, so a LOSING writer orphans a few small metadata files
+    — exactly Iceberg's behavior — and never corrupts the table) and
+    returns ``(metadata, version)`` for
+    :func:`publish_commit_metadata` or a catalog commit."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
     partition_by = list(partition_by or [])
@@ -774,10 +796,18 @@ def commit_data_files(schema_json: str, path: str, rel_files: list[str],
               "metadata-file": _meta_path(path, versions[-1])}] if prev else []
         ),
     }
+    return metadata, version
 
-    # single atomic publish: v{N}.metadata.json appearing IS the
-    # commit (HadoopTables does this with rename; put-if-absent gives
-    # the same winner-takes-the-version race with a loud loser)
+
+def publish_commit_metadata(path: str, metadata: dict, version: int) -> int:
+    """Publish a built metadata document as ``v{version}.metadata.json``
+    — the commit half of :func:`commit_data_files`.
+
+    Single atomic publish: v{N}.metadata.json appearing IS the commit
+    (HadoopTables does this with rename; put-if-absent gives the same
+    winner-takes-the-version race with a loud loser)."""
+    meta_dir = os.path.join(path, _META)
+    os.makedirs(meta_dir, exist_ok=True)
     commit = _meta_path(path, version)
     tmp = commit + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
@@ -794,7 +824,7 @@ def commit_data_files(schema_json: str, path: str, rel_files: list[str],
     # advisory discovery hint (losers never reach this line)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write(str(version))
-    return snapshot_id
+    return metadata["current-snapshot-id"]
 
 
 # --------------------------------------------------------------- reader

@@ -15,6 +15,13 @@ Implements the read side of the public Iceberg REST Catalog OpenAPI
     HEAD /v1/namespaces/{ns}/tables/{table}       -> existence
     POST /v1/namespaces/{ns}/register             -> register by
                                                      metadata-location
+    POST /v1/namespaces/{ns}/tables               -> createTable
+                                                     (409 on exists)
+    POST /v1/namespaces/{ns}/tables/{table}       -> commitTable:
+                                                     base-check +
+                                                     put-if-absent
+                                                     version swap
+                                                     (409 on conflict)
 
 Everything is Python stdlib (``http.server`` + ``urllib``) — no new
 dependencies — and the registry is one JSON file next to the catalog
@@ -30,6 +37,18 @@ data I/O never passes through it. That is the design that lets one
 catalog front 100 TB of tables — and why this server answers every
 request from the registry file + the table's own metadata JSON,
 without touching a data file.
+
+Write path: engines commit THROUGH the catalog with the spec's
+load-modify-commit flow — build the next metadata document against
+the served base (``iceberg_lite.build_commit_metadata``), POST it to
+commitTable with the base ``metadata-location``; the server refuses
+with 409 ``CommitFailedException`` if the base is stale (another
+writer won) or if the put-if-absent version write loses an internal
+race, and the client rebuilds on the fresh base and retries
+(:func:`catalog_commit_data_files`). That is the same
+optimistic-concurrency discipline ``iceberg_lite`` enforces on
+direct filesystem commits, now mediated for engines that only speak
+HTTP to the catalog.
 """
 
 from __future__ import annotations
@@ -86,9 +105,24 @@ def drop_table(root: str, namespace: str, name: str) -> None:
 
 class _Handler(BaseHTTPRequestHandler):
     root: str = "."
+    allowed_root: str | None = None
 
     def log_message(self, *a):  # quiet test runs
         pass
+
+    def _confine(self, table_path: str) -> None:
+        """Reject registrations/creates outside the configured data
+        root: without this, any client that can reach the port could
+        point the catalog at an arbitrary local filesystem path and
+        read its metadata through the API."""
+        if self.allowed_root is None:
+            return
+        root = os.path.realpath(self.allowed_root)
+        p = os.path.realpath(table_path)
+        if os.path.commonpath([root, p]) != root:
+            raise PermissionError(
+                f"table location {table_path} is outside the catalog's "
+                f"allowed root {self.allowed_root}")
 
     def _json(self, code: int, payload: dict | None) -> None:
         body = b"" if payload is None else json.dumps(payload).encode()
@@ -150,39 +184,106 @@ class _Handler(BaseHTTPRequestHandler):
 
     do_HEAD = do_GET  # noqa: N815
 
+    def _load_result(self, table_path: str) -> dict:
+        version = il._list_meta_versions(table_path)[-1]
+        return {
+            "metadata-location": il._meta_path(table_path, version),
+            "metadata": il.table_metadata(table_path, version),
+            "config": {},
+        }
+
+    def _error(self, code: int, typ: str, msg: str) -> None:
+        self._json(code, {"error": {"message": msg, "type": typ,
+                                    "code": code}})
+
     def do_POST(self):  # noqa: N802
         parts = [urllib.parse.unquote(p)
                  for p in self.path.split("?")[0].strip("/").split("/")]
         try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
             if (len(parts) == 4 and parts[:2] == ["v1", "namespaces"]
                     and parts[3] == "register"):
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
                 # spec RegisterTableRequest: name + metadata-location;
                 # the table root is the metadata file's grandparent
                 loc = req["metadata-location"]
                 table_path = os.path.dirname(os.path.dirname(loc))
+                self._confine(table_path)
                 register_table(self.root, parts[2], req["name"], table_path)
-                version = il._list_meta_versions(table_path)[-1]
-                return self._json(200, {
-                    "metadata-location": il._meta_path(table_path, version),
-                    "metadata": il.table_metadata(table_path, version),
-                    "config": {},
-                })
+                return self._json(200, self._load_result(table_path))
+            if (len(parts) == 4 and parts[:2] == ["v1", "namespaces"]
+                    and parts[3] == "tables"):
+                # createTable (lite): claim a NEW identifier for a
+                # committed table location; duplicate identifiers are
+                # a typed 409, never a silent re-point
+                ns, name = parts[2], req["name"]
+                if name in _load_registry(self.root).get(ns, {}):
+                    return self._error(
+                        409, "AlreadyExistsException",
+                        f"table {ns}.{name} already exists")
+                self._confine(req["location"])
+                register_table(self.root, ns, name, req["location"])
+                return self._json(200, self._load_result(req["location"]))
+            if (len(parts) == 5 and parts[:2] == ["v1", "namespaces"]
+                    and parts[3] == "tables"):
+                return self._commit_table(parts[2], parts[4], req)
             return self._not_found(self.path)
+        except PermissionError as e:
+            self._error(403, "ForbiddenException", str(e))
         except Exception as e:
-            self._json(500, {"error": {"message": str(e),
-                                       "type": type(e).__name__,
-                                       "code": 500}})
+            self._error(500, type(e).__name__, str(e))
+
+    def _commit_table(self, ns: str, name: str, req: dict) -> None:
+        """commitTable: the catalog-mediated optimistic version swap.
+        The client built the next metadata document against the base
+        it loaded; the server verifies that base is STILL current,
+        then publishes the next version with put-if-absent — a stale
+        base or a lost write race is a typed 409 CommitFailedException
+        the client retries against the fresh base."""
+        table_path = _load_registry(self.root).get(ns, {}).get(name)
+        if table_path is None:
+            return self._not_found(f"table {ns}.{name}")
+        cur_version = il._list_meta_versions(table_path)[-1]
+        cur_loc = il._meta_path(table_path, cur_version)
+        if req.get("base-metadata-location") != cur_loc:
+            return self._error(
+                409, "CommitFailedException",
+                f"base metadata {req.get('base-metadata-location')} is "
+                f"stale; current is {cur_loc} — reload and rebuild the "
+                f"commit")
+        metadata = req["metadata"]
+        cur_meta = il.table_metadata(table_path, cur_version)
+        if metadata.get("table-uuid") != cur_meta["table-uuid"]:
+            return self._error(
+                409, "CommitFailedException",
+                "metadata table-uuid does not match the served table "
+                "(commit built for a different table lineage)")
+        try:
+            il.publish_commit_metadata(table_path, metadata,
+                                       cur_version + 1)
+        except il.IcebergCommitError as e:
+            return self._error(409, "CommitFailedException", str(e))
+        return self._json(200, self._load_result(table_path))
 
 
 class CatalogServer:
     """In-process catalog endpoint over a registry root. Use as a
-    context manager; ``uri`` is the base URL clients talk to."""
+    context manager; ``uri`` is the base URL clients talk to.
 
-    def __init__(self, root: str, host: str = "127.0.0.1", port: int = 0):
+    Scope: binds loopback by default and carries NO authentication —
+    a test/dev catalog, not a hardened service. ``allowed_root``
+    confines HTTP-registered/created table locations to one directory
+    tree (reject-outside, resolved through symlinks); without it any
+    client that can reach the port could register, and then read,
+    Iceberg metadata from an arbitrary local path. Production
+    deployments of the real REST spec put OAuth2 and a warehouse
+    root in front of exactly these endpoints."""
+
+    def __init__(self, root: str, host: str = "127.0.0.1", port: int = 0,
+                 *, allowed_root: str | None = None):
         os.makedirs(root, exist_ok=True)
-        handler = type("BoundHandler", (_Handler,), {"root": root})
+        handler = type("BoundHandler", (_Handler,),
+                       {"root": root, "allowed_root": allowed_root})
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.uri = f"http://{host}:{self._httpd.server_address[1]}"
         self._thread = threading.Thread(
@@ -216,6 +317,90 @@ def load_table(uri: str, namespace: str, name: str) -> dict:
     """LoadTableResult for ``namespace.name`` (metadata + location)."""
     ns, t = urllib.parse.quote(namespace), urllib.parse.quote(name)
     return _get(uri, f"/v1/namespaces/{ns}/tables/{t}")
+
+
+class CommitFailedError(RuntimeError):
+    """A catalog commit was refused: the base metadata was stale or
+    the version write lost a race. Reload and rebuild to retry."""
+
+
+def _post(uri: str, route: str, payload: dict) -> dict:
+    body = json.dumps(payload).encode()
+    req = urllib.request.Request(
+        f"{uri}{route}", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def create_table(uri: str, namespace: str, name: str,
+                 table_path: str) -> dict:
+    """createTable: claim ``namespace.name`` for a committed table
+    location through the endpoint. Raises ``FileExistsError`` on a
+    duplicate identifier (the server's 409 AlreadyExists)."""
+    import urllib.error
+
+    ns = urllib.parse.quote(namespace)
+    try:
+        return _post(uri, f"/v1/namespaces/{ns}/tables",
+                     {"name": name, "location": os.path.abspath(table_path)})
+    except urllib.error.HTTPError as e:
+        if e.code == 409:
+            raise FileExistsError(json.loads(e.read())["error"]["message"])
+        raise
+
+
+def commit_table(uri: str, namespace: str, name: str,
+                 base_metadata_location: str, metadata: dict) -> dict:
+    """commitTable: ask the catalog to publish ``metadata`` as the
+    table's next version, conditional on ``base_metadata_location``
+    still being current. Raises :class:`CommitFailedError` on the
+    server's 409 (stale base / lost race) — reload, rebuild, retry."""
+    import urllib.error
+
+    ns, t = urllib.parse.quote(namespace), urllib.parse.quote(name)
+    try:
+        return _post(uri, f"/v1/namespaces/{ns}/tables/{t}", {
+            "base-metadata-location": base_metadata_location,
+            "metadata": metadata,
+        })
+    except urllib.error.HTTPError as e:
+        if e.code == 409:
+            raise CommitFailedError(json.loads(e.read())["error"]["message"])
+        raise
+
+
+def catalog_commit_data_files(uri: str, namespace: str, name: str,
+                              schema_json: str, rel_files: list[str], *,
+                              mode: str = "append",
+                              partition_by: list[str] | None = None,
+                              max_retries: int = 3) -> dict:
+    """Engine-side commit THROUGH the catalog: the full
+    load-modify-commit loop. Data files already landed under the
+    table's ``data/`` (data I/O never touches the catalog); this
+    resolves the current base over HTTP, builds the next metadata
+    document against it (``iceberg_lite.build_commit_metadata``),
+    and POSTs the commit — on ``CommitFailedError`` (another writer
+    won the version) it rebuilds against the fresh base and retries,
+    so two concurrent appends both land, serialized by the catalog.
+    Returns the new LoadTableResult."""
+    from . import iceberg_lite as il_mod
+
+    last: CommitFailedError | None = None
+    for _ in range(max_retries):
+        cur = load_table(uri, namespace, name)
+        base = cur["metadata-location"]
+        table_path = os.path.dirname(os.path.dirname(base))
+        metadata, _version = il_mod.build_commit_metadata(
+            schema_json, table_path, rel_files, mode=mode,
+            partition_by=partition_by)
+        try:
+            return commit_table(uri, namespace, name, base, metadata)
+        except CommitFailedError as e:
+            last = e  # stale base: rebuild on the fresh one
+    raise CommitFailedError(
+        f"commit of {len(rel_files)} files to {namespace}.{name} lost "
+        f"{max_retries} consecutive races: {last}")
 
 
 def read_catalog_table(spark, uri: str, namespace: str, name: str,

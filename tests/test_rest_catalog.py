@@ -106,3 +106,126 @@ def test_catalog_refuses_uncommitted_table(tmp_path):
     with pytest.raises(FileNotFoundError):
         rc.register_table(str(tmp_path / "cat"), "ns", "t",
                           str(tmp_path / "not_a_table"))
+
+
+def test_catalog_confines_registrations_to_allowed_root(
+        spark, sf_dir, tmp_path):
+    """allowed_root: HTTP registrations/creates outside the configured
+    tree are a typed 403 — without it any client reaching the port
+    could point the catalog at an arbitrary local path and read its
+    metadata through the API."""
+    inside = tmp_path / "warehouse" / "t_in"
+    outside = tmp_path / "elsewhere" / "t_out"
+    o = _orders(spark, sf_dir).limit(20)
+    il.write_iceberg(o, str(inside))
+    il.write_iceberg(o, str(outside))
+    root = str(tmp_path / "cat")
+
+    with rc.CatalogServer(
+            root, allowed_root=str(tmp_path / "warehouse")) as srv:
+        def post_register(path):
+            version = il._list_meta_versions(path)[-1]
+            body = json.dumps({
+                "name": "t",
+                "metadata-location": il._meta_path(path, version),
+            }).encode()
+            req = urllib.request.Request(
+                f"{srv.uri}/v1/namespaces/ns/register", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post_register(str(outside))
+        assert e.value.code == 403
+        assert json.loads(e.value.read())["error"]["type"] == \
+            "ForbiddenException"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            rc.create_table(srv.uri, "ns", "t2", str(outside))
+        assert e.value.code == 403
+        # symlink escape is resolved, not fooled
+        link = tmp_path / "warehouse" / "sneaky"
+        link.symlink_to(outside)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            rc.create_table(srv.uri, "ns", "t3", str(link))
+        assert e.value.code == 403
+
+        assert post_register(str(inside))["metadata"]["snapshots"]
+        assert rc.read_catalog_table(spark, srv.uri, "ns", "t").count() == 20
+
+
+def test_catalog_create_table_and_duplicate_409(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    il.write_iceberg(_orders(spark, sf_dir).limit(30), t)
+    root = str(tmp_path / "cat")
+    with rc.CatalogServer(root) as srv:
+        res = rc.create_table(srv.uri, "marts", "orders", t)
+        assert res["metadata"]["snapshots"]
+        assert rc.list_tables(srv.uri, "marts") == ["orders"]
+        with pytest.raises(FileExistsError, match="already exists"):
+            rc.create_table(srv.uri, "marts", "orders", t)
+        assert rc.read_catalog_table(
+            spark, srv.uri, "marts", "orders").count() == 30
+
+
+def test_catalog_commit_two_writers_optimistic_concurrency(
+        spark, sf_dir, tmp_path):
+    """The catalog-mediated write path: two engines append data files
+    to the same table and commit THROUGH the catalog from the SAME
+    base — the first wins, the second gets a typed 409
+    CommitFailedException, rebuilds against the fresh base
+    (catalog_commit_data_files' retry loop) and lands. Both appends
+    survive; by-name reads and iceberg_lite agree."""
+    import os
+
+    t = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).limit(50)
+    il.write_iceberg(o, t)
+    root = str(tmp_path / "cat")
+
+    def land(df):
+        """Engine-side data I/O: files under data/, no commit yet."""
+        before = il._data_files(t)
+        df.write.mode("append").parquet(os.path.join(t, "data"))
+        return sorted(il._data_files(t) - before)
+
+    with rc.CatalogServer(root) as srv:
+        rc.create_table(srv.uri, "marts", "orders", t)
+        base = rc.load_table(srv.uri, "marts", "orders")[
+            "metadata-location"]
+
+        files_a = land(o.limit(10))
+        files_b = land(o.limit(5))
+        meta_a, _ = il.build_commit_metadata(
+            o.schema.json(), t, files_a, mode="append")
+        meta_b, _ = il.build_commit_metadata(
+            o.schema.json(), t, files_b, mode="append")
+
+        # writer A wins the version
+        resA = rc.commit_table(srv.uri, "marts", "orders", base, meta_a)
+        assert resA["metadata-location"] != base
+        # writer B's base is stale -> typed conflict, nothing published
+        with pytest.raises(rc.CommitFailedError, match="stale"):
+            rc.commit_table(srv.uri, "marts", "orders", base, meta_b)
+        assert rc.read_catalog_table(
+            spark, srv.uri, "marts", "orders").count() == 60
+
+        # B retries through the load-rebuild-commit loop and lands
+        resB = rc.catalog_commit_data_files(
+            srv.uri, "marts", "orders", o.schema.json(), files_b,
+            mode="append")
+        assert resB["metadata-location"] != resA["metadata-location"]
+        assert rc.read_catalog_table(
+            spark, srv.uri, "marts", "orders").count() == 65
+    assert il.read_iceberg(spark, t).count() == 65
+
+    # a commit built for a DIFFERENT table lineage is refused
+    t2 = str(tmp_path / "t2")
+    il.write_iceberg(o.limit(3), t2)
+    with rc.CatalogServer(root) as srv:
+        cur = rc.load_table(srv.uri, "marts", "orders")
+        alien, _ = il.build_commit_metadata(
+            o.schema.json(), t2, [], mode="append")
+        with pytest.raises(rc.CommitFailedError, match="lineage"):
+            rc.commit_table(srv.uri, "marts", "orders",
+                            cur["metadata-location"], alien)
