@@ -233,16 +233,38 @@ def _kmeans_fit(X, k: int, seed: int, iters: int = 15):
     return C
 
 
+def auto_n_lists(count: int, parallelism: int, *,
+                 target_list_rows: int = 512,
+                 max_lists: int = 512) -> int:
+    """The IVF list-count sizing rule, as code (round 8 — previously
+    prose): enough lists that (a) every core has work —
+    ``n_lists >= parallelism`` — and (b) per-list HOME volume stays
+    ~``target_list_rows`` as the corpus grows, so the per-list Arrow
+    group (and the GEMM block against it) is corpus-INDEPENDENT.
+    Capped at ``max_lists`` = sample_rows/8: the driver-side k-means
+    quantizer fits on a bounded 4096-row sample, and fewer than ~8
+    sample points per centroid stops estimating anything. Beyond
+    ``max_lists * target_list_rows`` rows (~262k at the defaults),
+    pass explicit ``centroids`` from a distributed
+    :func:`build_ivf_index` fit — the same lever, without the
+    driver-sample ceiling."""
+    import math
+
+    return max(1, min(max(math.ceil(count / target_list_rows),
+                          parallelism), max_lists))
+
+
 def embedding_neardup_pairs_bucketed(corpus: DataFrame,
                                      threshold: float = 0.9, *,
                                      probes: DataFrame | None = None,
-                                     n_lists: int = 16,
+                                     n_lists: int | None = None,
                                      n_probe: int | None = None,
                                      id_col: str = "vec_id",
                                      vec_col: str = "embedding",
                                      seed: int = 42,
                                      centroids: list | None = None,
-                                     block_rows: int = 4096) -> DataFrame:
+                                     block_rows: int = 4096,
+                                     target_list_rows: int = 512) -> DataFrame:
     """FULL-CORPUS embedding near-dup pairs, bucket-bounded — the
     100 TB shape of the SemDedup pair stage (reference
     /root/reference/README.md:60,72,116): every vector is assigned to
@@ -288,8 +310,18 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
     5. a pair probed from both sides lands in both home buckets:
        groupBy(id_1,id_2).max dedupes deterministically.
 
-    Per-list row volume must fit one Arrow group: size ``n_lists`` ~
-    corpus/500k at scale (the same lever as any groupBy-apply).
+    Per-list row volume must fit one Arrow group — and the sizing
+    lever is CODE, not prose (round 8): ``n_lists=None`` (default)
+    derives the list count from one cheap corpus count via
+    :func:`auto_n_lists` — ceil(count / target_list_rows), floored at
+    the session parallelism (no idle cores on small corpora; a 16-list
+    layout on 32 cores wastes half the machine), capped at
+    sample_rows/8 (the driver-sample quantizer's estimation floor).
+    Correctness never depends on the choice (the triangle bound is
+    exact under ANY centroids); only throughput moves. Pass an
+    explicit ``n_lists`` to pin the layout, or ``centroids`` (e.g.
+    the ``build_ivf_index`` sidecar from a distributed fit) when the
+    corpus outgrows the driver-sample ceiling.
     Ids may be any integral or string type (carried opaquely through
     Arrow; normalized with elementwise min/max). Rows with NULL
     vectors, NULL elements, or a dimension != the quantizer's are
@@ -343,6 +375,15 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
                  ).filter(l2_norm(F.col("_v")) > 0)
 
     clean = _clean(corpus)
+
+    if centroids is None and n_lists is None:
+        # the sizing rule needs one cheap count job; at 100 TB this is
+        # a metadata-ish aggregate (parquet row counts), never a scan
+        # of the vectors themselves
+        n_lists = auto_n_lists(
+            clean.count(),
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            target_list_rows=target_list_rows)
 
     if centroids is None:
         # quantizer fit on a BOUNDED driver sample (4096 rows, not

@@ -1966,10 +1966,17 @@ def q_semantic_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict flagged. Exact at any threshold (probe bound covers every
     qualifying pair), so the quadratic DuckDB oracle hash-matches.
     Tail is identical: connected components -> canonical min-id
-    member -> keep flag."""
+    member -> keep flag.
+
+    ``n_lists`` is deliberately NOT pinned (round 8): the list count
+    auto-sizes from the corpus count (``sim.auto_n_lists`` — per-list
+    volume bounded at ~target_list_rows, floored at the session
+    parallelism), which is the 100 TB sizing lever as code. The
+    oracle hash cannot depend on the choice — the triangle probe
+    bound keeps the pair set exact under any quantizer — and the
+    auto≡pinned equality is separately pytest-gated."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = sim.embedding_neardup_pairs_bucketed(
-        emb, threshold=0.35, n_lists=16)
+    pairs = sim.embedding_neardup_pairs_bucketed(emb, threshold=0.35)
     comps = dd.connected_components(pairs, left_col="id_1", right_col="id_2")
     return (
         emb.select("vec_id")

@@ -677,3 +677,30 @@ def test_media_frames_and_resize_are_byte_true(spark):
             op(media).collect()
         assert "NotImplementedError" in str(e.value) or isinstance(
             e.value, NotImplementedError)
+
+
+def test_auto_n_lists_sizing_rule():
+    # the 100 TB sizing lever as code: per-list HOME volume bounded at
+    # ~target_list_rows once the corpus outgrows cores*target; floored
+    # at the session parallelism (no idle cores on small corpora);
+    # capped at the driver-sample quantizer's estimation floor
+    assert sim.auto_n_lists(2000, 32) == 32       # parallelism floor
+    assert sim.auto_n_lists(20000, 32) == 40      # count-driven
+    assert sim.auto_n_lists(60000, 32) == 118
+    assert sim.auto_n_lists(10_000_000, 32) == 512  # sample ceiling
+    assert sim.auto_n_lists(0, 32) == 32
+    assert sim.auto_n_lists(100, 1) == 1
+    for n in (50_000, 100_000, 200_000):          # unclamped regime
+        assert n / sim.auto_n_lists(n, 32) <= 512
+
+
+def test_neardup_bucketed_auto_n_lists_matches_pinned(spark, emb):
+    # auto-sizing moves only throughput, never the pair set: the
+    # triangle probe bound is exact under ANY quantizer, so the
+    # auto-sized layout reproduces the pinned-16 result (and therefore
+    # the fold contract) bit-for-bit
+    auto = sim.embedding_neardup_pairs_bucketed(emb, threshold=0.35)
+    pinned = sim.embedding_neardup_pairs_bucketed(
+        emb, threshold=0.35, n_lists=16)
+    assert auto.exceptAll(pinned).count() == 0
+    assert pinned.exceptAll(auto).count() == 0
