@@ -20,6 +20,12 @@ Round 6 made the guard self-CALIBRATING (the round-5 artifact shipped
 pure-CPU probe with a stored clean range runs first; if it stays >25%
 over after 2 minutes of settling, the artifact carries
 ``"contended": true`` and consumers discard the totals on evidence.
+
+Round 8 adds the PER-QUERY regression gate (the round-7 calibration
+passed while bm25_rank drifted +55%): every shared query is diffed
+against the latest committed same-sf BENCH_r{N}.json and >±25%
+outliers are stamped into ``regressions`` with the baseline name —
+query-level drift is evidence in the artifact, not forensics.
 """
 
 from __future__ import annotations
@@ -246,6 +252,31 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    # clustered-corpus pair stage (round 8): the SemDedup PRODUCTION
+    # regime — real embedding corpora concentrate around topic
+    # directions and near-dup thresholds are tight (~0.9), which is
+    # exactly where the triangle probe bound prunes (pytest pins
+    # ~1.1/16 lists probed); the random-vector/t=0.35 entries above
+    # are the honest worst case where it cannot. Deterministic
+    # derivation from the fixture: each vector snaps to one of 32
+    # pseudo-centers (the first 32 fixture vectors) plus a 0.15
+    # admixture of itself — no RNG, engine-reproducible.
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        similarity as _sim)
+    emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centers = (emb_full.filter(F.col("vec_id") < 32)
+               .select(F.pmod(F.col("vec_id"), F.lit(32)).alias("_c"),
+                       F.col("embedding").cast("array<double>").alias("_ctr")))
+    clustered = (
+        emb_full.withColumn("_c", F.pmod(F.col("vec_id"), F.lit(32)))
+        .join(F.broadcast(centers), "_c")
+        .select("vec_id", F.zip_with(
+            F.col("_ctr"), F.col("embedding").cast("array<double>"),
+            lambda c, x: c + 0.15 * x).alias("embedding")))
+    timings["semantic_dedup_clustered_pairs"] = timed_build(
+        lambda: _sim.embedding_neardup_pairs_bucketed(
+            clustered, threshold=0.9))
+
     # indexed hybrid serving: postings PREBUILT to parquet (untimed —
     # that is the point of a maintained index; the target_lag refresh
     # loop pays it incrementally), then the same hybrid query served
@@ -426,6 +457,40 @@ def main() -> None:
         sim.recall_at_k(sim.knn_ivf(emb, probe, k=20), exact, k=20), 4
     )
 
+    # per-query regression gate (round 8 — the round-7 calibration
+    # gate passed while bm25_rank drifted +55%, so the total-level
+    # check was too coarse): diff every shared query against the
+    # latest committed BENCH_r{N}.json at the SAME sf and stamp
+    # >±25% outliers into the artifact, the way `contended` is
+    # stamped — consumers see exactly which queries moved and against
+    # which baseline, instead of forensics over totals.
+    import glob
+
+    band = 0.25
+    regressions, reg_baseline = [], None
+    arts = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if arts:
+        with open(arts[-1]) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf:
+            reg_baseline = os.path.basename(arts[-1])
+            for name, now_s in timings.items():
+                prev_s = prev.get("queries", {}).get(name)
+                if not prev_s:
+                    continue
+                ratio = now_s / prev_s
+                if abs(ratio - 1.0) > band:
+                    regressions.append({
+                        "query": name, "prev_s": prev_s, "now_s": now_s,
+                        "ratio": round(ratio, 3)})
+            regressions.sort(key=lambda r: -r["ratio"])
+            for r in regressions:
+                print(f"bench: {'REGRESSION' if r['ratio'] > 1 else 'speedup'}"
+                      f" beyond ±{band:.0%}: {r['query']} "
+                      f"{r['prev_s']}s -> {r['now_s']}s ({r['ratio']}x) "
+                      f"vs {reg_baseline}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -439,6 +504,9 @@ def main() -> None:
         "calibration_s": calibration_s,
         "calibration_clean_s": CALIBRATION_CLEAN_S,
         "contended": contended,
+        "regressions": regressions,
+        "regression_baseline": reg_baseline,
+        "regression_band": band,
         "sf": sf,
     }))
 
