@@ -22,7 +22,8 @@ TESTDATA_TABLES = (
 
 def read_maude_raw_ndjson(spark: SparkSession, path: str,
                           schema: StructType | str | None = None,
-                          keep_corrupt: bool = True) -> DataFrame:
+                          keep_corrupt: bool = True,
+                          variant: bool = False) -> DataFrame:
     """NDJSON -> MAUDE_RAW-shaped DataFrame.
 
     Mirrors the reference's external-stage COPY (README.md:100-102):
@@ -35,10 +36,36 @@ def read_maude_raw_ndjson(spark: SparkSession, path: str,
     (NULL for good rows) so bad input can be quarantined and replayed
     instead of silently becoming all-NULL rows; pass
     ``keep_corrupt=False`` to drop them at the scan.
-    """
+
+    ``variant=True`` is the Spark 4.x twin (SURVEY §1's alternative
+    raw-layer mapping, and the closest analog of Snowflake's actual
+    VARIANT landing column): ``raw`` lands as a ``VariantType`` via
+    ``try_parse_json`` — schemaless like the reference's stage, so an
+    export carrying fields outside the canonical schema keeps them
+    navigable (``variant_get``) instead of silently dropping them at
+    the scan. Same column contract (raw, corrupt_record,
+    src_filename, load_ts), same quarantine semantics: a line the
+    parser rejects lands verbatim in ``corrupt_record`` with a NULL
+    ``raw``. Blank lines are skipped, matching the JSON reader."""
     from pyspark.sql.types import StringType, StructField
 
     from .schemas import MAUDE_RAW_SCHEMA
+
+    if variant:
+        lines = (spark.read.text(path)
+                 .filter(F.trim(F.col("value")) != "")
+                 .select(
+                     F.col("value").alias("_line"),
+                     F.input_file_name().alias("src_filename"),
+                     F.current_timestamp().alias("load_ts")))
+        parsed = lines.select(
+            F.try_parse_json(F.col("_line")).alias("raw"),
+            F.when(F.try_parse_json(F.col("_line")).isNull(),
+                   F.col("_line")).alias("corrupt_record"),
+            "src_filename", "load_ts")
+        if not keep_corrupt:
+            parsed = parsed.filter(F.col("corrupt_record").isNull())
+        return parsed
 
     base = schema or MAUDE_RAW_SCHEMA
     if not keep_corrupt:

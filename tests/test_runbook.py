@@ -92,3 +92,60 @@ def test_incremental_publish_converges_to_full_rebuild(spark, sf_dir, tmp_path):
     incremental_publish(spark, batch2, path, unique_key=["yyyy", "o_orderpriority"])
     again = dl.read_delta(spark, path).select(*got.columns)
     assert again.exceptAll(want).count() == 0 and again.count() == want.count()
+
+
+def test_variant_raw_ingest_twin(spark, tmp_path):
+    """Spark 4.x VariantType raw-layer twin (SURVEY §1's alternative
+    mapping — the closest engine analog of the reference's VARIANT
+    landing column): same (raw, corrupt_record, src_filename, load_ts)
+    contract as the struct reader, schemaless raw, typed variant_get
+    navigation incl. a device-array ordinal, quarantine parity on a
+    corrupt line, and out-of-schema fields SURVIVE (the struct reader
+    necessarily drops them)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_medtech_vigilance_lakehouse_spark.sources.readers import (
+        read_maude_raw_ndjson)
+
+    nd = tmp_path / "maude.ndjson"
+    with open(nd, "w") as f:
+        f.write(json.dumps({
+            "mdr_report_key": "K1",
+            "event_type": "Malfunction",
+            "device": [{"brand_name": "A"}, {"brand_name": "B"}],
+            "extra_field_not_in_schema": 7,
+        }) + "\n")
+        f.write("\n")                       # blank: skipped, not corrupt
+        f.write("{not json at all\n")       # corrupt: quarantined verbatim
+        f.write(json.dumps({"mdr_report_key": "K2"}) + "\n")
+
+    v = read_maude_raw_ndjson(spark, str(nd), variant=True)
+    assert v.columns == ["raw", "corrupt_record", "src_filename", "load_ts"]
+    assert v.count() == 3  # 2 good + 1 corrupt, blank skipped
+    assert v.filter(F.col("corrupt_record").isNotNull()).count() == 1
+    assert v.filter(F.col("corrupt_record").isNotNull()).first()[
+        "corrupt_record"] == "{not json at all"
+
+    good = v.filter(F.col("corrupt_record").isNull()).select(
+        F.variant_get("raw", "$.mdr_report_key", "string").alias("key"),
+        F.variant_get("raw", "$.device[1].brand_name", "string").alias("b1"),
+        F.variant_get("raw", "$.extra_field_not_in_schema",
+                      "bigint").alias("extra"),
+    )
+    rows = {r["key"]: r for r in good.collect()}
+    assert set(rows) == {"K1", "K2"}
+    assert rows["K1"]["b1"] == "B" and rows["K1"]["extra"] == 7
+    assert rows["K2"]["b1"] is None and rows["K2"]["extra"] is None
+
+    # the struct reader on the same file: same good/corrupt split, but
+    # the out-of-schema field is gone — the divergence variant=True
+    # exists to close
+    s = read_maude_raw_ndjson(spark, str(nd))
+    # (collect, don't filter on corrupt_record alone: the raw JSON
+    # scan disallows corrupt-column-only pruning — see reader docs)
+    assert sum(1 for r in s.collect() if r["corrupt_record"] is None) == 2
+    assert "extra_field_not_in_schema" not in s.select("raw.*").columns
+
+    # keep_corrupt=False drops the quarantine lane at the scan
+    assert read_maude_raw_ndjson(
+        spark, str(nd), variant=True, keep_corrupt=False).count() == 2
