@@ -470,26 +470,34 @@ def main() -> None:
     regressions, reg_baseline = [], None
     arts = sorted(glob.glob(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
-    if arts:
-        with open(arts[-1]) as f:
-            prev = json.load(f)
-        if prev.get("sf") == sf:
-            reg_baseline = os.path.basename(arts[-1])
-            for name, now_s in timings.items():
-                prev_s = prev.get("queries", {}).get(name)
-                if not prev_s:
-                    continue
-                ratio = now_s / prev_s
-                if abs(ratio - 1.0) > band:
-                    regressions.append({
-                        "query": name, "prev_s": prev_s, "now_s": now_s,
-                        "ratio": round(ratio, 3)})
-            regressions.sort(key=lambda r: -r["ratio"])
-            for r in regressions:
-                print(f"bench: {'REGRESSION' if r['ratio'] > 1 else 'speedup'}"
-                      f" beyond ±{band:.0%}: {r['query']} "
-                      f"{r['prev_s']}s -> {r['now_s']}s ({r['ratio']}x) "
-                      f"vs {reg_baseline}", file=sys.stderr)
+    prev = None
+    # newest-first, first artifact at the SAME sf wins (the 30x sweep
+    # can leave a different-sf artifact newest); the driver wraps the
+    # bench's JSON line under a "parsed" envelope — unwrap either
+    # layout, and skip artifacts carrying neither shape
+    for art in reversed(arts):
+        with open(art) as f:
+            cand = json.load(f)
+        cand = cand.get("parsed", cand)
+        if cand.get("sf") == sf and cand.get("queries"):
+            prev, reg_baseline = cand, os.path.basename(art)
+            break
+    if prev is not None:
+        for name, now_s in timings.items():
+            prev_s = prev["queries"].get(name)
+            if not prev_s:
+                continue
+            ratio = now_s / prev_s
+            if abs(ratio - 1.0) > band:
+                regressions.append({
+                    "query": name, "prev_s": prev_s, "now_s": now_s,
+                    "ratio": round(ratio, 3)})
+        regressions.sort(key=lambda r: -r["ratio"])
+        for r in regressions:
+            print(f"bench: {'REGRESSION' if r['ratio'] > 1 else 'speedup'}"
+                  f" beyond ±{band:.0%}: {r['query']} "
+                  f"{r['prev_s']}s -> {r['now_s']}s ({r['ratio']}x) "
+                  f"vs {reg_baseline}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

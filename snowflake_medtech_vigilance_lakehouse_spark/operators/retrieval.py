@@ -391,7 +391,13 @@ def hybrid_search_ann(spark, ivf_path: str, postings: DataFrame, *,
             StructField("_vs", DoubleType()),
         ]))
     else:
-        vec = (raw.orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+        # drop NULL-cosine rows BEFORE the cut: the shared subplan
+        # emits them for degenerate (NULL-vector) queries to keep
+        # knn_ivf_indexed's k-null-rows contract, but here they are
+        # non-scores — kept, they would fill the m_vec cut with
+        # arbitrary zero-score candidates and drag the min-max floor
+        vec = (raw.filter(F.col("_cos").isNotNull())
+               .orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
                .limit(m_vec)
                .select(F.col("neighbor_id").alias(id_col),
                        F.round("_cos", 6).alias("_vs")))

@@ -377,11 +377,13 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
     clean = _clean(corpus)
 
     if centroids is None and n_lists is None:
-        # the sizing rule needs one cheap count job; at 100 TB this is
-        # a metadata-ish aggregate (parquet row counts), never a scan
-        # of the vectors themselves
+        # the sizing rule needs one cheap count job — the RAW corpus
+        # count (for a parquet scan, a footer-metadata aggregate),
+        # NOT clean.count(), whose null/zero-norm filters would fold
+        # every vector just to size a layout whose exact value is
+        # irrelevant (correctness never depends on it)
         n_lists = auto_n_lists(
-            clean.count(),
+            corpus.count(),
             corpus.sparkSession.sparkContext.defaultParallelism,
             target_list_rows=target_list_rows)
 

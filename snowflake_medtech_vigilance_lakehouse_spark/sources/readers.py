@@ -52,17 +52,28 @@ def read_maude_raw_ndjson(spark: SparkSession, path: str,
     from .schemas import MAUDE_RAW_SCHEMA
 
     if variant:
-        lines = (spark.read.text(path)
-                 .filter(F.trim(F.col("value")) != "")
-                 .select(
-                     F.col("value").alias("_line"),
-                     F.input_file_name().alias("src_filename"),
-                     F.current_timestamp().alias("load_ts")))
-        parsed = lines.select(
-            F.try_parse_json(F.col("_line")).alias("raw"),
-            F.when(F.try_parse_json(F.col("_line")).isNull(),
-                   F.col("_line")).alias("corrupt_record"),
-            "src_filename", "load_ts")
+        if schema is not None:
+            raise ValueError(
+                "variant=True is schemaless by design (that is the "
+                "point of the VARIANT landing column); passing an "
+                "explicit schema contradicts it — use one or the "
+                "other")
+        # parse ONCE per line in its own projection, then derive the
+        # quarantine column from the parsed value's nullity — an
+        # inline second try_parse_json would double the dominant
+        # per-row cost of the ingest path
+        parsed = (spark.read.text(path)
+                  .filter(F.trim(F.col("value")) != "")
+                  .select(
+                      F.col("value").alias("_line"),
+                      F.try_parse_json(F.col("value")).alias("raw"),
+                      F.input_file_name().alias("src_filename"),
+                      F.current_timestamp().alias("load_ts"))
+                  .select(
+                      "raw",
+                      F.when(F.col("raw").isNull(),
+                             F.col("_line")).alias("corrupt_record"),
+                      "src_filename", "load_ts"))
         if not keep_corrupt:
             parsed = parsed.filter(F.col("corrupt_record").isNull())
         return parsed

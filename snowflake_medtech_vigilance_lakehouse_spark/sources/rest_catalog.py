@@ -258,6 +258,30 @@ class _Handler(BaseHTTPRequestHandler):
                 409, "CommitFailedException",
                 "metadata table-uuid does not match the served table "
                 "(commit built for a different table lineage)")
+        # structural validation BEFORE the swap: the catalog must
+        # never publish a document that wedges every subsequent
+        # loadTable/scan (the REST spec's requirements/updates checks
+        # exist for exactly this) — a malformed commit is the
+        # CLIENT's 409, not the next reader's 500
+        snaps = metadata.get("snapshots")
+        cur_id = metadata.get("current-snapshot-id")
+        bad = None
+        if metadata.get("format-version") != 2:
+            bad = "format-version must be 2"
+        elif not isinstance(snaps, list) or not snaps:
+            bad = "metadata carries no snapshots"
+        elif cur_id not in {s.get("snapshot-id") for s in snaps}:
+            bad = "current-snapshot-id is not among snapshots"
+        else:
+            cur_snap = next(s for s in snaps
+                            if s.get("snapshot-id") == cur_id)
+            ml = cur_snap.get("manifest-list") or ""
+            if not os.path.exists(os.path.join(table_path, ml)):
+                bad = (f"current snapshot's manifest-list {ml!r} does "
+                       f"not exist under the table location")
+        if bad:
+            return self._error(409, "CommitFailedException",
+                               f"invalid metadata refused: {bad}")
         try:
             il.publish_commit_metadata(table_path, metadata,
                                        cur_version + 1)

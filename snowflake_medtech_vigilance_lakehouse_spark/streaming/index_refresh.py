@@ -254,9 +254,23 @@ def _refuse_reingested_docs(batch: DataFrame, out_path: str,
 
     docs_side = out_path + "_docs"
     _require_tick_layout(docs_side)
-    if not (os.path.isdir(docs_side) and any(
-            n.startswith("tick=") for n in os.listdir(docs_side))):
-        return
+    has_docs = os.path.isdir(docs_side) and any(
+        n.startswith("tick=") for n in os.listdir(docs_side))
+    if not has_docs:
+        if os.path.isdir(out_path) and any(
+                n.startswith("tick=") for n in os.listdir(out_path)):
+            # pre-sidecar index (built before the _docs contract
+            # existed): without a backfill every historical doc_id
+            # would silently pass the guard while the docstring
+            # promises enforcement. One-time migration: distinct
+            # doc_ids of the EXISTING postings land under tick=-1
+            # (epochs are >= 0, so the replay exclusion below can
+            # never skip it).
+            (batch.sparkSession.read.parquet(out_path)
+             .select("doc_id").distinct().write.mode("overwrite")
+             .parquet(f"{docs_side}/tick=-1"))
+        else:
+            return  # brand-new index: nothing ingested yet
     prior = (batch.sparkSession.read.parquet(docs_side)
              .filter(F.col("tick") != epoch).select("doc_id"))
     dups = (batch.select("doc_id").distinct()

@@ -550,3 +550,38 @@ def test_maintain_aborts_on_concurrent_checkpoint_advance(spark, tmp_path):
     assert os.path.isdir(idx + "_growth")
     assert ir.maintain_ivf_index(spark, idx, ckpt, threshold=0.2) is True
     assert spark.read.parquet(idx).count() == n_before
+
+
+def test_refresh_backfills_docs_sidecar_for_legacy_index(spark, tmp_path):
+    """A pre-round-8 index (ticks exist, no _docs sidecar) must not
+    silently exempt its historical doc_ids from the one-tick-per-doc
+    contract: the first guarded refresh backfills tick=-1 from the
+    existing postings, so re-ingesting a pre-upgrade document is
+    refused exactly like a post-upgrade one."""
+    import os
+    import shutil
+
+    in_dir = tmp_path / "docs"; in_dir.mkdir()
+    idx, ckpt = str(tmp_path / "pl"), str(tmp_path / "ckl")
+
+    def refresh():
+        stream = spark.readStream.schema(
+            "doc_id long, text string").json(str(in_dir))
+        refresh_postings(stream, idx, ckpt).awaitTermination(120)
+
+    _write(in_dir / "a.ndjson", DOCS_A)
+    refresh()
+    shutil.rmtree(idx + "_docs")  # simulate the pre-sidecar layout
+
+    # fresh docs pass, and the backfill materializes tick=-1
+    _write(in_dir / "b.ndjson", DOCS_B)
+    refresh()
+    assert os.path.isdir(f"{idx}_docs/tick=-1")
+    backfilled = spark.read.parquet(idx + "_docs")
+    assert set(r["doc_id"] for r in backfilled.filter(
+        F.col("tick") == -1).collect()) == {1, 2}
+
+    # a pre-upgrade doc_id is now refused like any other
+    _write(in_dir / "c.ndjson", [(1, "changed text")])
+    with pytest.raises(Exception, match="already ingested"):
+        refresh()

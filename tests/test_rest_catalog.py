@@ -229,3 +229,39 @@ def test_catalog_commit_two_writers_optimistic_concurrency(
         with pytest.raises(rc.CommitFailedError, match="lineage"):
             rc.commit_table(srv.uri, "marts", "orders",
                             cur["metadata-location"], alien)
+
+
+def test_catalog_commit_refuses_malformed_metadata(spark, sf_dir, tmp_path):
+    """Structural validation before the swap: a commit whose document
+    would wedge every subsequent loadTable (no snapshots, dangling
+    current-snapshot-id, missing manifest-list file) is the CLIENT's
+    typed 409 — never published, never the next reader's 500."""
+    t = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).limit(20)
+    il.write_iceberg(o, t)
+    root = str(tmp_path / "cat")
+    with rc.CatalogServer(root) as srv:
+        rc.create_table(srv.uri, "marts", "orders", t)
+        cur = rc.load_table(srv.uri, "marts", "orders")
+        base, good = cur["metadata-location"], cur["metadata"]
+
+        import copy
+        for mutate, msg in (
+                (lambda m: m.update({"snapshots": []}), "no snapshots"),
+                (lambda m: m.update({"current-snapshot-id": 999}),
+                 "not among snapshots"),
+                (lambda m: m["snapshots"][-1].update(
+                    {"manifest-list": "metadata/nope.avro"}),
+                 "does not exist"),
+                (lambda m: m.update({"format-version": 1}),
+                 "format-version"),
+        ):
+            m = copy.deepcopy(good)
+            mutate(m)
+            with pytest.raises(rc.CommitFailedError, match=msg):
+                rc.commit_table(srv.uri, "marts", "orders", base, m)
+        # nothing was published; the table still loads and reads
+        assert rc.load_table(srv.uri, "marts", "orders")[
+            "metadata-location"] == base
+        assert rc.read_catalog_table(
+            spark, srv.uri, "marts", "orders").count() == 20

@@ -281,3 +281,43 @@ def test_hybrid_ann_overlaps_exact_and_scans_no_text(corpus, spark, sf_dir, tmp_
         hybrid_search_ann(
             spark, ivf, postings, query_terms=terms, query_vec=qvec,
             allowed_ids=allowed, k=20, n_probe=8, m_vec=100)
+
+
+def test_hybrid_ann_null_query_vector_serves_lexical_only(
+        spark, sf_dir, tmp_path):
+    """A NULL query vector must leave the served tier's vector side
+    EMPTY (the lexical side carries the query), not flood the m_vec
+    cut with arbitrary null-cosine candidates at score 0 — the shared
+    scored subplan emits k-null-rows for knn_ivf_indexed's contract,
+    and this tier must filter them."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        similarity as sim_ops)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.retrieval import (
+        hybrid_search_ann)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        bm25_from_postings, corpus_stats_from_sidecar, postings_stream,
+        prune_term_buckets, with_term_buckets, write_corpus_stats)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    sim_ops.build_ivf_index(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), ivf,
+        n_lists=8, id_col="doc_id", seed=42)
+    terms = ("spark", "merge")
+    (with_term_buckets(postings_stream(docs)).write.mode("overwrite")
+     .partitionBy("tb").parquet(str(tmp_path / "p")))
+    postings = prune_term_buckets(spark.read.parquet(str(tmp_path / "p")),
+                                  terms)
+    write_corpus_stats(docs, str(tmp_path / "stats"))
+    doc_stats = corpus_stats_from_sidecar(spark, str(tmp_path / "stats"))
+    null_q = spark.createDataFrame(
+        [(0, None)], "doc_id long, embedding array<float>")
+
+    served = hybrid_search_ann(
+        spark, ivf, postings, query_terms=terms, query_vec=null_q,
+        doc_stats=doc_stats, k=50, n_probe=8, m_vec=100).collect()
+    lexical_ids = {r["doc_id"] for r in bm25_from_postings(
+        postings, terms, doc_stats=doc_stats).collect()}
+    assert served  # lexical side still serves
+    assert {r["doc_id"] for r in served} <= lexical_ids  # no padding

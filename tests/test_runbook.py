@@ -149,3 +149,17 @@ def test_variant_raw_ingest_twin(spark, tmp_path):
     # keep_corrupt=False drops the quarantine lane at the scan
     assert read_maude_raw_ndjson(
         spark, str(nd), variant=True, keep_corrupt=False).count() == 2
+
+
+def test_variant_reader_refuses_contradictory_schema(spark, tmp_path):
+    import pytest
+
+    from snowflake_medtech_vigilance_lakehouse_spark.sources.readers import (
+        read_maude_raw_ndjson)
+    from tests.maude_fixture import RAW_SCHEMA
+
+    nd = tmp_path / "x.ndjson"
+    nd.write_text('{"a": 1}\n')
+    with pytest.raises(ValueError, match="schemaless by design"):
+        read_maude_raw_ndjson(spark, str(nd), schema=RAW_SCHEMA,
+                              variant=True)
