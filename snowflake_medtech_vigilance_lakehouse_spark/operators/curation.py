@@ -223,3 +223,38 @@ def shuffle_shards(docs: DataFrame, *, num_shards: int = 8,
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select(id_col, "shard", "pos", "sort_key")
     )
+
+
+def domain_cap(docs: DataFrame, *, cap: int, domain_col: str = "source",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-domain frequency capping — the web-corpus curation step
+    that stops one domain from dominating the training mix (the
+    C4/RefinedWeb "limit pages per domain" rule): keep at most ``cap``
+    documents per domain, selected DETERMINISTICALLY by content-hash
+    rank (md5-derived key, the same convention as
+    :func:`shuffle_shards` / the dedup family), never by arrival
+    order or rand() — so the kept set is engine-reproducible and an
+    incremental rerun keeps the same documents.
+
+    One exchange, keyed by domain: at 100 TB the hot domain IS the
+    skewed key, but the window computes only row_number (streaming,
+    no buffering of the partition) and the output is cut to ``cap``
+    rows per domain, so the skew cost is a single pass over the hot
+    partition — the same shape AQE cannot split (windows pin their
+    partition) but also the minimal one that satisfies "global top-k
+    per domain". Returns (id, domain, keep_rank) for the KEPT rows.
+    """
+    from .dedup import md5_hash32
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    key = md5_hash32(F.col(id_col).cast("string"))
+    w = Window.partitionBy("domain").orderBy("sort_key", id_col)
+    return (
+        docs.select(F.col(id_col), F.col(domain_col).alias("domain"),
+                    key.alias("sort_key"))
+        .withColumn("keep_rank",
+                    (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("keep_rank") < cap)
+        .select(id_col, "domain", "keep_rank")
+    )

@@ -222,3 +222,81 @@ def subword_stats(docs: DataFrame, text_col: str = "text",
         F.round(n_sub.cast("double") / n_ws.cast("double"), 6)
         .alias("subwords_per_token"),
     )
+
+
+def _sorted_run_stats(sorted_arr: Column) -> Column:
+    """Fold a SORTED array into struct(maxrun, singles): the longest
+    run of equal adjacent elements (= the count of the most frequent
+    element) and the number of elements occurring exactly once. One
+    O(n) pass per row after the O(n log n) sort — the codegen-safe way
+    to get per-document frequency extremes WITHOUT an explode +
+    groupBy shuffle and without the O(n * distinct) quadratic a
+    distinct-then-count-each composition would pay on long documents."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("singles"),
+    )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        closed_single = F.when(~same & (acc["run"] == 1),
+                               F.lit(1)).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["maxrun"], new_run).alias("maxrun"),
+            (acc["singles"] + closed_single).alias("singles"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["maxrun"].alias("maxrun"),
+            (acc["singles"] + F.when(acc["run"] == 1, F.lit(1))
+             .otherwise(F.lit(0))).alias("singles"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, finish)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document — the
+    classic pretraining-corpus filters "fraction of the doc that is
+    the top token / top 2-gram" and "fraction of 2-gram occurrences
+    that are duplicated" (Rae et al. 2021 §A1.1's repetition family),
+    as pure codegen over the token array: build the 2-gram array with
+    one transform over an index sequence, sort both arrays, and fold
+    each into run-length stats (:func:`_sorted_run_stats`) — zero
+    shuffles, zero Python, linear in corpus size at any scale.
+
+    Returns (id, n_tokens, top_token_frac, top_bigram_frac,
+    dup_bigram_frac), fractions rounded to 6; the bigram fractions
+    are NULL for documents with fewer than 2 tokens."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # guard the <2-token case: sequence(0, -1) is DESCENDING in Spark
+    # (step defaults to -1 when start > stop), which would index the
+    # token array at 0/-1 instead of producing an empty bigram list
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i + 1),
+                              F.element_at(t, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    tok_stats = _sorted_run_stats(F.array_sort(t))
+    bg_stats = _sorted_run_stats(F.array_sort(bigrams))
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(tok_stats["maxrun"].cast("double") / n.cast("double"),
+                6).alias("top_token_frac"),
+        F.when(nb > 0, F.round(
+            bg_stats["maxrun"].cast("double") / nb.cast("double"), 6)
+        ).alias("top_bigram_frac"),
+        F.when(nb > 0, F.round(
+            (nb - bg_stats["singles"]).cast("double") / nb.cast("double"), 6)
+        ).alias("dup_bigram_frac"),
+    )

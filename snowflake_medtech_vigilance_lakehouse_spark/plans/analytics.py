@@ -2056,6 +2056,69 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals (round 8): top-token
+    fraction, top-2-gram fraction, duplicated-2-gram fraction per
+    document — the classic pretraining-corpus repetition filters, as
+    pure codegen (sorted-array run-length folds, zero shuffles; see
+    operators/text.py:repetition_stats). Oracle recomputes the same
+    frequencies with DuckDB list lambdas."""
+    return tx.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS bg
+  FROM t
+)
+SELECT doc_id,
+       len(w)::BIGINT AS n_tokens,
+       round(list_max(list_transform(list_distinct(w),
+             d -> len(list_filter(w, x -> x = d))))::DOUBLE / len(w), 6)
+         AS top_token_frac,
+       CASE WHEN len(bg) > 0 THEN
+         round(list_max(list_transform(list_distinct(bg),
+               d -> len(list_filter(bg, x -> x = d))))::DOUBLE / len(bg), 6)
+       END AS top_bigram_frac,
+       CASE WHEN len(bg) > 0 THEN
+         round((len(bg) - len(list_filter(list_distinct(bg),
+               d -> len(list_filter(bg, x -> x = d)) = 1)))::DOUBLE
+               / len(bg), 6)
+       END AS dup_bigram_frac
+FROM g
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping (round 8): keep at most 10
+    documents per source, selected by deterministic content-hash rank
+    (operators/curation.py:domain_cap) — the C4/RefinedWeb
+    limit-pages-per-domain curation rule, engine-reproducible."""
+    return cu.domain_cap(_t(spark, sf_dir, "documents"), cap=10)
+
+
+ORACLE_DOMAIN_CAP = """
+WITH k AS (
+  SELECT doc_id, source AS domain,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS sort_key
+  FROM documents
+)
+SELECT doc_id, domain, keep_rank FROM (
+  SELECT doc_id, domain,
+         (row_number() OVER (PARTITION BY domain
+                             ORDER BY sort_key, doc_id) - 1)::BIGINT
+           AS keep_rank
+  FROM k
+) WHERE keep_rank < 10
+"""
+
+
 def q_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword counting next to the whitespace token count —
     the batch-budget stat of a training pipeline, as one codegen
@@ -2530,6 +2593,8 @@ QUERIES: dict[str, QueryFn] = {
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
     "variant_navigate": q_variant_navigate,
+    "repetition_stats": q_repetition_stats,
+    "domain_cap": q_domain_cap,
 }
 
 # Driver-sampling insurance (VERDICT r7 #6): the driver's CORRECTNESS
@@ -2539,7 +2604,7 @@ QUERIES: dict[str, QueryFn] = {
 # lead the iteration order, so a prefix-sampling driver reaches them
 # first. Contents are unchanged — this is a reordering only.
 _NEVER_DRIVER_SAMPLED = (
-    "variant_navigate", "decontamination", "hard_negatives",
+    "variant_navigate", "repetition_stats", "domain_cap", "decontamination", "hard_negatives",
     "pack_sequences", "pii_redact", "training_mix_sample",
     "semantic_dedup", "semantic_dedup_full", "corpus_shuffle",
     "subword_stats", "media_frames", "media_resize",
@@ -2551,6 +2616,8 @@ QUERIES = {
 
 ORACLES: dict[str, str] = {
     "variant_navigate": ORACLE_VARIANT_NAVIGATE,
+    "repetition_stats": ORACLE_REPETITION_STATS,
+    "domain_cap": ORACLE_DOMAIN_CAP,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "quarterly_event_counts": ORACLE_QUARTERLY,
     "early_signals": ORACLE_EARLY_SIGNALS,

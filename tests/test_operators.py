@@ -704,3 +704,54 @@ def test_neardup_bucketed_auto_n_lists_matches_pinned(spark, emb):
         emb, threshold=0.35, n_lists=16)
     assert auto.exceptAll(pinned).count() == 0
     assert pinned.exceptAll(auto).count() == 0
+
+
+def test_repetition_stats_exact_values(spark):
+    # hand-computed Gopher-style repetition signals, incl. the
+    # degenerate single-token doc (sequence(0,-1) is DESCENDING in
+    # Spark — the guard must yield empty bigrams, not index errors)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.text import (
+        repetition_stats)
+
+    df = spark.createDataFrame([
+        (1, "a b a b a"),   # top tok a=3/5; bigrams [a b,b a,a b,b a]
+        (2, "x"),           # no bigrams
+        (3, "w w w w"),     # fully repeated
+        (4, "p q r s"),     # fully distinct
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert (got[1]["n_tokens"], got[1]["top_token_frac"],
+            got[1]["top_bigram_frac"], got[1]["dup_bigram_frac"]) == \
+        (5, 0.6, 0.5, 1.0)
+    assert (got[2]["top_token_frac"], got[2]["top_bigram_frac"],
+            got[2]["dup_bigram_frac"]) == (1.0, None, None)
+    assert (got[3]["top_token_frac"], got[3]["top_bigram_frac"],
+            got[3]["dup_bigram_frac"]) == (1.0, 1.0, 1.0)
+    assert (got[4]["top_token_frac"], got[4]["dup_bigram_frac"]) == \
+        (0.25, 0.0)
+    assert abs(got[4]["top_bigram_frac"] - 1 / 3) < 1e-6
+
+
+def test_domain_cap_deterministic_and_capped(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        domain_cap)
+
+    rows = [(i, f"d{i % 3}") for i in range(30)] + [(100, "lonely")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = domain_cap(df, cap=4).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert {d: len(v) for d, v in by_dom.items()} == {
+        "d0": 4, "d1": 4, "d2": 4, "lonely": 1}
+    for v in by_dom.values():
+        assert sorted(r["keep_rank"] for r in v) == list(range(len(v)))
+    # deterministic: a rerun keeps the SAME documents (hash rank, not
+    # arrival order or rand())
+    again = {(r["doc_id"], r["domain"], r["keep_rank"])
+             for r in domain_cap(df, cap=4).collect()}
+    assert again == {(r["doc_id"], r["domain"], r["keep_rank"])
+                     for r in kept}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="cap"):
+        domain_cap(df, cap=0)
