@@ -868,6 +868,7 @@ def expire_delta_log(path: str) -> list[int]:
 
 def read_delta(spark: SparkSession, path: str, *,
                version: int | None = None,
+               as_of_timestamp_ms: int | None = None,
                predicates: list[tuple[str, str, object]] | None = None) -> DataFrame:
     """Read a Delta table (optionally time-traveled to ``version``) by
     replaying the transaction log and scanning only the live files.
@@ -882,10 +883,31 @@ def read_delta(spark: SparkSession, path: str, *,
     ``compact_delta(zorder_by=...)`` so multi-column ranges are narrow
     per file). The predicate is ALSO applied as a row filter on the
     result, so the returned rows are identical whether or not any file
-    was skipped — skipping is purely an I/O optimization."""
+    was skipped — skipping is purely an I/O optimization.
+
+    ``as_of_timestamp_ms`` is Delta's ``TIMESTAMP AS OF``: resolved
+    through the commitInfo timestamps (``table_history``) to the LAST
+    version committed at or before the instant — an instant before
+    the first surviving commit is a loud error. Mutually exclusive
+    with ``version``; versions whose log was expired cannot be
+    resolved by timestamp (their commitInfo is gone), matching
+    Delta's own behavior after log cleanup."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
+    if as_of_timestamp_ms is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version or as_of_timestamp_ms, not both")
+        eligible = [h["version"] for h in table_history(path)
+                    if h["version"] is not None
+                    and h["timestamp"] is not None
+                    and h["timestamp"] <= as_of_timestamp_ms]
+        if not eligible:
+            raise ValueError(
+                f"no commit at or before {as_of_timestamp_ms} "
+                f"(surviving versions: {versions})")
+        version = max(eligible)
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in log (have {versions})")

@@ -912,15 +912,23 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int,
 
 def read_iceberg(spark: SparkSession, path: str, *,
                  snapshot_id: int | None = None,
+                 as_of_timestamp_ms: int | None = None,
                  partition_filter: dict[str, str] | None = None,
                  predicates: list[tuple[str, str, object]] | None = None,
                  ) -> DataFrame:
     """Read an iceberg_lite table (current snapshot, or time-traveled
-    to ``snapshot_id``). Partition columns come back via ``basePath``
-    over the hive-style data layout, so predicate pruning behaves
-    exactly as on the plain partitioned mart; ``partition_filter``
-    additionally prunes at the metadata level before Spark ever lists
-    a file.
+    to ``snapshot_id`` / ``as_of_timestamp_ms``). Partition columns
+    come back via ``basePath`` over the hive-style data layout, so
+    predicate pruning behaves exactly as on the plain partitioned
+    mart; ``partition_filter`` additionally prunes at the metadata
+    level before Spark ever lists a file.
+
+    ``as_of_timestamp_ms`` is the spec's ``TIMESTAMP AS OF``: the
+    snapshot-log (append-ordered {timestamp-ms, snapshot-id} entries
+    the commit path maintains) resolves to the LAST snapshot
+    committed at or before the instant; an instant before the first
+    commit is a loud error, not an empty frame. Mutually exclusive
+    with ``snapshot_id``.
 
     ``predicates`` — a conjunction of ``(col, op, val)`` with op in
     {==, <, <=, >, >=} — enables STATS-BASED FILE SKIPPING from the
@@ -932,6 +940,18 @@ def read_iceberg(spark: SparkSession, path: str, *,
             if op not in ("==", "<", "<=", ">", ">="):
                 raise ValueError(f"unsupported predicate op: {op}")
     meta = table_metadata(path)
+    if as_of_timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass snapshot_id or as_of_timestamp_ms, not both")
+        eligible = [e for e in meta.get("snapshot-log", [])
+                    if e["timestamp-ms"] <= as_of_timestamp_ms]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot committed at or before "
+                f"{as_of_timestamp_ms} (earliest is "
+                f"{meta['snapshot-log'][0]['timestamp-ms'] if meta.get('snapshot-log') else 'n/a'})")
+        snapshot_id = eligible[-1]["snapshot-id"]
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     files = _snapshot_files(path, meta, sid, partition_filter, predicates)
     if not files:

@@ -22,6 +22,9 @@ Implements the read side of the public Iceberg REST Catalog OpenAPI
                                                      put-if-absent
                                                      version swap
                                                      (409 on conflict)
+    DELETE /v1/namespaces/{ns}/tables/{table}     -> dropTable
+                                                     (metadata only,
+                                                     204)
 
 Everything is Python stdlib (``http.server`` + ``urllib``) — no new
 dependencies — and the registry is one JSON file next to the catalog
@@ -183,6 +186,24 @@ class _Handler(BaseHTTPRequestHandler):
                                        "code": 500}})
 
     do_HEAD = do_GET  # noqa: N815
+
+    def do_DELETE(self):  # noqa: N802
+        """dropTable: remove the registration (metadata only — data
+        and table files untouched, external-table semantics; the spec
+        route's purgeRequested flag is deliberately unsupported)."""
+        parts = [urllib.parse.unquote(p)
+                 for p in self.path.split("?")[0].strip("/").split("/")]
+        try:
+            if (len(parts) == 5 and parts[:2] == ["v1", "namespaces"]
+                    and parts[3] == "tables"):
+                ns, name = parts[2], parts[4]
+                if name not in _load_registry(self.root).get(ns, {}):
+                    return self._not_found(f"table {ns}.{name}")
+                drop_table(self.root, ns, name)
+                return self._json(204, None)
+            return self._not_found(self.path)
+        except Exception as e:
+            self._error(500, type(e).__name__, str(e))
 
     def _load_result(self, table_path: str) -> dict:
         version = il._list_meta_versions(table_path)[-1]
@@ -355,6 +376,15 @@ def _post(uri: str, route: str, payload: dict) -> dict:
         headers={"Content-Type": "application/json"})
     with urllib.request.urlopen(req) as r:
         return json.loads(r.read())
+
+
+def drop_table_http(uri: str, namespace: str, name: str) -> None:
+    """dropTable through the endpoint (metadata only; 404s propagate
+    as HTTPError)."""
+    ns, t = urllib.parse.quote(namespace), urllib.parse.quote(name)
+    req = urllib.request.Request(
+        f"{uri}/v1/namespaces/{ns}/tables/{t}", method="DELETE")
+    urllib.request.urlopen(req).close()
 
 
 def create_table(uri: str, namespace: str, name: str,

@@ -1089,3 +1089,27 @@ def test_zorder_key_temporal_columns(spark):
     # both columns increase with id, so z must be monotone overall
     ordered = [zs[i] for i in range(64)]
     assert ordered == sorted(ordered)
+
+
+def test_timestamp_as_of_travel(spark, sf_dir, tmp_path):
+    """Delta TIMESTAMP AS OF via commitInfo timestamps: resolves to
+    the last version committed at or before the instant; loud on
+    pre-history instants; exclusive with version."""
+    import pytest as _pt
+
+    path = str(tmp_path / "tt")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(60)
+    dl.write_delta(o.limit(40), path)
+    dl.write_delta(o.limit(20), path, mode="append")
+    hist = {h["version"]: h["timestamp"] for h in dl.table_history(path)
+            if h["version"] is not None}
+
+    assert dl.read_delta(spark, path,
+                         as_of_timestamp_ms=hist[0]).count() == 40
+    assert dl.read_delta(
+        spark, path, as_of_timestamp_ms=hist[1] + 10_000).count() == 60
+    with _pt.raises(ValueError, match="at or before"):
+        dl.read_delta(spark, path, as_of_timestamp_ms=hist[0] - 1)
+    with _pt.raises(ValueError, match="not both"):
+        dl.read_delta(spark, path, version=0,
+                      as_of_timestamp_ms=hist[0])

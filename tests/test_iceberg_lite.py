@@ -400,3 +400,27 @@ def test_uniform_tables_get_iceberg_stats_too(spark, sf_dir, tmp_path):
     full = il.read_iceberg(spark, path).filter(F.col("o_orderkey") <= probe)
     assert pruned.count() == full.count() > 0
     assert len(pruned.inputFiles()) < 4
+
+
+def test_timestamp_as_of_travel(spark, sf_dir, tmp_path):
+    """TIMESTAMP AS OF via the snapshot-log: the instant resolves to
+    the LAST snapshot committed at or before it; pre-history instants
+    error loudly; snapshot_id and timestamp are mutually exclusive."""
+    import pytest as _pt
+
+    path = str(tmp_path / "tt")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(60)
+    il.write_iceberg(o.limit(40), path)
+    il.write_iceberg(o.limit(60), path, mode="append")
+    log = il.table_metadata(path)["snapshot-log"]
+    t0, t1 = log[0]["timestamp-ms"], log[1]["timestamp-ms"]
+
+    assert il.read_iceberg(spark, path,
+                           as_of_timestamp_ms=t0).count() == 40
+    assert il.read_iceberg(spark, path,
+                           as_of_timestamp_ms=t1 + 10_000).count() == 100
+    with _pt.raises(ValueError, match="at or before"):
+        il.read_iceberg(spark, path, as_of_timestamp_ms=t0 - 1)
+    with _pt.raises(ValueError, match="not both"):
+        il.read_iceberg(spark, path, snapshot_id=1,
+                        as_of_timestamp_ms=t0)

@@ -265,3 +265,18 @@ def test_catalog_commit_refuses_malformed_metadata(spark, sf_dir, tmp_path):
             "metadata-location"] == base
         assert rc.read_catalog_table(
             spark, srv.uri, "marts", "orders").count() == 20
+
+
+def test_catalog_drop_table_endpoint(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    il.write_iceberg(_orders(spark, sf_dir).limit(15), t)
+    root = str(tmp_path / "cat")
+    with rc.CatalogServer(root) as srv:
+        rc.create_table(srv.uri, "marts", "orders", t)
+        rc.drop_table_http(srv.uri, "marts", "orders")
+        assert rc.list_namespaces(srv.uri) == []
+        with pytest.raises(urllib.error.HTTPError) as e:
+            rc.drop_table_http(srv.uri, "marts", "orders")
+        assert e.value.code == 404
+    # external-table semantics: data untouched by the drop
+    assert il.read_iceberg(spark, t).count() == 15
