@@ -381,9 +381,15 @@ def hybrid_search_ann(spark, ivf_path: str, postings: DataFrame, *,
     # orderBy+limit (TakeOrderedAndProject): the 1-row query contract
     # makes the per-query window — and its exchange — unnecessary on
     # this interactive path. Identical candidate set and scores.
-    raw = _ivf_indexed_scored(
-        spark, ivf_path, query_vec, n_probe,
-        query_vec.columns[0], query_vec.columns[1])
+    # query_vec may be a LITERAL [(id, vector)] — the serving shape:
+    # plan construction then runs no query-collect Spark job at all.
+    if isinstance(query_vec, (list, tuple)):
+        raw = _ivf_indexed_scored(
+            spark, ivf_path, query_vec, n_probe, id_col, "embedding")
+    else:
+        raw = _ivf_indexed_scored(
+            spark, ivf_path, query_vec, n_probe,
+            query_vec.columns[0], query_vec.columns[1])
     if raw is None:
         from pyspark.sql.types import DoubleType, StructField, StructType
         vec = spark.createDataFrame([], StructType([

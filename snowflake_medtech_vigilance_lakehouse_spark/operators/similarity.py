@@ -761,7 +761,8 @@ def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
      .coalesce(1).write.mode("overwrite").parquet(path + "_centroids"))
 
 
-def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
+def knn_ivf_indexed(spark, path: str, queries: DataFrame | list,
+                    k: int = 10,
                     n_probe: int = 8, id_col: str = "vec_id",
                     vec_col: str = "embedding", *,
                     max_driver_queries: int = 4096) -> DataFrame:
@@ -809,7 +810,7 @@ def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
         if idx_schema is None:
             idx_schema = spark.read.parquet(path).schema
         return spark.createDataFrame([], StructType([
-            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("query_id", _query_id_type(queries, id_col)),
             StructField("neighbor_id", idx_schema[id_col].dataType),
             StructField("rank", IntegerType(), False),
             StructField("cosine", DoubleType()),
@@ -823,6 +824,18 @@ def knn_ivf_indexed(spark, path: str, queries: DataFrame, k: int = 10,
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def _query_id_type(queries, id_col: str):
+    """Spark type of the query id — from the frame's schema, or
+    inferred (str -> string, else long) for a literal query list."""
+    from pyspark.sql.types import LongType, StringType
+
+    if isinstance(queries, (list, tuple)):
+        if any(isinstance(q[0], str) for q in queries):
+            return StringType()
+        return LongType()
+    return queries.schema[id_col].dataType
 
 
 _IDX_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
@@ -920,7 +933,14 @@ def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
     contract violation. NULL-vector queries probe the first n_probe
     lists with a NULL cosine everywhere — the NULLS-LAST/list_id-asc
     order the window plan produces — so degenerate inputs keep the
-    k-null-rows output contract instead of vanishing."""
+    k-null-rows output contract instead of vanishing.
+
+    ``queries`` may also be a LITERAL list of ``(id, vector)`` tuples
+    — the true serving shape, where the query embedding is already in
+    the application's hand: plan construction then runs ZERO Spark
+    jobs before the single pruned-scan job (no collect, no scan of a
+    query frame). Literal queries are interactive-sized by
+    construction, so the distributed fallback does not apply."""
     import math
 
     from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
@@ -942,11 +962,14 @@ def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
                      spark.read.parquet(path + "_centroids").collect()]
     ctr = sorted((lid, [float(x) for x in c]) for lid, c in centroids)
     ctr_norms = [(lid, c, math.sqrt(_fold_dot(c, c))) for lid, c in ctr]
-    q_rows = (queries.select(F.col(id_col), F.col(vec_col))
-              .limit(max_driver_queries + 1).collect())
-    if len(q_rows) > max_driver_queries:
-        return _ivf_indexed_scored_distributed(
-            spark, path, queries, n_probe, id_col, vec_col)
+    if isinstance(queries, (list, tuple)):
+        q_rows = [(q[0], q[1]) for q in queries]
+    else:
+        q_rows = (queries.select(F.col(id_col), F.col(vec_col))
+                  .limit(max_driver_queries + 1).collect())
+        if len(q_rows) > max_driver_queries:
+            return _ivf_indexed_scored_distributed(
+                spark, path, queries, n_probe, id_col, vec_col)
 
     probe_rows = []
     for r in q_rows:
@@ -981,7 +1004,7 @@ def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
     if not probe_rows:
         return None
     probe_lists = spark.createDataFrame(probe_rows, StructType([
-        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("query_id", _query_id_type(queries, id_col)),
         StructField("_qv", ArrayType(DoubleType())),
         StructField("_qn", DoubleType()),
         StructField("list_id", IntegerType()),

@@ -401,3 +401,64 @@ def test_ivf_serving_null_query_keeps_k_null_rows(spark, sf_dir, tmp_path):
         assert nulls.filter(F.col("cosine").isNull()).count() == 5
     assert served.exceptAll(direct).count() == 0
     assert dist.exceptAll(direct).count() == 0
+
+
+def test_ivf_serving_literal_queries_match_frame(spark, sf_dir, tmp_path):
+    """The serving shape: a literal [(id, vector)] query list must
+    produce exactly the DataFrame-query result, with ZERO Spark jobs
+    during plan construction (no query collect, no query-frame scan)
+    — the latency floor of the served path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, n_lists=8, seed=42)
+    vec = [float(x) for x in
+           emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+
+    def n_jobs():
+        return spark.sparkContext._jsc.sc().statusStore()\
+            .jobsList(None).size()
+
+    # warm the (path, mtime) schema cache like a serving process would
+    sim.knn_ivf_indexed(spark, idx, [(7, vec)], k=5, n_probe=3)
+    before = n_jobs()
+    lit = sim.knn_ivf_indexed(spark, idx, [(7, vec)], k=5, n_probe=3)
+    assert n_jobs() == before  # plan construction ran no Spark job
+    frame = spark.createDataFrame(
+        [(7, vec)], "vec_id long, embedding array<double>")
+    via_frame = sim.knn_ivf_indexed(spark, idx, frame, k=5, n_probe=3)
+    assert sorted(map(tuple, lit.collect())) == \
+        sorted(map(tuple, via_frame.collect()))
+
+
+def test_hybrid_ann_literal_query_matches_frame(spark, sf_dir, tmp_path):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.retrieval import (
+        hybrid_search_ann)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        corpus_stats_from_sidecar, postings_stream, prune_term_buckets,
+        with_term_buckets, write_corpus_stats)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    sim.build_ivf_index(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), ivf,
+        n_lists=8, id_col="doc_id", seed=42)
+    terms = ("spark", "merge")
+    (with_term_buckets(postings_stream(docs)).write.mode("overwrite")
+     .partitionBy("tb").parquet(str(tmp_path / "p")))
+    postings = prune_term_buckets(
+        spark.read.parquet(str(tmp_path / "p")), terms)
+    write_corpus_stats(docs, str(tmp_path / "stats"))
+    stats = corpus_stats_from_sidecar(spark, str(tmp_path / "stats"))
+    vec = [float(x) for x in
+           emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+
+    lit = hybrid_search_ann(
+        spark, ivf, postings, query_terms=terms, query_vec=[(3, vec)],
+        doc_stats=stats, k=20, n_probe=8, m_vec=100).collect()
+    frame = hybrid_search_ann(
+        spark, ivf, postings, query_terms=terms,
+        query_vec=spark.createDataFrame(
+            [(3, vec)], "doc_id long, embedding array<double>"),
+        doc_stats=stats, k=20, n_probe=8, m_vec=100).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, frame))
