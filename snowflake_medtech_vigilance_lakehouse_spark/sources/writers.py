@@ -62,3 +62,28 @@ def write_table(df: DataFrame, path: str, *, fmt: str = "parquet",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed(df: DataFrame, table: str, *, buckets: int,
+                   by: list[str], sort_by: list[str] | None = None,
+                   path: str | None = None, mode: str = "overwrite") -> None:
+    """Bucketed publication — the co-located JOIN lever partitioning
+    cannot provide: ``bucketBy`` hashes rows into a fixed number of
+    per-file buckets on the join key at WRITE time, so two tables
+    bucketed the same way join with NO exchange on either side (the
+    bucketing metadata proves the co-partitioning to the planner).
+    At 100 TB this converts every fact-to-fact equi-join on the
+    bucket key from two full shuffles into a zero-shuffle sort-merge
+    — the single biggest repeated-join saving there is, paid once at
+    publication.
+
+    ``sort_by`` (defaults to the bucket keys) additionally sorts
+    within buckets, letting the merge side skip its sort. Bucketing
+    rides the session catalog (``saveAsTable``; pass ``path`` for an
+    external location) because the bucket spec IS catalog metadata —
+    a plain ``parquet(path)`` write cannot carry it."""
+    w = (df.write.mode(mode).format("parquet")
+         .bucketBy(buckets, *by).sortBy(*(sort_by or by)))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -462,3 +462,45 @@ def test_hybrid_ann_literal_query_matches_frame(spark, sf_dir, tmp_path):
             [(3, vec)], "doc_id long, embedding array<double>"),
         doc_stats=stats, k=20, n_probe=8, m_vec=100).collect()
     assert sorted(map(tuple, lit)) == sorted(map(tuple, frame))
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """write_bucketed's contract measured at the plan: two tables
+    bucketed identically on the join key sort-merge-join with NO
+    exchange on either side, while the same join over plain parquet
+    shuffles both — the co-located-join publication lever for
+    repeated fact-to-fact joins at scale. Results are identical."""
+    from snowflake_medtech_vigilance_lakehouse_spark.sources.writers import (
+        write_bucketed)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed(o, "b_orders", buckets=8, by=["o_orderkey"],
+                   path=str(tmp_path / "bo"))
+    write_bucketed(li, "b_lineitem", buckets=8, by=["l_orderkey"],
+                   path=str(tmp_path / "bl"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffles
+
+        plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan  # the cost bucketing removes
+        assert bucketed.count() == plain.count()
+        assert bucketed.agg(F.sum("l_quantity")).first()[0] == \
+            plain.agg(F.sum("l_quantity")).first()[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
