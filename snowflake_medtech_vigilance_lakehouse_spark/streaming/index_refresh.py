@@ -659,3 +659,74 @@ def refresh_ivf_index(stream_vecs: DataFrame, path: str, checkpoint: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
+                              bucketed: bool = False,
+                              n_buckets: int = 64) -> list[int]:
+    """Refresh the BM25 postings index from a Delta table's CHANGE
+    FEED — the lakehouse-to-index composition: the documents table is
+    a governed Delta table (MERGE-able, time-travelable, vacuumed) and
+    the search index maintains itself from the table's row-level
+    deltas instead of a raw file stream. Cites the reference's search
+    maintenance claim (/root/reference/README.md:61,117 — the service
+    indexes the governed table, with target-lag freshness).
+
+    Mechanics: a ``{out_path}_cdf_state`` sidecar holds the last
+    consumed ``_commit_version`` (the incremental high-water mark);
+    each call reads ``read_change_feed(from_version=hwm+1)``, refuses
+    updates/deletes (the postings layout is append-only — a changed
+    document needs a rebuild, exactly the `_docs` contract), and
+    appends one ``tick=<commit_version>`` dir per commit — the SAME
+    layout (and idempotency/uniqueness guards) as the streaming
+    refresh, so serving, compaction, and the sidecar stats all apply
+    unchanged. Returns the commit versions ingested ([] = up to
+    date). Crash-safe: the state sidecar is advanced only after a
+    commit's tick (and its ``_stats``/``_docs`` rows) landed; a crash
+    in between replays the commit into the same tick dir
+    idempotently."""
+    import json as _json
+    import os
+
+    from ..sources import delta_lite as dl
+
+    state_path = os.path.join(out_path + "_cdf_state", "state.json")
+    hwm = -1
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            hwm = _json.load(f)["last_commit_version"]
+    latest = dl._list_versions(delta_path)[-1]
+    if latest <= hwm:
+        return []
+    feed = dl.read_change_feed(spark, delta_path, from_version=hwm + 1)
+    bad = feed.filter(F.col("_change_type") != "insert").limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"refresh_postings_from_cdf: change feed carries "
+            f"'{bad[0]['_change_type']}' rows — the postings layout is "
+            f"append-only (see _refuse_reingested_docs); rebuild the "
+            f"index after updates/deletes")
+    versions = sorted(r[0] for r in
+                      feed.select("_commit_version").distinct().collect())
+    for v in versions:
+        batch = (feed.filter(F.col("_commit_version") == v)
+                 .select("doc_id", "text"))
+        _require_tick_layout(out_path)
+        _require_tick_layout(out_path + "_stats")
+        _refuse_reingested_docs(batch, out_path, v)
+        post = postings_stream(batch)
+        tick = f"{out_path}/tick={v}"
+        if bucketed:
+            (with_term_buckets(post, n_buckets).write.mode("overwrite")
+             .partitionBy("tb").parquet(tick))
+        else:
+            post.write.mode("overwrite").parquet(tick)
+        write_corpus_stats(batch, out_path + "_stats", tick=v)
+        (batch.select("doc_id").distinct().write.mode("overwrite")
+         .parquet(f"{out_path}_docs/tick={v}"))
+        os.makedirs(os.path.dirname(state_path), exist_ok=True)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"last_commit_version": v}, f)
+        os.replace(tmp, state_path)
+    return versions

@@ -585,3 +585,45 @@ def test_refresh_backfills_docs_sidecar_for_legacy_index(spark, tmp_path):
     _write(in_dir / "c.ndjson", [(1, "changed text")])
     with pytest.raises(Exception, match="already ingested"):
         refresh()
+
+
+def test_postings_refresh_from_delta_change_feed(spark, tmp_path):
+    """Lakehouse-to-index composition: the documents table is a Delta
+    table and the BM25 index maintains itself from the table's change
+    feed — per-commit ticks in the SAME layout as the streaming
+    refresh (serving, stats, uniqueness guard all shared), a
+    high-water-mark sidecar for incremental consumption, and a loud
+    refusal on update/delete feeds (append-only postings)."""
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        refresh_postings_from_cdf)
+
+    tbl, idx = str(tmp_path / "docs_delta"), str(tmp_path / "pcdf")
+    dl.write_delta(spark.createDataFrame(DOCS_A, "doc_id long, text string"),
+                   tbl)
+    assert refresh_postings_from_cdf(spark, tbl, idx) == [0]
+    assert refresh_postings_from_cdf(spark, tbl, idx) == []  # up to date
+
+    dl.write_delta(spark.createDataFrame(DOCS_B, "doc_id long, text string"),
+                   tbl, mode="append")
+    assert refresh_postings_from_cdf(spark, tbl, idx) == [1]
+
+    # serving from the CDF-built index == batch bm25 over the table
+    postings = spark.read.parquet(idx)
+    from_index = {r["doc_id"]: r["bm25"] for r in bm25_from_postings(
+        postings, ("spark", "merge"),
+        doc_stats=corpus_stats_from_sidecar(
+            spark, idx + "_stats")).collect()}
+    batch = {r["doc_id"]: r["bm25"] for r in bm25_scores(
+        dl.read_delta(spark, tbl), ("spark", "merge")).collect()}
+    assert from_index == batch
+
+    # an update in the feed (MERGE with CDF) refuses the refresh: the
+    # append-only layout cannot absorb changed documents
+    src = spark.createDataFrame([(1, "totally new words")],
+                                "doc_id long, text string")
+    dl.merge_delta(spark, tbl, src, on=["doc_id"], when_matched="update",
+                   when_not_matched=None, change_data=True)
+    with pytest.raises(ValueError, match="append-only"):
+        refresh_postings_from_cdf(spark, tbl, idx)
