@@ -589,6 +589,118 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
     return True
 
 
+def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """One refresh tick of the persisted IVF index — shared by the
+    streaming loop (:func:`refresh_ivf_index`, epoch = foreachBatch
+    epoch) and the change-feed loop (:func:`refresh_ivf_from_cdf`,
+    epoch = Delta commit version): assign the batch to its nearest
+    frozen lists, stage, record growth, publish under deterministic
+    ``tick{epoch}-`` file names — an at-least-once replay of the same
+    epoch overwrites itself instead of appending duplicates."""
+    import os
+    import shutil
+
+    spark = batch.sparkSession
+    centroids = spark.read.parquet(path + "_centroids")
+    assigned = assign_ivf_lists(batch, centroids, id_col, vec_col)
+    # idempotent publish into the existing list_id layout (a tick=
+    # level above list_id= would break partition discovery): stage
+    # the tick, clear any files a crashed earlier attempt of THIS
+    # tick left behind, then move under deterministic tick-stamped
+    # names
+    _require_tick_layout(path + "_growth")
+    stage = os.path.join(path + "_stage", f"tick={epoch}")
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(stage)
+    if not os.path.isdir(stage):
+        # the move below is driver-side POSIX; on an object store
+        # the walk would silently find nothing and the tick's
+        # vectors would vanish while the growth sidecar claims
+        # they were served
+        raise RuntimeError(
+            f"the IVF refresh requires a driver-visible POSIX "
+            f"index path; {stage} is not readable from the driver")
+    # growth counts from the STAGED parquet (already materialized,
+    # list_id-partitioned, tiny) — recomputing from `assigned`
+    # would re-run the whole centroid crossJoin + window per tick
+    staged = spark.read.parquet(stage)
+    (staged.groupBy("list_id")
+     .agg(F.count(F.lit(1)).cast("long").alias("n_appended"))
+     .write.mode("overwrite").parquet(f"{path}_growth/tick={epoch}"))
+    prefix = f"tick{epoch}-"
+    for root, _, files in os.walk(path):
+        for fn in files:
+            if fn.startswith(prefix):
+                os.remove(os.path.join(root, fn))
+    for root, _, files in os.walk(stage):
+        rel_dir = os.path.relpath(root, stage)
+        for i, fn in enumerate(
+                sorted(f for f in files if f.endswith(".parquet"))):
+            tgt = os.path.join(path, rel_dir)
+            os.makedirs(tgt, exist_ok=True)
+            os.replace(os.path.join(root, fn),
+                       os.path.join(tgt, f"{prefix}{i:05d}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def refresh_ivf_from_cdf(spark, delta_path: str, path: str, *,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> list[int]:
+    """Maintain the persisted IVF index from a Delta table's CHANGE
+    FEED — the vector twin of :func:`refresh_postings_from_cdf`: the
+    embeddings table is a governed Delta table and each commit's
+    insert rows land as one ``tick<commit_version>-`` publication
+    into the frozen-quantizer layout (growth sidecar included, so
+    :func:`maintain_ivf_index`'s rebuild-on-evidence applies
+    unchanged). A ``{path}_cdf_state`` sidecar holds the consumed
+    high-water mark, advanced only after the commit's tick landed —
+    a crash in between replays the commit idempotently (same epoch,
+    same tick-stamped names). Update/delete feeds refuse loudly: the
+    index holds one row per vector id; absorbing a changed vector
+    would leave the stale one serving. Returns the commit versions
+    ingested.
+
+    Drive an index from exactly ONE maintenance source: stream OR
+    change feed. The streaming loop's lost-checkpoint guard already
+    refuses to start over CDF-built ticks (empty checkpoint + tick
+    data = refused); mixing the other way would collide the two epoch
+    namespaces (foreachBatch epochs vs Delta commit versions)."""
+    import json as _json
+    import os
+
+    from ..sources import delta_lite as dl
+
+    state_path = os.path.join(path + "_cdf_state", "state.json")
+    hwm = -1
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            hwm = _json.load(f)["last_commit_version"]
+    latest = dl._list_versions(delta_path)[-1]
+    if latest <= hwm:
+        return []
+    feed = dl.read_change_feed(spark, delta_path, from_version=hwm + 1)
+    bad = feed.filter(F.col("_change_type") != "insert").limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"refresh_ivf_from_cdf: change feed carries "
+            f"'{bad[0]['_change_type']}' rows — the index holds one row "
+            f"per vector id and cannot absorb updates; rebuild "
+            f"(maintain_ivf_index / build_ivf_index) after changes")
+    versions = sorted(r[0] for r in
+                      feed.select("_commit_version").distinct().collect())
+    for v in versions:
+        batch = (feed.filter(F.col("_commit_version") == v)
+                 .select(id_col, vec_col))
+        _ivf_append_batch(batch, path, v, id_col=id_col, vec_col=vec_col)
+        os.makedirs(os.path.dirname(state_path), exist_ok=True)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"last_commit_version": v}, f)
+        os.replace(tmp, state_path)
+    return versions
+
+
 def refresh_ivf_index(stream_vecs: DataFrame, path: str, checkpoint: str,
                       *, id_col: str = "vec_id",
                       vec_col: str = "embedding"):
@@ -606,50 +718,8 @@ def refresh_ivf_index(stream_vecs: DataFrame, path: str, checkpoint: str,
     of silent recall decay."""
 
     def _append(batch: DataFrame, epoch: int) -> None:
-        import os
-        import shutil
-
-        spark = batch.sparkSession
-        centroids = spark.read.parquet(path + "_centroids")
-        assigned = assign_ivf_lists(batch, centroids, id_col, vec_col)
-        # idempotent publish into the existing list_id layout (a tick=
-        # level above list_id= would break partition discovery): stage
-        # the tick, clear any files a crashed earlier attempt of THIS
-        # tick left behind, then move under deterministic tick-stamped
-        # names — an at-least-once replay overwrites itself instead of
-        # appending duplicate rows
-        _require_tick_layout(path + "_growth")
-        stage = os.path.join(path + "_stage", f"tick={epoch}")
-        assigned.write.mode("overwrite").partitionBy("list_id").parquet(stage)
-        if not os.path.isdir(stage):
-            # the move below is driver-side POSIX; on an object store
-            # the walk would silently find nothing and the tick's
-            # vectors would vanish while the growth sidecar claims
-            # they were served
-            raise RuntimeError(
-                f"refresh_ivf_index requires a driver-visible POSIX "
-                f"index path; {stage} is not readable from the driver")
-        # growth counts from the STAGED parquet (already materialized,
-        # list_id-partitioned, tiny) — recomputing from `assigned`
-        # would re-run the whole centroid crossJoin + window per tick
-        staged = spark.read.parquet(stage)
-        (staged.groupBy("list_id")
-         .agg(F.count(F.lit(1)).cast("long").alias("n_appended"))
-         .write.mode("overwrite").parquet(f"{path}_growth/tick={epoch}"))
-        prefix = f"tick{epoch}-"
-        for root, _, files in os.walk(path):
-            for fn in files:
-                if fn.startswith(prefix):
-                    os.remove(os.path.join(root, fn))
-        for root, _, files in os.walk(stage):
-            rel_dir = os.path.relpath(root, stage)
-            for i, fn in enumerate(
-                    sorted(f for f in files if f.endswith(".parquet"))):
-                tgt = os.path.join(path, rel_dir)
-                os.makedirs(tgt, exist_ok=True)
-                os.replace(os.path.join(root, fn),
-                           os.path.join(tgt, f"{prefix}{i:05d}.parquet"))
-        shutil.rmtree(stage, ignore_errors=True)
+        _ivf_append_batch(batch, path, epoch, id_col=id_col,
+                          vec_col=vec_col)
 
     _require_checkpoint_owns_ticks(
         checkpoint, [path + "_growth"], file_prefix_root=path)

@@ -627,3 +627,51 @@ def test_postings_refresh_from_delta_change_feed(spark, tmp_path):
                    when_not_matched=None, change_data=True)
     with pytest.raises(ValueError, match="append-only"):
         refresh_postings_from_cdf(spark, tbl, idx)
+
+
+def test_ivf_refresh_from_delta_change_feed(spark, tmp_path):
+    """Vector twin of the CDF postings refresh: the embeddings table
+    is a Delta table; each commit's insert rows append into the
+    frozen-quantizer IVF layout (growth sidecar included, so
+    rebuild-on-evidence applies unchanged), served immediately by
+    knn_ivf_indexed. Update feeds refuse; the high-water mark makes
+    reruns no-ops."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        refresh_ivf_from_cdf)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")\
+        .select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, n_lists=4, seed=42)
+
+    tbl = str(tmp_path / "emb_delta")
+    base = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    dl.write_delta(spark.createDataFrame(
+        [(777001, list(base))], "vec_id long, embedding array<float>"), tbl)
+    assert refresh_ivf_from_cdf(spark, tbl, idx) == [0]
+    assert refresh_ivf_from_cdf(spark, tbl, idx) == []  # up to date
+    assert spark.read.parquet(idx).count() == emb.count() + 1
+
+    dl.write_delta(spark.createDataFrame(
+        [(777002, list(base))], "vec_id long, embedding array<float>"),
+        tbl, mode="append")
+    assert refresh_ivf_from_cdf(spark, tbl, idx) == [1]
+    assert spark.read.parquet(idx + "_growth").agg(
+        F.sum("n_appended")).first()[0] == 2
+
+    # served immediately: the appended twin of vec 0 ranks first for a
+    # query at the same point
+    q = [(999, [float(x) for x in base])]
+    top = sim.knn_ivf_indexed(spark, idx, q, k=3, n_probe=4).collect()
+    assert {r["neighbor_id"] for r in top} >= {777001, 777002}
+
+    # update feed refuses (the index cannot absorb changed vectors)
+    dl.merge_delta(spark, tbl, spark.createDataFrame(
+        [(777001, [0.0] * len(base))], "vec_id long, embedding array<float>"),
+        on=["vec_id"], when_matched="update", when_not_matched=None,
+        change_data=True)
+    with pytest.raises(ValueError, match="cannot absorb"):
+        refresh_ivf_from_cdf(spark, tbl, idx)
