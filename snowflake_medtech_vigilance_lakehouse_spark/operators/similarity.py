@@ -721,7 +721,7 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed: int = 42) -> None:
+                    seed: int = 42, quantize_int8: bool = False) -> None:
     """Persist an IVF index for :func:`knn_ivf_indexed` — the
     vector-side analog of the maintained BM25 postings index
     (streaming/index_refresh.py): pay the coarse quantizer once at
@@ -734,7 +734,18 @@ def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
     (n_lists tiny rows) holds the quantizer. At 100 TB this is the
     layout where ``n_probe``/``n_lists`` of the data is all a query
     can touch — the skipping is directory-level metadata, not a
-    filter over a full scan."""
+    filter over a full scan.
+
+    ``quantize_int8=True`` additionally stores a scalar-quantized
+    copy of every vector (``_v8 array<tinyint>`` with a per-row
+    ``_qs`` scale = max|x|/127 and ``_n8`` = the dequantized norm) —
+    the FAISS IVF+SQ8 shape: :func:`knn_ivf_indexed_compressed` then
+    generates candidates from a scan that reads ONE byte per
+    dimension instead of eight (column pruning keeps ``_v`` out of
+    the candidate stage entirely) and re-ranks only the top
+    candidates at full precision. Quantization is symmetric per row,
+    so dequantization is one multiply and the stored codes are
+    engine-portable."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -752,8 +763,28 @@ def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
     )
     model = KMeans(k=n_lists, seed=seed, featuresCol="features",
                    predictionCol="list_id").fit(c)
-    (model.transform(c).select(id_col, "_v", "_nrm", "list_id")
-     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+    rows = model.transform(c).select(id_col, "_v", "_nrm", "list_id")
+    if quantize_int8:
+        # symmetric per-row scalar quantization: scale = max|x|/127,
+        # code = round(x/scale) clamped to [-127, 127]; _n8 is the
+        # norm of the DEQUANTIZED vector so approximate cosines
+        # normalize by the geometry actually scored
+        scale = F.greatest(
+            F.aggregate(F.col("_v"), F.lit(0.0),
+                        lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0),
+            F.lit(1e-30))
+        rows = rows.withColumn("_qs", scale).withColumn(
+            "_v8", F.transform(
+                F.col("_v"),
+                lambda x: F.greatest(
+                    F.lit(-127),
+                    F.least(F.lit(127), F.round(x / F.col("_qs"))
+                            .cast("int"))).cast("tinyint"))
+        ).withColumn(
+            "_n8", F.col("_qs") * F.sqrt(F.aggregate(
+                F.col("_v8"), F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"))))
+    (rows.write.mode("overwrite").partitionBy("list_id").parquet(path))
     centroids = [(i, [float(x) for x in ctr])
                  for i, ctr in enumerate(model.clusterCenters())]
     (corpus.sparkSession.createDataFrame(
@@ -908,16 +939,19 @@ def _ivf_indexed_scored_distributed(spark, path: str, queries: DataFrame,
     )
 
 
-def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
-                        n_probe: int, id_col: str,
-                        vec_col: str, *,
-                        max_driver_queries: int = 4096) -> DataFrame | None:
-    """Shared scoring subplan of the served-IVF paths: driver-side
-    probe ranking + pruned scan + broadcast join, returning RAW
-    (query_id, neighbor_id, _cos) — :func:`knn_ivf_indexed` windows it
-    into per-query ranks; :func:`~.retrieval.hybrid_search_ann` cuts
-    it with orderBy+limit (TakeOrderedAndProject — its single-query
-    contract needs no window exchange). None = no probeable query.
+def _ivf_probe_base(spark, path: str, queries: DataFrame,
+                    n_probe: int, id_col: str,
+                    vec_col: str, *,
+                    max_driver_queries: int = 4096):
+    """Shared FRONT HALF of the served-IVF paths: driver-side probe
+    ranking + the pruned index read. Returns ``(probe_lists, idx)``
+    — the broadcast-ready (query, list) assignment frame carrying
+    ``_qv``/``_qn`` and the directory-pruned index frame — or
+    ``None`` (no probeable query), or the sentinel ``"distributed"``
+    (query frame over the cap; the caller picks its distributed
+    plan). :func:`_ivf_indexed_scored` joins the halves into exact
+    cosines; :func:`knn_ivf_indexed_compressed` scores the same
+    probe assignment against the int8 code columns instead.
 
     The centroid sidecar is read driver-side through pyarrow when the
     path allows (no Spark job for n_lists tiny rows), falling back to
@@ -968,8 +1002,7 @@ def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
         q_rows = (queries.select(F.col(id_col), F.col(vec_col))
                   .limit(max_driver_queries + 1).collect())
         if len(q_rows) > max_driver_queries:
-            return _ivf_indexed_scored_distributed(
-                spark, path, queries, n_probe, id_col, vec_col)
+            return "distributed"
 
     probe_rows = []
     for r in q_rows:
@@ -1040,6 +1073,27 @@ def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
     else:  # not driver-statable (remote FS): full-discovery read
         idx = (spark.read.parquet(path)
                .filter(F.col("list_id").isin(touched)))
+    return probe_lists, idx
+
+
+def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
+                        n_probe: int, id_col: str,
+                        vec_col: str, *,
+                        max_driver_queries: int = 4096) -> DataFrame | None:
+    """Exact-cosine scoring subplan of the served-IVF paths
+    (:func:`_ivf_probe_base` + the broadcast join), returning RAW
+    (query_id, neighbor_id, _cos) — :func:`knn_ivf_indexed` windows
+    it into per-query ranks; :func:`~.retrieval.hybrid_search_ann`
+    cuts it with orderBy+limit. None = no probeable query; an
+    over-cap query frame routes to the distributed window plan."""
+    base = _ivf_probe_base(spark, path, queries, n_probe, id_col,
+                           vec_col, max_driver_queries=max_driver_queries)
+    if base is None:
+        return None
+    if base == "distributed":
+        return _ivf_indexed_scored_distributed(
+            spark, path, queries, n_probe, id_col, vec_col)
+    probe_lists, idx = base
     return (
         idx.join(F.broadcast(probe_lists), "list_id")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -1049,6 +1103,107 @@ def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
                 F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_nrm")
             ).alias("_cos"),
         )
+    )
+
+
+def knn_ivf_indexed_compressed(spark, path: str, queries: DataFrame | list,
+                               k: int = 10, n_probe: int = 8,
+                               rerank: int | None = 100,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Serve IVF kNN from the int8-quantized code columns of a
+    ``build_ivf_index(quantize_int8=True)`` layout — the FAISS
+    IVF+SQ8 serving shape on DataFrames. The CANDIDATE stage scores
+    approximate cosines against ``_v8``/``_qs``/``_n8`` only, so
+    column pruning keeps the full-precision ``_v`` (8 bytes/dim) out
+    of the ranking scan entirely — one byte per dimension read where
+    the exact path reads eight (plan-asserted via ReadSchema in
+    pytest). Two modes:
+
+    - ``rerank=None`` — fully compressed: ranks and returns the
+      approximate cosines; ``_v`` is never read anywhere in the plan.
+      Recall is gated in pytest (int8 symmetric quantization loses
+      <1e-2 cosine on unit-scale vectors, so the SLO holds with
+      margin).
+    - ``rerank=R`` — refine: the top-R approximate candidates per
+      query re-score at full precision (one broadcast join of the
+      R-row cut back to the pruned index's ``_v``), then the exact
+      top-k is cut. With R >= the probed lists' row count this equals
+      :func:`knn_ivf_indexed` exactly (pytest-pinned).
+
+    Output contract matches :func:`knn_ivf_indexed`:
+    (query_id, neighbor_id, rank, cosine)."""
+    base = _ivf_probe_base(spark, path, queries, n_probe, id_col, vec_col)
+    if base == "distributed":
+        raise ValueError(
+            "knn_ivf_indexed_compressed is the interactive serving "
+            "tier (driver-ranked probes); for corpus-scale query "
+            "frames use knn_ivf_indexed's distributed fallback")
+    if base is None:
+        from pyspark.sql.types import (DoubleType, IntegerType,
+                                       StructField, StructType)
+        idx_schema = _idx_schema(spark, path)
+        if idx_schema is None:
+            idx_schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], StructType([
+            StructField("query_id", _query_id_type(queries, id_col)),
+            StructField("neighbor_id", idx_schema[id_col].dataType),
+            StructField("rank", IntegerType(), False),
+            StructField("cosine", DoubleType()),
+        ]))
+    probe_lists, idx = base
+    if "_v8" not in idx.columns:
+        raise ValueError(
+            f"{path} carries no int8 codes — build it with "
+            f"build_ivf_index(..., quantize_int8=True)")
+    # approximate cosine from the codes: dot(q, dequant(c)) =
+    # _qs * fold(q * c8); normalized by the DEQUANTIZED norm _n8 so
+    # the geometry scored is exactly the stored approximation
+    dot8 = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_v8"),
+                   lambda q, c: q * c.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    denom = F.col("_qn") * F.col("_n8")
+    cand = (
+        idx.select("list_id", id_col, "_v8", "_qs", "_n8")
+        .join(F.broadcast(probe_lists), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "_qv", "_qn",
+                F.col(id_col).alias("neighbor_id"),
+                F.when(denom != 0, F.col("_qs") * dot8 / denom)
+                .alias("_cos8"))
+    )
+    w8 = Window.partitionBy("query_id").orderBy(
+        F.col("_cos8").desc(), F.col("neighbor_id").asc())
+    if rerank is None:
+        return (
+            cand.select(
+                "query_id", "neighbor_id",
+                F.row_number().over(w8).alias("rank"),
+                F.round(F.col("_cos8"), 6).alias("cosine"))
+            .filter(F.col("rank") <= k)
+        )
+    top_r = (cand.withColumn("_r8", F.row_number().over(w8))
+             .filter(F.col("_r8") <= int(rerank))
+             .select("query_id", "_qv", "_qn", "neighbor_id"))
+    # broadcast the |Q| x R candidate cut (the SMALL side) against the
+    # pruned index's full-precision columns
+    exact = (
+        idx.select(F.col(id_col).alias("neighbor_id"), "_v", "_nrm")
+        .join(F.broadcast(top_r), "neighbor_id")
+        .select("query_id", "neighbor_id",
+                cosine_from_norms(F.col("_qv"), F.col("_v"),
+                                  F.col("_qn"), F.col("_nrm"))
+                .alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        exact.select(
+            "query_id", "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+            F.round(F.col("_cos"), 6).alias("cosine"))
+        .filter(F.col("rank") <= k)
     )
 
 

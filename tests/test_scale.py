@@ -504,3 +504,43 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_sq8_compressed_serving(spark, sf_dir, tmp_path):
+    """The IVF+SQ8 serving tier: candidate ranking reads ONLY the
+    int8 code columns (plan-asserted ReadSchema — the full-precision
+    _v never enters the ranking scan, an 8x bytes-per-dimension cut),
+    recall clears the SLO gate, and refine mode (rerank >= probed
+    rows) reproduces the full-precision served result EXACTLY."""
+    import re
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "sq")
+    sim.build_ivf_index(emb, idx, n_lists=8, seed=42, quantize_int8=True)
+
+    exact = sim.knn_bruteforce(emb, q, k=20)
+    served = sim.knn_ivf_indexed(spark, idx, q, k=20, n_probe=4)
+    sq = sim.knn_ivf_indexed_compressed(spark, idx, q, k=20, n_probe=4,
+                                        rerank=None)
+    refined = sim.knn_ivf_indexed_compressed(spark, idx, q, k=20,
+                                             n_probe=4, rerank=5000)
+
+    # the same index serves BOTH tiers; SQ8 loses no recall vs the
+    # uncompressed path on unit-scale vectors
+    assert sim.recall_at_k(sq, exact) >= sim.recall_at_k(served, exact) - 0.02
+    assert sim.recall_at_k(sq, exact) >= 0.7  # the reference SLO
+    # refine mode == full precision, row for row
+    assert refined.exceptAll(served).count() == 0
+    assert served.exceptAll(refined).count() == 0
+
+    # fully-compressed plan never touches _v
+    plan = sq._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert schemas and all("_v8" in s and "_v:" not in s for s in schemas)
+
+    # a non-quantized index refuses the compressed tier loudly
+    plain = str(tmp_path / "plain")
+    sim.build_ivf_index(emb, plain, n_lists=8, seed=42)
+    with pytest.raises(ValueError, match="int8 codes"):
+        sim.knn_ivf_indexed_compressed(spark, plain, q, k=5)
