@@ -719,6 +719,34 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def with_sq8_codes(rows: DataFrame) -> DataFrame:
+    """Append the symmetric per-row int8 code columns to rows carrying
+    a ``_v array<double>`` vector: scale ``_qs`` = max|x|/127, codes
+    ``_v8`` = round(x/_qs) clamped to [-127, 127], and ``_n8`` = the
+    norm of the DEQUANTIZED vector so approximate cosines normalize by
+    the geometry actually scored. Quantization is row-local (no global
+    state), so the SAME expressions serve both the build
+    (``build_ivf_index(quantize_int8=True)``) and the refresh
+    appenders (``streaming/index_refresh._ivf_append_batch``) — an
+    appended tick that lacked the code columns would be silently
+    invisible to :func:`knn_ivf_indexed_compressed`'s code-only scan."""
+    scale = F.greatest(
+        F.aggregate(F.col("_v"), F.lit(0.0),
+                    lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0),
+        F.lit(1e-30))
+    return rows.withColumn("_qs", scale).withColumn(
+        "_v8", F.transform(
+            F.col("_v"),
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x / F.col("_qs"))
+                        .cast("int"))).cast("tinyint"))
+    ).withColumn(
+        "_n8", F.col("_qs") * F.sqrt(F.aggregate(
+            F.col("_v8"), F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"))))
+
+
 def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     seed: int = 42, quantize_int8: bool = False) -> None:
@@ -765,25 +793,7 @@ def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
                    predictionCol="list_id").fit(c)
     rows = model.transform(c).select(id_col, "_v", "_nrm", "list_id")
     if quantize_int8:
-        # symmetric per-row scalar quantization: scale = max|x|/127,
-        # code = round(x/scale) clamped to [-127, 127]; _n8 is the
-        # norm of the DEQUANTIZED vector so approximate cosines
-        # normalize by the geometry actually scored
-        scale = F.greatest(
-            F.aggregate(F.col("_v"), F.lit(0.0),
-                        lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0),
-            F.lit(1e-30))
-        rows = rows.withColumn("_qs", scale).withColumn(
-            "_v8", F.transform(
-                F.col("_v"),
-                lambda x: F.greatest(
-                    F.lit(-127),
-                    F.least(F.lit(127), F.round(x / F.col("_qs"))
-                            .cast("int"))).cast("tinyint"))
-        ).withColumn(
-            "_n8", F.col("_qs") * F.sqrt(F.aggregate(
-                F.col("_v8"), F.lit(0.0),
-                lambda a, x: a + x.cast("double") * x.cast("double"))))
+        rows = with_sq8_codes(rows)
     (rows.write.mode("overwrite").partitionBy("list_id").parquet(path))
     centroids = [(i, [float(x) for x in ctr])
                  for i, ctr in enumerate(model.clusterCenters())]
@@ -997,6 +1007,18 @@ def _ivf_probe_base(spark, path: str, queries: DataFrame,
     ctr = sorted((lid, [float(x) for x in c]) for lid, c in centroids)
     ctr_norms = [(lid, c, math.sqrt(_fold_dot(c, c))) for lid, c in ctr]
     if isinstance(queries, (list, tuple)):
+        if len(queries) > max_driver_queries:
+            # the cap protects the driver on BOTH entry shapes: a
+            # literal list this large is already a driver-side object,
+            # but expanding it |Q| x n_probe and shipping it through
+            # createDataFrame multiplies the footprint — route
+            # corpus-scale query sets through a DataFrame instead,
+            # which falls back to the distributed plan
+            raise ValueError(
+                f"literal query list has {len(queries)} entries, over "
+                f"max_driver_queries={max_driver_queries}; pass the "
+                f"queries as a DataFrame so corpus-scale sets route to "
+                f"the distributed plan")
         q_rows = [(q[0], q[1]) for q in queries]
     else:
         q_rows = (queries.select(F.col(id_col), F.col(vec_col))
@@ -1133,6 +1155,17 @@ def knn_ivf_indexed_compressed(spark, path: str, queries: DataFrame | list,
 
     Output contract matches :func:`knn_ivf_indexed`:
     (query_id, neighbor_id, rank, cosine)."""
+    # validate the layout BEFORE probe resolution: an empty query set
+    # (or probes landing only on absent lists) must still refuse a
+    # non-quantized index loudly — a well-shaped empty result would
+    # mask the misconfiguration until the first non-empty query
+    idx_schema = _idx_schema(spark, path)
+    if idx_schema is None:
+        idx_schema = spark.read.parquet(path).schema
+    if "_v8" not in idx_schema.fieldNames():
+        raise ValueError(
+            f"{path} carries no int8 codes — build it with "
+            f"build_ivf_index(..., quantize_int8=True)")
     base = _ivf_probe_base(spark, path, queries, n_probe, id_col, vec_col)
     if base == "distributed":
         raise ValueError(
@@ -1142,9 +1175,6 @@ def knn_ivf_indexed_compressed(spark, path: str, queries: DataFrame | list,
     if base is None:
         from pyspark.sql.types import (DoubleType, IntegerType,
                                        StructField, StructType)
-        idx_schema = _idx_schema(spark, path)
-        if idx_schema is None:
-            idx_schema = spark.read.parquet(path).schema
         return spark.createDataFrame([], StructType([
             StructField("query_id", _query_id_type(queries, id_col)),
             StructField("neighbor_id", idx_schema[id_col].dataType),
@@ -1152,10 +1182,6 @@ def knn_ivf_indexed_compressed(spark, path: str, queries: DataFrame | list,
             StructField("cosine", DoubleType()),
         ]))
     probe_lists, idx = base
-    if "_v8" not in idx.columns:
-        raise ValueError(
-            f"{path} carries no int8 codes — build it with "
-            f"build_ivf_index(..., quantize_int8=True)")
     # approximate cosine from the codes: dot(q, dequant(c)) =
     # _qs * fold(q * c8); normalized by the DEQUANTIZED norm _n8 so
     # the geometry scored is exactly the stored approximation

@@ -944,6 +944,29 @@ def _pred(col: str, op: str, val):
             ">": c > F.lit(val), ">=": c >= F.lit(val)}[op]
 
 
+def change_producing_versions(path: str, *, from_version: int = 0,
+                              to_version: int | None = None) -> list[int]:
+    """Commit versions in range that contribute rows to the change
+    feed — explicit ``cdc`` actions or ``dataChange`` file actions.
+    OPTIMIZE / Z-ORDER / compaction commits rewrite files with
+    ``dataChange=false`` and contribute NOTHING, so an incremental
+    consumer must advance its high-water mark past them without
+    calling :func:`read_change_feed` (which raises on a range with no
+    change-producing commits). Driver-side log-JSON scan — metadata
+    cost, no Spark job."""
+    out: list[int] = []
+    for v in _list_versions(path):
+        if v < from_version or (to_version is not None and v > to_version):
+            continue
+        with open(_log_path(path, v)) as f:
+            acts = [json.loads(line) for line in f if line.strip()]
+        if any("cdc" in a for a in acts) or any(
+                a.get("add", {}).get("dataChange")
+                or a.get("remove", {}).get("dataChange") for a in acts):
+            out.append(v)
+    return sorted(out)
+
+
 def read_change_feed(spark: SparkSession, path: str, *,
                      from_version: int = 0,
                      to_version: int | None = None) -> DataFrame:

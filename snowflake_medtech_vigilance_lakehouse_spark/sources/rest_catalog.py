@@ -109,6 +109,16 @@ def drop_table(root: str, namespace: str, name: str) -> None:
 class _Handler(BaseHTTPRequestHandler):
     root: str = "."
     allowed_root: str | None = None
+    # serializes registry READ-MODIFY-WRITE sections: the server is a
+    # ThreadingHTTPServer, so two concurrent mutations (create/drop/
+    # register) would otherwise both load the same registry snapshot
+    # and the second _save_registry would silently undo the first
+    # (lost update). Reads stay lock-free — _save_registry publishes
+    # atomically via os.replace, so a reader never sees a torn file.
+    # Class attribute: CatalogServer binds a FRESH lock per server
+    # subtype, so two servers over different roots don't serialize
+    # each other.
+    _reg_lock = threading.Lock()
 
     def log_message(self, *a):  # quiet test runs
         pass
@@ -197,9 +207,10 @@ class _Handler(BaseHTTPRequestHandler):
             if (len(parts) == 5 and parts[:2] == ["v1", "namespaces"]
                     and parts[3] == "tables"):
                 ns, name = parts[2], parts[4]
-                if name not in _load_registry(self.root).get(ns, {}):
-                    return self._not_found(f"table {ns}.{name}")
-                drop_table(self.root, ns, name)
+                with self._reg_lock:
+                    if name not in _load_registry(self.root).get(ns, {}):
+                        return self._not_found(f"table {ns}.{name}")
+                    drop_table(self.root, ns, name)
                 return self._json(204, None)
             return self._not_found(self.path)
         except Exception as e:
@@ -230,7 +241,9 @@ class _Handler(BaseHTTPRequestHandler):
                 loc = req["metadata-location"]
                 table_path = os.path.dirname(os.path.dirname(loc))
                 self._confine(table_path)
-                register_table(self.root, parts[2], req["name"], table_path)
+                with self._reg_lock:
+                    register_table(self.root, parts[2], req["name"],
+                                   table_path)
                 return self._json(200, self._load_result(table_path))
             if (len(parts) == 4 and parts[:2] == ["v1", "namespaces"]
                     and parts[3] == "tables"):
@@ -238,12 +251,13 @@ class _Handler(BaseHTTPRequestHandler):
                 # committed table location; duplicate identifiers are
                 # a typed 409, never a silent re-point
                 ns, name = parts[2], req["name"]
-                if name in _load_registry(self.root).get(ns, {}):
-                    return self._error(
-                        409, "AlreadyExistsException",
-                        f"table {ns}.{name} already exists")
                 self._confine(req["location"])
-                register_table(self.root, ns, name, req["location"])
+                with self._reg_lock:
+                    if name in _load_registry(self.root).get(ns, {}):
+                        return self._error(
+                            409, "AlreadyExistsException",
+                            f"table {ns}.{name} already exists")
+                    register_table(self.root, ns, name, req["location"])
                 return self._json(200, self._load_result(req["location"]))
             if (len(parts) == 5 and parts[:2] == ["v1", "namespaces"]
                     and parts[3] == "tables"):
@@ -328,7 +342,8 @@ class CatalogServer:
                  *, allowed_root: str | None = None):
         os.makedirs(root, exist_ok=True)
         handler = type("BoundHandler", (_Handler,),
-                       {"root": root, "allowed_root": allowed_root})
+                       {"root": root, "allowed_root": allowed_root,
+                        "_reg_lock": threading.Lock()})
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.uri = f"http://{host}:{self._httpd.server_address[1]}"
         self._thread = threading.Thread(

@@ -199,6 +199,29 @@ def bm25_from_postings(postings: DataFrame, terms: tuple[str, ...],
     return scored.groupBy("doc_id").agg(F.round(F.sum("_s"), 6).alias("bm25"))
 
 
+def _ticked_dirs(tick_dirs: list[str],
+                 file_prefix_root: str | None = None) -> list[str]:
+    """The subset of ``tick_dirs`` that already hold ``tick=`` data
+    (plus ``file_prefix_root`` when it holds ``tickN-`` stamped files)
+    — shared lineage-detection for the two maintenance entry points'
+    ownership guards."""
+    import os
+    import re
+
+    owned = []
+    for d in tick_dirs:
+        if os.path.isdir(d) and any(
+                n.startswith("tick=") for n in os.listdir(d)):
+            owned.append(d)
+    if file_prefix_root and os.path.isdir(file_prefix_root):
+        pat = re.compile(r"^tick\d+-")
+        for root, _, files in os.walk(file_prefix_root):
+            if any(pat.match(f) for f in files):
+                owned.append(file_prefix_root)
+                break
+    return owned
+
+
 def _require_checkpoint_owns_ticks(checkpoint: str, tick_dirs: list[str],
                                    file_prefix_root: str | None = None) -> None:
     """Refuse to start a refresh whose index already holds tick data
@@ -216,22 +239,11 @@ def _require_checkpoint_owns_ticks(checkpoint: str, tick_dirs: list[str],
     passes this guard and the same-epoch overwrite stays idempotent;
     only the epoch-REUSE-across-lineages state is refused."""
     import os
-    import re
 
     offsets = os.path.join(checkpoint, "offsets")
     if os.path.isdir(offsets) and os.listdir(offsets):
         return
-    owned = []
-    for d in tick_dirs:
-        if os.path.isdir(d) and any(
-                n.startswith("tick=") for n in os.listdir(d)):
-            owned.append(d)
-    if file_prefix_root and os.path.isdir(file_prefix_root):
-        pat = re.compile(r"^tick\d+-")
-        for root, _, files in os.walk(file_prefix_root):
-            if any(pat.match(f) for f in files):
-                owned.append(file_prefix_root)
-                break
+    owned = _ticked_dirs(tick_dirs, file_prefix_root)
     if owned:
         raise ValueError(
             f"refresh refused: {sorted(set(owned))} hold tick data from "
@@ -605,6 +617,14 @@ def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
     spark = batch.sparkSession
     centroids = spark.read.parquet(path + "_centroids")
     assigned = assign_ivf_lists(batch, centroids, id_col, vec_col)
+    if "_v8" in spark.read.parquet(path).schema.fieldNames():
+        # a quantize_int8 index: appended ticks must carry the same
+        # int8 code columns or the compressed tier would read their
+        # _v8/_n8 as NULL and silently never surface appended vectors
+        # (quantization is row-local, so the build-time expressions
+        # apply to a refresh delta unchanged)
+        from ..operators.similarity import with_sq8_codes
+        assigned = with_sq8_codes(assigned)
     # idempotent publish into the existing list_id layout (a tick=
     # level above list_id= would break partition discovery): stage
     # the tick, clear any files a crashed earlier attempt of THIS
@@ -644,6 +664,93 @@ def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def _consume_change_feed(spark, delta_path: str, state_root: str, *,
+                         op: str, contract: str,
+                         tick_dirs: list[str],
+                         file_prefix_root: str | None = None):
+    """Shared CDF scaffolding for the index-from-change-feed
+    refreshers: high-water-mark sidecar, lineage-ownership guard,
+    maintenance-commit tolerance, and insert-only feed refusal.
+    Returns ``(feed, versions, advance)`` — the change-feed frame
+    restricted to ``versions`` (the new change-PRODUCING commit
+    versions, oldest first; empty when up to date) and the
+    crash-safe state writer the caller invokes after each commit's
+    tick lands. Factored so a protocol fix lands once, not per
+    refresher.
+
+    Three contracts enforced here:
+
+    - **Ownership**: a missing state sidecar over an index that
+      already holds tick data means another maintenance lineage
+      (the streaming loop, or a CDF lineage whose sidecar was lost)
+      owns those ticks — processing Delta commit 0 as epoch 0 would
+      silently overwrite the other lineage's tick-0 output, the exact
+      loss mode :func:`_require_checkpoint_owns_ticks` refuses for
+      the streaming entry. Refused loudly. On a brand-new index the
+      sidecar is written (hwm=-1) BEFORE the first tick, so a crash
+      between tick publish and state advance replays through the
+      guard instead of tripping it.
+    - **Maintenance tolerance**: OPTIMIZE / Z-ORDER commits carry
+      ``dataChange=false`` and produce no feed rows;
+      :func:`delta_lite.change_producing_versions` lets the mark
+      advance past them instead of crashing
+      :func:`delta_lite.read_change_feed` on a change-free range
+      forever after.
+    - **Insert-only**: update/delete feeds refuse with the caller's
+      ``contract`` message — both index layouts are append-only."""
+    import json as _json
+    import os
+
+    from ..sources import delta_lite as dl
+
+    state_path = os.path.join(state_root, "state.json")
+
+    def advance(v: int) -> None:
+        os.makedirs(state_root, exist_ok=True)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"last_commit_version": v}, f)
+        os.replace(tmp, state_path)
+
+    hwm = -1
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            hwm = _json.load(f)["last_commit_version"]
+    else:
+        owned = _ticked_dirs(tick_dirs, file_prefix_root)
+        if owned:
+            raise ValueError(
+                f"{op} refused: {sorted(set(owned))} hold tick data "
+                f"from another maintenance lineage, but no "
+                f"{state_root} sidecar exists — consuming the change "
+                f"feed from commit 0 would overwrite/collide with "
+                f"that lineage's ticks (Delta commit versions vs "
+                f"foreachBatch epochs share one tick namespace). "
+                f"Drive an index from exactly one maintenance source; "
+                f"restore the sidecar or rebuild the index")
+    latest = dl._list_versions(delta_path)[-1]
+    if latest <= hwm:
+        return None, [], advance
+    versions = dl.change_producing_versions(
+        delta_path, from_version=hwm + 1, to_version=latest)
+    if not versions:
+        # maintenance-only range: nothing to ingest, but the mark must
+        # advance or every subsequent call re-reads (and with the old
+        # code, crashed on) the same change-free commits
+        advance(latest)
+        return None, [], advance
+    if hwm == -1:
+        advance(-1)  # claim the lineage before the first tick lands
+    feed = dl.read_change_feed(spark, delta_path,
+                               from_version=hwm + 1, to_version=latest)
+    bad = feed.filter(F.col("_change_type") != "insert").limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"{op}: change feed carries '{bad[0]['_change_type']}' "
+            f"rows — {contract}")
+    return feed, versions, advance
+
+
 def refresh_ivf_from_cdf(spark, delta_path: str, path: str, *,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> list[int]:
@@ -662,42 +769,24 @@ def refresh_ivf_from_cdf(spark, delta_path: str, path: str, *,
     ingested.
 
     Drive an index from exactly ONE maintenance source: stream OR
-    change feed. The streaming loop's lost-checkpoint guard already
-    refuses to start over CDF-built ticks (empty checkpoint + tick
-    data = refused); mixing the other way would collide the two epoch
-    namespaces (foreachBatch epochs vs Delta commit versions)."""
-    import json as _json
-    import os
-
-    from ..sources import delta_lite as dl
-
-    state_path = os.path.join(path + "_cdf_state", "state.json")
-    hwm = -1
-    if os.path.exists(state_path):
-        with open(state_path) as f:
-            hwm = _json.load(f)["last_commit_version"]
-    latest = dl._list_versions(delta_path)[-1]
-    if latest <= hwm:
-        return []
-    feed = dl.read_change_feed(spark, delta_path, from_version=hwm + 1)
-    bad = feed.filter(F.col("_change_type") != "insert").limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"refresh_ivf_from_cdf: change feed carries "
-            f"'{bad[0]['_change_type']}' rows — the index holds one row "
-            f"per vector id and cannot absorb updates; rebuild "
-            f"(maintain_ivf_index / build_ivf_index) after changes")
-    versions = sorted(r[0] for r in
-                      feed.select("_commit_version").distinct().collect())
+    change feed. The streaming loop's lost-checkpoint guard refuses to
+    start over CDF-built ticks (empty checkpoint + tick data =
+    refused), and :func:`_consume_change_feed`'s ownership guard
+    refuses the other direction (missing state sidecar + existing tick
+    data) — mixing would collide the two epoch namespaces
+    (foreachBatch epochs vs Delta commit versions)."""
+    feed, versions, advance = _consume_change_feed(
+        spark, delta_path, path + "_cdf_state",
+        op="refresh_ivf_from_cdf",
+        contract=("the index holds one row per vector id and cannot "
+                  "absorb updates; rebuild (maintain_ivf_index / "
+                  "build_ivf_index) after changes"),
+        tick_dirs=[path + "_growth"], file_prefix_root=path)
     for v in versions:
         batch = (feed.filter(F.col("_commit_version") == v)
                  .select(id_col, vec_col))
         _ivf_append_batch(batch, path, v, id_col=id_col, vec_col=vec_col)
-        os.makedirs(os.path.dirname(state_path), exist_ok=True)
-        tmp = state_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"last_commit_version": v}, f)
-        os.replace(tmp, state_path)
+        advance(v)
     return versions
 
 
@@ -755,29 +844,13 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
     commit's tick (and its ``_stats``/``_docs`` rows) landed; a crash
     in between replays the commit into the same tick dir
     idempotently."""
-    import json as _json
-    import os
-
-    from ..sources import delta_lite as dl
-
-    state_path = os.path.join(out_path + "_cdf_state", "state.json")
-    hwm = -1
-    if os.path.exists(state_path):
-        with open(state_path) as f:
-            hwm = _json.load(f)["last_commit_version"]
-    latest = dl._list_versions(delta_path)[-1]
-    if latest <= hwm:
-        return []
-    feed = dl.read_change_feed(spark, delta_path, from_version=hwm + 1)
-    bad = feed.filter(F.col("_change_type") != "insert").limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"refresh_postings_from_cdf: change feed carries "
-            f"'{bad[0]['_change_type']}' rows — the postings layout is "
-            f"append-only (see _refuse_reingested_docs); rebuild the "
-            f"index after updates/deletes")
-    versions = sorted(r[0] for r in
-                      feed.select("_commit_version").distinct().collect())
+    feed, versions, advance = _consume_change_feed(
+        spark, delta_path, out_path + "_cdf_state",
+        op="refresh_postings_from_cdf",
+        contract=("the postings layout is append-only (see "
+                  "_refuse_reingested_docs); rebuild the index after "
+                  "updates/deletes"),
+        tick_dirs=[out_path, out_path + "_stats", out_path + "_docs"])
     for v in versions:
         batch = (feed.filter(F.col("_commit_version") == v)
                  .select("doc_id", "text"))
@@ -794,9 +867,5 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
         write_corpus_stats(batch, out_path + "_stats", tick=v)
         (batch.select("doc_id").distinct().write.mode("overwrite")
          .parquet(f"{out_path}_docs/tick={v}"))
-        os.makedirs(os.path.dirname(state_path), exist_ok=True)
-        tmp = state_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"last_commit_version": v}, f)
-        os.replace(tmp, state_path)
+        advance(v)
     return versions

@@ -675,3 +675,115 @@ def test_ivf_refresh_from_delta_change_feed(spark, tmp_path):
         change_data=True)
     with pytest.raises(ValueError, match="cannot absorb"):
         refresh_ivf_from_cdf(spark, tbl, idx)
+
+
+def test_cdf_refresh_tolerates_maintenance_commits(spark, tmp_path):
+    """OPTIMIZE / Z-ORDER commits carry dataChange=false and produce
+    no change-feed rows; the CDF refreshers must advance their
+    high-water mark past them instead of crashing on a change-free
+    range forever after (the commit is maintenance, not data)."""
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        refresh_postings_from_cdf)
+
+    tbl, idx = str(tmp_path / "docs_delta"), str(tmp_path / "pcdf")
+    dl.write_delta(spark.createDataFrame(DOCS_A, "doc_id long, text string"),
+                   tbl)
+    assert refresh_postings_from_cdf(spark, tbl, idx) == [0]
+
+    dl.compact_delta(spark, tbl)  # version 1, dataChange=false
+    # change-free range: no crash, nothing ingested, mark advanced
+    assert refresh_postings_from_cdf(spark, tbl, idx) == []
+    with open(f"{idx}_cdf_state/state.json") as f:
+        assert json.load(f)["last_commit_version"] == 1
+
+    # the next DATA commit is still picked up (hwm didn't overshoot)
+    dl.write_delta(spark.createDataFrame(DOCS_B, "doc_id long, text string"),
+                   tbl, mode="append")
+    assert refresh_postings_from_cdf(spark, tbl, idx) == [2]
+    # and a mixed tail (another maintenance commit) stays a no-op
+    dl.compact_delta(spark, tbl)
+    assert refresh_postings_from_cdf(spark, tbl, idx) == []
+
+
+def test_cdf_refresh_refuses_foreign_tick_lineage(spark, tmp_path):
+    """A missing _cdf_state sidecar over an index that already holds
+    tick data means another maintenance lineage owns those ticks
+    (streaming epochs and Delta commit versions share one tick
+    namespace): consuming from commit 0 would overwrite the other
+    lineage's tick-0 output. Refused loudly — the CDF twin of
+    _require_checkpoint_owns_ticks."""
+    import shutil
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        similarity as sim)
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        refresh_ivf_from_cdf, refresh_postings_from_cdf)
+
+    # postings: build a CDF lineage, then lose the sidecar
+    tbl, idx = str(tmp_path / "docs_delta"), str(tmp_path / "pcdf")
+    dl.write_delta(spark.createDataFrame(DOCS_A, "doc_id long, text string"),
+                   tbl)
+    assert refresh_postings_from_cdf(spark, tbl, idx) == [0]
+    shutil.rmtree(idx + "_cdf_state")
+    with pytest.raises(ValueError, match="maintenance lineage"):
+        refresh_postings_from_cdf(spark, tbl, idx)
+
+    # ivf: same guard over the growth sidecar / tick-stamped files
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")\
+        .select("vec_id", "embedding").limit(64)
+    vidx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, vidx, n_lists=2, seed=42)
+    vtbl = str(tmp_path / "emb_delta")
+    vec = [0.0] * len(emb.first()["embedding"])
+    dl.write_delta(spark.createDataFrame(
+        [(901, vec)], "vec_id long, embedding array<float>"), vtbl)
+    assert refresh_ivf_from_cdf(spark, vtbl, vidx) == [0]
+    shutil.rmtree(vidx + "_cdf_state")
+    with pytest.raises(ValueError, match="maintenance lineage"):
+        refresh_ivf_from_cdf(spark, vtbl, vidx)
+
+
+def test_ivf_refresh_appends_sq8_codes_to_quantized_index(spark, tmp_path):
+    """Appending to a quantize_int8 index must carry the int8 code
+    columns: without them the appended vectors would read NULL _cos8
+    and silently never surface in the compressed tier while the exact
+    tier returns them — a recall divergence between two tiers of the
+    SAME index."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        similarity as sim)
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        refresh_ivf_from_cdf)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")\
+        .select("vec_id", "embedding")
+    idx = str(tmp_path / "sq_ivf")
+    sim.build_ivf_index(emb, idx, n_lists=4, seed=42, quantize_int8=True)
+
+    base = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    tbl = str(tmp_path / "emb_delta")
+    dl.write_delta(spark.createDataFrame(
+        [(777001, list(base))], "vec_id long, embedding array<float>"), tbl)
+    assert refresh_ivf_from_cdf(spark, tbl, idx) == [0]
+
+    # the appended tick parquet itself carries the code columns
+    appended = spark.read.parquet(idx).filter(F.col("vec_id") == 777001)
+    row = appended.select("_v8", "_qs", "_n8").first()
+    assert row["_v8"] is not None and row["_n8"] is not None
+
+    # ... and the compressed tier serves the appended twin of vec 0
+    q = [(999, [float(x) for x in base])]
+    sq = sim.knn_ivf_indexed_compressed(spark, idx, q, k=3, n_probe=4,
+                                        rerank=None).collect()
+    assert 777001 in {r["neighbor_id"] for r in sq}
+    # refine mode still equals the full-precision served result
+    served = sim.knn_ivf_indexed(spark, idx, q, k=3, n_probe=4)
+    refined = sim.knn_ivf_indexed_compressed(spark, idx, q, k=3, n_probe=4,
+                                             rerank=10_000)
+    assert refined.exceptAll(served).count() == 0
+    assert served.exceptAll(refined).count() == 0

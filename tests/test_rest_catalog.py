@@ -280,3 +280,36 @@ def test_catalog_drop_table_endpoint(spark, sf_dir, tmp_path):
         assert e.value.code == 404
     # external-table semantics: data untouched by the drop
     assert il.read_iceberg(spark, t).count() == 15
+
+
+def test_catalog_concurrent_mutations_lose_no_updates(spark, sf_dir,
+                                                      tmp_path):
+    """The registry read-modify-write is serialized: the server is
+    threaded, so without the lock two concurrent creates (or a create
+    racing a drop) load the same registry snapshot and the LAST save
+    silently undoes the other's change. Hammer the mutation routes
+    from many threads and assert every accepted mutation survived."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = str(tmp_path / "t")
+    il.write_iceberg(_orders(spark, sf_dir).limit(10), t)
+    root = str(tmp_path / "cat")
+    with rc.CatalogServer(root) as srv:
+        names = [f"tab{i:02d}" for i in range(16)]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(
+                lambda n: rc.create_table(srv.uri, "marts", n, t), names))
+        assert rc.list_tables(srv.uri, "marts") == sorted(names)
+
+        # concurrent drops: each accepted (204) drop must stick, and
+        # the survivors are exactly the undropped half
+        def _drop(n):
+            req = urllib.request.Request(
+                f"{srv.uri}/v1/namespaces/marts/tables/{n}",
+                method="DELETE")
+            with urllib.request.urlopen(req) as r:
+                return r.status
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            codes = list(pool.map(_drop, names[:8]))
+        assert codes == [204] * 8
+        assert rc.list_tables(srv.uri, "marts") == sorted(names[8:])

@@ -539,8 +539,31 @@ def test_ivf_sq8_compressed_serving(spark, sf_dir, tmp_path):
     schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     assert schemas and all("_v8" in s and "_v:" not in s for s in schemas)
 
-    # a non-quantized index refuses the compressed tier loudly
+    # a non-quantized index refuses the compressed tier loudly —
+    # including on an EMPTY query set, where a well-shaped empty
+    # result would mask the misconfiguration until the first real
+    # query
     plain = str(tmp_path / "plain")
     sim.build_ivf_index(emb, plain, n_lists=8, seed=42)
     with pytest.raises(ValueError, match="int8 codes"):
         sim.knn_ivf_indexed_compressed(spark, plain, q, k=5)
+    with pytest.raises(ValueError, match="int8 codes"):
+        sim.knn_ivf_indexed_compressed(spark, plain, [], k=5)
+
+
+def test_literal_query_list_respects_driver_cap(spark, sf_dir, tmp_path):
+    """The max_driver_queries cap guards BOTH entry shapes: a literal
+    (id, vector) list over the cap raises (pointing at the DataFrame
+    route, which falls back to the distributed plan) instead of
+    expanding |Q| x n_probe rows through the driver."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "capped")
+    sim.build_ivf_index(emb.limit(64), idx, n_lists=2, seed=42)
+    dim = len(emb.first()["embedding"])
+    big = [(i, [0.0] * dim) for i in range(11)]
+    with pytest.raises(ValueError, match="max_driver_queries"):
+        sim.knn_ivf_indexed(spark, idx, big, k=1, max_driver_queries=10)
+    # at the cap it serves normally
+    ok = sim.knn_ivf_indexed(spark, idx, big[:10], k=1,
+                             max_driver_queries=10)
+    assert ok.count() >= 0
