@@ -327,6 +327,29 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(sig: DataFrame, bands: int, rows: int,
+                  id_col: str) -> DataFrame:
+    """(_id, band, bucket) rows from a signature frame — the band key
+    is the signature slice itself (a struct of ``rows`` longs, exact
+    equality), shared by the self-join pair generator
+    (:func:`minhash_lsh_pairs`) and the persisted store
+    (:func:`minhash_store_frames`) so both produce byte-identical
+    candidate keys."""
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+        band_rows.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.struct(*[c.alias(f"r{r}") for r, c in enumerate(cols)]).alias("bucket"),
+            )
+        )
+    return sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(*band_rows)).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16, n: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
@@ -346,19 +369,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, seed)
-    band_rows = []
-    for bi in range(bands):
-        cols = [F.col(f"mh_{bi * rows + r}") for r in range(rows)]
-        band_rows.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.struct(*[c.alias(f"r{r}") for r, c in enumerate(cols)]).alias("bucket"),
-            )
-        )
-    buckets = sig.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array(*band_rows)).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = _band_buckets(sig, bands, rows, id_col)
     # per-bucket pair generation instead of a bucket self-join: the
     # self-join recomputes the whole signature pipeline for each side,
     # while one groupBy shuffles the (band, bucket, id) rows once and
@@ -399,6 +410,201 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         )
     )
     return verified
+
+
+def minhash_store_frames(docs: DataFrame, *, num_hashes: int = 64,
+                         bands: int = 32, n: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """The two frames of a MinHash dedup store, derivable in-plan or
+    persisted by :func:`build_minhash_store`:
+
+    - ``buckets`` (_id, band, bucket): the banded signature slices —
+      exact-equality candidate keys, byte-identical to
+      :func:`minhash_lsh_pairs`'s (same ``_band_buckets``).
+    - ``hashes`` (_id, _h array<long>): each doc's DISTINCT md5-based
+      32-bit shingle hashes — the verification set. Jaccard over hash
+      sets equals Jaccard over shingle strings modulo 32-bit
+      collisions (~1e-11 at corpus shingle counts — the same bet the
+      n-gram index made, see :func:`_shingle_hash_arrays`), and at
+      8 bytes per shingle the store is ~5-10x smaller than persisting
+      the n-gram strings. md5 (not xxhash64) so a second engine — and
+      the DuckDB oracle — can recompute the exact same sets.
+
+    Docs with zero shingles (< n tokens) are absent from both frames,
+    matching the ``n_shingles > 0`` contract of the signature op."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, seed)
+    buckets = _band_buckets(sig, bands, rows, id_col)
+    hashes = (
+        _shingled(docs, text_col, id_col, n, widen=False)
+        .select("_id", F.explode("_sh").alias("_g"))
+        .select("_id", md5_hash32(F.col("_g")).alias("_h"))
+        .groupBy("_id").agg(F.collect_set("_h").alias("_h"))
+    )
+    return buckets, hashes
+
+
+def build_minhash_store(docs: DataFrame, path: str, *,
+                        num_hashes: int = 64, bands: int = 32, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        seed: int = 42) -> None:
+    """Persist the MinHash dedup store for INCREMENTAL near-dup: pay
+    the corpus signature pass once, then every arriving batch dedupes
+    against the store at increment-proportional cost
+    (:func:`minhash_neardup_incremental`) instead of re-running the
+    full-corpus pair stage. The lakehouse-native shape of a
+    fingerprint registry at 100 TB: daily increments never re-shuffle
+    the historical corpus.
+
+    Layout: ``{path}`` = buckets parquet, ``{path}_hashes`` = the
+    verification hash sets, ``{path}_meta/meta.json`` = the signature
+    parameters (an increment computed under different
+    num_hashes/bands/n/seed would silently never collide, so queries
+    and appends read the params from the store, never from their
+    caller)."""
+    import json
+    import os
+
+    buckets, hashes = minhash_store_frames(
+        docs, num_hashes=num_hashes, bands=bands, n=n,
+        text_col=text_col, id_col=id_col, seed=seed)
+    buckets.write.mode("overwrite").parquet(path)
+    hashes.write.mode("overwrite").parquet(path + "_hashes")
+    os.makedirs(path + "_meta", exist_ok=True)
+    tmp = os.path.join(path + "_meta", "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"num_hashes": num_hashes, "bands": bands, "n": n,
+                   "seed": seed, "text_col": text_col,
+                   "id_col": id_col}, f)
+    os.replace(tmp, os.path.join(path + "_meta", "meta.json"))
+
+
+def _minhash_store_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path + "_meta", "meta.json")) as f:
+        return json.load(f)
+
+
+def append_minhash_store(docs: DataFrame, path: str) -> None:
+    """Absorb an (already deduplicated) increment into the store —
+    signature params come from the store's meta sidecar. Re-ingesting
+    a doc_id refuses loudly: the store holds one signature per doc,
+    and a duplicate would double its candidate generation (same
+    append-only contract as the postings index)."""
+    meta = _minhash_store_meta(path)
+    id_col = meta["id_col"]
+    existing = docs.sparkSession.read.parquet(path + "_hashes")
+    dups = (docs.select(F.col(id_col).alias("_id")).distinct()
+            .join(existing.select("_id"), "_id").limit(5).collect())
+    if dups:
+        raise ValueError(
+            f"append_minhash_store refused: ids {[r[0] for r in dups]}… "
+            f"already present in {path}; the store holds one signature "
+            f"per doc — dedupe the increment (minhash_neardup_incremental) "
+            f"before absorbing it")
+    buckets, hashes = minhash_store_frames(
+        docs, num_hashes=meta["num_hashes"], bands=meta["bands"],
+        n=meta["n"], text_col=meta["text_col"], id_col=id_col,
+        seed=meta["seed"])
+    buckets.write.mode("append").parquet(path)
+    hashes.write.mode("append").parquet(path + "_hashes")
+
+
+def minhash_neardup_against(new_docs: DataFrame,
+                            corpus_buckets: DataFrame,
+                            corpus_hashes: DataFrame, *,
+                            threshold: float = 0.5,
+                            num_hashes: int = 64, bands: int = 32,
+                            n: int = 3, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            seed: int = 42) -> DataFrame:
+    """Near-dup pairs of an INCREMENT against a MinHash store (plus
+    the increment's internal pairs) — the incremental twin of
+    :func:`minhash_lsh_pairs`: same banded candidate keys, same
+    exact-Jaccard verification (over the store's md5 hash sets), same
+    output contract (doc_id_1 < doc_id_2, jaccard rounded to 6 dp,
+    >= threshold). Equals the full-corpus operator on corpus ∪
+    increment restricted to pairs touching the increment
+    (pytest-pinned), so accept/reject decisions made incrementally
+    match a from-scratch rebuild.
+
+    100 TB shape — the corpus side NEVER shuffles:
+
+    - candidates: corpus buckets ⋈ broadcast(increment buckets) on
+      (band, bucket) — a broadcast hash join, one corpus scan, zero
+      exchanges of corpus data; increment-internal candidates reuse
+      the bounded per-bucket pair generator on the increment alone.
+    - verification: each side's hash set is pulled with another
+      broadcast of the (bounded) candidate pair list; only the
+      pair-sized halves shuffle to meet.
+
+    Increments are bounded by contract (a daily batch, not a second
+    corpus); a corpus-scale "increment" belongs in
+    :func:`minhash_lsh_pairs` over the union instead. Store and
+    increment doc_ids must be disjoint (``append_minhash_store``
+    enforces it on absorb)."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    new_buckets, new_hashes = minhash_store_frames(
+        new_docs, num_hashes=num_hashes, bands=bands, n=n,
+        text_col=text_col, id_col=id_col, seed=seed)
+
+    cross = (
+        corpus_buckets.join(
+            F.broadcast(new_buckets.withColumnRenamed("_id", "_nid")),
+            ["band", "bucket"])
+        .select(F.least("_id", "_nid").alias("id1"),
+                F.greatest("_id", "_nid").alias("id2"))
+    )
+    intra = (
+        new_buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS id1, y AS id2))))"
+        )).alias("p"))
+        .select("p.id1", "p.id2")
+    )
+    cand = cross.unionByName(intra).distinct()
+
+    all_h = corpus_hashes.unionByName(new_hashes)
+    # pull each side's hash set via a broadcast of the bounded pair
+    # list (the corpus scan stays exchange-free), then join the two
+    # pair-sized halves — only candidate-volume data ever shuffles
+    h1 = (all_h.join(F.broadcast(cand), F.col("_id") == F.col("id1"))
+          .select("id1", "id2", F.col("_h").alias("_h1")))
+    h2 = (all_h.join(F.broadcast(cand), F.col("_id") == F.col("id2"))
+          .select("id1", "id2", F.col("_h").alias("_h2")))
+    inter = F.size(F.array_intersect("_h1", "_h2")).cast("double")
+    jac = inter / (F.size("_h1") + F.size("_h2") - inter)
+    return (
+        h1.join(h2, ["id1", "id2"])
+        .select(F.col("id1").alias("doc_id_1"),
+                F.col("id2").alias("doc_id_2"), jac.alias("_jac"))
+        .filter(F.col("_jac") >= threshold)
+        .select("doc_id_1", "doc_id_2", F.round("_jac", 6).alias("jaccard"))
+    )
+
+
+def minhash_neardup_incremental(spark, new_docs: DataFrame, path: str, *,
+                                threshold: float = 0.5) -> DataFrame:
+    """Path-based entry over a persisted :func:`build_minhash_store`:
+    signature params are read from the store's meta sidecar so an
+    increment can never be fingerprinted under mismatched parameters.
+    See :func:`minhash_neardup_against` for semantics and the
+    scale-shape contract."""
+    meta = _minhash_store_meta(path)
+    return minhash_neardup_against(
+        new_docs, spark.read.parquet(path),
+        spark.read.parquet(path + "_hashes"),
+        threshold=threshold, num_hashes=meta["num_hashes"],
+        bands=meta["bands"], n=meta["n"], text_col=meta["text_col"],
+        id_col=meta["id_col"], seed=meta["seed"])
 
 
 def _release_persistent(jsc, rdd_ids: list[int]) -> None:

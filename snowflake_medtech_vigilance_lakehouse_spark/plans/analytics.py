@@ -1613,6 +1613,90 @@ WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
 ORACLE_MINHASH = _minhash_oracle()
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI8 incremental path (round 8): the corpus slice
+    (doc_id % 10 != 0) plays the persisted MinHash fingerprint store —
+    derived in-plan here so the DuckDB twin can recompute it — and the
+    % 10 == 0 slice arrives as the increment. Pairs are exactly the
+    full-corpus operator's restricted to pairs touching the increment
+    (pytest-pinned), so incremental accept/reject decisions match a
+    from-scratch rebuild; verification runs on the store's md5 shingle
+    hash sets (the 8-bytes-per-shingle persisted form). The persisted
+    store round-trip (build/append/query) is covered in
+    tests/test_operators.py."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incr = docs.filter(F.col("doc_id") % 10 == 0)
+    cb, ch = dd.minhash_store_frames(corpus, num_hashes=64, bands=32)
+    return dd.minhash_neardup_against(
+        incr, cb, ch, threshold=0.5, num_hashes=64, bands=32)
+
+
+def _minhash_incremental_oracle(num_hashes: int = 64, bands: int = 32,
+                                threshold: float = 0.5) -> str:
+    """DuckDB twin of q_minhash_incremental: same signature family as
+    _minhash_oracle, candidate set = (corpus x increment) ∪
+    (increment x increment) band matches, verification Jaccard over
+    the md5-based 32-bit shingle hash sets (the store's persisted
+    form — identical to string-shingle Jaccard modulo 32-bit
+    collisions, the documented store bet)."""
+    coeffs = dd._hash_coeffs(num_hashes)
+    p = dd._MERSENNE_P
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows = num_hashes // bands
+    band_conds = "\n     OR ".join(
+        "(" + " AND ".join(
+            f"a.mh_{bi * rows + r} = b.mh_{bi * rows + r}" for r in range(rows)
+        ) + ")"
+        for bi in range(bands)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM documents
+), dd AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             sh, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS hs
+  FROM d WHERE len(sh) > 0
+), grams AS (
+  SELECT doc_id, unnest(sh) AS g FROM d WHERE len(sh) > 0
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+), cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
+  FROM sigs a JOIN sigs b
+    ON a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+  WHERE {band_conds}
+  UNION
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0
+    AND ({band_conds})
+)
+SELECT c.id1 AS doc_id_1, c.id2 AS doc_id_2,
+       round(len(list_intersect(x.hs, y.hs))::DOUBLE
+             / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 6) AS jaccard
+FROM cand c
+JOIN dd x ON x.doc_id = c.id1
+JOIN dd y ON y.doc_id = c.id2
+WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+      / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= {threshold}
+"""
+
+
+ORACLE_MINHASH_INCREMENTAL = _minhash_incremental_oracle()
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI8 SimHash near-dup: Hamming distance <= 3 over 64-bit
     signatures, banded join. The 4-chunk pigeonhole banding is
@@ -2570,6 +2654,7 @@ QUERIES: dict[str, QueryFn] = {
     "unpivot_metrics": q_unpivot_metrics,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
+    "minhash_incremental": q_minhash_incremental,
     "simhash_neardup": q_simhash_neardup,
     "dedup_clusters": q_dedup_clusters,
     "corpus_curation": q_corpus_curation,
@@ -2604,6 +2689,7 @@ QUERIES: dict[str, QueryFn] = {
 # lead the iteration order, so a prefix-sampling driver reaches them
 # first. Contents are unchanged — this is a reordering only.
 _NEVER_DRIVER_SAMPLED = (
+    "minhash_incremental",
     "variant_navigate", "repetition_stats", "domain_cap", "decontamination", "hard_negatives",
     "pack_sequences", "pii_redact", "training_mix_sample",
     "semantic_dedup", "semantic_dedup_full", "corpus_shuffle",
@@ -2665,6 +2751,7 @@ ORACLES: dict[str, str] = {
     "funnel_steps": ORACLE_FUNNEL,
     "unpivot_metrics": ORACLE_UNPIVOT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
+    "minhash_incremental": ORACLE_MINHASH_INCREMENTAL,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_curation": ORACLE_CORPUS_CURATION,
     "knn_bruteforce": ORACLE_KNN,

@@ -755,3 +755,55 @@ def test_domain_cap_deterministic_and_capped(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="cap"):
         domain_cap(df, cap=0)
+
+
+def test_minhash_incremental_matches_full_restricted(spark, docs):
+    """Incremental dedup against the store == the full-corpus operator
+    on corpus ∪ increment restricted to pairs touching the increment:
+    the accept/reject decisions made incrementally are exactly what a
+    from-scratch rebuild would make."""
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incr = docs.filter(F.col("doc_id") % 10 == 0)
+    cb, ch = dd.minhash_store_frames(corpus, num_hashes=64, bands=32)
+    inc = dd.minhash_neardup_against(incr, cb, ch, threshold=0.5,
+                                     num_hashes=64, bands=32)
+    full = dd.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64,
+                                bands=32)
+    touching = full.filter((F.col("doc_id_1") % 10 == 0)
+                           | (F.col("doc_id_2") % 10 == 0))
+    got = {(r[0], r[1], r[2]) for r in inc.collect()}
+    want = {(r[0], r[1], r[2]) for r in touching.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_minhash_store_roundtrip_append_and_refusal(spark, docs, tmp_path):
+    """Persisted store: build → query equals the in-plan frames;
+    absorbing the increment then querying a SECOND increment sees
+    first-increment docs as corpus; re-absorbing an already-present
+    doc_id refuses loudly."""
+    store = str(tmp_path / "mh_store")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incr = docs.filter(F.col("doc_id") % 10 == 0)
+    dd.build_minhash_store(corpus, store, num_hashes=64, bands=32)
+
+    via_store = dd.minhash_neardup_incremental(spark, incr, store,
+                                               threshold=0.5)
+    cb, ch = dd.minhash_store_frames(corpus, num_hashes=64, bands=32)
+    in_plan = dd.minhash_neardup_against(incr, cb, ch, threshold=0.5,
+                                         num_hashes=64, bands=32)
+    assert ({tuple(r) for r in via_store.collect()}
+            == {tuple(r) for r in in_plan.collect()})
+
+    # absorb the increment; a duplicate of an increment doc now
+    # surfaces as a (new_doc, absorbed_doc) pair
+    dd.append_minhash_store(incr, store)
+    probe = incr.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+        *[c for c in incr.columns if c not in ("doc_id", "text")])
+    hits = dd.minhash_neardup_incremental(spark, probe, store,
+                                          threshold=0.5).collect()
+    absorbed = {r["doc_id"] for r in incr.select("doc_id").collect()}
+    assert any(r["doc_id_1"] in absorbed for r in hits)
+
+    with pytest.raises(ValueError, match="already present"):
+        dd.append_minhash_store(incr, store)
