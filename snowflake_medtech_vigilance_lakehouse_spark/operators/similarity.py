@@ -797,9 +797,59 @@ def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
     (rows.write.mode("overwrite").partitionBy("list_id").parquet(path))
     centroids = [(i, [float(x) for x in ctr])
                  for i, ctr in enumerate(model.clusterCenters())]
-    (corpus.sparkSession.createDataFrame(
+    ctr_df = corpus.sparkSession.createDataFrame(
         centroids, "list_id int, _ctr array<double>")
-     .coalesce(1).write.mode("overwrite").parquet(path + "_centroids"))
+    ctr_df.coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    # per-list normalized-space radius sidecar (n_lists rows): the
+    # exactness lever of embedding_neardup_indexed's probe bound —
+    # computed from the WRITTEN rows so it describes exactly what
+    # serves. _ivf_append_batch keeps it fresh across refresh ticks.
+    (_ivf_radii_frame(corpus.sparkSession.read.parquet(path), ctr_df)
+     .coalesce(1).write.mode("overwrite").parquet(path + "_radii"))
+
+
+def _ivf_radii_frame(idx_rows: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(list_id, rad): each list's max normalized-space distance
+    ``||v/||v|| - c/||c||||`` over its members — the per-list radius
+    :func:`embedding_neardup_indexed` needs for an EXACT probe bound
+    under the index's raw-space assignment (any member v of list L and
+    any query u satisfy ``||u^-c^_L|| <= ||u^-v^|| + rad_L``, so every
+    list that could hold a qualifying partner is provably probed).
+
+    Zero-norm members can't be placed in normalized space (their
+    cosine is NULL everywhere, so they never qualify) — excluded. A
+    zero-norm CENTROID yields rad NULL; the serving op probes such
+    lists unconditionally rather than guess. A list absent from the
+    frame has no scorable member at all."""
+    cn = l2_norm(F.col("_ctr"))
+    chat = F.when(cn > 0, F.transform(F.col("_ctr"), lambda x: x / cn))
+    diff2 = F.zip_with(
+        F.col("_v"), F.col("_chat"),
+        lambda v, c: (v / F.col("_nrm") - c) * (v / F.col("_nrm") - c))
+    d = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x))
+    return (
+        idx_rows.filter(F.col("_nrm") > 0)
+        .join(F.broadcast(centroids.select(
+            "list_id", chat.alias("_chat"))), "list_id")
+        .select("list_id", d.alias("_d"))
+        .groupBy("list_id").agg(F.max("_d").alias("rad"))
+    )
+
+
+def _ivf_list_radii(spark, path: str) -> dict[int, float | None]:
+    """The radius sidecar as a dict (n_lists entries, bounded driver
+    traffic). Prefers the persisted ``{path}_radii``; a missing or
+    unreadable sidecar (pre-radii index, or a crash mid-rewrite)
+    recomputes from the index rows — one column-pruned corpus scan,
+    correct but corpus-proportional, so the sidecar is the steady
+    state."""
+    try:
+        rows = spark.read.parquet(path + "_radii").collect()
+    except Exception:
+        rows = _ivf_radii_frame(
+            spark.read.parquet(path).select("list_id", "_v", "_nrm"),
+            spark.read.parquet(path + "_centroids")).collect()
+    return {r["list_id"]: r["rad"] for r in rows}
 
 
 def knn_ivf_indexed(spark, path: str, queries: DataFrame | list,
@@ -1065,20 +1115,30 @@ def _ivf_probe_base(spark, path: str, queries: DataFrame,
         StructField("list_id", IntegerType()),
     ]))
     touched = sorted({r[3] for r in probe_rows})
-    # list ONLY the probed lists' directories (basePath keeps list_id
-    # as a partition column); the isin filter stays on top so the plan
-    # records the pruning predicate in PartitionFilters either way —
-    # at serve time the driver never even stats the unprobed dirs.
-    # An EMPTY inverted list writes no directory (partitionBy emits
-    # dirs only for present values) while its centroid still exists in
-    # the sidecar — probing it must contribute zero rows, not a
-    # path-not-found error, so only existing dirs are listed; when the
-    # path isn't driver-statable (remote FS) fall back to the full
-    # discovery read, which tolerates missing lists by construction.
-    # The index schema is cached per (path, mtime) so repeat queries
-    # skip the footer-inference read — index metadata caching, the
-    # serving-system steady state (a rebuild swaps the directory and
-    # so changes its mtime, invalidating the entry).
+    idx = _pruned_index_read(spark, path, touched)
+    if idx is None:
+        return None
+    return probe_lists, idx
+
+
+def _pruned_index_read(spark, path: str,
+                       touched: list[int]) -> DataFrame | None:
+    """The directory-pruned index scan shared by the served paths:
+    list ONLY the probed lists' directories (basePath keeps list_id
+    as a partition column); the isin filter stays on top so the plan
+    records the pruning predicate in PartitionFilters either way —
+    at serve time the driver never even stats the unprobed dirs.
+    An EMPTY inverted list writes no directory (partitionBy emits
+    dirs only for present values) while its centroid still exists in
+    the sidecar — probing it must contribute zero rows, not a
+    path-not-found error, so only existing dirs are listed; when the
+    path isn't driver-statable (remote FS) fall back to the full
+    discovery read, which tolerates missing lists by construction.
+    The index schema is cached per (path, mtime) so repeat queries
+    skip the footer-inference read — index metadata caching, the
+    serving-system steady state (a rebuild swaps the directory and
+    so changes its mtime, invalidating the entry). Returns None when
+    no probed list has a directory."""
     import os
 
     reader = spark.read.option("basePath", path)
@@ -1090,12 +1150,11 @@ def _ivf_probe_base(spark, path: str, queries: DataFrame,
                 if os.path.isdir(os.path.join(path, f"list_id={t}"))]
         if not dirs:
             return None
-        idx = (reader.parquet(*dirs)
-               .filter(F.col("list_id").isin(touched)))
-    else:  # not driver-statable (remote FS): full-discovery read
-        idx = (spark.read.parquet(path)
-               .filter(F.col("list_id").isin(touched)))
-    return probe_lists, idx
+        return (reader.parquet(*dirs)
+                .filter(F.col("list_id").isin(touched)))
+    # not driver-statable (remote FS): full-discovery read
+    return (spark.read.parquet(path)
+            .filter(F.col("list_id").isin(touched)))
 
 
 def _ivf_indexed_scored(spark, path: str, queries: DataFrame,
@@ -1230,6 +1289,128 @@ def knn_ivf_indexed_compressed(spark, path: str, queries: DataFrame | list,
             F.row_number().over(w).alias("rank"),
             F.round(F.col("_cos"), 6).alias("cosine"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_indexed(spark, path: str, new_vecs: DataFrame,
+                              threshold: float = 0.9, *,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """INCREMENTAL embedding near-dup against a persisted
+    :func:`build_ivf_index` corpus — the vector twin of
+    :func:`~.dedup.minhash_neardup_incremental`: an arriving batch is
+    checked for near-duplicates (cosine >= threshold, rounded to 6 dp)
+    of the already-indexed corpus at increment-proportional cost. The
+    corpus is NEVER re-scanned from source, never shuffled, and only
+    its probed list directories are even listed — the SemDedup
+    steady-state where a daily batch dedupes against 100 TB of
+    history through the index's directory metadata.
+
+    EXACT, not approximate: each increment row probes every list whose
+    normalized centroid lies within ``r + rad_L`` of the row's
+    normalized vector (``r = sqrt(2-2t)``; ``rad_L`` from the
+    ``{path}_radii`` sidecar maintained by build and refresh ticks) —
+    the triangle inequality guarantees any list holding a qualifying
+    partner is probed, under the index's raw-space assignment or any
+    other. Cost adapts to threshold tightness exactly like the
+    bucketed pair stage's default-exact mode.
+
+    Plan shape: probe resolution is a broadcast crossJoin of the
+    increment against the n_lists-row centroid+radius literal (pure
+    codegen folds, no Python); ONE bounded collect (the distinct
+    probed list ids, <= n_lists values) drives the directory-pruned
+    index read; the probe rows broadcast into the final scoring join.
+    The increment is bounded by contract (a daily batch); a
+    corpus-scale "increment" belongs in
+    :func:`embedding_neardup_pairs_bucketed` over the union.
+
+    Output (id_1, id_2, cosine): id_1 < id_2 with BOTH orientations
+    kept (an increment id bears no order relation to corpus ids —
+    unlike the probe-slice ops' strict probe<corpus filter); self-ids
+    excluded; increment rows with NULL vectors, NULL elements, or zero
+    norm can never qualify and are dropped."""
+    idx_schema = _idx_schema(spark, path)
+    if idx_schema is None:
+        idx_schema = spark.read.parquet(path).schema
+    id_type = new_vecs.schema[id_col].dataType
+    if idx_schema[id_col].dataType != id_type:
+        raise ValueError(
+            f"new_vecs.{id_col} type {id_type.simpleString()} must "
+            f"match the index ({idx_schema[id_col].dataType.simpleString()})")
+    id_sql = id_type.simpleString()
+
+    def _empty() -> DataFrame:
+        return spark.createDataFrame(
+            [], f"id_1 {id_sql}, id_2 {id_sql}, cosine double")
+
+    import math
+
+    try:
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(path + "_centroids")
+        centroids = list(zip(tbl.column("list_id").to_pylist(),
+                             tbl.column("_ctr").to_pylist()))
+    except Exception:
+        centroids = [(r["list_id"], r["_ctr"]) for r in
+                     spark.read.parquet(path + "_centroids").collect()]
+    radii = _ivf_list_radii(spark, path)
+    r2 = max(0.0, 2.0 - 2.0 * (float(threshold) - 1.001e-6))
+    r = math.sqrt(r2)
+    lists = []
+    for lid, c in centroids:
+        if lid not in radii:
+            continue  # no scorable member in this list
+        rad = radii[lid]
+        cn = math.sqrt(sum(float(x) * float(x) for x in c))
+        always = rad is None or cn == 0.0
+        chat = ([float(x) / cn for x in c] if cn > 0
+                else [0.0] * len(c))
+        bound2 = 0.0 if always else (r + float(rad)) ** 2
+        lists.append((int(lid), chat, float(bound2), bool(always)))
+    if not lists:
+        return _empty()
+    ctr_lit = spark.createDataFrame(
+        lists, "list_id int, _chat array<double>, _bound2 double, "
+               "_always boolean")
+
+    q = new_vecs.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    ).filter(F.col("_qn") > 0)
+    # ||u^ - c^||^2 = 2 - 2*(u.c^)/||u|| — one codegen fold per
+    # (row, list); a dimension-mismatched row folds NULL and drops,
+    # same as its (NULL-cosine) pairs would
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_chat"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    d2 = F.lit(2.0) - F.lit(2.0) * dot / F.col("_qn")
+    probe_rows = (
+        q.crossJoin(F.broadcast(ctr_lit))
+        .filter(F.col("_always") | (d2 <= F.col("_bound2")))
+        .select("list_id", "_qid", "_qv", "_qn")
+    )
+    touched = sorted(
+        r[0] for r in probe_rows.select("list_id").distinct().collect())
+    if not touched:
+        return _empty()
+    idx = _pruned_index_read(spark, path, touched)
+    if idx is None:
+        return _empty()
+    return (
+        idx.join(F.broadcast(probe_rows), "list_id")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            F.least(F.col("_qid"), F.col(id_col)).alias("id_1"),
+            F.greatest(F.col("_qid"), F.col(id_col)).alias("id_2"),
+            F.round(cosine_from_norms(
+                F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_nrm")
+            ), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 

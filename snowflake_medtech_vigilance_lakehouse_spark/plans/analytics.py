@@ -1981,6 +1981,53 @@ WHERE p.id_1 < e.vec_id
 """
 
 
+_INCR_IVF_CACHE: dict[str, str] = {}
+
+
+def q_embedding_neardup_incremental(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """AI8 incremental path, vector side (round 8): the % 10 != 0
+    slice is the INDEXED corpus (a build_ivf_index layout, built once
+    per process into a temp dir and cached — the persisted-store
+    analog of the in-plan minhash store) and the % 10 == 0 slice
+    arrives as the increment. embedding_neardup_indexed probes only
+    the lists the per-list radius bound admits, so the result is
+    EXACT at any quantization — which is what lets a full-quadratic
+    DuckDB twin hash-match an index-dependent plan. Threshold 0.35 on
+    the fixture's random vectors (max cosine ~0.51). The corpus scan
+    is directory-pruned and shuffle-free (plan-asserted in
+    tests/test_operators.py)."""
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding")
+    incr = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = _INCR_IVF_CACHE.get(sf_dir)
+    if idx is None or not os.path.isdir(idx):
+        idx = os.path.join(
+            tempfile.mkdtemp(prefix="sparkgraft_incr_ivf_"), "ivf")
+        sim.build_ivf_index(corpus, idx, n_lists=8, seed=42)
+        _INCR_IVF_CACHE[sf_dir] = idx
+    return sim.embedding_neardup_indexed(spark, idx, incr, threshold=0.35)
+
+
+ORACLE_EMBEDDING_NEARDUP_INCREMENTAL = """
+WITH p AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS pv
+  FROM embeddings WHERE vec_id % 10 = 0
+), c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 10 != 0
+)
+SELECT least(p.qid, c.cid) AS id_1, greatest(p.qid, c.cid) AS id_2,
+       round(list_cosine_similarity(p.pv, c.cv), 6) AS cosine
+FROM c CROSS JOIN p
+WHERE round(list_cosine_similarity(p.pv, c.cv), 6) >= 0.35
+"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: each probe's
     exact top-20 cosine pool minus near-duplicates (>= 0.35), top-5
@@ -2655,6 +2702,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
     "minhash_incremental": q_minhash_incremental,
+    "embedding_neardup_incremental": q_embedding_neardup_incremental,
     "simhash_neardup": q_simhash_neardup,
     "dedup_clusters": q_dedup_clusters,
     "corpus_curation": q_corpus_curation,
@@ -2689,7 +2737,7 @@ QUERIES: dict[str, QueryFn] = {
 # lead the iteration order, so a prefix-sampling driver reaches them
 # first. Contents are unchanged — this is a reordering only.
 _NEVER_DRIVER_SAMPLED = (
-    "minhash_incremental",
+    "minhash_incremental", "embedding_neardup_incremental",
     "variant_navigate", "repetition_stats", "domain_cap", "decontamination", "hard_negatives",
     "pack_sequences", "pii_redact", "training_mix_sample",
     "semantic_dedup", "semantic_dedup_full", "corpus_shuffle",
@@ -2752,6 +2800,7 @@ ORACLES: dict[str, str] = {
     "unpivot_metrics": ORACLE_UNPIVOT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "minhash_incremental": ORACLE_MINHASH_INCREMENTAL,
+    "embedding_neardup_incremental": ORACLE_EMBEDDING_NEARDUP_INCREMENTAL,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_curation": ORACLE_CORPUS_CURATION,
     "knn_bruteforce": ORACLE_KNN,

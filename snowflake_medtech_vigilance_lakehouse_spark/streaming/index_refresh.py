@@ -570,6 +570,7 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
     stage = path + "_rebuild"
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(stage + "_centroids", ignore_errors=True)
+    shutil.rmtree(stage + "_radii", ignore_errors=True)
     build_ivf_index(corpus, stage, n_lists=n_lists, id_col=id_col,
                     vec_col="_v", seed=seed)
     # last-moment re-verification before the swap: the rebuild read
@@ -582,6 +583,7 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
     if _ckpt_state() != ckpt_before:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(stage + "_centroids", ignore_errors=True)
+        shutil.rmtree(stage + "_radii", ignore_errors=True)
         raise RuntimeError(
             f"maintain_ivf_index aborted: checkpoint {checkpoint} "
             f"advanced while the rebuild was staging (a refresh tick "
@@ -589,16 +591,60 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
             f"that tick's vectors. Stop the refresh stream and re-run "
             f"maintenance — the live index was left untouched")
     retired = path + "_retired"
-    shutil.rmtree(retired, ignore_errors=True)
-    shutil.rmtree(retired + "_centroids", ignore_errors=True)
-    os.rename(path, retired)
-    os.rename(path + "_centroids", retired + "_centroids")
-    os.rename(stage, path)
-    os.rename(stage + "_centroids", path + "_centroids")
+    # "" must swap first (the serve root); sidecars follow. A
+    # pre-radii live index simply has no _radii to retire — the
+    # staged rebuild always writes one, upgrading the layout.
+    for suf in ("", "_centroids", "_radii"):
+        shutil.rmtree(retired + suf, ignore_errors=True)
+        if os.path.isdir(path + suf):
+            os.rename(path + suf, retired + suf)
+        os.rename(stage + suf, path + suf)
     shutil.rmtree(growth_path, ignore_errors=True)
-    shutil.rmtree(retired, ignore_errors=True)
-    shutil.rmtree(retired + "_centroids", ignore_errors=True)
+    for suf in ("", "_centroids", "_radii"):
+        shutil.rmtree(retired + suf, ignore_errors=True)
     return True
+
+
+def _ivf_update_radii(assigned: DataFrame, centroids: DataFrame,
+                      path: str) -> None:
+    """Keep the ``{path}_radii`` sidecar (the exactness lever of
+    ``embedding_neardup_indexed``'s probe bound) fresh across refresh
+    ticks: max-merge the batch's per-list normalized-space radii into
+    the persisted n_lists-row sidecar. Runs BEFORE the tick publishes,
+    so a crash leaves the radius an OVER-estimate (probe fan-out
+    grows, exactness never breaks) and the max-merge replays
+    idempotently. A NULL radius means "probe unconditionally"
+    (zero-norm centroid) and stays NULL. A pre-radii index (no
+    sidecar) is left alone — writing batch-only radii would
+    UNDER-state the lists and silently break the bound; the serving
+    op's fallback recompute covers such indexes until a rebuild
+    writes the sidecar."""
+    import os
+
+    from ..operators.similarity import _ivf_radii_frame
+
+    if not os.path.isdir(path + "_radii"):
+        return
+    spark = assigned.sparkSession
+    try:
+        old = {r["list_id"]: r["rad"] for r in
+               spark.read.parquet(path + "_radii").collect()}
+    except Exception:
+        return  # unreadable (crash mid-rewrite): serving falls back
+    batch_rad = {r["list_id"]: r["rad"] for r in
+                 _ivf_radii_frame(assigned, centroids).collect()}
+    merged = dict(old)
+    for lid, rad in batch_rad.items():
+        prev = merged.get(lid)
+        if lid not in merged:
+            merged[lid] = rad
+        elif prev is None or rad is None:
+            merged[lid] = None
+        else:
+            merged[lid] = max(prev, rad)
+    (spark.createDataFrame(sorted(merged.items()),
+                           "list_id int, rad double")
+     .coalesce(1).write.mode("overwrite").parquet(path + "_radii"))
 
 
 def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
@@ -625,6 +671,7 @@ def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
         # apply to a refresh delta unchanged)
         from ..operators.similarity import with_sq8_codes
         assigned = with_sq8_codes(assigned)
+    _ivf_update_radii(assigned, centroids, path)
     # idempotent publish into the existing list_id layout (a tick=
     # level above list_id= would break partition discovery): stage
     # the tick, clear any files a crashed earlier attempt of THIS

@@ -807,3 +807,83 @@ def test_minhash_store_roundtrip_append_and_refusal(spark, docs, tmp_path):
 
     with pytest.raises(ValueError, match="already present"):
         dd.append_minhash_store(incr, store)
+
+
+def test_embedding_neardup_indexed_matches_bruteforce(spark, emb, tmp_path):
+    """The indexed incremental pair stage is EXACT: equals the
+    brute-force cross join (both orientations, round-then-filter) at
+    a loose threshold that forces wide probing, and its scoring plan
+    never shuffles the corpus (broadcast-only joins over the
+    directory-pruned read)."""
+    import re
+
+    from snowflake_medtech_vigilance_lakehouse_spark.functions.vectors import (
+        cosine_from_norms, l2_norm)
+
+    corpus = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding")
+    incr = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, idx, n_lists=8, seed=42)
+    got = sim.embedding_neardup_indexed(spark, idx, incr, threshold=0.35)
+
+    p = incr.select(F.col("vec_id").alias("_qid"),
+                    F.col("embedding").cast("array<double>").alias("_qv"),
+                    l2_norm(F.col("embedding")).alias("_qn"))
+    c = corpus.select(F.col("vec_id").alias("_cid"),
+                      F.col("embedding").cast("array<double>").alias("_cv"),
+                      l2_norm(F.col("embedding")).alias("_cn"))
+    ref = (c.crossJoin(F.broadcast(p))
+           .filter(F.col("_cid") != F.col("_qid"))
+           .select(F.least("_qid", "_cid").alias("id_1"),
+                   F.greatest("_qid", "_cid").alias("id_2"),
+                   F.round(cosine_from_norms(
+                       F.col("_qv"), F.col("_cv"),
+                       F.col("_qn"), F.col("_cn")), 6).alias("cosine"))
+           .filter(F.col("cosine") >= 0.35))
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in ref.collect()})
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"Exchange (?:hash|range|Single)", plan)
+    assert "BroadcastExchange" in plan
+
+
+def test_embedding_neardup_indexed_radii_survive_append(spark, emb,
+                                                        tmp_path):
+    """Appending a vector that EXPANDS its list's radius must expand
+    the persisted bound too — with a stale radius the next increment's
+    probe set would provably miss the appended vector's list and the
+    pair would silently vanish. Exercises the _ivf_update_radii
+    max-merge through the CDF refresh path."""
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        refresh_ivf_from_cdf)
+
+    corpus = emb.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, idx, n_lists=4, seed=42)
+
+    # an outlier far outside every list's current radius: its twin
+    # arriving later can only be found if the append grew the bound
+    dim = len(emb.first()["embedding"])
+    outlier = [100.0] * dim
+    tbl = str(tmp_path / "delta")
+    dl.write_delta(spark.createDataFrame(
+        [(900001, outlier)], "vec_id long, embedding array<float>"), tbl)
+    assert refresh_ivf_from_cdf(spark, tbl, idx) == [0]
+
+    twin = spark.createDataFrame(
+        [(900002, [float(x) for x in outlier])],
+        "vec_id long, embedding array<double>")
+    hits = sim.embedding_neardup_indexed(spark, idx, twin,
+                                         threshold=0.9).collect()
+    assert {(r["id_1"], r["id_2"]) for r in hits} == {(900001, 900002)}
+
+    # degenerate increment rows can never qualify and are dropped
+    dirty = spark.createDataFrame(
+        [(1, None), (2, [0.0] * dim), (3, [None] * dim)],
+        "vec_id long, embedding array<double>")
+    assert sim.embedding_neardup_indexed(
+        spark, idx, dirty, threshold=0.9).count() == 0
