@@ -1388,10 +1388,14 @@ def embedding_neardup_indexed(spark, path: str, new_vecs: DataFrame,
         F.zip_with(F.col("_qv"), F.col("_chat"), lambda a, b: a * b),
         F.lit(0.0), lambda acc, x: acc + x)
     d2 = F.lit(2.0) - F.lit(2.0) * dot / F.col("_qn")
+    # increment-bounded probe fan-out, referenced twice (the touched-
+    # list collect and the scoring join): localCheckpoint materializes
+    # it once instead of re-running the crossJoin folds per reference
     probe_rows = (
         q.crossJoin(F.broadcast(ctr_lit))
         .filter(F.col("_always") | (d2 <= F.col("_bound2")))
         .select("list_id", "_qid", "_qv", "_qn")
+        .localCheckpoint(eager=True)
     )
     touched = sorted(
         r[0] for r in probe_rows.select("list_id").distinct().collect())
