@@ -258,3 +258,87 @@ def domain_cap(docs: DataFrame, *, cap: int, domain_col: str = "source",
         .filter(F.col("keep_rank") < cap)
         .select(id_col, "domain", "keep_rank")
     )
+
+
+def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
+                            threshold: float = 0.5) -> list[int]:
+    """Streaming corpus curation from the lakehouse change feed — the
+    composition that closes the incremental-dedup loop: the documents
+    table is a governed Delta table; each commit's inserted docs are
+    near-dup-checked against the persisted MinHash store
+    (:func:`~.dedup.minhash_neardup_incremental`), a keep/reject
+    decision lands per doc, and the keeps are absorbed into the store
+    so LATER commits dedupe against them too. At 100 TB this is the
+    only affordable dedup cadence: corpus cost is paid once at store
+    build, every commit thereafter costs only its increment.
+
+    Keep rule (deterministic, the connected-components min-canonical
+    convention the semantic_dedup queries use): a doc is REJECTED iff
+    it near-dups any already-absorbed store doc, or any SMALLER-id doc
+    of its own commit; otherwise kept. Decisions persist to
+    ``{store_path}_decisions/tick=<commit_version>`` as
+    (id, keep boolean) — the audit trail of what the curator dropped
+    and why it is reproducible.
+
+    Protocol discipline is shared with the index refreshers
+    (:func:`~..streaming.index_refresh._consume_change_feed`):
+    high-water-mark sidecar at ``{store_path}_cdf_state``, tolerance
+    of maintenance-only commits, lineage-ownership guard over the
+    decisions dir, loud refusal of update/delete feeds (a changed doc
+    needs a store rebuild). Crash-safe at-least-once: decisions
+    overwrite idempotently per tick, the absorb skips already-present
+    ids (``append_minhash_store(skip_existing=True)``), and replayed
+    increments meeting their own absorbed copy are excluded from
+    self-pairing — a replay converges to the identical decisions.
+    Returns the commit versions processed.
+
+    Build the store first (:func:`~.dedup.build_minhash_store`, an
+    empty corpus is fine); the store's meta sidecar fixes the
+    signature family and the id/text column names."""
+    from ..streaming.index_refresh import _consume_change_feed
+    from .dedup import (append_minhash_store, _minhash_store_meta,
+                        minhash_neardup_incremental)
+
+    meta = _minhash_store_meta(store_path)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    feed, versions, advance = _consume_change_feed(
+        spark, delta_path, store_path + "_cdf_state",
+        op="curate_minhash_from_cdf",
+        contract=("the store holds one signature per doc and the "
+                  "decision trail is append-only; rebuild the store "
+                  "after updates/deletes"),
+        tick_dirs=[store_path + "_decisions"])
+    for v in versions:
+        batch = (feed.filter(F.col("_commit_version") == v)
+                 .select(id_col, text_col))
+        pairs = minhash_neardup_incremental(
+            spark, batch, store_path, threshold=threshold)
+        bids = batch.select(F.col(id_col).alias("_bid")).distinct()
+        flagged = (
+            pairs
+            .join(bids.select(F.col("_bid").alias("doc_id_1"),
+                              F.lit(1).alias("_in1")), "doc_id_1", "left")
+            .join(bids.select(F.col("_bid").alias("doc_id_2"),
+                              F.lit(1).alias("_in2")), "doc_id_2", "left")
+        )
+        # every pair touches >= 1 batch doc; the batch-side loser is
+        # id_1 only when id_1 is in the batch and id_2 is history
+        # (a historical partner always wins), else the larger id_2
+        rejected = flagged.select(
+            F.when(F.col("_in1").isNotNull() & F.col("_in2").isNull(),
+                   F.col("doc_id_1"))
+            .otherwise(F.col("doc_id_2")).alias("_rid")).distinct()
+        decisions = (
+            batch.select(F.col(id_col))
+            .join(rejected.withColumnRenamed("_rid", id_col)
+                  .withColumn("_rej", F.lit(1)), id_col, "left")
+            .select(id_col, F.col("_rej").isNull().alias("keep"))
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{store_path}_decisions/tick={v}")
+        keeps = (spark.read.parquet(f"{store_path}_decisions/tick={v}")
+                 .filter(F.col("keep"))
+                 .join(batch, id_col).select(batch.columns))
+        append_minhash_store(keeps, store_path, skip_existing=True)
+        advance(v)
+    return versions

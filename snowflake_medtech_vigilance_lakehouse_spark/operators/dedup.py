@@ -489,23 +489,34 @@ def _minhash_store_meta(path: str) -> dict:
         return json.load(f)
 
 
-def append_minhash_store(docs: DataFrame, path: str) -> None:
+def append_minhash_store(docs: DataFrame, path: str, *,
+                         skip_existing: bool = False) -> None:
     """Absorb an (already deduplicated) increment into the store —
     signature params come from the store's meta sidecar. Re-ingesting
-    a doc_id refuses loudly: the store holds one signature per doc,
-    and a duplicate would double its candidate generation (same
-    append-only contract as the postings index)."""
+    a doc_id refuses loudly by default: the store holds one signature
+    per doc, and a duplicate would double its candidate generation
+    (same append-only contract as the postings index).
+    ``skip_existing=True`` silently drops already-present ids instead
+    — the at-least-once replay mode :func:`curate_minhash_from_cdf`
+    needs (a crashed run may have absorbed its keeps before advancing
+    the high-water mark; the replay must converge, not crash-loop)."""
     meta = _minhash_store_meta(path)
     id_col = meta["id_col"]
     existing = docs.sparkSession.read.parquet(path + "_hashes")
-    dups = (docs.select(F.col(id_col).alias("_id")).distinct()
-            .join(existing.select("_id"), "_id").limit(5).collect())
-    if dups:
-        raise ValueError(
-            f"append_minhash_store refused: ids {[r[0] for r in dups]}… "
-            f"already present in {path}; the store holds one signature "
-            f"per doc — dedupe the increment (minhash_neardup_incremental) "
-            f"before absorbing it")
+    if skip_existing:
+        docs = (docs.join(
+            existing.select(F.col("_id").alias(id_col)), id_col,
+            "left_anti"))
+    else:
+        dups = (docs.select(F.col(id_col).alias("_id")).distinct()
+                .join(existing.select("_id"), "_id").limit(5).collect())
+        if dups:
+            raise ValueError(
+                f"append_minhash_store refused: ids "
+                f"{[r[0] for r in dups]}… already present in {path}; "
+                f"the store holds one signature per doc — dedupe the "
+                f"increment (minhash_neardup_incremental) before "
+                f"absorbing it")
     buckets, hashes = minhash_store_frames(
         docs, num_hashes=meta["num_hashes"], bands=meta["bands"],
         n=meta["n"], text_col=meta["text_col"], id_col=id_col,
@@ -565,6 +576,11 @@ def minhash_neardup_against(new_docs: DataFrame,
         corpus_buckets.join(
             F.broadcast(new_buckets.withColumnRenamed("_id", "_nid")),
             ["band", "bucket"])
+        # disjoint ids are the contract, but a REPLAYED increment
+        # (crash-recovery re-run after its keeps were absorbed) meets
+        # its own store copy here — a self-pair would score 1.0 and
+        # make every replayed keep reject itself
+        .filter(F.col("_id") != F.col("_nid"))
         .select(F.least("_id", "_nid").alias("id1"),
                 F.greatest("_id", "_nid").alias("id2"))
     )

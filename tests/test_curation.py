@@ -193,3 +193,79 @@ def test_subword_stats_known_values(spark):
     assert out[1]["n_subwords"] == 8 and out[1]["n_ws_tokens"] == 3
     assert out[2]["n_subwords"] == 3 and out[2]["n_ws_tokens"] == 3
     assert out[2]["subwords_per_token"] == 1.0
+
+
+def test_curate_minhash_from_cdf_end_to_end(spark, tmp_path):
+    """Streaming corpus curation from the Delta change feed: each
+    commit's docs are deduped against the persisted store, decisions
+    land per tick, keeps are absorbed (so later commits dedupe
+    against them), maintenance commits are tolerated, replays
+    converge, and update feeds refuse."""
+    import json
+
+    import pytest
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        dedup as dd)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        curate_minhash_from_cdf)
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+
+    store = str(tmp_path / "store")
+    tbl = str(tmp_path / "docs_delta")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    dd.build_minhash_store(_docs(spark, [(1, base)]), store,
+                           num_hashes=64, bands=32)
+
+    # commit 0: a dup of the store doc (10), an in-batch dup pair
+    # (11 < 12), and a unique doc (13)
+    other = "completely different words about spark shuffles and joins here"
+    dl.write_delta(_docs(spark, [
+        (10, base), (11, other), (12, other),
+        (13, "unique narrative token stream with no partner at all"),
+    ]), tbl)
+    assert curate_minhash_from_cdf(spark, tbl, store, threshold=0.5) == [0]
+    dec0 = {r["doc_id"]: r["keep"] for r in
+            spark.read.parquet(f"{store}_decisions/tick=0").collect()}
+    assert dec0 == {10: False, 11: True, 12: False, 13: True}
+
+    # commit 1: dup of commit-0 KEEP 11 -> rejected (keeps absorbed)
+    dl.write_delta(_docs(spark, [(20, other)]), tbl, mode="append")
+    assert curate_minhash_from_cdf(spark, tbl, store, threshold=0.5) == [1]
+    dec1 = {r["doc_id"]: r["keep"] for r in
+            spark.read.parquet(f"{store}_decisions/tick=1").collect()}
+    assert dec1 == {20: False}
+
+    # maintenance commit: tolerated, mark advances, nothing decided
+    dl.compact_delta(spark, tbl)
+    assert curate_minhash_from_cdf(spark, tbl, store) == []
+
+    # crash replay: rewind the high-water mark to before commit 1 and
+    # re-run — identical decisions, store unchanged (no self-pair
+    # rejection, no duplicate absorb, no refusal crash)
+    n_store = spark.read.parquet(store + "_hashes").count()
+    state = f"{store}_cdf_state/state.json"
+    with open(state, "w") as f:
+        json.dump({"last_commit_version": 0}, f)
+    assert curate_minhash_from_cdf(spark, tbl, store) == [1]
+    dec1b = {r["doc_id"]: r["keep"] for r in
+             spark.read.parquet(f"{store}_decisions/tick=1").collect()}
+    assert dec1b == dec1
+    assert spark.read.parquet(store + "_hashes").count() == n_store
+
+    # lineage guard: a lost state sidecar over existing decisions
+    import shutil
+    shutil.rmtree(store + "_cdf_state")
+    with pytest.raises(ValueError, match="maintenance lineage"):
+        curate_minhash_from_cdf(spark, tbl, store)
+    import os
+    os.makedirs(store + "_cdf_state", exist_ok=True)
+    with open(state, "w") as f:
+        json.dump({"last_commit_version": 2}, f)  # post-compact head
+
+    # update feed refuses: a changed doc needs a store rebuild
+    dl.merge_delta(spark, tbl, _docs(spark, [(13, "rewritten text")]),
+                   on=["doc_id"], when_matched="update",
+                   when_not_matched=None, change_data=True)
+    with pytest.raises(ValueError, match="rebuild the store"):
+        curate_minhash_from_cdf(spark, tbl, store)
