@@ -342,3 +342,95 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
         append_minhash_store(keeps, store_path, skip_existing=True)
         advance(v)
     return versions
+
+
+def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
+                               threshold: float = 0.9,
+                               vec_col: str = "embedding") -> list[int]:
+    """Vector twin of :func:`curate_minhash_from_cdf` — streaming
+    SemDedup from the lakehouse change feed: each commit's inserted
+    vectors are near-dup-checked against the persisted IVF index
+    (:func:`~.similarity.embedding_neardup_indexed` — EXACT via the
+    per-list radius bound) plus their own commit (in-batch fold
+    pairs), a keep/reject decision lands per tick under
+    ``{index_path}_decisions``, and the keeps are absorbed into the
+    index through the shared tick publisher so later commits dedupe
+    against them — the index stays the single serving artifact for
+    kNN, ANN retrieval, AND dedup gating.
+
+    Keep rule matches the minhash loop (min-canonical): reject iff
+    the vector near-dups any indexed vector or a smaller-id vector of
+    its own commit. The index id column name is read from the index
+    schema itself (single non-reserved column), so the loop cannot
+    drift from the layout it maintains.
+
+    Crash-safe at-least-once, with NO id filtering needed on absorb:
+    ``_ivf_append_batch`` publishes under ``tick<commit_version>-``
+    names, so a replayed commit OVERWRITES its own tick (and max-merges
+    the radius sidecar idempotently) instead of duplicating rows;
+    replayed keeps meeting their own absorbed copy are excluded from
+    pairing by the serving op's self-id filter, so decisions replay
+    identically. One maintenance source per index: the ownership guard
+    refuses to start over ticks another lineage (streaming refresh or
+    :func:`~..streaming.index_refresh.refresh_ivf_from_cdf`) produced,
+    and vice versa."""
+    from ..streaming.index_refresh import (_consume_change_feed,
+                                           _ivf_append_batch)
+    from .similarity import (embedding_neardup_indexed,
+                             embedding_neardup_pairs)
+
+    reserved = {"_v", "_nrm", "list_id", "_v8", "_qs", "_n8"}
+    idx_cols = [c for c in spark.read.parquet(index_path).columns
+                if c not in reserved]
+    if len(idx_cols) != 1:
+        raise ValueError(
+            f"cannot infer the id column of {index_path}: non-reserved "
+            f"columns {idx_cols}")
+    id_col = idx_cols[0]
+    feed, versions, advance = _consume_change_feed(
+        spark, delta_path, index_path + "_curate_cdf_state",
+        op="curate_embeddings_from_cdf",
+        contract=("the index holds one row per vector id and the "
+                  "decision trail is append-only; rebuild the index "
+                  "after updates/deletes"),
+        tick_dirs=[index_path + "_growth", index_path + "_decisions"],
+        file_prefix_root=index_path)
+    for v in versions:
+        batch = (feed.filter(F.col("_commit_version") == v)
+                 .select(id_col, vec_col))
+        cross = embedding_neardup_indexed(
+            spark, index_path, batch, threshold,
+            id_col=id_col, vec_col=vec_col)
+        intra = embedding_neardup_pairs(
+            batch, batch, threshold, id_col=id_col, vec_col=vec_col)
+        # a replayed keep is in BOTH the index and the batch, so the
+        # same pair can surface through both stages — identical
+        # (id_1, id_2, cosine) rows, collapsed by distinct
+        pairs = cross.unionByName(intra).distinct()
+        bids = batch.select(F.col(id_col).alias("_bid")).distinct()
+        flagged = (
+            pairs
+            .join(bids.select(F.col("_bid").alias("id_1"),
+                              F.lit(1).alias("_in1")), "id_1", "left")
+            .join(bids.select(F.col("_bid").alias("id_2"),
+                              F.lit(1).alias("_in2")), "id_2", "left")
+        )
+        rejected = flagged.select(
+            F.when(F.col("_in1").isNotNull() & F.col("_in2").isNull(),
+                   F.col("id_1"))
+            .otherwise(F.col("id_2")).alias("_rid")).distinct()
+        decisions = (
+            batch.select(F.col(id_col))
+            .join(rejected.withColumnRenamed("_rid", id_col)
+                  .withColumn("_rej", F.lit(1)), id_col, "left")
+            .select(id_col, F.col("_rej").isNull().alias("keep"))
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{index_path}_decisions/tick={v}")
+        keeps = (spark.read.parquet(f"{index_path}_decisions/tick={v}")
+                 .filter(F.col("keep"))
+                 .join(batch, id_col).select(batch.columns))
+        _ivf_append_batch(keeps, index_path, v, id_col=id_col,
+                          vec_col=vec_col)
+        advance(v)
+    return versions

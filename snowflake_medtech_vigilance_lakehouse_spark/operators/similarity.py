@@ -1295,7 +1295,8 @@ def knn_ivf_indexed_compressed(spark, path: str, queries: DataFrame | list,
 def embedding_neardup_indexed(spark, path: str, new_vecs: DataFrame,
                               threshold: float = 0.9, *,
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              max_driver_queries: int = 16384) -> DataFrame:
     """INCREMENTAL embedding near-dup against a persisted
     :func:`build_ivf_index` corpus — the vector twin of
     :func:`~.dedup.minhash_neardup_incremental`: an arriving batch is
@@ -1315,12 +1316,21 @@ def embedding_neardup_indexed(spark, path: str, new_vecs: DataFrame,
     other. Cost adapts to threshold tightness exactly like the
     bucketed pair stage's default-exact mode.
 
-    Plan shape: probe resolution is a broadcast crossJoin of the
-    increment against the n_lists-row centroid+radius literal (pure
-    codegen folds, no Python); ONE bounded collect (the distinct
-    probed list ids, <= n_lists values) drives the directory-pruned
-    index read; the probe rows broadcast into the final scoring join.
-    The increment is bounded by contract (a daily batch); a
+    Plan shape: increments up to ``max_driver_queries`` rows take the
+    GEMM path — the increment is collected (the same movement the
+    blocked variant's broadcast makes), probe sets resolve in one
+    driver numpy product against the centroid matrix (ZERO Spark jobs
+    before the single scan), and the pruned index STREAMS through
+    ``mapInPandas`` scoring each Arrow batch against its list's probe
+    matrix in one float64 GEMM (the fold variant pays an interpreted
+    HOF dot per PAIR — measured 10.6 s vs sub-second on the sf1 bench
+    increment at the loose threshold). Numerics follow the blocked
+    kernel's discipline: 1e-6 slack prefilter in numpy, the exact
+    ``round(_, 6) >= threshold`` contract applied JVM-side. A larger
+    increment falls back to the fully in-plan shape — broadcast
+    crossJoin probe resolution (codegen folds), one bounded collect
+    (distinct probed list ids), broadcast scoring join — identical
+    results (fold≡GEMM pytest-pinned), no driver materialization; a
     corpus-scale "increment" belongs in
     :func:`embedding_neardup_pairs_bucketed` over the union.
 
@@ -1369,6 +1379,19 @@ def embedding_neardup_indexed(spark, path: str, new_vecs: DataFrame,
         lists.append((int(lid), chat, float(bound2), bool(always)))
     if not lists:
         return _empty()
+
+    # GEMM path for bounded increments: collect the cleaned increment
+    # (cap + 1 to detect overflow), resolve probe sets in one driver
+    # numpy product, stream the pruned index through mapInPandas
+    q_rows = (new_vecs.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
+        .select(id_col, F.col(vec_col).cast("array<double>"))
+        .limit(max_driver_queries + 1).collect())
+    if len(q_rows) <= max_driver_queries:
+        return _indexed_pairs_gemm(spark, path, q_rows, lists,
+                                   threshold, id_col, id_sql, _empty)
+
     ctr_lit = spark.createDataFrame(
         lists, "list_id int, _chat array<double>, _bound2 double, "
                "_always boolean")
@@ -1414,6 +1437,89 @@ def embedding_neardup_indexed(spark, path: str, new_vecs: DataFrame,
                 F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_nrm")
             ), 6).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _indexed_pairs_gemm(spark, path: str, q_rows, lists,
+                        threshold: float, id_col: str, id_sql: str,
+                        empty) -> DataFrame:
+    """GEMM half of :func:`embedding_neardup_indexed`: driver-side
+    probe resolution over the collected increment, then one
+    ``mapInPandas`` pass over the directory-pruned index — each Arrow
+    batch scores against its list's probe matrix in a single float64
+    product. Numerics are the blocked kernel's: 1e-6 slack prefilter
+    in numpy against RAW scores, the exact ``round(_, 6) >=
+    threshold`` decimal contract applied JVM-side on top
+    (fold≡GEMM is pytest-pinned). The corpus-side norm is the STORED
+    ``_nrm`` (the build-time sequential fold), so the denominator
+    matches the fold path bit-for-bit on that side."""
+    import numpy as np
+    import pandas as pd
+
+    d = len(lists[0][1])
+    clean = [(r[0], r[1]) for r in q_rows if len(r[1]) == d]
+    if not clean:
+        return empty()
+    qids = [c[0] for c in clean]
+    Q = np.array([c[1] for c in clean], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    ok = qn > 0
+    if not ok.all():
+        qids = [qid for qid, k in zip(qids, ok) if k]
+        Q, qn = Q[ok], qn[ok]
+    if not len(qids):
+        return empty()
+    U = Q / qn[:, np.newaxis]
+    lids = [e[0] for e in lists]
+    Chat = np.array([e[1] for e in lists], dtype=np.float64)
+    bound2 = np.array([e[2] for e in lists], dtype=np.float64)
+    always = np.array([e[3] for e in lists], dtype=bool)
+    d2 = 2.0 - 2.0 * (U @ Chat.T)
+    mask = always[np.newaxis, :] | (d2 <= bound2[np.newaxis, :])
+    per_list = {}
+    for j, lid in enumerate(lids):
+        sel = np.nonzero(mask[:, j])[0]
+        if len(sel):
+            per_list[lid] = ([qids[i] for i in sel],
+                             Q[sel].T.copy(), qn[sel])
+    if not per_list:
+        return empty()
+    idx = _pruned_index_read(spark, path, sorted(per_list))
+    if idx is None:
+        return empty()
+    slack = float(threshold) - 1.001e-6
+
+    def score(batches):
+        for pdf in batches:
+            for lid, grp in pdf.groupby("list_id"):
+                ent = per_list.get(int(lid))
+                if ent is None:
+                    continue
+                qids_l, Pt, pn = ent
+                C = np.stack(grp["_v"].to_numpy()).astype(np.float64)
+                cn = grp["_nrm"].to_numpy(dtype=np.float64)
+                cids = grp[id_col].to_numpy()
+                qarr = np.array(qids_l, dtype=object)
+                denom = np.outer(cn, pn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (C @ Pt) / denom
+                keep = (denom != 0) & (cos >= slack) & (
+                    qarr[np.newaxis, :] != cids[:, np.newaxis])
+                ci, pi = np.nonzero(keep)
+                if not len(ci):
+                    continue
+                yield pd.DataFrame({
+                    "_qid": [qids_l[p] for p in pi],
+                    "_cid": cids[ci], "_raw": cos[ci, pi]})
+
+    raw = (idx.select("list_id", id_col, "_v", "_nrm")
+           .mapInPandas(score, f"_qid {id_sql}, _cid {id_sql}, _raw double"))
+    return (
+        raw.select(
+            F.least(F.col("_qid"), F.col("_cid")).alias("id_1"),
+            F.greatest(F.col("_qid"), F.col("_cid")).alias("id_2"),
+            F.round(F.col("_raw"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -826,6 +826,13 @@ def test_embedding_neardup_indexed_matches_bruteforce(spark, emb, tmp_path):
     idx = str(tmp_path / "ivf")
     sim.build_ivf_index(corpus, idx, n_lists=8, seed=42)
     got = sim.embedding_neardup_indexed(spark, idx, incr, threshold=0.35)
+    # over-cap increments route to the in-plan fold path — identical
+    # pairs (the fold≡GEMM pin; numerics differ only past the 6 dp
+    # rounding contract)
+    fold = sim.embedding_neardup_indexed(spark, idx, incr, threshold=0.35,
+                                         max_driver_queries=0)
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in fold.collect()})
 
     p = incr.select(F.col("vec_id").alias("_qid"),
                     F.col("embedding").cast("array<double>").alias("_qv"),
@@ -844,9 +851,14 @@ def test_embedding_neardup_indexed_matches_bruteforce(spark, emb, tmp_path):
     assert ({tuple(r) for r in got.collect()}
             == {tuple(r) for r in ref.collect()})
 
+    # neither path ever shuffles the corpus: the GEMM plan is a pruned
+    # scan + mapInPandas, the fold plan is broadcast-join only
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert not re.findall(r"Exchange (?:hash|range|Single)", plan)
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    fplan = fold._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"Exchange (?:hash|range|Single)", fplan)
+    assert "BroadcastExchange" in fplan
 
 
 def test_embedding_neardup_indexed_radii_survive_append(spark, emb,
