@@ -663,6 +663,14 @@ def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
     spark = batch.sparkSession
     centroids = spark.read.parquet(path + "_centroids")
     assigned = assign_ivf_lists(batch, centroids, id_col, vec_col)
+    if assigned.isEmpty():
+        # an empty tick (empty streaming microbatch, or a curation
+        # commit with zero keeps) publishes NOTHING: partitionBy
+        # writes no files for zero rows, so the staged re-read below
+        # would fail schema inference — and an empty growth tick dir
+        # would break the sidecar read the same way. Skipping is
+        # replay-idempotent (same epoch, same empty input).
+        return
     if "_v8" in spark.read.parquet(path).schema.fieldNames():
         # a quantize_int8 index: appended ticks must carry the same
         # int8 code columns or the compressed tier would read their

@@ -269,3 +269,79 @@ def test_curate_minhash_from_cdf_end_to_end(spark, tmp_path):
                    when_not_matched=None, change_data=True)
     with pytest.raises(ValueError, match="rebuild the store"):
         curate_minhash_from_cdf(spark, tbl, store)
+
+
+def test_curate_embeddings_from_cdf_end_to_end(spark, tmp_path):
+    """Vector curation from the change feed: decisions against the
+    IVF index per commit, keeps absorbed via the shared tick publisher
+    (so later commits — and replays — dedupe against them), replay
+    converges with no duplicate rows, update feeds refuse."""
+    import json
+
+    import pytest
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        similarity as sim)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        curate_embeddings_from_cdf)
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")\
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 200)
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, n_lists=4, seed=42)
+    base = [float(x) for x in emb.first()["embedding"]]
+    far = [100.0] + [0.0] * (len(base) - 1)
+
+    tbl = str(tmp_path / "delta")
+    # commit 0: 900 dups an indexed vector (base twin -> reject),
+    # 901/902 are an in-batch dup pair (min-id 901 kept), 903 unique
+    dl.write_delta(spark.createDataFrame(
+        [(900, base), (901, far), (902, far),
+         (903, [0.0] * (len(base) - 1) + [50.0])],
+        "vec_id long, embedding array<double>"), tbl)
+    assert curate_embeddings_from_cdf(spark, tbl, idx,
+                                      threshold=0.95) == [0]
+    dec0 = {r["vec_id"]: r["keep"] for r in
+            spark.read.parquet(f"{idx}_decisions/tick=0").collect()}
+    assert dec0 == {900: False, 901: True, 902: False, 903: True}
+    n_after0 = spark.read.parquet(idx).count()
+    assert n_after0 == emb.count() + 2  # 901 and 903 absorbed
+
+    # commit 1: a dup of absorbed keep 901 -> rejected (and the
+    # radius sidecar grew with 901's append, so the probe finds it)
+    dl.write_delta(spark.createDataFrame(
+        [(910, far)], "vec_id long, embedding array<double>"),
+        tbl, mode="append")
+    assert curate_embeddings_from_cdf(spark, tbl, idx,
+                                      threshold=0.95) == [1]
+    dec1 = {r["vec_id"]: r["keep"] for r in
+            spark.read.parquet(f"{idx}_decisions/tick=1").collect()}
+    assert dec1 == {910: False}
+
+    # replay: rewind the mark, re-run commit 0+1 — identical
+    # decisions, no duplicate index rows (tick overwrite idempotency)
+    state = f"{idx}_curate_cdf_state/state.json"
+    with open(state, "w") as f:
+        json.dump({"last_commit_version": -1}, f)
+    assert curate_embeddings_from_cdf(spark, tbl, idx,
+                                      threshold=0.95) == [0, 1]
+    dec0b = {r["vec_id"]: r["keep"] for r in
+             spark.read.parquet(f"{idx}_decisions/tick=0").collect()}
+    assert dec0b == dec0
+    assert spark.read.parquet(idx).count() == n_after0
+
+    # one maintenance source per index: refresh_ivf_from_cdf over the
+    # curated index (no refresh-owned _cdf_state) refuses
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        refresh_ivf_from_cdf)
+    with pytest.raises(ValueError, match="maintenance lineage"):
+        refresh_ivf_from_cdf(spark, tbl, idx)
+
+    # update feed refuses
+    dl.merge_delta(spark, tbl, spark.createDataFrame(
+        [(903, [1.0] * len(base))], "vec_id long, embedding array<double>"),
+        on=["vec_id"], when_matched="update", when_not_matched=None,
+        change_data=True)
+    with pytest.raises(ValueError, match="rebuild the index"):
+        curate_embeddings_from_cdf(spark, tbl, idx, threshold=0.95)
