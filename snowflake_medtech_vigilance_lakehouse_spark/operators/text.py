@@ -300,3 +300,86 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
             (nb - bg_stats["singles"]).cast("double") / nb.cast("double"), 6)
         ).alias("dup_bigram_frac"),
     )
+
+
+def vocab_topk(docs: DataFrame, k: int = 1000, text_col: str = "text") -> DataFrame:
+    """Tokenizer-vocabulary coverage: the corpus's ``k`` most frequent
+    whitespace tokens with rank, frequency, and CUMULATIVE corpus
+    coverage — the table a tokenizer-training run reads to pick a
+    vocab size ("the top 32k tokens cover 99.2% of occurrences").
+
+    Returns (rank, token, freq, cum_coverage), ties broken
+    deterministically by token text so the output is
+    engine-reproducible.
+
+    100 TB shape: one partial-agg exchange (groupBy token), then a
+    TakeOrderedAndProject of the top ``k`` — the only ordered state is
+    the k-row result, so the single-partition ranking window at the
+    end is bounded by ``k``, never by the corpus. The coverage
+    denominator is a 1-row total joined by broadcast."""
+    from pyspark.sql.window import Window
+
+    tok = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").cast("double").alias("_total"))
+    topk = freq.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    cum = Window.orderBy(F.desc("freq"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "token",
+            F.col("freq").cast("long").alias("freq"),
+            F.round(
+                F.sum("freq").over(cum).cast("double") / F.col("_total"), 6
+            ).alias("cum_coverage"),
+        )
+    )
+
+
+def char_lm_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Character-bigram language-model score per document — the
+    deterministic stand-in for the CCNet/Wikipedia-KenLM perplexity
+    filter (Wenzek et al. 2020): documents whose character
+    transitions are unusual FOR THIS CORPUS score low and are
+    filter candidates. The "model" is the corpus's own char-bigram
+    frequency table; a doc's score is the mean log-probability
+    ``avg(ln(count(bigram) / total_bigrams))`` over its (overlapping)
+    character bigrams.
+
+    Returns (doc_id, n_bigrams, avg_logprob) — avg_logprob NULL for
+    documents shorter than 2 characters, rounded to 6.
+
+    100 TB shape: the model table is at most |charset|^2 rows
+    regardless of corpus size, so the scoring join is a BROADCAST —
+    the corpus-wide passes are (1) a partial-agg groupBy building the
+    model and (2) a per-doc re-aggregation after the broadcast join;
+    no sort, no skew surface (the per-doc groupBy key is the doc id).
+    Char bigrams come from one ``transform`` over an index sequence
+    with ``substring`` — pure codegen, no Python."""
+    bigrams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - 1, 0)),"
+        f" i -> substring({text_col}, i, 2))"
+    )
+    base = docs.select(F.col(id_col).alias("_id"), bigrams.alias("_bg"))
+    exploded = base.select("_id", F.explode_outer("_bg").alias("_b"))
+    model = (
+        exploded.filter(F.col("_b").isNotNull())
+        .groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    total = model.agg(F.sum("_c").cast("double").alias("_total"))
+    scored = (
+        exploded.join(F.broadcast(model), "_b", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.count("_b").cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("_c").cast("double") / F.col("_total"))),
+                    6).alias("avg_logprob"),
+        )
+    )
+    return scored.select(F.col("_id").alias(id_col), "n_bigrams", "avg_logprob")

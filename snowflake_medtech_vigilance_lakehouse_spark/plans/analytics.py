@@ -2226,6 +2226,104 @@ FROM g
 """
 
 
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication (round 8): per document,
+    how many 8-token spans repeat verbatim anywhere in the corpus and
+    what fraction of the document's tokens lie under such a span
+    (interval union) — the ExactSubstr tier of the dedup family
+    (operators/dedup.py:duplicated_span_stats). The oracle rebuilds
+    the positioned spans with a DuckDB list comprehension and the same
+    HAVING count(*) >= 2 duplication rule."""
+    return dd.duplicated_span_stats(_t(spark, sf_dir, "documents"), n=8)
+
+
+ORACLE_EXACT_SUBSTR = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id, s.pos AS pos, s.gram AS gram
+  FROM (
+    SELECT doc_id,
+           unnest([{'pos': i, 'gram': array_to_string(t[i:i+7], ' ')}
+                   for i in range(1, len(t) - 6)]) AS s
+    FROM tok
+  )
+), dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+), cov AS (
+  SELECT g.doc_id, count(*) AS dup_ngrams,
+         len(list_distinct(flatten(list(range(g.pos, g.pos + 8)))))
+           AS dup_covered
+  FROM g JOIN dupg USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       len(t.t)::BIGINT AS n_tokens,
+       coalesce(c.dup_ngrams, 0)::BIGINT AS dup_ngrams,
+       coalesce(c.dup_covered, 0)::BIGINT AS dup_covered,
+       round(coalesce(c.dup_covered, 0)::DOUBLE / len(t.t), 6) AS dup_ratio
+FROM tok t LEFT JOIN cov c USING (doc_id)
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage (round 8): the 500 most frequent
+    whitespace tokens with rank, frequency, and cumulative corpus
+    coverage — the vocab-sizing table of a tokenizer-training run
+    (operators/text.py:vocab_topk). Ordered state is bounded by k, so
+    the only corpus-wide work is one partial-agg exchange."""
+    return tx.vocab_topk(_t(spark, sf_dir, "documents"), k=500)
+
+
+ORACLE_VOCAB_TOPK = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), f AS (
+  SELECT token, count(*) AS freq FROM tok GROUP BY token
+), r AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rank,
+         sum(freq) OVER (ORDER BY freq DESC, token
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM f
+)
+SELECT rank::BIGINT AS rank, token, freq::BIGINT AS freq,
+       round(cum::DOUBLE / (SELECT sum(freq) FROM f), 6) AS cum_coverage
+FROM r WHERE rank <= 500
+"""
+
+
+def q_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM quality score (round 8): mean log-probability of
+    each document's character transitions under the corpus's own
+    bigram frequency table — the deterministic stand-in for the
+    CCNet/KenLM perplexity filter (operators/text.py:char_lm_score).
+    The model table is charset-bounded, so the scoring join is a
+    broadcast at any corpus size."""
+    return tx.char_lm_score(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_CHAR_LM = """
+WITH bg AS (
+  SELECT doc_id,
+         unnest([substring(text, i, 2) for i in range(1, len(text))]) AS b
+  FROM documents
+), model AS (
+  SELECT b, count(*) AS c FROM bg GROUP BY b
+), tot AS (
+  SELECT sum(c)::DOUBLE AS total FROM model
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       s.avg_logprob
+FROM documents d LEFT JOIN (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         round(avg(ln(model.c / (SELECT total FROM tot))), 6) AS avg_logprob
+  FROM bg JOIN model USING (b) GROUP BY bg.doc_id
+) s USING (doc_id)
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (round 8): keep at most 10
     documents per source, selected by deterministic content-hash rank
@@ -2728,6 +2826,9 @@ QUERIES: dict[str, QueryFn] = {
     "variant_navigate": q_variant_navigate,
     "repetition_stats": q_repetition_stats,
     "domain_cap": q_domain_cap,
+    "exact_substr": q_exact_substr,
+    "vocab_topk": q_vocab_topk,
+    "char_lm_score": q_char_lm_score,
 }
 
 # Driver-sampling insurance (VERDICT r7 #6): the driver's CORRECTNESS
@@ -2737,6 +2838,7 @@ QUERIES: dict[str, QueryFn] = {
 # lead the iteration order, so a prefix-sampling driver reaches them
 # first. Contents are unchanged — this is a reordering only.
 _NEVER_DRIVER_SAMPLED = (
+    "exact_substr", "vocab_topk", "char_lm_score",
     "minhash_incremental", "embedding_neardup_incremental",
     "variant_navigate", "repetition_stats", "domain_cap", "decontamination", "hard_negatives",
     "pack_sequences", "pii_redact", "training_mix_sample",
@@ -2749,6 +2851,9 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "exact_substr": ORACLE_EXACT_SUBSTR,
+    "vocab_topk": ORACLE_VOCAB_TOPK,
+    "char_lm_score": ORACLE_CHAR_LM,
     "variant_navigate": ORACLE_VARIANT_NAVIGATE,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "domain_cap": ORACLE_DOMAIN_CAP,

@@ -899,3 +899,29 @@ def test_embedding_neardup_indexed_radii_survive_append(spark, emb,
         "vec_id long, embedding array<double>")
     assert sim.embedding_neardup_indexed(
         spark, idx, dirty, threshold=0.9).count() == 0
+
+
+def test_duplicated_span_stats_exact_values(spark):
+    # hand-computed ExactSubstr coverage, incl. intra-doc repeats and
+    # the interval union (overlapping duplicated spans are not
+    # double-counted) and the <n-token zero row
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.dedup import (
+        duplicated_span_stats)
+
+    df = spark.createDataFrame([
+        (1, "a b c d e"),   # "a b c" repeats in doc 2
+        (2, "x a b c y"),
+        (3, "z z"),         # shorter than the span
+        (4, "q q q q"),     # intra-doc repeat: "q q q" at pos 1 and 2
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           duplicated_span_stats(df, n=3).collect()}
+    assert (got[1]["n_tokens"], got[1]["dup_ngrams"],
+            got[1]["dup_covered"], got[1]["dup_ratio"]) == (5, 1, 3, 0.6)
+    assert (got[2]["dup_ngrams"], got[2]["dup_covered"],
+            got[2]["dup_ratio"]) == (1, 3, 0.6)
+    assert (got[3]["n_tokens"], got[3]["dup_ngrams"],
+            got[3]["dup_covered"], got[3]["dup_ratio"]) == (2, 0, 0, 0.0)
+    # union of {1,2,3} and {2,3,4} is 4 positions, not 6
+    assert (got[4]["n_tokens"], got[4]["dup_ngrams"],
+            got[4]["dup_covered"], got[4]["dup_ratio"]) == (4, 2, 4, 1.0)
