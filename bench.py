@@ -178,6 +178,12 @@ HEADLINE = (
     # components loop runs eagerly at plan-construction time, so a
     # noop-write rep would time only the final join (see PLANS.md)
     "hard_negatives",
+    # round-8 text/dedup additions: span-level ExactSubstr stats, the
+    # vocab-coverage table, and the char-bigram LM score
+    "exact_substr",
+    "vocab_topk",
+    "char_lm_score",
+    "gopher_filter",
 )
 
 

@@ -15,6 +15,7 @@ from .dedup import (  # noqa: F401
     connected_components,
     simhash,
     simhash_pairs,
+    duplicated_span_stats,
 )
 from .similarity import (  # noqa: F401
     knn_bruteforce,
@@ -33,4 +34,6 @@ from .text import (  # noqa: F401
     quality_score,
     doc_fingerprint,
     bm25_scores,
+    vocab_topk,
+    char_lm_score,
 )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from .dedup import _shingled, md5_hash32
 
 __all__ = ["decontaminate", "stratified_sample", "pack_sequences",
-           "hard_negatives"]
+           "hard_negatives", "gopher_filter"]
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, *, n: int = 3,
@@ -434,3 +434,81 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
                           vec_col=vec_col)
         advance(v)
     return versions
+
+
+def gopher_filter(docs: DataFrame, *, min_tokens: int = 50,
+                  max_tokens: int = 100_000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  min_stopword_frac: float = 0.02,
+                  max_top_token_frac: float = 0.4,
+                  stopwords: tuple[str, ...] | None = None,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style heuristic document filter, fused into ONE
+    projection pass — the rule battery of Rae et al. 2021 §A1.1 and
+    the C4 cleanup heuristics (token-count window, mean word length
+    window, stopword floor, top-token repetition ceiling), evaluated
+    together so a 100 TB corpus is scanned once, not once per rule.
+
+    Returns every document with its signals and the verdict:
+    (doc_id, n_tokens, mean_word_len, stopword_frac, top_token_frac,
+    keep, reasons) where ``reasons`` is a comma-joined list of the
+    failed rule codes (empty string when kept). Emitting signals +
+    verdict instead of dropping rows keeps the operator auditable —
+    the downstream filter is `WHERE keep`, and threshold sweeps read
+    the same output.
+
+    Rule comparisons use the ROUNDED (6 dp) signal values, so the
+    verdicts are bit-reproducible across engines — the same contract
+    the rest of the registry's float outputs follow.
+
+    100 TB shape: zero shuffles, zero Python — token array built
+    once and materialized in its own projection (the no-CSE-in-lambda
+    rule), every signal a higher-order-function fold over it inside
+    whole-stage codegen."""
+    from .text import DEFAULT_STOPWORDS, _sorted_run_stats
+
+    sw = tuple(stopwords) if stopwords is not None else DEFAULT_STOPWORDS
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_t"),
+    )
+    n = F.size("_t")
+    mean_wl = F.round(
+        F.aggregate("_t", F.lit(0),
+                    lambda acc, x: acc + F.length(x)).cast("double")
+        / n.cast("double"), 6)
+    sw_frac = F.round(
+        F.size(F.filter("_t", lambda x: x.isin(*sw))).cast("double")
+        / n.cast("double"), 6)
+    top_frac = F.round(
+        _sorted_run_stats(F.array_sort("_t"))["maxrun"].cast("double")
+        / n.cast("double"), 6)
+    sig = base.select(
+        "_id",
+        n.cast("long").alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        sw_frac.alias("stopword_frac"),
+        top_frac.alias("top_token_frac"),
+    )
+    fails = F.array(
+        F.when(F.col("n_tokens") < min_tokens, F.lit("len_lo")),
+        F.when(F.col("n_tokens") > max_tokens, F.lit("len_hi")),
+        F.when(F.col("mean_word_len") < min_mean_word_len,
+               F.lit("wordlen_lo")),
+        F.when(F.col("mean_word_len") > max_mean_word_len,
+               F.lit("wordlen_hi")),
+        F.when(F.col("stopword_frac") < min_stopword_frac,
+               F.lit("stopword")),
+        F.when(F.col("top_token_frac") > max_top_token_frac,
+               F.lit("repetition")),
+    )
+    reasons = F.array_join(
+        F.filter(fails, lambda x: x.isNotNull()), ",")
+    return sig.select(
+        F.col("_id").alias(id_col),
+        "n_tokens", "mean_word_len", "stopword_frac", "top_token_frac",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -2324,6 +2324,53 @@ FROM documents d LEFT JOIN (
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 heuristic filter battery (round 8), fused into one
+    zero-shuffle projection pass: token-count window, mean-word-length
+    window, stopword floor, top-token repetition ceiling — signals +
+    keep verdict + failed-rule codes per document
+    (operators/curation.py:gopher_filter). Thresholds here are tuned
+    so the synthetic fixture exercises both verdicts and several
+    reason codes."""
+    return cu.gopher_filter(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=20, min_mean_word_len=3.5,
+        min_stopword_frac=0.04, max_top_token_frac=0.09,
+    )
+
+
+ORACLE_GOPHER_FILTER = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         len(w)::BIGINT AS n_tokens,
+         round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+               / len(w), 6) AS mean_word_len,
+         round(len(list_filter(w, x -> x = 'the' OR x = 'a'))::DOUBLE
+               / len(w), 6) AS stopword_frac,
+         round(list_max(list_transform(list_distinct(w),
+               d -> len(list_filter(w, x -> x = d))))::DOUBLE
+               / len(w), 6) AS top_token_frac
+  FROM t
+), r AS (
+  SELECT *,
+         coalesce(array_to_string(list_filter([
+           CASE WHEN n_tokens < 20 THEN 'len_lo' END,
+           CASE WHEN n_tokens > 100000 THEN 'len_hi' END,
+           CASE WHEN mean_word_len < 3.5 THEN 'wordlen_lo' END,
+           CASE WHEN mean_word_len > 10.0 THEN 'wordlen_hi' END,
+           CASE WHEN stopword_frac < 0.04 THEN 'stopword' END,
+           CASE WHEN top_token_frac > 0.09 THEN 'repetition' END
+         ], x -> x IS NOT NULL), ','), '') AS reasons
+  FROM s
+)
+SELECT doc_id, n_tokens, mean_word_len, stopword_frac, top_token_frac,
+       reasons = '' AS keep, reasons
+FROM r
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (round 8): keep at most 10
     documents per source, selected by deterministic content-hash rank
@@ -2829,6 +2876,7 @@ QUERIES: dict[str, QueryFn] = {
     "exact_substr": q_exact_substr,
     "vocab_topk": q_vocab_topk,
     "char_lm_score": q_char_lm_score,
+    "gopher_filter": q_gopher_filter,
 }
 
 # Driver-sampling insurance (VERDICT r7 #6): the driver's CORRECTNESS
@@ -2838,7 +2886,7 @@ QUERIES: dict[str, QueryFn] = {
 # lead the iteration order, so a prefix-sampling driver reaches them
 # first. Contents are unchanged — this is a reordering only.
 _NEVER_DRIVER_SAMPLED = (
-    "exact_substr", "vocab_topk", "char_lm_score",
+    "exact_substr", "vocab_topk", "char_lm_score", "gopher_filter",
     "minhash_incremental", "embedding_neardup_incremental",
     "variant_navigate", "repetition_stats", "domain_cap", "decontamination", "hard_negatives",
     "pack_sequences", "pii_redact", "training_mix_sample",
@@ -2854,6 +2902,7 @@ ORACLES: dict[str, str] = {
     "exact_substr": ORACLE_EXACT_SUBSTR,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "char_lm_score": ORACLE_CHAR_LM,
+    "gopher_filter": ORACLE_GOPHER_FILTER,
     "variant_navigate": ORACLE_VARIANT_NAVIGATE,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "domain_cap": ORACLE_DOMAIN_CAP,

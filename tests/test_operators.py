@@ -925,3 +925,31 @@ def test_duplicated_span_stats_exact_values(spark):
     # union of {1,2,3} and {2,3,4} is 4 positions, not 6
     assert (got[4]["n_tokens"], got[4]["dup_ngrams"],
             got[4]["dup_covered"], got[4]["dup_ratio"]) == (4, 2, 4, 1.0)
+
+
+def test_gopher_filter_rules_and_reasons(spark):
+    # hand-computed signal values and rule codes, incl. a multi-reason
+    # document and the all-pass row
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        gopher_filter)
+
+    df = spark.createDataFrame([
+        (1, "the cat sat on the mat today fine ok yes"),  # 10 toks, pass
+        (2, "x y"),                    # too short + short words + no stopwords
+        (3, "the the the the the the the the the one"),  # repetition
+        (4, "extraordinarily extraordinarily extraordinarily "
+            "extraordinarily the antidisestablishmentarian word "
+            "word word word"),         # long words
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_filter(
+        df, min_tokens=5, min_mean_word_len=2.0, max_mean_word_len=10.0,
+        min_stopword_frac=0.05, max_top_token_frac=0.5).collect()}
+    assert got[1]["keep"] and got[1]["reasons"] == ""
+    assert got[1]["n_tokens"] == 10 and got[1]["stopword_frac"] == 0.2
+    assert got[2]["reasons"] == "len_lo,wordlen_lo,stopword"
+    assert not got[2]["keep"]
+    # doc 3: 'the' 9/10 = 0.9 > 0.5 ceiling; stopwords 9/10 pass
+    assert got[3]["reasons"] == "repetition"
+    assert got[3]["top_token_frac"] == 0.9
+    # doc 4: mean word len > 10 -> wordlen_hi only
+    assert got[4]["reasons"] == "wordlen_hi"
