@@ -184,6 +184,8 @@ HEADLINE = (
     "vocab_topk",
     "char_lm_score",
     "gopher_filter",
+    "weighted_sample",
+    "cohort_retention",
 )
 
 

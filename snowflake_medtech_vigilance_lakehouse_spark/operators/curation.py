@@ -512,3 +512,43 @@ def gopher_filter(docs: DataFrame, *, min_tokens: int = 50,
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def weighted_sample(docs: DataFrame, k: int, *, weight_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spiliotis (2006) A-Res scheme: each row draws a
+    uniform u from a content hash and is ranked by ``ln(u) / w``; the
+    top ``k`` ranks are the sample. Inclusion probability is
+    proportional to weight, the draw is a pure function of the row id
+    (reruns, retries, and other engines produce the SAME sample — the
+    property a training-mix pipeline needs for reproducibility), and
+    no replacement bookkeeping exists because ranking IS the
+    without-replacement semantics.
+
+    ``ln(u)/w`` is the log of the textbook ``u^(1/w)`` key — a
+    monotone transform, so the selected set and order are identical,
+    but the values spread across the float range instead of crowding
+    toward 1.0 for large weights. Ties (impossible unless two rows
+    share id AND weight) break by id.
+
+    Returns (id, weight, sample_key) for the k selected rows,
+    sample_key rounded to 6.
+
+    100 TB shape: zero exchanges — the uniform is one md5 per row
+    (DuckDB-identical, see :func:`~..operators.dedup.md5_hash32`), the
+    ranking is a ``TakeOrderedAndProject`` whose state is k rows per
+    partition then k rows on the driver, never a global sort."""
+    u = (md5_hash32(F.col(id_col).cast("string")).cast("double")
+         + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "weight", F.round("_key", 6).alias("sample_key"))
+    )

@@ -274,3 +274,44 @@ def funnel_counts(events: DataFrame, steps: list[str],
         F.round(F.col("n_users").cast("double")
                 / F.first("n_users").over(w).cast("double"), 6).alias("conv"),
     )
+
+
+def cohort_retention(events: DataFrame, *, key: str = "user_id",
+                     ts: str = "ts") -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-seen
+    week (date_trunc 'week' — Monday start in both Spark and DuckDB),
+    counted in every later week they return, with retention as a
+    fraction of the cohort's week-0 size.
+
+    Returns (cohort_week ISO date string, week_offset, n_users,
+    retention) — one row per (cohort, offset) that has activity.
+
+    100 TB shape: the first-seen week is a MIN window over the user
+    partition (one exchange on the user key — no join back to the
+    event table), activity collapses to DISTINCT (user, cohort,
+    offset) before counting (the count exchange carries user-weeks,
+    not raw events), and the week-0 denominator is a window over the
+    tiny aggregated matrix, not a second pass."""
+    wk = F.date_trunc("week", F.col(ts)).cast("date")
+    w_user = Window.partitionBy(key)
+    activity = (
+        events.select(F.col(key).alias("_u"), wk.alias("_wk"))
+        .withColumn("_cw", F.min("_wk").over(Window.partitionBy("_u")))
+        .select(
+            "_u", "_cw",
+            (F.datediff(F.col("_wk"), F.col("_cw")) / 7)
+            .cast("long").alias("_off"),
+        )
+        .distinct()
+    )
+    agg = activity.groupBy("_cw", "_off").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"))
+    w_cohort = Window.partitionBy("_cw")
+    base = F.max(F.when(F.col("_off") == 0, F.col("n_users"))).over(w_cohort)
+    return agg.select(
+        F.date_format("_cw", "yyyy-MM-dd").alias("cohort_week"),
+        F.col("_off").alias("week_offset"),
+        "n_users",
+        F.round(F.col("n_users").cast("double") / base.cast("double"),
+                6).alias("retention"),
+    )

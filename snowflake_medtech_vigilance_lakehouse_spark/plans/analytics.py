@@ -2371,6 +2371,58 @@ FROM r
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (round 8):
+    Efraimidis-Spiliotis A-Res keyed by ln(u)/w with u drawn from the
+    md5 content hash — inclusion proportional to n_chars, identical
+    sample in any engine/run (operators/curation.py:weighted_sample).
+    Zero exchanges: the ranking is a TakeOrderedAndProject."""
+    return cu.weighted_sample(
+        _t(spark, sf_dir, "documents"), 100, weight_col="n_chars")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, n_chars::DOUBLE AS weight,
+         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+            / 4294967296.0) / n_chars AS key
+  FROM documents
+)
+SELECT doc_id, weight, round(key, 6) AS sample_key
+FROM s ORDER BY key DESC, doc_id LIMIT 100
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix (round 8): users grouped by
+    first-seen week, counted in each later active week, retention as a
+    fraction of week-0 cohort size
+    (operators/temporal.py:cohort_retention). First-seen is a MIN
+    window on the user partition — no join back to the event table."""
+    from ..operators.temporal import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+ORACLE_COHORT_RETENTION = """
+WITH e AS (
+  SELECT user_id, date_trunc('week', ts)::DATE AS wk FROM events
+), c AS (
+  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cw FROM e
+), d AS (
+  SELECT DISTINCT user_id, cw, ((wk - cw) / 7)::BIGINT AS off FROM c
+), a AS (
+  SELECT cw, off, count(*)::BIGINT AS n_users FROM d GROUP BY cw, off
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       off AS week_offset, n_users,
+       round(n_users::DOUBLE /
+             max(CASE WHEN off = 0 THEN n_users END) OVER (PARTITION BY cw),
+             6) AS retention
+FROM a
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (round 8): keep at most 10
     documents per source, selected by deterministic content-hash rank
@@ -2877,6 +2929,8 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_topk": q_vocab_topk,
     "char_lm_score": q_char_lm_score,
     "gopher_filter": q_gopher_filter,
+    "weighted_sample": q_weighted_sample,
+    "cohort_retention": q_cohort_retention,
 }
 
 # Driver-sampling insurance (VERDICT r7 #6): the driver's CORRECTNESS
@@ -2887,6 +2941,7 @@ QUERIES: dict[str, QueryFn] = {
 # first. Contents are unchanged — this is a reordering only.
 _NEVER_DRIVER_SAMPLED = (
     "exact_substr", "vocab_topk", "char_lm_score", "gopher_filter",
+    "weighted_sample", "cohort_retention",
     "minhash_incremental", "embedding_neardup_incremental",
     "variant_navigate", "repetition_stats", "domain_cap", "decontamination", "hard_negatives",
     "pack_sequences", "pii_redact", "training_mix_sample",
@@ -2903,6 +2958,8 @@ ORACLES: dict[str, str] = {
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "char_lm_score": ORACLE_CHAR_LM,
     "gopher_filter": ORACLE_GOPHER_FILTER,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
     "variant_navigate": ORACLE_VARIANT_NAVIGATE,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "domain_cap": ORACLE_DOMAIN_CAP,

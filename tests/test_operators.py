@@ -953,3 +953,55 @@ def test_gopher_filter_rules_and_reasons(spark):
     assert got[3]["top_token_frac"] == 0.9
     # doc 4: mean word len > 10 -> wordlen_hi only
     assert got[4]["reasons"] == "wordlen_hi"
+
+
+def test_weighted_sample_matches_reference_selection(spark):
+    # the A-Res selection recomputed independently in Python (hashlib
+    # md5 -> uniform -> ln(u)/w) must equal the Spark output exactly,
+    # and heavier rows must dominate the sample
+    import hashlib
+    import math
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        weighted_sample)
+
+    rows = [(i, 1000.0 if i < 5 else 1.0) for i in range(105)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, 10, weight_col="w").collect()
+    assert len(got) == 10
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 2 ** 32) / w
+
+    expect = sorted(rows, key=lambda r: (-key(*r), r[0]))[:10]
+    assert [r["doc_id"] for r in got] == [i for i, _ in expect]
+    # inclusion ~ weight: all five heavy rows must be selected
+    assert {0, 1, 2, 3, 4} <= {r["doc_id"] for r in got}
+    # deterministic across replans
+    again = weighted_sample(df, 10, weight_col="w").collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+
+
+def test_cohort_retention_hand_matrix(spark):
+    from datetime import datetime
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.temporal import (
+        cohort_retention)
+
+    # Mondays: 2024-01-01 (w0), 2024-01-08 (w1)
+    ev = spark.createDataFrame([
+        (1, "A", datetime(2024, 1, 2, 10)),   # w0 cohort
+        (2, "A", datetime(2024, 1, 9, 11)),   # returns w1
+        (3, "A", datetime(2024, 1, 9, 12)),   # same week, same user
+        (4, "B", datetime(2024, 1, 3, 9)),    # w0 cohort, never returns
+        (5, "C", datetime(2024, 1, 10, 8)),   # w1 cohort
+    ], "event_id long, user_id string, ts timestamp")
+    got = {(r["cohort_week"], r["week_offset"]): r
+           for r in cohort_retention(ev).collect()}
+    assert got[("2024-01-01", 0)]["n_users"] == 2
+    assert got[("2024-01-01", 0)]["retention"] == 1.0
+    assert got[("2024-01-01", 1)]["n_users"] == 1
+    assert got[("2024-01-01", 1)]["retention"] == 0.5
+    assert got[("2024-01-08", 0)]["n_users"] == 1
+    assert len(got) == 3
