@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from .dedup import _shingled, md5_hash32
 
 __all__ = ["decontaminate", "stratified_sample", "pack_sequences",
-           "hard_negatives", "gopher_filter"]
+           "hard_negatives", "gopher_filter", "weighted_sample"]
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, *, n: int = 3,
@@ -467,7 +467,8 @@ def gopher_filter(docs: DataFrame, *, min_tokens: int = 50,
     once and materialized in its own projection (the no-CSE-in-lambda
     rule), every signal a higher-order-function fold over it inside
     whole-stage codegen."""
-    from .text import DEFAULT_STOPWORDS, _sorted_run_stats
+    from .text import (DEFAULT_STOPWORDS, _sorted_run_stats,
+                       stopword_count, token_len_sum)
 
     sw = tuple(stopwords) if stopwords is not None else DEFAULT_STOPWORDS
     base = docs.select(
@@ -476,11 +477,9 @@ def gopher_filter(docs: DataFrame, *, min_tokens: int = 50,
     )
     n = F.size("_t")
     mean_wl = F.round(
-        F.aggregate("_t", F.lit(0),
-                    lambda acc, x: acc + F.length(x)).cast("double")
-        / n.cast("double"), 6)
+        token_len_sum(F.col("_t")).cast("double") / n.cast("double"), 6)
     sw_frac = F.round(
-        F.size(F.filter("_t", lambda x: x.isin(*sw))).cast("double")
+        stopword_count(F.col("_t"), sw).cast("double")
         / n.cast("double"), 6)
     top_frac = F.round(
         _sorted_run_stats(F.array_sort("_t"))["maxrun"].cast("double")
@@ -533,7 +532,9 @@ def weighted_sample(docs: DataFrame, k: int, *, weight_col: str,
     share id AND weight) break by id.
 
     Returns (id, weight, sample_key) for the k selected rows,
-    sample_key rounded to 6.
+    sample_key rounded to 6. Rows with NULL or non-positive weight
+    are excluded (A-Res is defined for w > 0; a negative weight would
+    otherwise flip the key's sign and always win).
 
     100 TB shape: zero exchanges — the uniform is one md5 per row
     (DuckDB-identical, see :func:`~..operators.dedup.md5_hash32`), the
@@ -542,8 +543,12 @@ def weighted_sample(docs: DataFrame, k: int, *, weight_col: str,
     u = (md5_hash32(F.col(id_col).cast("string")).cast("double")
          + F.lit(0.5)) / F.lit(4294967296.0)
     key = F.log(u) / F.col(weight_col).cast("double")
+    # A-Res is defined for w > 0 only: a negative weight would flip
+    # ln(u)/w positive and ALWAYS win, zero gives -inf — rows with
+    # non-positive or NULL weight are excluded, not mis-ranked
     return (
-        docs.select(
+        docs.filter(F.col(weight_col).cast("double") > 0)
+        .select(
             F.col(id_col),
             F.col(weight_col).cast("double").alias("weight"),
             key.alias("_key"),

@@ -869,11 +869,21 @@ def duplicated_span_stats(docs: DataFrame, *, n: int = 8,
        ``xxhash64`` of the token slice (8-byte shuffle key instead of
        the span text; collisions are the same ~1e-11 bet the LSH index
        takes);
-    2. corpus-wide occurrence counts come from a COUNT window
-       partitioned by span hash — one exchange, partial-agg-cheap even
-       on a pathologically frequent span (count only, no buffering);
+    2. corpus-wide occurrence counts come from a
+       ``groupBy(span_hash).count()`` whose partial aggregation
+       collapses even a pathologically frequent boilerplate span
+       map-side, so ITS exchange carries one row per DISTINCT span;
+       the duplicated subset joins back to the exploded spans —
+       AQE broadcasts it when small (the audited sf plan: 2
+       exchanges, no sort-merge join), and at a scale where it must
+       shuffle instead, a residual hot key is AQE-skew-splittable.
+       The first-draft COUNT window partitioned by the hash had
+       neither property: WindowExec ships every occurrence of a hot
+       span to one task and buffers the partition in an
+       ExternalAppendOnlyUnsafeRowArray even when the function is
+       just COUNT;
     3. surviving (duplicated) spans group back to their document —
-       second exchange, carrying ONLY duplicated spans, typically a
+       one more exchange, carrying ONLY duplicated spans, typically a
        small fraction of the corpus;
     4. the interval union is per-document array math
        (``flatten(transform(starts, s -> sequence(s, s+n-1)))`` then
@@ -889,8 +899,6 @@ def duplicated_span_stats(docs: DataFrame, *, n: int = 8,
     interval union; duplicates shorter than ``n`` are ignored) — the
     standard shingle relaxation of ExactSubstr, chosen because it is
     embarrassingly parallel and needs no global suffix order."""
-    from pyspark.sql.window import Window
-
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.split(F.col(text_col), " ").alias("_tok"),
@@ -910,9 +918,13 @@ def duplicated_span_stats(docs: DataFrame, *, n: int = 8,
         toks.select("_id", F.explode(spans).alias("_g"))
         .select("_id", F.col("_g.pos").alias("_pos"), F.col("_g.gh").alias("_gh"))
     )
-    dup = exploded.withColumn(
-        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_gh"))
-    ).filter(F.col("_cnt") >= min_count)
+    dup_spans = (
+        exploded.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_gh")
+    )
+    dup = exploded.join(dup_spans, "_gh")
     covered = F.size(F.array_distinct(F.flatten(F.transform(
         F.col("_starts"), lambda s: F.sequence(s, s + F.lit(n - 1))
     ))))

@@ -293,7 +293,6 @@ def cohort_retention(events: DataFrame, *, key: str = "user_id",
     not raw events), and the week-0 denominator is a window over the
     tiny aggregated matrix, not a second pass."""
     wk = F.date_trunc("week", F.col(ts)).cast("date")
-    w_user = Window.partitionBy(key)
     activity = (
         events.select(F.col(key).alias("_u"), wk.alias("_wk"))
         .withColumn("_cw", F.min("_wk").over(Window.partitionBy("_u")))

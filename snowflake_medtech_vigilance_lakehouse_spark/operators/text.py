@@ -24,6 +24,22 @@ def tokens(text: Column, sep: str = " ") -> Column:
     return F.split(text, sep)
 
 
+def token_len_sum(tok: Column) -> Column:
+    """Sum of token lengths (long) — the shared mean-word-length
+    numerator fold. The accumulator is a LONG literal: an int32
+    accumulator would overflow on a single document with > 2^31
+    characters (real at 100 TB where one bad record can be a dumped
+    blob)."""
+    return F.aggregate(tok, F.lit(0).cast("long"),
+                       lambda acc, x: acc + F.length(x))
+
+
+def stopword_count(tok: Column, stopwords: Sequence[str]) -> Column:
+    """Number of tokens that are stopwords — the shared numerator of
+    language_id's and gopher_filter's stopword-density signals."""
+    return F.size(F.filter(tok, lambda x: x.isin(*stopwords)))
+
+
 def token_stats(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Token counting + duplication stats per document.
@@ -35,7 +51,7 @@ def token_stats(docs: DataFrame, text_col: str = "text",
     t = tokens(F.col(text_col))
     n = F.size(t)
     nd = F.size(F.array_distinct(t))
-    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    total_len = token_len_sum(t)
     return docs.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
@@ -57,7 +73,7 @@ def language_id(docs: DataFrame, text_col: str = "text",
     (id, stopword_ratio, lang_pred).
     """
     t = tokens(F.col(text_col))
-    sw = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    sw = stopword_count(t, stopwords)
     ratio = F.round(sw.cast("double") / F.size(t).cast("double"), 6)
     return docs.select(
         F.col(id_col),
@@ -312,16 +328,26 @@ def vocab_topk(docs: DataFrame, k: int = 1000, text_col: str = "text") -> DataFr
     deterministically by token text so the output is
     engine-reproducible.
 
-    100 TB shape: one partial-agg exchange (groupBy token), then a
-    TakeOrderedAndProject of the top ``k`` — the only ordered state is
-    the k-row result, so the single-partition ranking window at the
-    end is bounded by ``k``, never by the corpus. The coverage
-    denominator is a 1-row total joined by broadcast."""
+    100 TB shape: the ranked side is one partial-agg exchange
+    (groupBy token) into a TakeOrderedAndProject of the top ``k`` —
+    the only ordered state is the k-row result, so the
+    single-partition ranking window at the end is bounded by ``k``,
+    never by the corpus. The coverage denominator (total token
+    occurrences == sum of all frequencies) is computed WITHOUT
+    re-deriving the frequency table: a second pass over the pruned
+    text column sums ``size(split(...))`` per document straight into
+    a 1-row broadcast — scan + fold in codegen, no explode, no
+    exchange (re-using ``freq`` would either recompute its explode +
+    groupBy subtree or force a cache pin; summing a full-vocabulary
+    window is single-partition state proportional to the vocabulary —
+    both worse than the cheap extra scan)."""
     from pyspark.sql.window import Window
 
     tok = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    total = freq.agg(F.sum("freq").cast("double").alias("_total"))
+    total = docs.select(
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("_n")
+    ).agg(F.sum("_n").cast("double").alias("_total"))
     topk = freq.orderBy(F.desc("freq"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
     cum = Window.orderBy(F.desc("freq"), F.asc("token")).rowsBetween(
@@ -361,9 +387,14 @@ def char_lm_score(docs: DataFrame, text_col: str = "text",
     no sort, no skew surface (the per-doc groupBy key is the doc id).
     Char bigrams come from one ``transform`` over an index sequence
     with ``substring`` — pure codegen, no Python."""
+    # guard the <2-char case explicitly: sequence(1, 0) is DESCENDING
+    # in Spark ([1, 0], not empty), which would fabricate two junk
+    # "bigrams" per short document AND shift the corpus model totals
     bigrams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - 1, 0)),"
-        f" i -> substring({text_col}, i, 2))"
+        f"CASE WHEN length({text_col}) >= 2"
+        f" THEN transform(sequence(1, length({text_col}) - 1),"
+        f"                i -> substring({text_col}, i, 2))"
+        f" ELSE CAST(array() AS array<string>) END"
     )
     base = docs.select(F.col(id_col).alias("_id"), bigrams.alias("_bg"))
     exploded = base.select("_id", F.explode_outer("_bg").alias("_b"))

@@ -2386,7 +2386,7 @@ WITH s AS (
   SELECT doc_id, n_chars::DOUBLE AS weight,
          ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
             / 4294967296.0) / n_chars AS key
-  FROM documents
+  FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, weight, round(key, 6) AS sample_key
 FROM s ORDER BY key DESC, doc_id LIMIT 100

@@ -1005,3 +1005,33 @@ def test_cohort_retention_hand_matrix(spark):
     assert got[("2024-01-01", 1)]["retention"] == 0.5
     assert got[("2024-01-08", 0)]["n_users"] == 1
     assert len(got) == 3
+
+
+def test_char_lm_score_short_docs_zero_bigrams(spark):
+    # sequence(1, 0) is DESCENDING in Spark -> the bigram transform
+    # must be guarded or short docs fabricate junk bigrams that also
+    # poison the corpus model totals (round-8 review finding)
+    import math
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.text import (
+        char_lm_score)
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "x"), (3, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_lm_score(df).collect()}
+    assert (got[2]["n_bigrams"], got[2]["avg_logprob"]) == (0, None)
+    assert (got[3]["n_bigrams"], got[3]["avg_logprob"]) == (0, None)
+    # doc 1: bigrams ab/bc/cd, each count 1 of total 3 -> avg ln(1/3)
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["avg_logprob"] - round(math.log(1 / 3), 6)) < 1e-9
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        weighted_sample)
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 0.0), (4, None), (5, 2.0)],
+        "doc_id long, w double")
+    got = weighted_sample(df, 10, weight_col="w").collect()
+    assert {r["doc_id"] for r in got} == {1, 5}
