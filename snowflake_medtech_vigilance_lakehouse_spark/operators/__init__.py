@@ -17,6 +17,7 @@ from .dedup import (  # noqa: F401
     simhash_pairs,
     duplicated_span_stats,
 )
+from .graph import pagerank  # noqa: F401
 from .similarity import (  # noqa: F401
     knn_bruteforce,
     knn_lsh,

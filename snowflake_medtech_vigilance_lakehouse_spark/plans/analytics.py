@@ -34,6 +34,7 @@ from ..functions.scalar import (
 )
 from ..operators import curation as cu
 from ..operators import dedup as dd
+from ..operators import graph as gr
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
@@ -2423,6 +2424,61 @@ FROM a
 """
 
 
+def _pagerank_oracle_sql(edge_ctes: str, damping: float, iters: int) -> str:
+    """Unrolled power-method PageRank as chained CTEs over an edge CTE
+    named ``e(src, dst)`` — recursive CTEs cannot GROUP BY in the
+    recursive term (DuckDB follows the standard here), so for a FIXED
+    iteration count unrolling is the portable SQL formulation; the
+    chain mirrors operators/graph.py:pagerank term for term."""
+    parts = [
+        f"WITH {edge_ctes}",
+        "n AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "cnt AS (SELECT count(*)::DOUBLE AS nn FROM n)",
+        "od AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1.0/(SELECT nn FROM cnt) AS r FROM n)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT n.node,"
+            f" (1.0-{damping!r})/(SELECT nn FROM cnt)"
+            f" + {damping!r}*coalesce(s.m, 0) AS r"
+            f" FROM n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(r{i-1}.r/od.deg) AS m FROM e"
+            f" JOIN r{i-1} ON e.src = r{i-1}.node"
+            f" JOIN od ON e.src = od.src GROUP BY e.dst) s USING (node))"
+        )
+    return (",\n".join(parts)
+            + f"\nSELECT node, round(r, 6) AS pagerank FROM r{iters}")
+
+
+def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact k-NN similarity graph
+    (round 8): each vector links to its 5 nearest cosine neighbors,
+    5 power iterations rank every vector's centrality — the
+    representative-selection signal for duplicate clusters
+    (operators/graph.py:pagerank). The oracle unrolls the identical
+    power method as chained CTEs over the same deterministic kNN
+    edge list."""
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = sim.knn_bruteforce(emb, emb, k=5).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    return gr.pagerank(edges, damping=0.85, iters=5).select(
+        F.col("node").alias("vec_id"), "pagerank")
+
+
+ORACLE_PAGERANK_KNN = _pagerank_oracle_sql(
+    "s AS (SELECT a.vec_id AS src, b.vec_id AS dst,"
+    " list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " AS c FROM embeddings a CROSS JOIN embeddings b"
+    " WHERE a.vec_id <> b.vec_id),\n"
+    "e AS (SELECT src, dst FROM (SELECT src, dst,"
+    " row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rk"
+    " FROM s) WHERE rk <= 5)",
+    0.85, 5,
+).replace("SELECT node, round", "SELECT node AS vec_id, round")
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (round 8): keep at most 10
     documents per source, selected by deterministic content-hash rank
@@ -2931,6 +2987,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_filter": q_gopher_filter,
     "weighted_sample": q_weighted_sample,
     "cohort_retention": q_cohort_retention,
+    "pagerank_knn": q_pagerank_knn,
 }
 
 # Driver-sampling insurance (VERDICT r7 #6): the driver's CORRECTNESS
@@ -2941,7 +2998,7 @@ QUERIES: dict[str, QueryFn] = {
 # first. Contents are unchanged — this is a reordering only.
 _NEVER_DRIVER_SAMPLED = (
     "exact_substr", "vocab_topk", "char_lm_score", "gopher_filter",
-    "weighted_sample", "cohort_retention",
+    "weighted_sample", "cohort_retention", "pagerank_knn",
     "minhash_incremental", "embedding_neardup_incremental",
     "variant_navigate", "repetition_stats", "domain_cap", "decontamination", "hard_negatives",
     "pack_sequences", "pii_redact", "training_mix_sample",
@@ -2960,6 +3017,7 @@ ORACLES: dict[str, str] = {
     "gopher_filter": ORACLE_GOPHER_FILTER,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "cohort_retention": ORACLE_COHORT_RETENTION,
+    "pagerank_knn": ORACLE_PAGERANK_KNN,
     "variant_navigate": ORACLE_VARIANT_NAVIGATE,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "domain_cap": ORACLE_DOMAIN_CAP,

@@ -1035,3 +1035,54 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
         "doc_id long, w double")
     got = weighted_sample(df, 10, weight_col="w").collect()
     assert {r["doc_id"] for r in got} == {1, 5}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # independent dense power iteration with the same removed-dangling
+    # formulation, incl. a dangling node (only ever a destination) and
+    # a zero-in-degree node that must keep its teleport mass
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.graph import (
+        pagerank)
+
+    edges = [("a", "b"), ("b", "a"), ("c", "a"), ("a", "d"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank(df, damping=0.85, iters=5).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    r = [1.0 / n] * n
+    for _ in range(5):
+        nxt = [(1 - 0.85) / n] * n
+        for s, d in edges:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / outdeg[s]
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - round(r[idx[v]], 6)) < 1e-9, (v, got[v], r[idx[v]])
+    # dangling 'd' absorbed mass but contributed none; 'c' has no
+    # in-links and sits at pure teleport mass
+    assert got["c"] == round((1 - 0.85) / n, 6)
+    assert got["d"] > got["c"]
+
+
+def test_pagerank_releases_superseded_checkpoints(spark):
+    # same storage discipline as connected_components: inputs and all
+    # superseded rank rounds are released; at most the final rank
+    # checkpoint backing the returned frame may remain
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.graph import (
+        pagerank)
+
+    jsc = spark.sparkContext._jsc
+    baseline = len(jsc.getPersistentRDDs())
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src long, dst long")
+    out = pagerank(edges, iters=8)
+    # a directed 10-cycle is rank-uniform: every node at 1/10
+    assert {r["pagerank"] for r in out.collect()} == {0.1}
+    after = len(jsc.getPersistentRDDs())
+    assert after <= baseline + 1, (
+        f"pagerank leaked {after - baseline} persistent RDDs")
