@@ -186,6 +186,8 @@ HEADLINE = (
     "gopher_filter",
     "weighted_sample",
     "cohort_retention",
+    "approx_percentiles",
+    "hopping_window",
 )
 
 

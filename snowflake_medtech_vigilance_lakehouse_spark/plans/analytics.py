@@ -362,6 +362,78 @@ FROM events GROUP BY event_type
 """
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles with an accuracy gate (round 8) — the
+    quantile member of the sketch family, same contract as
+    `approx_distinct`: Spark's GK `percentile_approx` cannot
+    hash-match DuckDB's interpolated quantile, so the plan emits the
+    EXACT percentiles plus an in-plan <=5%-of-spread assertion on the
+    sketch estimates (within_tol), which the oracle pins to TRUE —
+    the gate verifies the sketch accuracy contract, the exact values
+    verify the data. At 100 TB the approx path is the one that runs
+    (mergeable map-side sketches, no sort), the exact twin is the
+    oracle scaffold."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("_a50"),
+        F.expr("percentile_approx(value, 0.9, 10000)").alias("_a90"),
+        F.expr("percentile(value, 0.99) - percentile(value, 0.01)")
+        .alias("_spread"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    tol = F.lit(0.05) * F.col("_spread")
+    return agg.select(
+        "event_type", "p50_exact", "p90_exact", "n_events",
+        ((F.abs(F.col("_a50") - F.col("p50_exact")) <= tol)
+         & (F.abs(F.col("_a90") - F.col("p90_exact")) <= tol)
+         ).alias("within_tol"),
+    )
+
+
+ORACLE_APPROX_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       round(quantile_cont(value, 0.9), 6) AS p90_exact,
+       count(*)::BIGINT AS n_events,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+"""
+
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) time-window aggregation (round 8):
+    7-day windows hopping by 1 day via ``F.window`` — each event lands
+    in exactly 7 overlapping windows, the built-in window-explode the
+    streaming engine shares. The oracle reproduces Spark's
+    epoch-aligned window starts as ``date_trunc('day', ts) - i days``
+    for i in 0..6."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+ORACLE_HOPPING_WINDOW = """
+WITH x AS (
+  SELECT event_type, value,
+         date_trunc('day', ts) - i * INTERVAL 1 DAY AS ws
+  FROM events, unnest(range(0, 7)) AS t(i)
+)
+SELECT strftime(ws, '%Y-%m-%d') AS window_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM x GROUP BY ws, event_type
+"""
+
+
 def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex surface: extract/replace/match over the JSON payload
     string (patterns restricted to the portable regex subset)."""
@@ -2988,6 +3060,8 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": q_weighted_sample,
     "cohort_retention": q_cohort_retention,
     "pagerank_knn": q_pagerank_knn,
+    "approx_percentiles": q_approx_percentiles,
+    "hopping_window": q_hopping_window,
 }
 
 # Driver-sampling insurance (VERDICT r7 #6): the driver's CORRECTNESS
@@ -2999,6 +3073,7 @@ QUERIES: dict[str, QueryFn] = {
 _NEVER_DRIVER_SAMPLED = (
     "exact_substr", "vocab_topk", "char_lm_score", "gopher_filter",
     "weighted_sample", "cohort_retention", "pagerank_knn",
+    "approx_percentiles", "hopping_window",
     "minhash_incremental", "embedding_neardup_incremental",
     "variant_navigate", "repetition_stats", "domain_cap", "decontamination", "hard_negatives",
     "pack_sequences", "pii_redact", "training_mix_sample",
@@ -3018,6 +3093,8 @@ ORACLES: dict[str, str] = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "pagerank_knn": ORACLE_PAGERANK_KNN,
+    "approx_percentiles": ORACLE_APPROX_PERCENTILES,
+    "hopping_window": ORACLE_HOPPING_WINDOW,
     "variant_navigate": ORACLE_VARIANT_NAVIGATE,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "domain_cap": ORACLE_DOMAIN_CAP,
