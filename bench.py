@@ -188,6 +188,7 @@ HEADLINE = (
     "cohort_retention",
     "approx_percentiles",
     "hopping_window",
+    "temperature_mix",
 )
 
 

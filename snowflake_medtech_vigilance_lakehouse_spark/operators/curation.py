@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from .dedup import _shingled, md5_hash32
 
 __all__ = ["decontaminate", "stratified_sample", "pack_sequences",
-           "hard_negatives", "gopher_filter", "weighted_sample"]
+           "hard_negatives", "gopher_filter", "weighted_sample",
+           "temperature_mix"]
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, *, n: int = 3,
@@ -556,4 +557,49 @@ def weighted_sample(docs: DataFrame, k: int, *, weight_col: str,
         .orderBy(F.desc("_key"), F.asc(id_col))
         .limit(k)
         .select(id_col, "weight", F.round("_key", 6).alias("sample_key"))
+    )
+
+
+def temperature_mix(docs: DataFrame, *, alpha: float = 0.5,
+                    stratum_col: str = "lang", key_col: str = "doc_id",
+                    denom: int = 1_000_000) -> DataFrame:
+    """Temperature-based mixture resampling — the multilingual
+    data-balancing standard (sampling distribution q_l ∝ p_l^alpha,
+    the T5/mT5 recipe; alpha < 1 flattens the mixture toward small
+    strata). Where :func:`stratified_sample` takes CALLER-chosen
+    rates, this derives them FROM the corpus: per-stratum keep rate
+    ``r_l = (min_m c_m / c_l)^(1-alpha)`` — exactly the subsampling
+    that realizes q from the empirical p with the smallest stratum
+    kept whole — then applies the same deterministic
+    hash-of-key membership, so the sample stays reproducible across
+    engines, runs, and incremental batches.
+
+    Rates are rounded to 6 dp BEFORE the threshold compare and the
+    threshold is ``round(rate * denom)`` cast to long — both engines
+    compute identical integer thresholds, so the kept set is
+    bit-identical (the float pow lands on the same double; the
+    rounding removes any residual ulp risk from the comparison).
+
+    Returns the kept rows as (key, stratum, keep_rate).
+
+    100 TB shape: one partial-agg exchange over the stratum column
+    (stratum cardinality rows), a 1-row MIN broadcast, and a
+    broadcast join of the rate table back to the corpus — the corpus
+    itself never shuffles; the filter evaluates in codegen at the
+    scan."""
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_c"))
+    mn = counts.agg(F.min("_c").alias("_mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        stratum_col,
+        F.round(
+            F.pow(F.col("_mn").cast("double") / F.col("_c").cast("double"),
+                  F.lit(1.0 - alpha)), 6).alias("keep_rate"),
+    )
+    bucket = md5_hash32(F.col(key_col).cast("string")) % F.lit(denom)
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .withColumn("_thr",
+                    F.round(F.col("keep_rate") * denom, 0).cast("long"))
+        .filter(bucket < F.col("_thr"))
+        .select(key_col, stratum_col, "keep_rate")
     )

@@ -434,6 +434,31 @@ FROM x GROUP BY ws, event_type
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (round 8): per-language
+    keep rates derived FROM the corpus as (min_count/count)^(1-alpha)
+    — the T5/mT5 q ∝ p^alpha recipe realized by deterministic
+    hash-of-key subsampling (operators/curation.py:temperature_mix).
+    alpha=0.5 flattens the fixture's en-heavy mixture; the smallest
+    language is kept whole."""
+    return cu.temperature_mix(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH c AS (
+  SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang
+), r AS (
+  SELECT lang,
+         round(pow((SELECT min(c) FROM c) / c, 0.5), 6) AS keep_rate
+  FROM c
+)
+SELECT d.doc_id, d.lang, r.keep_rate
+FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+      < CAST(round(r.keep_rate * 1000000, 0) AS BIGINT)
+"""
+
+
 def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex surface: extract/replace/match over the JSON payload
     string (patterns restricted to the portable regex subset)."""
@@ -3062,6 +3087,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_knn": q_pagerank_knn,
     "approx_percentiles": q_approx_percentiles,
     "hopping_window": q_hopping_window,
+    "temperature_mix": q_temperature_mix,
 }
 
 # Driver-sampling insurance (VERDICT r7 #6): the driver's CORRECTNESS
@@ -3073,7 +3099,7 @@ QUERIES: dict[str, QueryFn] = {
 _NEVER_DRIVER_SAMPLED = (
     "exact_substr", "vocab_topk", "char_lm_score", "gopher_filter",
     "weighted_sample", "cohort_retention", "pagerank_knn",
-    "approx_percentiles", "hopping_window",
+    "approx_percentiles", "hopping_window", "temperature_mix",
     "minhash_incremental", "embedding_neardup_incremental",
     "variant_navigate", "repetition_stats", "domain_cap", "decontamination", "hard_negatives",
     "pack_sequences", "pii_redact", "training_mix_sample",
@@ -3095,6 +3121,7 @@ ORACLES: dict[str, str] = {
     "pagerank_knn": ORACLE_PAGERANK_KNN,
     "approx_percentiles": ORACLE_APPROX_PERCENTILES,
     "hopping_window": ORACLE_HOPPING_WINDOW,
+    "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "variant_navigate": ORACLE_VARIANT_NAVIGATE,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "domain_cap": ORACLE_DOMAIN_CAP,

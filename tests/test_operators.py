@@ -1086,3 +1086,27 @@ def test_pagerank_releases_superseded_checkpoints(spark):
     after = len(jsc.getPersistentRDDs())
     assert after <= baseline + 1, (
         f"pagerank leaked {after - baseline} persistent RDDs")
+
+
+def test_temperature_mix_rates_and_membership(spark):
+    # rates recomputed by hand ((min/c)^(1-alpha)), membership
+    # recomputed independently from the md5 hash
+    import hashlib
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        temperature_mix)
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small")
+                                              for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = temperature_mix(df, alpha=0.5).collect()
+    rates = {r["lang"]: r["keep_rate"] for r in got}
+    assert rates["small"] == 1.0 and rates["big"] == 0.5
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10 ** 6
+
+    expect = {i for i, l in rows
+              if bucket(i) < round({"big": 0.5, "small": 1.0}[l] * 10 ** 6)}
+    assert {r["doc_id"] for r in got} == expect
+    assert all(r["lang"] == "small" for r in got if r["doc_id"] >= 100)
