@@ -545,10 +545,13 @@ def weighted_sample(docs: DataFrame, k: int, *, weight_col: str,
          + F.lit(0.5)) / F.lit(4294967296.0)
     key = F.log(u) / F.col(weight_col).cast("double")
     # A-Res is defined for w > 0 only: a negative weight would flip
-    # ln(u)/w positive and ALWAYS win, zero gives -inf — rows with
-    # non-positive or NULL weight are excluded, not mis-ranked
+    # ln(u)/w positive and ALWAYS win, zero gives -inf, and NaN
+    # passes `> 0` AND sorts above every double in a descending
+    # order — rows with non-positive, NULL, or NaN weight are
+    # excluded, not mis-ranked
+    w = F.col(weight_col).cast("double")
     return (
-        docs.filter(F.col(weight_col).cast("double") > 0)
+        docs.filter((w > 0) & ~F.isnan(w))
         .select(
             F.col(id_col),
             F.col(weight_col).cast("double").alias("weight"),

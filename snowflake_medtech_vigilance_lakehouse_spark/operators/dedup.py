@@ -645,6 +645,22 @@ def _release_persistent(jsc, rdd_ids: list[int]) -> None:
             rdd.unpersist()
 
 
+def _persisted_ids(jsc) -> set[int]:
+    """Currently registered persistent-RDD ids."""
+    return {int(k) for k in jsc.getPersistentRDDs().keys()}
+
+
+def _eager_checkpoint(df: DataFrame, jsc) -> tuple[DataFrame, list[int]]:
+    """localCheckpoint eagerly and return (checkpointed frame, the
+    block ids the checkpoint registered) — the bookkeeping every
+    iterative loop here needs to release superseded rounds explicitly
+    (the ContextCleaner does not reliably reclaim checkpoint blocks;
+    shared by connected_components and graph.pagerank)."""
+    before = _persisted_ids(jsc)
+    out = df.localCheckpoint(eager=True)
+    return out, [k for k in _persisted_ids(jsc) if k not in before]
+
+
 def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
                          right_col: str = "doc_id_2",
                          max_iterations: int = 50,
@@ -680,17 +696,12 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
     """
     jsc = pairs.sparkSession.sparkContext._jsc
 
-    def _persisted() -> set[int]:
-        return {int(k) for k in jsc.getPersistentRDDs().keys()}
-
     edges = (
         pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
         .union(pairs.select(F.col(right_col).alias("a"), F.col(left_col).alias("b")))
         .distinct()
     )
-    pre_edges = _persisted()
-    edges = edges.localCheckpoint(eager=True)
-    edge_ids = [k for k in _persisted() if k not in pre_edges]
+    edges, edge_ids = _eager_checkpoint(edges, jsc)
 
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -712,9 +723,8 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
                     F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
                 )
             )
-            before = _persisted()
-            updated = updated.localCheckpoint(eager=True)  # cut lineage per round
-            last_ids = [k for k in _persisted() if k not in before]
+            # cut lineage per round
+            updated, last_ids = _eager_checkpoint(updated, jsc)
             if i % check_every == 0 or i == max_iterations:
                 changed = (
                     updated.alias("u")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _release_persistent
+from .dedup import _eager_checkpoint, _release_persistent
 
 __all__ = ["pagerank"]
 
@@ -55,16 +55,10 @@ def pagerank(edges: DataFrame, *, damping: float = 0.85, iters: int = 5,
     count). Consequently the operator runs Spark jobs at
     plan-construction time — bench with ``timed_build``, like
     ``semantic_dedup``."""
-    sess = edges.sparkSession
-    jsc = sess.sparkContext._jsc
-
-    def _persisted() -> set[int]:
-        return {int(k) for k in jsc.getPersistentRDDs().keys()}
+    jsc = edges.sparkSession.sparkContext._jsc
 
     def _checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
-        before = _persisted()
-        out = df.localCheckpoint(eager=True)
-        return out, [k for k in _persisted() if k not in before]
+        return _eager_checkpoint(df, jsc)
 
     base_ids: list[int] = []
     prev_ids: list[int] = []

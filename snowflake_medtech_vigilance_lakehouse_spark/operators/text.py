@@ -345,9 +345,15 @@ def vocab_topk(docs: DataFrame, k: int = 1000, text_col: str = "text") -> DataFr
 
     tok = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    total = docs.select(
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("_n")
-    ).agg(F.sum("_n").cast("double").alias("_total"))
+    # NULL text must contribute 0 to the denominator, matching the
+    # explode side (explode of a NULL split emits no rows): under the
+    # lenient session size(NULL) is -1, which would SUBTRACT from the
+    # total — filter NULLs before the fold
+    total = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.size(F.split(F.col(text_col), " ")).cast("long").alias("_n"))
+        .agg(F.sum("_n").cast("double").alias("_total"))
+    )
     topk = freq.orderBy(F.desc("freq"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
     cum = Window.orderBy(F.desc("freq"), F.asc("token")).rowsBetween(

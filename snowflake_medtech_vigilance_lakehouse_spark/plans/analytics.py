@@ -384,11 +384,16 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     )
     tol = F.lit(0.05) * F.col("_spread")
+    # an all-NULL value group yields NULL percentiles on both paths;
+    # the gate must then report TRUE (nothing to be inaccurate about),
+    # matching the oracle's unconditional pin — not NULL
     return agg.select(
         "event_type", "p50_exact", "p90_exact", "n_events",
-        ((F.abs(F.col("_a50") - F.col("p50_exact")) <= tol)
-         & (F.abs(F.col("_a90") - F.col("p90_exact")) <= tol)
-         ).alias("within_tol"),
+        F.coalesce(
+            (F.abs(F.col("_a50") - F.col("p50_exact")) <= tol)
+            & (F.abs(F.col("_a90") - F.col("p90_exact")) <= tol),
+            F.lit(True),
+        ).alias("within_tol"),
     )
 
 

@@ -1110,3 +1110,30 @@ def test_temperature_mix_rates_and_membership(spark):
               if bucket(i) < round({"big": 0.5, "small": 1.0}[l] * 10 ** 6)}
     assert {r["doc_id"] for r in got} == expect
     assert all(r["lang"] == "small" for r in got if r["doc_id"] >= 100)
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    # NaN passes `> 0` and sorts above every double in a descending
+    # order — it must be excluded, not ranked first (round-8 review)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        weighted_sample)
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, 2.0), (4, 1000.0)],
+        "doc_id long, w double")
+    got = weighted_sample(df, 2, weight_col="w").collect()
+    assert all(r["doc_id"] != 2 for r in got) and len(got) == 2
+
+
+def test_vocab_topk_null_text_contributes_zero(spark):
+    # size(split(NULL)) is -1 under the lenient session; a NULL-text
+    # doc must contribute 0 to the coverage denominator, matching the
+    # explode side (round-8 review)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.text import (
+        vocab_topk)
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, None)], "doc_id long, text string")
+    got = {r["token"]: r for r in vocab_topk(df, k=10).collect()}
+    assert got["a"]["freq"] == 2 and got["a"]["cum_coverage"] == round(2 / 3, 6)
+    assert got["b"]["cum_coverage"] == 1.0
