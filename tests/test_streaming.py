@@ -153,3 +153,42 @@ def test_stream_to_delta_exactly_once_under_redelivery(spark, tmp_path):
     out = dl.read_delta(spark, table)
     assert out.count() == 3
     assert {r["raw"]["mdr_report_key"] for r in out.collect()} == {"S1", "S2", "S3"}
+
+
+def test_streaming_hopping_window_matches_batch(spark, tmp_path):
+    """The sliding-window operator the batch registry query
+    (hopping_window) uses is the SAME plan Structured Streaming runs:
+    a complete-mode availableNow pass over a finite source must equal
+    the batch groupBy(F.window(ts, 7d, 1d)) on identical rows."""
+    in_dir = tmp_path / "hop"; in_dir.mkdir()
+    _write_ndjson(in_dir / "e.ndjson", [
+        {"ts": "2024-01-01T06:00:00", "event_type": "click"},
+        {"ts": "2024-01-02T12:00:00", "event_type": "click"},
+        {"ts": "2024-01-05T23:00:00", "event_type": "error"},
+    ])
+    schema = "ts timestamp, event_type string"
+    win = F.window("ts", "7 days", "1 day")
+
+    stream = (
+        spark.readStream.schema(schema).json(str(in_dir))
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("hop_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(str(r["w"]["start"]), r["event_type"]): r["n"]
+           for r in spark.table("hop_out").collect()}
+
+    batch = (
+        spark.read.schema(schema).json(str(in_dir))
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(str(r["w"]["start"]), r["event_type"]): r["n"]
+            for r in batch.collect()}
+    assert got == want
+    # each event lands in exactly 7 sliding windows
+    assert sum(want.values()) == 3 * 7
