@@ -23,9 +23,20 @@ over after 2 minutes of settling, the artifact carries
 
 Round 8 adds the PER-QUERY regression gate (the round-7 calibration
 passed while bm25_rank drifted +55%): every shared query is diffed
-against the latest committed same-sf BENCH_r{N}.json and >±25%
+against the latest committed same-sf full-map artifact and >±25%
 outliers are stamped into ``regressions`` with the baseline name —
 query-level drift is evidence in the artifact, not forensics.
+
+Round 9 splits the output (the round-8 driver artifact shipped
+"parsed": null — the one printed line outgrew the driver's
+tail-capture window): the printed machine line is COMPACT (totals,
+calibration, regression count + 3 worst, top-12 slowest queries,
+flagged ``queries_truncated``) and the full per-query map +
+regression list land in a committed ``BENCH_LOCAL_r{N}.json``. The
+load guard also gained a hard 0.8 gate with a second settle cycle
+(the r8 driver run timed at load 1.53 and stamped 12 spurious
+regressions); a machine that will not go quiet ships
+``contended: true``.
 """
 
 from __future__ import annotations
@@ -66,9 +77,11 @@ def _orphan_spark_jvms() -> list[int]:
     return pids
 
 
-def _guard_environment() -> float:
-    """Refuse orphan JVMs; wait out load spikes. Returns the load
-    average recorded at timing start."""
+def _guard_environment() -> tuple[float, bool]:
+    """Refuse orphan JVMs; wait out load spikes. Returns (the load
+    average recorded at timing start, load_contended) — the flag is
+    True when even the second settle cycle could not get under the
+    round-9 hard gate of 0.8."""
     deadline = time.time() + 120
     orphans = _orphan_spark_jvms()
     while orphans and time.time() < deadline:
@@ -97,10 +110,26 @@ def _guard_environment() -> float:
               file=sys.stderr)
         time.sleep(10)
         load = os.getloadavg()[0]
-    if load > limit:
-        print(f"bench: WARNING — timing under load {load:.1f} "
-              f"(> {limit:.0f}); numbers may be inflated", file=sys.stderr)
-    return round(load, 2)
+    # round-9 hard gate (the r8 driver artifact was timed at load 1.53
+    # — under the settle limit above but measured to inflate 10
+    # queries +30-90%): if the first cycle settled to somewhere in
+    # (0.8, limit], run a SECOND settle cycle targeting 0.8 before
+    # timing; if the machine still won't go quiet, the artifact ships
+    # with ``contended: true`` so consumers discard the totals on
+    # evidence instead of trusting a warm-load number
+    hard = 0.8
+    if load > hard:
+        deadline = time.time() + 180
+        while load > hard and time.time() < deadline:
+            print(f"bench: load {load:.1f} > {hard} hard gate, second "
+                  f"settle cycle...", file=sys.stderr)
+            time.sleep(10)
+            load = os.getloadavg()[0]
+    if load > hard:
+        print(f"bench: CONTENDED — timing under load {load:.1f} "
+              f"(> {hard} after two settle cycles); artifact flagged",
+              file=sys.stderr)
+    return round(load, 2), load > hard
 
 
 # Committed clean-machine calibration range for _calibrate() below:
@@ -197,7 +226,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    load_at_start = _guard_environment()
+    load_at_start, load_contended = _guard_environment()
 
     from snowflake_medtech_vigilance_lakehouse_spark.session import get_spark
     import __spark_entry__ as se
@@ -525,18 +554,26 @@ def main() -> None:
 
     band = 0.25
     regressions, reg_baseline = [], None
-    arts = sorted(glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    root = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json"))
+        + glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json")),
+        key=lambda p: (  # by round number, BENCH_LOCAL (full map) last
+            int(re.search(r"_r(\d+)", p).group(1)), "LOCAL" in p))
     prev = None
-    # newest-first, first artifact at the SAME sf wins (the 30x sweep
-    # can leave a different-sf artifact newest); the driver wraps the
-    # bench's JSON line under a "parsed" envelope — unwrap either
-    # layout, and skip artifacts carrying neither shape
+    # newest-first, first FULL-MAP artifact at the SAME sf wins (the
+    # 30x sweep can leave a different-sf artifact newest; round-9
+    # driver artifacts carry only a truncated top-slowest queries map,
+    # flagged queries_truncated — the full map lives in the committed
+    # BENCH_LOCAL_r{N}.json). The driver wraps the bench's JSON line
+    # under a "parsed" envelope — unwrap either layout, and skip
+    # artifacts carrying neither shape
     for art in reversed(arts):
         with open(art) as f:
             cand = json.load(f)
-        cand = cand.get("parsed", cand)
-        if cand.get("sf") == sf and cand.get("queries"):
+        cand = cand.get("parsed") or cand
+        if (cand.get("sf") == sf and cand.get("queries")
+                and not cand.get("queries_truncated")):
             prev, reg_baseline = cand, os.path.basename(art)
             break
     if prev is not None:
@@ -557,22 +594,55 @@ def main() -> None:
                   f"vs {reg_baseline}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    common = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "recall_at_20_lsh": recall,
         "recall_at_20_ivf": recall_ivf,
         "reps": REPS,
         "load_at_start": load_at_start,
         "calibration_s": calibration_s,
         "calibration_clean_s": CALIBRATION_CLEAN_S,
-        "contended": contended,
-        "regressions": regressions,
+        "contended": contended or load_contended,
         "regression_baseline": reg_baseline,
         "regression_band": band,
         "sf": sf,
+    }
+
+    # round 9: the r8 driver artifact shipped "parsed": null because
+    # the single printed line (51-query map + 13 regression records)
+    # outgrew the driver's tail-capture window — the per-round hard
+    # perf signal was lost. The FULL per-query map now lands in a
+    # committed sibling artifact and the printed machine line stays
+    # compact: headline totals, calibration, the regression COUNT plus
+    # the 3 worst offenders, and a truncated top-slowest queries map
+    # (flagged queries_truncated so the regression-baseline scan above
+    # never diffs against it).
+    def _rounds(pattern: str) -> list[int]:
+        return [int(m.group(1)) for p in glob.glob(os.path.join(root, pattern))
+                for m in [re.search(r"_r(\d+)", p)] if m]
+
+    # the driver's artifact for round N lands AFTER this process exits,
+    # so the round being benched = newest driver artifact + 1; an
+    # earlier bench run of the SAME round already left a LOCAL file —
+    # overwrite it, don't advance past it
+    this_round = max(max(_rounds("BENCH_r*.json"), default=0) + 1,
+                     max(_rounds("BENCH_LOCAL_r*.json"), default=0))
+    full_art = f"BENCH_LOCAL_r{this_round:02d}.json"
+    with open(os.path.join(root, full_art), "w") as f:
+        json.dump({**common, "queries": timings,
+                   "regressions": regressions}, f, indent=1, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    print(json.dumps({
+        **common,
+        "queries": slowest,
+        "queries_truncated": True,
+        "n_queries": len(timings),
+        "regression_count": len(regressions),
+        "regressions_worst": regressions[:3],
+        "full_artifact": full_art,
     }))
 
 

@@ -600,7 +600,16 @@ def minhash_neardup_against(new_docs: DataFrame,
     # instead of re-running the scan each
     cand = cross.unionByName(intra).distinct().localCheckpoint(eager=True)
 
-    all_h = corpus_hashes.unionByName(new_hashes)
+    # a REPLAYED increment doc exists in BOTH frames (crash-recovery
+    # re-run after its keeps were absorbed); a plain union would carry
+    # its hash set twice and every surviving pair touching it would be
+    # emitted as two identical rows — violating the pairs contract.
+    # Broadcast-anti the (small) increment ids out of the corpus side:
+    # the corpus scan stays exchange-free and the increment's copy
+    # wins, so a replay sees exactly one hash set per id
+    all_h = (corpus_hashes.join(
+        F.broadcast(new_hashes.select("_id")), "_id", "left_anti")
+        .unionByName(new_hashes))
     # pull each side's hash set via a broadcast of the bounded pair
     # list (the corpus scan stays exchange-free), then join the two
     # pair-sized halves — only candidate-volume data ever shuffles

@@ -19,9 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _eager_checkpoint, _release_persistent
+from .dedup import _eager_checkpoint, _release_persistent, connected_components
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "keep_representatives"]
 
 
 def pagerank(edges: DataFrame, *, damping: float = 0.85, iters: int = 5,
@@ -114,3 +114,68 @@ def pagerank(edges: DataFrame, *, damping: float = 0.85, iters: int = 5,
         _release_persistent(jsc, base_ids + prev_ids)
         if not ok:
             _release_persistent(jsc, last_ids)
+
+
+def keep_representatives(pairs: DataFrame, scores: DataFrame | None = None,
+                         *, damping: float = 0.85, iters: int = 5,
+                         left_col: str = "doc_id_1",
+                         right_col: str = "doc_id_2") -> DataFrame:
+    """The composition :func:`pagerank` exists for (module doc):
+    duplicate clusters from :func:`~.dedup.connected_components`, the
+    KEPT copy of each cluster chosen by IMPORTANCE — its PageRank
+    centrality within the near-dup graph — rather than by min-id.
+    The cluster hub (the copy most other copies point at / most
+    connected) is usually the canonical, best-formatted instance;
+    min-id keeps whichever happened to be crawled first.
+
+    ``pairs`` is a near-dup pair list (e.g. from
+    :func:`~.dedup.ngram_jaccard_pairs` or
+    :func:`~.dedup.minhash_lsh_pairs`). ``scores`` is an optional
+    (node, pagerank) frame; when omitted it is computed here — 5
+    power iterations over the symmetrized pair graph. A node missing
+    from a caller-supplied ``scores`` sorts last (never the keeper of
+    a cluster with any scored member).
+
+    Returns (doc_id, component_id, score, keep): every graph node,
+    its cluster label, its centrality, and keep = True on exactly one
+    row per cluster — the max-score member, ties broken by min
+    doc_id (deterministic, engine-reproducible).
+
+    100 TB shape: the pair list is eagerly checkpointed ONCE and
+    feeds both iterative loops (each would otherwise re-run the
+    entire upstream pair derivation while materializing its own edge
+    checkpoint); the blocks are released as soon as both loops'
+    checkpoint-backed outputs exist. The final composition is one
+    node-keyed shuffle join (components x scores) plus one
+    cluster-partitioned row_number window — per-cluster state, no
+    corpus-sized buffers; both loop outputs are node-sized.
+    """
+    from pyspark.sql.window import Window
+
+    jsc = pairs.sparkSession.sparkContext._jsc
+    p, pair_ids = _eager_checkpoint(
+        pairs.select(F.col(left_col).alias("doc_id_1"),
+                     F.col(right_col).alias("doc_id_2")), jsc)
+    try:
+        comps = connected_components(p)
+        if scores is None:
+            edges = p.select(
+                F.col("doc_id_1").alias("src"),
+                F.col("doc_id_2").alias("dst"),
+            ).union(p.select(
+                F.col("doc_id_2").alias("src"),
+                F.col("doc_id_1").alias("dst")))
+            scores = pagerank(edges, damping=damping, iters=iters)
+    finally:
+        # both loop outputs are checkpoint-backed (lineage-truncated),
+        # so the pair checkpoint is dead even on error paths
+        _release_persistent(jsc, pair_ids)
+    scored = comps.join(
+        scores.select(F.col("node").alias("doc_id"),
+                      F.col("pagerank").alias("score")),
+        "doc_id", "left")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc_nulls_last("score"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id", "component_id", "score",
+        (F.row_number().over(w) == 1).alias("keep"))

@@ -565,14 +565,22 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
         )
 
     ckpt_before = _ckpt_state()
+    live = spark.read.parquet(path)
     n_lists = spark.read.parquet(path + "_centroids").count()
-    corpus = spark.read.parquet(path).select(id_col, "_v")
+    corpus = live.select(id_col, "_v")
     stage = path + "_rebuild"
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(stage + "_centroids", ignore_errors=True)
     shutil.rmtree(stage + "_radii", ignore_errors=True)
+    # a quantized index carries _v8/_qs/_n8 code columns; the rebuild
+    # must preserve the layout (the codes are derivable from _v, so
+    # re-quantizing at rebuild is the natural refresh of the scalar
+    # quantizer's sample) — without this the staged index would lose
+    # the codes and silently downgrade knn_ivf_indexed_compressed to
+    # a loud "carries no int8 codes" error after routine maintenance
     build_ivf_index(corpus, stage, n_lists=n_lists, id_col=id_col,
-                    vec_col="_v", seed=seed)
+                    vec_col="_v", seed=seed,
+                    quantize_int8="_v8" in live.columns)
     # last-moment re-verification before the swap: the rebuild read
     # the index as of the gate; a refresh tick that committed DURING
     # the (slow) rebuild appended vectors the staged index does not

@@ -365,6 +365,41 @@ def test_maintain_ivf_rebuilds_on_growth_and_recall_holds(spark, tmp_path):
     assert sim.recall_at_k(served, exact, k=20) >= 0.72
 
 
+def test_maintain_ivf_preserves_int8_codes(spark, tmp_path):
+    """Routine maintenance of a quantize_int8 index must rebuild WITH
+    the code columns: before round 9 the rebuild read only (id, _v),
+    the staged index lost _v8/_qs/_n8, and the compressed serving tier
+    raised 'carries no int8 codes' after the first rebuild."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import (
+        maintain_ivf_index, refresh_ivf_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx, ckpt = str(tmp_path / "ivf8"), str(tmp_path / "ck8")
+    sim.build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), idx,
+                        n_lists=16, seed=42, quantize_int8=True)
+
+    new_dir = tmp_path / "new8"; new_dir.mkdir()
+    emb.filter(F.col("vec_id") % 3 != 0).write.mode("overwrite")\
+        .parquet(str(new_dir))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>").parquet(str(new_dir))
+    refresh_ivf_index(stream, idx, ckpt).awaitTermination(120)
+
+    assert maintain_ivf_index(spark, idx, ckpt, threshold=0.2) is True
+    cols = spark.read.parquet(idx).columns
+    assert {"_v8", "_qs", "_n8"} <= set(cols)
+
+    # the compressed tier still serves, refined rows equal the
+    # full-precision tier (the SQ8 candidate/refine contract)
+    q = emb.filter(F.col("vec_id") < 4)
+    full = sim.knn_ivf_indexed(spark, idx, q, k=10, n_probe=16)
+    comp = sim.knn_ivf_indexed_compressed(spark, idx, q, k=10,
+                                          n_probe=16, rerank=100_000)
+    assert ({tuple(r) for r in comp.collect()}
+            == {tuple(r) for r in full.collect()})
+
+
 def test_compact_index_ticks_preserves_readers_and_respects_newest(
         spark, tmp_path):
     """Compaction across refresh ticks must be invisible to every

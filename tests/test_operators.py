@@ -776,6 +776,29 @@ def test_minhash_incremental_matches_full_restricted(spark, docs):
     assert got == want and len(want) > 0
 
 
+def test_minhash_replayed_increment_emits_each_pair_once(spark, docs):
+    """Crash-replay: the increment docs are ALREADY absorbed into the
+    store (they exist on both sides). The pairs output must still hold
+    one row per surviving pair — the replayed doc's hash set must not
+    be carried twice through the verification joins — and the rows
+    must equal the pre-absorb run exactly (replay converges)."""
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incr = docs.filter(F.col("doc_id") % 10 == 0)
+    cb0, ch0 = dd.minhash_store_frames(corpus, num_hashes=64, bands=32)
+    before = dd.minhash_neardup_against(
+        incr, cb0, ch0, threshold=0.5, num_hashes=64, bands=32).collect()
+
+    # the post-absorb store = corpus ∪ increment; the same increment
+    # replays against it
+    cb1, ch1 = dd.minhash_store_frames(docs, num_hashes=64, bands=32)
+    replay = dd.minhash_neardup_against(
+        incr, cb1, ch1, threshold=0.5, num_hashes=64, bands=32).collect()
+
+    rows = [tuple(r) for r in replay]
+    assert len(rows) == len(set(rows)), "duplicate pair rows on replay"
+    assert set(rows) == {tuple(r) for r in before} and len(rows) > 0
+
+
 def test_minhash_store_roundtrip_append_and_refusal(spark, docs, tmp_path):
     """Persisted store: build → query equals the in-plan frames;
     absorbing the increment then querying a SECOND increment sees
@@ -1086,6 +1109,52 @@ def test_pagerank_releases_superseded_checkpoints(spark):
     after = len(jsc.getPersistentRDDs())
     assert after <= baseline + 1, (
         f"pagerank leaked {after - baseline} persistent RDDs")
+
+
+def test_keep_representatives_one_max_score_keeper_per_cluster(spark):
+    """CC + PageRank composed into the keep decision: exactly one keep
+    per cluster, and it is the max-pagerank member (the hub), with a
+    deterministic min-id tiebreak — NOT the min-id member."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.graph import (
+        keep_representatives, pagerank)
+
+    # two clusters: a 4-node star centered on 30 (so the hub has the
+    # highest centrality but NOT the smallest id), and a 2-node pair
+    # (a tie: symmetric ranks -> min-id wins)
+    pairs = spark.createDataFrame(
+        [(10, 30), (20, 30), (40, 30), (50, 60)],
+        "doc_id_1 long, doc_id_2 long")
+    rows = keep_representatives(pairs).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+
+    assert len(rows) == 6
+    # cluster labels are the min-id canonical (the components contract)
+    assert {r["component_id"] for r in rows} == {10, 50}
+    keepers = {r["component_id"]: r["doc_id"] for r in rows if r["keep"]}
+    n_keep = sum(1 for r in rows if r["keep"])
+    assert n_keep == 2 and keepers == {10: 30, 50: 50}
+    # the star hub outranks every leaf; leaves share the same score
+    leaf = {by_id[i]["score"] for i in (10, 20, 40)}
+    assert len(leaf) == 1 and by_id[30]["score"] > leaf.pop()
+
+    # caller-supplied scores override the internal pagerank — a leaf
+    # can be forced keeper; ties in supplied scores break by min id
+    scores = spark.createDataFrame(
+        [(10, 0.9), (20, 0.9), (30, 0.1), (40, 0.1),
+         (50, 0.5), (60, 0.5)], "node long, pagerank double")
+    forced = {r["component_id"]: r["doc_id"]
+              for r in keep_representatives(pairs, scores).collect()
+              if r["keep"]}
+    assert forced == {10: 10, 50: 50}
+
+    # composition consistency: the internal scores equal a direct
+    # pagerank over the symmetrized pair edges
+    edges = pairs.selectExpr("doc_id_1 AS src", "doc_id_2 AS dst").union(
+        pairs.selectExpr("doc_id_2 AS src", "doc_id_1 AS dst"))
+    direct = {r["node"]: r["pagerank"]
+              for r in pagerank(edges, damping=0.85, iters=5).collect()}
+    for i, r in by_id.items():
+        assert r["score"] == direct[i]
 
 
 def test_temperature_mix_rates_and_membership(spark):
