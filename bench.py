@@ -268,8 +268,14 @@ def main() -> None:
         return timed_build(lambda: df)
 
     timings: dict[str, float] = {}
+    # timed_build, not timed: plan construction is sub-ms for the lazy
+    # queries, but round 9 gave two operators (char_lm_score,
+    # exact_substr) a lazy localCheckpoint — re-timing ONE constructed
+    # frame would let reps 2+ read the first rep's checkpoint blocks
+    # and report a warm fantasy; a fresh frame per rep keeps every
+    # rep's work inside its window
     for name in HEADLINE:
-        timings[name] = timed(qs[name](spark, sf_dir))
+        timings[name] = timed_build(lambda n=name: qs[n](spark, sf_dir))
 
     # production dedup profile: the capped-shingle-frequency path (the
     # 100 TB lever) timed next to the exact oracle run above
@@ -277,6 +283,21 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     capped = dd.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64)
     timings["ngram_jaccard_capped64"] = timed(capped)
+
+    # adversarial ExactSubstr (round 9): one 8-token boilerplate span
+    # pasted into 10% of docs — the hot-join-key regime the checkpoint
+    # + AQE-skew-split design in duplicated_span_stats exists for
+    # (pytest pins the split firing; this entry prices the regime).
+    # Compare against timings["exact_substr"] for the hot-span cost.
+    from pyspark.sql import functions as _Fh
+    _hot = "alpha beta gamma delta epsilon zeta eta theta"
+    _spiked = docs.withColumn(
+        "text",
+        _Fh.when(_Fh.col("doc_id") % 10 == 0,
+                 _Fh.concat(_Fh.lit(_hot + " "), _Fh.col("text")))
+        .otherwise(_Fh.col("text")))
+    timings["exact_substr_hotspan"] = timed_build(
+        lambda: dd.duplicated_span_stats(_spiked))
 
     # PageRank over the near-dup graph (round 8): the registry query
     # builds its edges with brute-force kNN (oracle-friendly,

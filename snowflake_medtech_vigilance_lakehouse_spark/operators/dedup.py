@@ -937,11 +937,24 @@ def duplicated_span_stats(docs: DataFrame, *, n: int = 8,
         toks.select("_id", F.explode(spans).alias("_g"))
         .select("_id", F.col("_g.pos").alias("_pos"), F.col("_g.gh").alias("_gh"))
     )
+    # the lazy localCheckpoint is NOT for reuse — it decouples the
+    # join-back's build side from its aggregate lineage. With the
+    # HashAggregate as the join child, AQE's OptimizeSkewedJoin is
+    # structurally inapplicable (it only rewrites joins whose children
+    # are bare shuffle stages — splitting an aggregate's partition
+    # would split its groups), so a boilerplate span hot enough to
+    # matter could never be skew-split once the dup list outgrows
+    # broadcast. Checkpointed, the forced-shuffle plan becomes
+    # Sort(Exchange(ExistingRDD)) on the build side and the hot
+    # probe-side partition splits (pinned in pytest with
+    # production-shaped thresholds); the cost is one re-exchange of
+    # the DISTINCT-duplicated-span list — tiny by construction
     dup_spans = (
         exploded.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .filter(F.col("_cnt") >= min_count)
         .select("_gh")
+        .localCheckpoint(eager=False)
     )
     dup = exploded.join(dup_spans, "_gh")
     covered = F.size(F.array_distinct(F.flatten(F.transform(

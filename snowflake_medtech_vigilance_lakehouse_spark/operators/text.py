@@ -386,27 +386,64 @@ def char_lm_score(docs: DataFrame, text_col: str = "text",
     Returns (doc_id, n_bigrams, avg_logprob) — avg_logprob NULL for
     documents shorter than 2 characters, rounded to 6.
 
-    100 TB shape: the model table is at most |charset|^2 rows
-    regardless of corpus size, so the scoring join is a BROADCAST —
-    the corpus-wide passes are (1) a partial-agg groupBy building the
-    model and (2) a per-doc re-aggregation after the broadcast join;
-    no sort, no skew surface (the per-doc groupBy key is the doc id).
-    Char bigrams come from one ``transform`` over an index sequence
-    with ``substring`` — pure codegen, no Python."""
+    100 TB shape (round 9 cut the corpus passes from three to two —
+    the r8 plan re-parsed and re-exploded the corpus text once per
+    consumer of the model aggregate: broadcast build, total fold,
+    plus the scoring pass itself): the charset^2-bounded model frame
+    is lineage-truncated via a LAZY localCheckpoint, so the broadcast
+    build and the 1-row total fold read the same computed RDD (tiny
+    blocks, released by the ContextCleaner when the frame is garbage
+    collected) instead of each re-deriving the aggregate from a
+    fresh corpus parse — plan-asserted in pytest: exactly two scans
+    of the text column, one model build + one scoring pass. (The
+    one-parse variants were measured and REJECTED at sf0.1: routing
+    per-doc (id, bigram) counts through a checkpoint adds a
+    corpus-sized exchange, and row-local sorted-run encoding pays an
+    array_sort per doc — both cost more than the parse they save;
+    ReusedExchange cannot fuse the subtrees either, because column
+    pruning projects each consumer differently and they never
+    canonicalize equal.) The model stays charset^2-bounded whatever
+    the corpus size, so the scoring join is a BROADCAST; the
+    corpus-wide passes are the model partial agg and the per-doc
+    re-aggregation after the broadcast join; no sort, no skew surface
+    (the per-doc groupBy key is the doc id). Char bigrams come from
+    one ``transform`` over an index sequence with ``substring`` —
+    pure codegen, no Python. The checkpoint is LAZY, so no Spark jobs
+    run at plan-construction time — but bench with a FRESH frame per
+    rep (``timed_build``): re-executing one constructed frame would
+    serve later reps from the first rep's checkpoint blocks."""
+    # widen before the parse (the dedup family's _shingled pattern):
+    # the bigram substring transform is the CPU-heavy step and runs
+    # MAP-SIDE, before any aggregation redistributes work — a
+    # single-file scan would pin it to one task (measured 1.5 s
+    # single-task at sf0.1, per pass). A many-file 100 TB input
+    # already scans wide and skips the extra (tiny, raw-text) shuffle
+    src = docs.select(F.col(id_col).alias("_id"),
+                      F.col(text_col).alias("_txt"))
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < p:
+        src = src.repartition(p)
     # guard the <2-char case explicitly: sequence(1, 0) is DESCENDING
     # in Spark ([1, 0], not empty), which would fabricate two junk
     # "bigrams" per short document AND shift the corpus model totals
     bigrams = F.expr(
-        f"CASE WHEN length({text_col}) >= 2"
-        f" THEN transform(sequence(1, length({text_col}) - 1),"
-        f"                i -> substring({text_col}, i, 2))"
-        f" ELSE CAST(array() AS array<string>) END"
+        "CASE WHEN length(_txt) >= 2"
+        " THEN transform(sequence(1, length(_txt) - 1),"
+        "                i -> substring(_txt, i, 2))"
+        " ELSE CAST(array() AS array<string>) END"
     )
-    base = docs.select(F.col(id_col).alias("_id"), bigrams.alias("_bg"))
+    base = src.select("_id", bigrams.alias("_bg"))
     exploded = base.select("_id", F.explode_outer("_bg").alias("_b"))
+    # the model is charset^2-bounded whatever the corpus size; the
+    # lazy localCheckpoint makes BOTH its consumers (the broadcast
+    # build below and the 1-row total fold) read the same computed
+    # RDD instead of each re-deriving the aggregate from a fresh
+    # corpus parse — this is where the r8 plan paid its 2nd and 3rd
+    # text passes
     model = (
         exploded.filter(F.col("_b").isNotNull())
         .groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
     )
     total = model.agg(F.sum("_c").cast("double").alias("_total"))
     scored = (

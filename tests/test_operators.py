@@ -950,6 +950,64 @@ def test_duplicated_span_stats_exact_values(spark):
             got[4]["dup_covered"], got[4]["dup_ratio"]) == (4, 2, 4, 1.0)
 
 
+def test_duplicated_span_stats_hot_span_skew_path(spark):
+    """Adversarial boilerplate: ONE 8-token span pasted into 40k of
+    60k docs. The dup-span join-back must (a) broadcast the (tiny)
+    duplicated-span list under defaults — never ship every hot
+    occurrence to one sort-merge task — and (b) when a corpus-scale
+    run forces the shuffle join instead, AQE's OptimizeSkewedJoin
+    must split the hot partition (production-shaped thresholds, the
+    test_scale.py skew pattern). Values are pinned exactly on both
+    paths."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.dedup import (
+        duplicated_span_stats)
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta"
+    # 50k docs that ARE the boilerplate span (the hot join key must
+    # dominate the 4-partition test session's median partition for
+    # the split detector to see it) + 10k clean 12-unique-token docs
+    docs = spark.range(0, 60_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 6 == 5, F.concat_ws(" ", *[
+            F.concat(F.lit(f"v{j}x"), F.col("id")) for j in range(12)])
+        ).otherwise(F.lit(hot)).alias("text"))
+
+    def check(rows):
+        got = {r["doc_id"]: r for r in rows}
+        assert len(got) == 60_000
+        spiked, clean = got[0], got[5]
+        # the whole 8-token doc is one corpus-wide duplicated span
+        assert (spiked["n_tokens"], spiked["dup_ngrams"],
+                spiked["dup_covered"], spiked["dup_ratio"]) == (8, 1, 8, 1.0)
+        assert (clean["n_tokens"], clean["dup_ngrams"],
+                clean["dup_covered"], clean["dup_ratio"]) == (12, 0, 0, 0.0)
+
+    df = duplicated_span_stats(docs)
+    check(df.collect())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "skew=true" not in plan
+
+    tight = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in tight}
+    for k, v in tight.items():
+        spark.conf.set(k, v)
+    try:
+        df2 = duplicated_span_stats(docs)
+        check(df2.collect())
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan2
+        assert "skew=true" in plan2  # OptimizeSkewedJoin split the hot key
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
 def test_gopher_filter_rules_and_reasons(spark):
     # hand-computed signal values and rule codes, incl. a multi-reason
     # document and the all-pass row
@@ -1047,6 +1105,33 @@ def test_char_lm_score_short_docs_zero_bigrams(spark):
     # doc 1: bigrams ab/bc/cd, each count 1 of total 3 -> avg ln(1/3)
     assert got[1]["n_bigrams"] == 3
     assert abs(got[1]["avg_logprob"] - round(math.log(1 / 3), 6)) < 1e-9
+
+
+def test_char_lm_score_single_model_pass_and_widened_parse(spark):
+    """Round-9 fusion contract: the model aggregate is computed once
+    (lazy localCheckpoint) and serves both the broadcast build and the
+    total fold — the outer plan carries exactly ONE text-column scan
+    (the scoring pass) plus checkpoint-RDD reads, never a second or
+    third corpus parse; and a narrower-than-cores input is widened
+    before the CPU-heavy bigram transform."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.text import (
+        char_lm_score)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = char_lm_score(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") == 1
+    assert plan.count("ExistingRDD") == 2  # model bcast + total fold
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+    # and it still computes: same values as a direct recompute
+    import math
+
+    got = {r["doc_id"]: r for r in char_lm_score(spark.createDataFrame(
+        [(1, "aaa"), (2, "ab")], "doc_id long, text string")).collect()}
+    # model: aa x2, ab x1 -> doc1 avg = ln(2/3), doc2 = ln(1/3)
+    assert got[1]["n_bigrams"] == 2
+    assert abs(got[1]["avg_logprob"] - round(math.log(2 / 3), 6)) < 1e-9
+    assert abs(got[2]["avg_logprob"] - round(math.log(1 / 3), 6)) < 1e-9
 
 
 def test_weighted_sample_excludes_nonpositive_weights(spark):
