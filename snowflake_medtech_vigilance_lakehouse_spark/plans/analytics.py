@@ -1800,6 +1800,141 @@ WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
 ORACLE_MINHASH_INCREMENTAL = _minhash_incremental_oracle()
 
 
+_CDF_LEDGER_CACHE: dict[str, tuple[tuple, str]] = {}
+
+
+def q_cdf_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF curation loop's keep/reject ledger under the DuckDB
+    hash gate (round 9 — the loop was pytest-only before): the
+    documents table is split into a persisted MinHash store
+    (doc_id % 4 == 3) and a 3-commit Delta change feed
+    (% 4 == 0 / 1 / 2, one insert commit each);
+    operators/curation.py:curate_minhash_from_cdf replays the feed
+    against the store — each commit near-dup-checked against the
+    store PLUS all previously-absorbed keeps, decisions landing per
+    tick — and the query returns the full decision trail
+    (doc_id, commit_version, keep). The oracle unrolls the identical
+    three-commit replay as chained CTEs: same signature family, same
+    band candidates, same hash-set Jaccard verification, same
+    min-canonical keep rule, with each commit's store = base ∪ keeps
+    of earlier commits. Setup (Delta writes + the eager curation
+    loop) runs once per process per fixture fingerprint, like the
+    incremental-IVF twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.curation import curate_minhash_from_cdf
+    from ..sources import delta_lite as dl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = _fixture_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    cached = _CDF_LEDGER_CACHE.get(sf_dir)
+    if cached is None or cached[0] != fp or not os.path.isdir(cached[1]):
+        if cached is not None:
+            shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
+        work = tempfile.mkdtemp(prefix="sparkgraft_cdf_ledger_")
+        store = os.path.join(work, "store")
+        tbl = os.path.join(work, "docs_delta")
+        dd.build_minhash_store(docs.filter(F.col("doc_id") % 4 == 3),
+                               store, num_hashes=64, bands=32)
+        for c in (0, 1, 2):
+            dl.write_delta(docs.filter(F.col("doc_id") % 4 == c), tbl,
+                           mode="overwrite" if c == 0 else "append")
+        done = curate_minhash_from_cdf(spark, tbl, store, threshold=0.5)
+        if done != [0, 1, 2]:
+            raise RuntimeError(
+                f"cdf_curation_ledger setup expected commits [0, 1, 2], "
+                f"processed {done}")
+        _CDF_LEDGER_CACHE[sf_dir] = (fp, store)
+    store = _CDF_LEDGER_CACHE[sf_dir][1]
+    return (
+        spark.read.parquet(store + "_decisions")
+        .select("doc_id",
+                F.col("tick").cast("long").alias("commit_version"), "keep")
+    )
+
+
+def _cdf_ledger_oracle(num_hashes: int = 64, bands: int = 32,
+                       threshold: float = 0.5) -> str:
+    """DuckDB twin of q_cdf_curation_ledger: the three-commit replay
+    unrolled. Signature family and hash-set verification are shared
+    with _minhash_incremental_oracle; per commit ``c`` the candidate
+    set is (store_c x commit_c) ∪ (smaller-id commit_c x commit_c)
+    band matches, the rejected set is the verified >= threshold
+    batch-side losers, and store_{c+1} = store_c ∪ kept commit_c —
+    exactly curate_minhash_from_cdf's keep rule (a historical partner
+    always wins; within a commit the larger id loses, whether or not
+    the smaller id itself survives)."""
+    coeffs = dd._hash_coeffs(num_hashes)
+    p = dd._MERSENNE_P
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows = num_hashes // bands
+    band_conds = "\n     OR ".join(
+        "(" + " AND ".join(
+            f"a.mh_{bi * rows + r} = b.mh_{bi * rows + r}" for r in range(rows)
+        ) + ")"
+        for bi in range(bands)
+    )
+    parts = [f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM documents
+), dd AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             sh, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS hs
+  FROM d WHERE len(sh) > 0
+), grams AS (
+  SELECT doc_id, unnest(sh) AS g FROM d WHERE len(sh) > 0
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+s0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3)"""]
+    for c in (0, 1, 2):
+        parts.append(f"""
+cand{c} AS (
+  SELECT a.doc_id AS aid, b.doc_id AS bid
+  FROM sigs a JOIN sigs b
+    ON b.doc_id % 4 = {c}
+   AND (a.doc_id IN (SELECT doc_id FROM s{c})
+        OR (a.doc_id % 4 = {c} AND a.doc_id < b.doc_id))
+  WHERE {band_conds}
+),
+rej{c} AS (
+  SELECT DISTINCT c.bid AS doc_id
+  FROM cand{c} c
+  JOIN dd x ON x.doc_id = c.aid
+  JOIN dd y ON y.doc_id = c.bid
+  WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+        / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+        >= {threshold}
+),
+k{c} AS (
+  SELECT doc_id FROM documents WHERE doc_id % 4 = {c}
+   AND doc_id NOT IN (SELECT doc_id FROM rej{c})
+),
+s{c + 1} AS (SELECT doc_id FROM s{c} UNION ALL SELECT doc_id FROM k{c})""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {c}::BIGINT AS commit_version,"
+        f" doc_id NOT IN (SELECT doc_id FROM rej{c}) AS keep"
+        f" FROM documents WHERE doc_id % 4 = {c}"
+        for c in (0, 1, 2))
+    return ",".join(parts) + "\n" + finals
+
+
+ORACLE_CDF_CURATION_LEDGER = _cdf_ledger_oracle()
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI8 SimHash near-dup: Hamming distance <= 3 over 64-bit
     signatures, banded join. The 4-chunk pigeonhole banding is
@@ -3147,6 +3282,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_neardup": q_minhash_neardup,
     "minhash_incremental": q_minhash_incremental,
+    "cdf_curation_ledger": q_cdf_curation_ledger,
     "embedding_neardup_incremental": q_embedding_neardup_incremental,
     "simhash_neardup": q_simhash_neardup,
     "dedup_clusters": q_dedup_clusters,
@@ -3291,6 +3427,7 @@ ORACLES: dict[str, str] = {
     "unpivot_metrics": ORACLE_UNPIVOT,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "minhash_incremental": ORACLE_MINHASH_INCREMENTAL,
+    "cdf_curation_ledger": ORACLE_CDF_CURATION_LEDGER,
     "embedding_neardup_incremental": ORACLE_EMBEDDING_NEARDUP_INCREMENTAL,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_curation": ORACLE_CORPUS_CURATION,

@@ -211,3 +211,95 @@ def test_duckdb_scan_planned_solely_from_rest_load_table(
 
     assert results["orders"][0] == 240
     assert results["uni"] == (100, 10)  # post-MERGE uniform plane
+
+
+def test_pyarrow_scan_planned_solely_from_rest_load_table(
+        spark, sf_dir, tmp_path):
+    """A THIRD engine through the same REST plane (the reference
+    names two external verifiers, Trino + DuckDB; Trino cannot run in
+    this container, so pyarrow.dataset — an independent C++ reader —
+    stands in): the table resolves by NAME over HTTP, the scan plan
+    derives SOLELY from the LoadTableResult (version-hint and
+    v{N}.metadata.json destroyed first), and pyarrow's rows agree
+    exactly with DuckDB planned from the identical file list AND with
+    the engine's own iceberg_lite reader. A predicate + projection
+    scan is also planned externally (pyarrow filter/columns) and
+    cross-checked against DuckDB's filtered count."""
+    import pyarrow.dataset as ds
+
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        rest_catalog as rc)
+
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .withColumn("yyyy", F.year("o_orderdate")))
+
+    path = str(tmp_path / "ice_pa")
+    base = o.limit(200)
+    il.write_iceberg(base, path, partition_by=["yyyy"])
+    il.write_iceberg(base.limit(40), path, mode="append",
+                     partition_by=["yyyy"])
+    # the engine's own view, captured BEFORE the discovery aids die
+    ours = il.read_iceberg(spark, path)
+    ours_n = ours.count()
+    ours_sum = ours.agg(F.sum("o_orderkey")).first()[0]
+
+    upath = str(tmp_path / "uni_pa")
+    u = base.limit(100).select("o_orderkey", "o_totalprice", "yyyy")
+    publish_uniform(u, upath, partition_by=["yyyy"])
+    dl.merge_delta(spark, upath,
+                   u.limit(10).withColumn("o_totalprice", F.lit(0.0)),
+                   on=["o_orderkey"], when_matched="update",
+                   when_not_matched=None)
+
+    root = str(tmp_path / "cat_pa")
+    rc.register_table(root, "marts", "orders", path)
+    rc.register_table(root, "marts", "uni", upath)
+
+    con = duckdb.connect()
+    with rc.CatalogServer(root) as srv:
+        out = {}
+        for name in ("orders", "uni"):
+            res = rc.load_table(srv.uri, "marts", name)
+            table_root = os.path.dirname(
+                os.path.dirname(res["metadata-location"]))
+            os.remove(os.path.join(table_root, "metadata",
+                                   "version-hint.text"))
+            for f in os.listdir(os.path.join(table_root, "metadata")):
+                if f.endswith(".metadata.json"):
+                    os.rename(os.path.join(table_root, "metadata", f),
+                              os.path.join(table_root, "metadata",
+                                           f + ".hidden"))
+            files, _ = _ind_current_files(table_root,
+                                          meta=res["metadata"])
+            paths = [os.path.join(table_root, rel) for rel in files]
+            dset = ds.dataset(paths, format="parquet")
+            tbl = dset.to_table(columns=["o_orderkey", "o_totalprice"])
+            pa_rows = sorted(zip(tbl.column("o_orderkey").to_pylist(),
+                                 tbl.column("o_totalprice").to_pylist()))
+            duck_rows = sorted(con.execute(
+                "SELECT o_orderkey, o_totalprice FROM read_parquet(?)",
+                [paths]).fetchall())
+            assert pa_rows == duck_rows and len(pa_rows) > 0
+            out[name] = (dset, paths, pa_rows)
+
+        dset, paths, pa_rows = out["orders"]
+        assert len(pa_rows) == 240 == ours_n
+        assert sum(k for k, _ in pa_rows) == ours_sum
+
+        # uniform plane after the Delta MERGE: the third engine sees
+        # the post-merge rows, zeros included
+        _, _, uni_rows = out["uni"]
+        assert len(uni_rows) == 100
+        assert sum(1 for _, p in uni_rows if p == 0) == 10
+
+        # externally-planned predicate + projection: pyarrow pushes
+        # the filter into its scan; DuckDB agrees on the same plan
+        probe = min(k for k, _ in pa_rows) + 1
+        flt = dset.to_table(columns=["o_orderkey"],
+                            filter=ds.field("o_orderkey") <= probe)
+        duck_n = con.execute(
+            "SELECT count(*) FROM read_parquet(?) WHERE o_orderkey <= ?",
+            [paths, probe]).fetchone()[0]
+        assert flt.num_rows == duck_n > 0
