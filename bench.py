@@ -210,6 +210,7 @@ HEADLINE = (
     # round-8 text/dedup additions: span-level ExactSubstr stats, the
     # vocab-coverage table, and the char-bigram LM score
     "exact_substr",
+    "exact_substr_cut",
     "vocab_topk",
     "char_lm_score",
     "gopher_filter",

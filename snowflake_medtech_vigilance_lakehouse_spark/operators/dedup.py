@@ -983,3 +983,79 @@ def duplicated_span_stats(docs: DataFrame, *, n: int = 8,
             ).alias("dup_ratio"),
         )
     )
+
+
+def cut_duplicated_spans(docs: DataFrame, *, n: int = 8,
+                         min_count: int = 2, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The ACTION tier of ExactSubstr (round 9): where
+    :func:`duplicated_span_stats` measures corpus-duplicated spans,
+    this operator REMOVES them — Lee et al. 2022's actual
+    intervention: every token position lying under at least one
+    duplicated ``n``-token span is cut and the survivors are
+    re-joined, deduplicating boilerplate pasted INTO otherwise-unique
+    documents without dropping the documents.
+
+    Returns (doc_id, n_tokens, n_kept, text_cut): original token
+    count, surviving token count, and the cleaned text (empty string
+    when everything was boilerplate — never NULL, matching
+    ``array_join`` semantics on both engines). NULL input text is
+    treated as empty.
+
+    100 TB shape — identical to the stats operator through the
+    duplicated-span join-back (same span keying, same distinct-span
+    partial-agg exchange, same checkpointed build side keeping the
+    hot-key path AQE-splittable), then ONE more id-keyed join carries
+    the covered-position array back to the token arrays and the cut
+    itself is per-row array math in codegen: keep-index filter +
+    element_at transform, no explode of the surviving text."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_tok"),
+    )
+    k = F.size("_tok")
+    starts = F.when(k >= n, F.sequence(F.lit(1), k - F.lit(n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.slice(F.col("_tok"), i, n)).alias("gh"),
+        ),
+    )
+    exploded = (
+        toks.select("_id", F.explode(spans).alias("_g"))
+        .select("_id", F.col("_g.pos").alias("_pos"),
+                F.col("_g.gh").alias("_gh"))
+    )
+    dup_spans = (
+        exploded.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_gh")
+        .localCheckpoint(eager=False)
+    )
+    cov = (
+        exploded.join(dup_spans, "_gh")
+        .groupBy("_id")
+        .agg(F.collect_list("_pos").alias("_starts"))
+        .select("_id", F.array_distinct(F.flatten(F.transform(
+            F.col("_starts"),
+            lambda s: F.sequence(s, s + F.lit(n - 1))))).alias("_cov"))
+    )
+    kept = F.expr(
+        "CASE WHEN _cov IS NULL THEN _tok"
+        " ELSE transform(filter(sequence(1, size(_tok)),"
+        "                       i -> NOT array_contains(_cov, i)),"
+        "                i -> element_at(_tok, i)) END"
+    )
+    return (
+        toks.join(cov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_tok").cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, " ").alias("text_cut"),
+        )
+    )

@@ -2531,6 +2531,49 @@ FROM tok t LEFT JOIN cov c USING (doc_id)
 """
 
 
+def q_exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION tier of ExactSubstr (round 9): duplicated 8-token
+    spans are CUT from each document — every token position under at
+    least one corpus-duplicated span removed, survivors re-joined —
+    Lee et al. 2022's actual intervention, not just its measurement
+    (operators/dedup.py:cut_duplicated_spans). The oracle rebuilds
+    the same positioned spans and cuts with a position-filtered list
+    comprehension; ``coalesce(array_to_string(...), '')`` because
+    DuckDB's empty-list join is NULL where Spark's array_join is
+    ''."""
+    return dd.cut_duplicated_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
+ORACLE_EXACT_SUBSTR_CUT = """
+WITH tok AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id, s.pos AS pos, s.gram AS gram
+  FROM (
+    SELECT doc_id,
+           unnest([{'pos': i, 'gram': array_to_string(t[i:i+7], ' ')}
+                   for i in range(1, len(t) - 6)]) AS s
+    FROM tok
+  )
+), dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+), cov AS (
+  SELECT g.doc_id,
+         list_distinct(flatten(list(range(g.pos, g.pos + 8)))) AS cv
+  FROM g JOIN dupg USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       len(t.t)::BIGINT AS n_tokens,
+       (len(t.t) - coalesce(len(c.cv), 0))::BIGINT AS n_kept,
+       CASE WHEN c.cv IS NULL THEN array_to_string(t.t, ' ')
+            ELSE coalesce(array_to_string(
+                   [t.t[i] for i in range(1, len(t.t) + 1)
+                    if NOT list_contains(c.cv, i)], ' '), '') END AS text_cut
+FROM tok t LEFT JOIN cov c USING (doc_id)
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary coverage (round 8): the 500 most frequent
     whitespace tokens with rank, frequency, and cumulative corpus
@@ -3310,6 +3353,7 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_stats": q_repetition_stats,
     "domain_cap": q_domain_cap,
     "exact_substr": q_exact_substr,
+    "exact_substr_cut": q_exact_substr_cut,
     "vocab_topk": q_vocab_topk,
     "char_lm_score": q_char_lm_score,
     "gopher_filter": q_gopher_filter,
@@ -3366,6 +3410,7 @@ QUERIES = {k: QUERIES[k] for k in _least_sampled_first(list(QUERIES))}
 
 ORACLES: dict[str, str] = {
     "exact_substr": ORACLE_EXACT_SUBSTR,
+    "exact_substr_cut": ORACLE_EXACT_SUBSTR_CUT,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "char_lm_score": ORACLE_CHAR_LM,
     "gopher_filter": ORACLE_GOPHER_FILTER,

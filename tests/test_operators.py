@@ -950,6 +950,30 @@ def test_duplicated_span_stats_exact_values(spark):
             got[4]["dup_covered"], got[4]["dup_ratio"]) == (4, 2, 4, 1.0)
 
 
+def test_cut_duplicated_spans_removes_covered_positions(spark):
+    """The ExactSubstr ACTION tier: covered positions are cut, the
+    interval union handles overlaps, a fully-boilerplate doc becomes
+    the EMPTY STRING (not NULL), and dup-free docs pass through
+    byte-identical."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.dedup import (
+        cut_duplicated_spans)
+
+    df = spark.createDataFrame([
+        (1, "a b c d e"),   # "a b c" dups with doc 2 -> cut pos 1-3
+        (2, "x a b c y"),   # span at pos 2 -> cut pos 2-4
+        (3, "z z"),         # < n tokens: untouched
+        (4, "q q q q"),     # intra-doc overlap: spans 1,2 cover all
+        (5, "unique words entirely here"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in cut_duplicated_spans(df, n=3).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_kept"],
+            got[1]["text_cut"]) == (5, 2, "d e")
+    assert (got[2]["n_kept"], got[2]["text_cut"]) == (2, "x y")
+    assert (got[3]["n_kept"], got[3]["text_cut"]) == (2, "z z")
+    assert (got[4]["n_kept"], got[4]["text_cut"]) == (0, "")
+    assert got[5]["text_cut"] == "unique words entirely here"
+
+
 def test_duplicated_span_stats_hot_span_skew_path(spark):
     """Adversarial boilerplate: ONE 8-token span pasted into 40k of
     60k docs. The dup-span join-back must (a) broadcast the (tiny)
@@ -1107,17 +1131,22 @@ def test_char_lm_score_short_docs_zero_bigrams(spark):
     assert abs(got[1]["avg_logprob"] - round(math.log(1 / 3), 6)) < 1e-9
 
 
-def test_char_lm_score_single_model_pass_and_widened_parse(spark):
+def test_char_lm_score_single_model_pass_and_widened_parse(spark, tmp_path):
     """Round-9 fusion contract: the model aggregate is computed once
     (lazy localCheckpoint) and serves both the broadcast build and the
     total fold — the outer plan carries exactly ONE text-column scan
     (the scoring pass) plus checkpoint-RDD reads, never a second or
     third corpus parse; and a narrower-than-cores input is widened
-    before the CPU-heavy bigram transform."""
+    before the CPU-heavy bigram transform. Reads its own parquet copy
+    so another test's cached fixture can't replace the FileScan the
+    assertions count."""
     from snowflake_medtech_vigilance_lakehouse_spark.operators.text import (
         char_lm_score)
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "clm_docs")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+     .select("doc_id", "text").coalesce(1).write.parquet(src))
+    docs = spark.read.parquet(src)
     df = char_lm_score(docs)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") == 1
