@@ -581,7 +581,8 @@ def main() -> None:
         glob.glob(os.path.join(root, "BENCH_r*.json"))
         + glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json")),
         key=lambda p: (  # by round number, BENCH_LOCAL (full map) last
-            int(re.search(r"_r(\d+)", p).group(1)), "LOCAL" in p))
+            int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+            "LOCAL" in os.path.basename(p)))
     prev = None
     # newest-first, first FULL-MAP artifact at the SAME sf wins (the
     # 30x sweep can leave a different-sf artifact newest; round-9
@@ -643,7 +644,7 @@ def main() -> None:
     # never diffs against it).
     def _rounds(pattern: str) -> list[int]:
         return [int(m.group(1)) for p in glob.glob(os.path.join(root, pattern))
-                for m in [re.search(r"_r(\d+)", p)] if m]
+                for m in [re.search(r"_r(\d+)", os.path.basename(p))] if m]
 
     # the driver's artifact for round N lands AFTER this process exits,
     # so the round being benched = newest driver artifact + 1; an
@@ -651,7 +652,10 @@ def main() -> None:
     # overwrite it, don't advance past it
     this_round = max(max(_rounds("BENCH_r*.json"), default=0) + 1,
                      max(_rounds("BENCH_LOCAL_r*.json"), default=0))
-    full_art = f"BENCH_LOCAL_r{this_round:02d}.json"
+    # the bare name is the driver-facing sf0.1 artifact; other scales
+    # get an sf suffix so a 3-scale sweep can't clobber it
+    sf_tag = "" if abs(sf - 0.1) < 1e-9 else f"_sf{str(sf).replace('.', '_')}"
+    full_art = f"BENCH_LOCAL_r{this_round:02d}{sf_tag}.json"
     with open(os.path.join(root, full_art), "w") as f:
         json.dump({**common, "queries": timings,
                    "regressions": regressions}, f, indent=1, sort_keys=True)

@@ -853,6 +853,60 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     )
 
 
+def _dup_span_frames(docs: DataFrame, *, n: int, min_count: int,
+                     text_col: str, id_col: str
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared ExactSubstr span pipeline — (toks, exploded spans,
+    checkpointed duplicated-span list) — used by BOTH the measure tier
+    (:func:`duplicated_span_stats`) and the action tier
+    (:func:`cut_duplicated_spans`): the two must stay keyed
+    identically (same tokenization, same ``xxhash64`` span key, same
+    ``min_count`` rule, same skew-splittable checkpointed build side)
+    or stats would report spans the cut no longer removes. NULL text
+    is treated as empty.
+
+    The lazy localCheckpoint on the dup-span list is NOT for reuse —
+    it decouples the join-back's build side from its aggregate
+    lineage. With the HashAggregate as the join child, AQE's
+    OptimizeSkewedJoin is structurally inapplicable (it only rewrites
+    joins whose children are bare shuffle stages — splitting an
+    aggregate's partition would split its groups), so a boilerplate
+    span hot enough to matter could never be skew-split once the dup
+    list outgrows broadcast. Checkpointed, the forced-shuffle plan
+    becomes Sort(Exchange(ExistingRDD)) on the build side and the hot
+    probe-side partition splits (pinned in pytest with
+    production-shaped thresholds); the cost is one re-exchange of the
+    DISTINCT-duplicated-span list — tiny by construction."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_tok"),
+    )
+    k = F.size("_tok")
+    starts = F.when(k >= n, F.sequence(F.lit(1), k - F.lit(n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.slice(F.col("_tok"), i, n)).alias("gh"),
+        ),
+    )
+    exploded = (
+        toks.select("_id", F.explode(spans).alias("_g"))
+        .select("_id", F.col("_g.pos").alias("_pos"),
+                F.col("_g.gh").alias("_gh"))
+    )
+    dup_spans = (
+        exploded.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_gh")
+        .localCheckpoint(eager=False)
+    )
+    return toks, exploded, dup_spans
+
+
 def duplicated_span_stats(docs: DataFrame, *, n: int = 8,
                           min_count: int = 2, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
@@ -918,44 +972,8 @@ def duplicated_span_stats(docs: DataFrame, *, n: int = 8,
     interval union; duplicates shorter than ``n`` are ignored) — the
     standard shingle relaxation of ExactSubstr, chosen because it is
     embarrassingly parallel and needs no global suffix order."""
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.col(text_col), " ").alias("_tok"),
-    )
-    k = F.size("_tok")
-    starts = F.when(k >= n, F.sequence(F.lit(1), k - F.lit(n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    spans = F.transform(
-        starts,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.xxhash64(F.slice(F.col("_tok"), i, n)).alias("gh"),
-        ),
-    )
-    exploded = (
-        toks.select("_id", F.explode(spans).alias("_g"))
-        .select("_id", F.col("_g.pos").alias("_pos"), F.col("_g.gh").alias("_gh"))
-    )
-    # the lazy localCheckpoint is NOT for reuse — it decouples the
-    # join-back's build side from its aggregate lineage. With the
-    # HashAggregate as the join child, AQE's OptimizeSkewedJoin is
-    # structurally inapplicable (it only rewrites joins whose children
-    # are bare shuffle stages — splitting an aggregate's partition
-    # would split its groups), so a boilerplate span hot enough to
-    # matter could never be skew-split once the dup list outgrows
-    # broadcast. Checkpointed, the forced-shuffle plan becomes
-    # Sort(Exchange(ExistingRDD)) on the build side and the hot
-    # probe-side partition splits (pinned in pytest with
-    # production-shaped thresholds); the cost is one re-exchange of
-    # the DISTINCT-duplicated-span list — tiny by construction
-    dup_spans = (
-        exploded.groupBy("_gh")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") >= min_count)
-        .select("_gh")
-        .localCheckpoint(eager=False)
-    )
+    toks, exploded, dup_spans = _dup_span_frames(
+        docs, n=n, min_count=min_count, text_col=text_col, id_col=id_col)
     dup = exploded.join(dup_spans, "_gh")
     covered = F.size(F.array_distinct(F.flatten(F.transform(
         F.col("_starts"), lambda s: F.sequence(s, s + F.lit(n - 1))
@@ -968,7 +986,8 @@ def duplicated_span_stats(docs: DataFrame, *, n: int = 8,
     )
     counts = docs.select(
         F.col(id_col).alias("_id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        .cast("long").alias("n_tokens"),
     )
     return (
         counts.join(cov, "_id", "left")
@@ -1009,33 +1028,8 @@ def cut_duplicated_spans(docs: DataFrame, *, n: int = 8,
     the covered-position array back to the token arrays and the cut
     itself is per-row array math in codegen: keep-index filter +
     element_at transform, no explode of the surviving text."""
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_tok"),
-    )
-    k = F.size("_tok")
-    starts = F.when(k >= n, F.sequence(F.lit(1), k - F.lit(n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    spans = F.transform(
-        starts,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.xxhash64(F.slice(F.col("_tok"), i, n)).alias("gh"),
-        ),
-    )
-    exploded = (
-        toks.select("_id", F.explode(spans).alias("_g"))
-        .select("_id", F.col("_g.pos").alias("_pos"),
-                F.col("_g.gh").alias("_gh"))
-    )
-    dup_spans = (
-        exploded.groupBy("_gh")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") >= min_count)
-        .select("_gh")
-        .localCheckpoint(eager=False)
-    )
+    toks, exploded, dup_spans = _dup_span_frames(
+        docs, n=n, min_count=min_count, text_col=text_col, id_col=id_col)
     cov = (
         exploded.join(dup_spans, "_gh")
         .groupBy("_id")

@@ -1834,18 +1834,25 @@ def q_cdf_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cached is not None:
             shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
         work = tempfile.mkdtemp(prefix="sparkgraft_cdf_ledger_")
-        store = os.path.join(work, "store")
-        tbl = os.path.join(work, "docs_delta")
-        dd.build_minhash_store(docs.filter(F.col("doc_id") % 4 == 3),
-                               store, num_hashes=64, bands=32)
-        for c in (0, 1, 2):
-            dl.write_delta(docs.filter(F.col("doc_id") % 4 == c), tbl,
-                           mode="overwrite" if c == 0 else "append")
-        done = curate_minhash_from_cdf(spark, tbl, store, threshold=0.5)
-        if done != [0, 1, 2]:
-            raise RuntimeError(
-                f"cdf_curation_ledger setup expected commits [0, 1, 2], "
-                f"processed {done}")
+        try:
+            store = os.path.join(work, "store")
+            tbl = os.path.join(work, "docs_delta")
+            dd.build_minhash_store(docs.filter(F.col("doc_id") % 4 == 3),
+                                   store, num_hashes=64, bands=32)
+            for c in (0, 1, 2):
+                dl.write_delta(docs.filter(F.col("doc_id") % 4 == c), tbl,
+                               mode="overwrite" if c == 0 else "append")
+            done = curate_minhash_from_cdf(spark, tbl, store, threshold=0.5)
+            if done != [0, 1, 2]:
+                raise RuntimeError(
+                    f"cdf_curation_ledger setup expected commits [0, 1, 2], "
+                    f"processed {done}")
+        except BaseException:
+            # a failed setup must not orphan the half-built store +
+            # Delta log on every retried invocation of a long-lived
+            # process
+            shutil.rmtree(work, ignore_errors=True)
+            raise
         _CDF_LEDGER_CACHE[sf_dir] = (fp, store)
     store = _CDF_LEDGER_CACHE[sf_dir][1]
     return (
@@ -2504,7 +2511,7 @@ def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EXACT_SUBSTR = """
 WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
 ), g AS (
   SELECT doc_id, s.pos AS pos, s.gram AS gram
   FROM (
@@ -3391,7 +3398,9 @@ def _least_sampled_first(names: list[str]) -> list[str]:
     count: dict[str, int] = {}
     last: dict[str, int] = {}
     for art in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
-        m = _re.search(r"_r(\d+)", art)
+        # basename, not the full path: an ancestor directory containing
+        # "_r<digits>" would otherwise poison every round number
+        m = _re.search(r"_r(\d+)", _os.path.basename(art))
         try:
             with open(art) as f:
                 sampled = _json.load(f)

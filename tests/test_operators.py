@@ -975,7 +975,7 @@ def test_cut_duplicated_spans_removes_covered_positions(spark):
 
 
 def test_duplicated_span_stats_hot_span_skew_path(spark):
-    """Adversarial boilerplate: ONE 8-token span pasted into 40k of
+    """Adversarial boilerplate: ONE 8-token span carried by 50k of
     60k docs. The dup-span join-back must (a) broadcast the (tiny)
     duplicated-span list under defaults — never ship every hot
     occurrence to one sort-merge task — and (b) when a corpus-scale
