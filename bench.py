@@ -207,6 +207,7 @@ HEADLINE = (
     # components loop runs eagerly at plan-construction time, so a
     # noop-write rep would time only the final join (see PLANS.md)
     "hard_negatives",
+    "chunk_documents",
     # round-8 text/dedup additions: span-level ExactSubstr stats, the
     # vocab-coverage table, and the char-bigram LM score
     "exact_substr",
@@ -268,15 +269,23 @@ def main() -> None:
     def timed(df) -> float:
         return timed_build(lambda: df)
 
+    # queries whose plan carries a lazy localCheckpoint (round 9):
+    # re-timing ONE constructed frame would let reps 2+ read the first
+    # rep's checkpoint blocks and report a warm fantasy, so these get
+    # a FRESH frame per rep (timed_build — construction inside the
+    # window, like semantic_dedup). Everything else keeps the
+    # construct-once timed() convention: a blanket timed_build was
+    # measured to inflate every sub-second query by its ~0.1-0.3 s
+    # Catalyst construction cost and flagged 26 phantom "regressions"
+    # against the construction-free baselines
+    _FRESH_FRAME = {"char_lm_score", "exact_substr", "exact_substr_cut"}
+
     timings: dict[str, float] = {}
-    # timed_build, not timed: plan construction is sub-ms for the lazy
-    # queries, but round 9 gave two operators (char_lm_score,
-    # exact_substr) a lazy localCheckpoint — re-timing ONE constructed
-    # frame would let reps 2+ read the first rep's checkpoint blocks
-    # and report a warm fantasy; a fresh frame per rep keeps every
-    # rep's work inside its window
     for name in HEADLINE:
-        timings[name] = timed_build(lambda n=name: qs[n](spark, sf_dir))
+        if name in _FRESH_FRAME:
+            timings[name] = timed_build(lambda n=name: qs[n](spark, sf_dir))
+        else:
+            timings[name] = timed(qs[name](spark, sf_dir))
 
     # production dedup profile: the capped-shingle-frequency path (the
     # 100 TB lever) timed next to the exact oracle run above

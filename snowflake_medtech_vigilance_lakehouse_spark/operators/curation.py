@@ -28,7 +28,7 @@ from .dedup import _shingled, md5_hash32
 
 __all__ = ["decontaminate", "stratified_sample", "pack_sequences",
            "hard_negatives", "gopher_filter", "weighted_sample",
-           "temperature_mix"]
+           "temperature_mix", "chunk_documents"]
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, *, n: int = 3,
@@ -605,4 +605,65 @@ def temperature_mix(docs: DataFrame, *, alpha: float = 0.5,
                     F.round(F.col("keep_rate") * denom, 0).cast("long"))
         .filter(bucket < F.col("_thr"))
         .select(key_col, stratum_col, "keep_rate")
+    )
+
+
+def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
+                    stride: int = 96, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window token chunking (round 9) — the retrieval/
+    long-context prep step between raw documents and an embedding or
+    packing run: each document becomes overlapping windows of
+    ``chunk_tokens`` whitespace tokens advancing by ``stride``
+    (overlap = chunk_tokens - stride), the convention retrieval
+    corpora and HF tokenizer pipelines use.
+
+    Chunk count per doc is ``ceil(max(k - chunk_tokens, 0) / stride)
+    + 1`` — every document emits at least one chunk (a short or empty
+    doc emits exactly one), the final chunk keeps the tail even when
+    shorter than ``chunk_tokens``, and no start position past the
+    text is generated. Returns (doc_id, chunk_id, pos, n_tokens,
+    chunk_text): 0-based chunk ordinal, 1-based token start
+    position, tokens in this chunk, and the chunk text. NULL input
+    text is treated as empty.
+
+    100 TB shape: ZERO exchanges — chunk starts come from one
+    ``sequence`` + ``transform`` over the split token array and the
+    windows from ``slice``, all row-local codegen; the explode
+    multiplies rows by ~k/stride but never shuffles them (downstream
+    consumers re-partition as their own keys demand). Stride must be
+    positive; chunk_tokens >= stride keeps windows contiguous
+    (gapless) but gaps are permitted deliberately — sampling every
+    stride-th window is a legitimate curation regime."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError(
+            f"chunk_tokens and stride must be positive, got "
+            f"chunk_tokens={chunk_tokens} stride={stride}")
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_tok"),
+    )
+    k = F.size("_tok")
+    n_chunks = (
+        F.ceil(F.greatest(k - F.lit(chunk_tokens), F.lit(0))
+               / F.lit(float(stride))).cast("int") + F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            (i * stride + 1).cast("long").alias("pos"),
+            F.slice(F.col("_tok"), i * stride + 1, chunk_tokens)
+            .alias("ctoks"),
+        ),
+    )
+    return (
+        toks.select("_id", F.explode(chunks).alias("_c"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.pos").alias("pos"),
+            F.size("_c.ctoks").cast("long").alias("n_tokens"),
+            F.array_join("_c.ctoks", " ").alias("chunk_text"),
+        )
     )

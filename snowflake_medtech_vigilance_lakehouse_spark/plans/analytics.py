@@ -2581,6 +2581,40 @@ FROM tok t LEFT JOIN cov c USING (doc_id)
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (round 9): 64-token windows
+    advancing by 48 (16-token overlap) — the retrieval/long-context
+    prep stage between raw documents and an embedding or packing run
+    (operators/curation.py:chunk_documents). Zero exchanges: chunk
+    starts from one sequence+transform, windows from slice, all
+    row-local codegen. The oracle reproduces the chunk-count rule
+    ``ceil(max(k - chunk, 0) / stride) + 1`` and DuckDB's inclusive
+    1-based list slicing mirrors Spark's slice()."""
+    return cu.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48)
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+WITH tok AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+), c AS (
+  SELECT doc_id, t,
+         (CASE WHEN len(t) > 64
+               THEN ceil((len(t) - 64) / 48.0)::INT ELSE 0 END) + 1 AS nc
+  FROM tok
+), e AS (
+  SELECT doc_id, t, unnest(range(0, nc)) AS i FROM c
+)
+SELECT doc_id,
+       i::BIGINT AS chunk_id,
+       (1 + i * 48)::BIGINT AS pos,
+       len(t[1 + i * 48 : i * 48 + 64])::BIGINT AS n_tokens,
+       coalesce(array_to_string(t[1 + i * 48 : i * 48 + 64], ' '), '')
+         AS chunk_text
+FROM e
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary coverage (round 8): the 500 most frequent
     whitespace tokens with rank, frequency, and cumulative corpus
@@ -3361,6 +3395,7 @@ QUERIES: dict[str, QueryFn] = {
     "domain_cap": q_domain_cap,
     "exact_substr": q_exact_substr,
     "exact_substr_cut": q_exact_substr_cut,
+    "chunk_documents": q_chunk_documents,
     "vocab_topk": q_vocab_topk,
     "char_lm_score": q_char_lm_score,
     "gopher_filter": q_gopher_filter,
@@ -3420,6 +3455,7 @@ QUERIES = {k: QUERIES[k] for k in _least_sampled_first(list(QUERIES))}
 ORACLES: dict[str, str] = {
     "exact_substr": ORACLE_EXACT_SUBSTR,
     "exact_substr_cut": ORACLE_EXACT_SUBSTR_CUT,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "char_lm_score": ORACLE_CHAR_LM,
     "gopher_filter": ORACLE_GOPHER_FILTER,

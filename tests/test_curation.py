@@ -156,6 +156,37 @@ def test_pack_sequences_single_exchange(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_chunk_documents_windows_and_edges(spark):
+    """Hand-computed sliding windows: overlap, short-doc single chunk,
+    exact-boundary doc (no redundant tail chunk), trailing partial
+    chunk, NULL text -> one empty chunk, zero exchanges in the plan,
+    and invalid params refuse."""
+    import pytest as _pt
+
+    toks = lambda a, b: " ".join(f"t{i}" for i in range(a, b))
+    df = spark.createDataFrame([
+        (1, toks(0, 10)),   # k=10, chunk 4 stride 3 -> ceil(6/3)+1 = 3
+        (2, toks(0, 4)),    # k=4 == chunk -> exactly 1 chunk
+        (3, toks(0, 3)),    # k<chunk -> 1 short chunk
+        (4, None),          # NULL -> [''] -> 1 chunk of the empty token
+    ], "doc_id long, text string")
+    out = cu.chunk_documents(df, chunk_tokens=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert len(rows) == 3 + 1 + 1 + 1
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"   # 1-token overlap
+    assert (rows[(1, 2)]["pos"], rows[(1, 2)]["n_tokens"],
+            rows[(1, 2)]["chunk_text"]) == (7, 4, "t6 t7 t8 t9")
+    assert rows[(2, 0)]["n_tokens"] == 4 and (2, 1) not in rows
+    assert rows[(3, 0)]["chunk_text"] == "t0 t1 t2"
+    assert (rows[(4, 0)]["n_tokens"], rows[(4, 0)]["chunk_text"]) == (1, "")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local: scan + generate only
+    with _pt.raises(ValueError, match="positive"):
+        cu.chunk_documents(df, chunk_tokens=4, stride=0)
+
+
 def test_shuffle_shards_is_deterministic_permutation(spark, sf_dir):
     from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
         shuffle_shards)
