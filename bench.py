@@ -269,23 +269,27 @@ def main() -> None:
     def timed(df) -> float:
         return timed_build(lambda: df)
 
-    # queries whose plan carries a lazy localCheckpoint (round 9):
-    # re-timing ONE constructed frame would let reps 2+ read the first
-    # rep's checkpoint blocks and report a warm fantasy, so these get
-    # a FRESH frame per rep (timed_build — construction inside the
-    # window, like semantic_dedup). Everything else keeps the
-    # construct-once timed() convention: a blanket timed_build was
-    # measured to inflate every sub-second query by its ~0.1-0.3 s
-    # Catalyst construction cost and flagged 26 phantom "regressions"
-    # against the construction-free baselines
-    _FRESH_FRAME = {"char_lm_score", "exact_substr", "exact_substr_cut"}
-
+    # Queries whose plan carries a (lazy) localCheckpoint need a FRESH
+    # frame per rep: re-timing ONE constructed frame would let reps 2+
+    # read the first rep's checkpoint blocks and report a warm
+    # fantasy. Everything else keeps the construct-once timed()
+    # convention — a blanket timed_build was measured to inflate every
+    # sub-second query by its ~0.1-0.3 s Catalyst construction cost
+    # and flagged 26 phantom "regressions" against the
+    # construction-free baselines. Membership is DETECTED from the
+    # compiled plan (a checkpoint surfaces as a Scan ExistingRDD
+    # node), not hand-listed: a future checkpoint-carrying headline
+    # query routes itself correctly instead of silently warming
+    # (round-9 review finding — the hand list already missed one of
+    # its three members once)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if name in _FRESH_FRAME:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "ExistingRDD" in plan:
             timings[name] = timed_build(lambda n=name: qs[n](spark, sf_dir))
         else:
-            timings[name] = timed(qs[name](spark, sf_dir))
+            timings[name] = timed(df)
 
     # production dedup profile: the capped-shingle-frequency path (the
     # 100 TB lever) timed next to the exact oracle run above

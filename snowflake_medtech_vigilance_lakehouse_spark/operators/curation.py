@@ -618,14 +618,20 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
     (overlap = chunk_tokens - stride), the convention retrieval
     corpora and HF tokenizer pipelines use.
 
-    Chunk count per doc is ``ceil(max(k - chunk_tokens, 0) / stride)
-    + 1`` — every document emits at least one chunk (a short or empty
-    doc emits exactly one), the final chunk keeps the tail even when
-    shorter than ``chunk_tokens``, and no start position past the
-    text is generated. Returns (doc_id, chunk_id, pos, n_tokens,
-    chunk_text): 0-based chunk ordinal, 1-based token start
-    position, tokens in this chunk, and the chunk text. NULL input
-    text is treated as empty.
+    Chunk count per doc is ``min(ceil(max(k - chunk_tokens, 0) /
+    stride), floor((k - 1) / stride)) + 1`` — every document emits at
+    least one chunk (a short or empty doc emits exactly one), the
+    final chunk keeps the tail even when shorter than
+    ``chunk_tokens``, and no start position past the text is
+    generated: the first term alone overshoots in the gap regime
+    (stride > chunk_tokens) where it minted an empty past-text chunk
+    whenever the leftover ``(k - chunk_tokens) % stride`` exceeded
+    ``chunk_tokens`` (round-9 review finding — the oracle mirrored
+    the formula, so only an independent recompute could see it);
+    the second term caps starts at the last in-text position.
+    Returns (doc_id, chunk_id, pos, n_tokens, chunk_text): 0-based
+    chunk ordinal, 1-based token start position, tokens in this
+    chunk, and the chunk text. NULL input text is treated as empty.
 
     100 TB shape: ZERO exchanges — chunk starts come from one
     ``sequence`` + ``transform`` over the split token array and the
@@ -639,14 +645,16 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
         raise ValueError(
             f"chunk_tokens and stride must be positive, got "
             f"chunk_tokens={chunk_tokens} stride={stride}")
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_tok"),
-    )
+    from .dedup import _whitespace_toks
+
+    toks = _whitespace_toks(docs, text_col, id_col)
     k = F.size("_tok")
     n_chunks = (
-        F.ceil(F.greatest(k - F.lit(chunk_tokens), F.lit(0))
-               / F.lit(float(stride))).cast("int") + F.lit(1)
+        F.least(
+            F.ceil(F.greatest(k - F.lit(chunk_tokens), F.lit(0))
+                   / F.lit(float(stride))).cast("int"),
+            F.floor((k - F.lit(1)) / F.lit(float(stride))).cast("int"),
+        ) + F.lit(1)
     )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),

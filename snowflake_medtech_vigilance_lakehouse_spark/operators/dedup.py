@@ -853,6 +853,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     )
 
 
+def _whitespace_toks(docs: DataFrame, text_col: str,
+                     id_col: str) -> DataFrame:
+    """(_id, _tok): the shared whitespace tokenization (NULL text =
+    empty) that keys the ExactSubstr tiers AND the chunking operator
+    (operators/curation.py) — one definition so a tokenization tweak
+    can never desynchronize chunk boundaries from span/dedup keys."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_tok"),
+    )
+
+
 def _dup_span_frames(docs: DataFrame, *, n: int, min_count: int,
                      text_col: str, id_col: str
                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -877,10 +889,7 @@ def _dup_span_frames(docs: DataFrame, *, n: int, min_count: int,
     probe-side partition splits (pinned in pytest with
     production-shaped thresholds); the cost is one re-exchange of the
     DISTINCT-duplicated-span list — tiny by construction."""
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_tok"),
-    )
+    toks = _whitespace_toks(docs, text_col, id_col)
     k = F.size("_tok")
     starts = F.when(k >= n, F.sequence(F.lit(1), k - F.lit(n - 1))).otherwise(
         F.array().cast("array<int>")

@@ -2599,8 +2599,9 @@ WITH tok AS (
   SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
 ), c AS (
   SELECT doc_id, t,
-         (CASE WHEN len(t) > 64
-               THEN ceil((len(t) - 64) / 48.0)::INT ELSE 0 END) + 1 AS nc
+         least(CASE WHEN len(t) > 64
+                    THEN ceil((len(t) - 64) / 48.0)::INT ELSE 0 END,
+               floor((len(t) - 1) / 48.0)::INT) + 1 AS nc
   FROM tok
 ), e AS (
   SELECT doc_id, t, unnest(range(0, nc)) AS i FROM c

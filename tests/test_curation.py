@@ -186,6 +186,23 @@ def test_chunk_documents_windows_and_edges(spark):
     with _pt.raises(ValueError, match="positive"):
         cu.chunk_documents(df, chunk_tokens=4, stride=0)
 
+    # the GAP regime (stride > chunk_tokens — deliberate sampling):
+    # k=12, chunk 4, stride 6 -> starts 1 and 7 ONLY. The uncapped
+    # ceil((k-chunk)/stride)+1 formula minted a third chunk at pos 13
+    # — an empty window past the text (round-9 review finding; the
+    # oracle mirrored the formula so the hash gate couldn't see it)
+    gaps = {(r["doc_id"], r["chunk_id"]): r for r in cu.chunk_documents(
+        spark.createDataFrame([(1, toks(0, 12)), (2, toks(0, 11))],
+                              "doc_id long, text string"),
+        chunk_tokens=4, stride=6).collect()}
+    assert len(gaps) == 4
+    assert (gaps[(1, 1)]["pos"], gaps[(1, 1)]["n_tokens"]) == (7, 4)
+    assert (1, 2) not in gaps  # no past-text chunk at pos 13
+    assert (gaps[(2, 1)]["pos"], gaps[(2, 1)]["n_tokens"],
+            gaps[(2, 1)]["chunk_text"]) == (7, 4, "t6 t7 t8 t9")
+    for r in gaps.values():
+        assert r["n_tokens"] > 0 and r["pos"] <= 12
+
 
 def test_shuffle_shards_is_deterministic_permutation(spark, sf_dir):
     from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
