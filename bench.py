@@ -208,6 +208,9 @@ HEADLINE = (
     # noop-write rep would time only the final join (see PLANS.md)
     "hard_negatives",
     "chunk_documents",
+    # runs its components loop eagerly at plan-construction time; the
+    # ExistingRDD plan detection below routes it to timed_build
+    "leakage_safe_split",
     # round-8 text/dedup additions: span-level ExactSubstr stats, the
     # vocab-coverage table, and the char-bigram LM score
     "exact_substr",

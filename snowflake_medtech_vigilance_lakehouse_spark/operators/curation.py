@@ -28,7 +28,7 @@ from .dedup import _shingled, md5_hash32
 
 __all__ = ["decontaminate", "stratified_sample", "pack_sequences",
            "hard_negatives", "gopher_filter", "weighted_sample",
-           "temperature_mix", "chunk_documents"]
+           "temperature_mix", "chunk_documents", "leakage_safe_split"]
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, *, n: int = 3,
@@ -674,4 +674,68 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
             F.size("_c.ctoks").cast("long").alias("n_tokens"),
             F.array_join("_c.ctoks", " ").alias("chunk_text"),
         )
+    )
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
+                       fractions: dict[str, float] | None = None,
+                       id_col: str = "doc_id",
+                       denom: int = 1_000_000) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits (round 9): documents are split by their NEAR-DUP
+    CLUSTER, not individually — a document and all its near-copies
+    land in the same split, the property a held-out eval set needs
+    (splitting by doc hash puts ~one near-copy of a test doc in train
+    for every duplicated test doc; cf. the dedup literature's
+    train-test contamination findings).
+
+    ``pairs`` is a near-dup pair list (any dedup-family operator);
+    :func:`~.dedup.connected_components` labels the clusters, docs
+    absent from the pair graph are their own singleton cluster, and
+    the split is the deterministic md5-hash bucket OF THE CLUSTER ID
+    against cumulative fraction thresholds (insertion order of
+    ``fractions``; integer floor(r * denom) thresholds — the
+    round-then-scale discipline of :func:`stratified_sample`, so
+    membership is bit-reproducible across engines). Fractions must
+    sum to <= 1; any remainder hashes into the LAST split (so the
+    default 0.8/0.1/0.1 is exhaustive).
+
+    Returns (doc_id, cluster_id, split).
+
+    100 TB shape: the components loop is the dominant cost (its own
+    documented discipline); the rest is one broadcast-or-hash left
+    join of the (pair-graph-sized, usually tiny vs corpus) cluster
+    labels onto the corpus and a codegen hash filter — the corpus
+    never shuffles. No window, no skew surface (cluster ids hash
+    uniformly)."""
+    from .dedup import connected_components
+
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not fractions or any(r < 0 for r in fractions.values()) \
+            or sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError(
+            f"fractions must be non-negative and sum to <= 1, got "
+            f"{fractions}")
+    comps = connected_components(pairs).select(
+        F.col("doc_id").alias("_cid_key"),
+        F.col("component_id").alias("_comp"))
+    base = docs.select(F.col(id_col)).join(
+        comps, F.col(id_col) == F.col("_cid_key"), "left")
+    cluster = F.coalesce(F.col("_comp"), F.col(id_col))
+    bucket = md5_hash32(cluster.cast("string")) % F.lit(denom)
+    names = list(fractions)
+    cum, bounds = 0.0, []
+    for name in names:
+        cum += fractions[name]
+        bounds.append(int(cum * denom))
+    # remainder buckets (fractions summing under 1) fall into the
+    # last split rather than silently dropping documents
+    expr = F.lit(names[-1])
+    for name, hi in zip(reversed(names[:-1]), reversed(bounds[:-1])):
+        expr = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(expr)
+    return base.select(
+        F.col(id_col),
+        cluster.cast("long").alias("cluster_id"),
+        expr.alias("split"),
     )

@@ -2891,6 +2891,61 @@ FROM comp c JOIN r5 ON r5.node = c.doc_id""",
 )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (round 9): assignment by
+    NEAR-DUP CLUSTER, not by document — a doc and all its near-copies
+    land in the same split, so a held-out set cannot leak through
+    duplicates (operators/curation.py:leakage_safe_split; clusters
+    from connected components over the exact n-gram Jaccard pair
+    graph, singletons their own cluster). The oracle reproduces the
+    recursive-reachability clustering, the singleton coalesce, and
+    the identical md5 bucket arithmetic (0.8/0.1/0.1)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    return cu.leakage_safe_split(docs, pairs)
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM documents
+), sd AS (
+  SELECT * FROM d WHERE len(sh) > 0
+), prs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM sd a JOIN sd b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM prs
+  UNION SELECT id2, id1 FROM prs
+), reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component_id
+  FROM reach GROUP BY a
+), assigned AS (
+  SELECT d0.doc_id,
+         coalesce(c.component_id, d0.doc_id)::BIGINT AS cluster_id
+  FROM documents d0 LEFT JOIN comp c USING (doc_id)
+), bucketed AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT
+           % 1000000 AS b
+  FROM assigned
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (round 8): keep at most 10
     documents per source, selected by deterministic content-hash rank
@@ -3397,6 +3452,7 @@ QUERIES: dict[str, QueryFn] = {
     "exact_substr": q_exact_substr,
     "exact_substr_cut": q_exact_substr_cut,
     "chunk_documents": q_chunk_documents,
+    "leakage_safe_split": q_leakage_safe_split,
     "vocab_topk": q_vocab_topk,
     "char_lm_score": q_char_lm_score,
     "gopher_filter": q_gopher_filter,
@@ -3457,6 +3513,7 @@ ORACLES: dict[str, str] = {
     "exact_substr": ORACLE_EXACT_SUBSTR,
     "exact_substr_cut": ORACLE_EXACT_SUBSTR_CUT,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "char_lm_score": ORACLE_CHAR_LM,
     "gopher_filter": ORACLE_GOPHER_FILTER,

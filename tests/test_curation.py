@@ -204,6 +204,47 @@ def test_chunk_documents_windows_and_edges(spark):
         assert r["n_tokens"] > 0 and r["pos"] <= 12
 
 
+def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
+    """The leakage property itself: every near-dup cluster's members
+    carry ONE split; singletons are their own cluster; assignment is
+    deterministic across runs; fractions land near target on many
+    singleton clusters; invalid fractions refuse."""
+    import pytest as _pt
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        dedup as dd)
+
+    # synthetic: two 3-doc near-dup clusters + many singletons
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different words about spark shuffles and joins here"
+    rows = [(1, a), (2, a + " extra"), (3, a), (10, b), (11, b), (12, b)]
+    rows += [(100 + i, f"unique u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f")
+             for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    out = {r["doc_id"]: r for r in
+           cu.leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == len(rows)
+    # cluster members share cluster id AND split
+    for grp in ((1, 2, 3), (10, 11, 12)):
+        assert {out[i]["cluster_id"] for i in grp} == {grp[0]}
+        assert len({out[i]["split"] for i in grp}) == 1
+    # singletons: own cluster id
+    assert out[100]["cluster_id"] == 100
+    # fractions in the right neighborhood over 400 singleton clusters
+    from collections import Counter
+    c = Counter(r["split"] for r in out.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    assert 0.7 < c["train"] / len(out) < 0.9
+    assert set(c) == {"train", "val", "test"}
+    # deterministic
+    again = {r["doc_id"]: r["split"] for r in
+             cu.leakage_safe_split(docs, pairs).collect()}
+    assert again == {k: v["split"] for k, v in out.items()}
+    with _pt.raises(ValueError, match="fractions"):
+        cu.leakage_safe_split(docs, pairs, fractions={"train": 0.9,
+                                                      "val": 0.2})
+
+
 def test_shuffle_shards_is_deterministic_permutation(spark, sf_dir):
     from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
         shuffle_shards)
