@@ -272,27 +272,39 @@ def main() -> None:
     def timed(df) -> float:
         return timed_build(lambda: df)
 
-    # Queries whose plan carries a (lazy) localCheckpoint need a FRESH
-    # frame per rep: re-timing ONE constructed frame would let reps 2+
-    # read the first rep's checkpoint blocks and report a warm
-    # fantasy. Everything else keeps the construct-once timed()
-    # convention — a blanket timed_build was measured to inflate every
-    # sub-second query by its ~0.1-0.3 s Catalyst construction cost
-    # and flagged 26 phantom "regressions" against the
-    # construction-free baselines. Membership is DETECTED from the
-    # compiled plan (a checkpoint surfaces as a Scan ExistingRDD
-    # node), not hand-listed: a future checkpoint-carrying headline
-    # query routes itself correctly instead of silently warming
-    # (round-9 review finding — the hand list already missed one of
-    # its three members once)
+    # Queries whose plan carries a localCheckpoint (lazy or an eager
+    # loop) need a FRESH frame per rep: re-timing ONE constructed
+    # frame would let reps 2+ read the first rep's checkpoint blocks
+    # and report a warm fantasy. Everything else keeps the
+    # construct-once timed() convention — a blanket timed_build was
+    # measured to inflate every sub-second query by its ~0.1-0.3 s
+    # Catalyst construction cost and flagged 26 phantom "regressions"
+    # against the construction-free baselines. The routing list is
+    # static (detecting from the compiled plan would CONSTRUCT every
+    # query first — for leakage_safe_split that runs the whole
+    # components loop once extra per bench, discarded unread), but it
+    # is GUARDED: a non-listed query whose plan carries an
+    # ExistingRDD scan refuses loudly instead of silently warming —
+    # the failure mode twice caught by review this round.
+    _FRESH_FRAME = {"char_lm_score", "exact_substr", "exact_substr_cut",
+                    "leakage_safe_split"}
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in _FRESH_FRAME:
+            timings[name] = timed_build(lambda n=name: qs[n](spark, sf_dir))
+            continue
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "ExistingRDD" in plan:
-            timings[name] = timed_build(lambda n=name: qs[n](spark, sf_dir))
-        else:
-            timings[name] = timed(df)
+            raise AssertionError(
+                f"bench: headline query {name!r} scans an ExistingRDD "
+                f"(checkpoint or createDataFrame). If it carries a "
+                f"localCheckpoint, add it to _FRESH_FRAME so reps "
+                f"don't warm each other; if the ExistingRDD is a "
+                f"literal lookup table, extend this guard to match "
+                f"the checkpoint RDD specifically.")
+        timings[name] = timed(df)
 
     # production dedup profile: the capped-shingle-frequency path (the
     # 100 TB lever) timed next to the exact oracle run above

@@ -680,6 +680,7 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
 def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
                        fractions: dict[str, float] | None = None,
                        id_col: str = "doc_id",
+                       broadcast_labels: bool = True,
                        denom: int = 1_000_000) -> DataFrame:
     """Train/val/test assignment that cannot leak near-duplicates
     across splits (round 9): documents are split by their NEAR-DUP
@@ -700,14 +701,21 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
     sum to <= 1; any remainder hashes into the LAST split (so the
     default 0.8/0.1/0.1 is exhaustive).
 
-    Returns (doc_id, cluster_id, split).
+    Returns (doc_id, cluster_id, split) — cluster_id in the id
+    column's own type (a string-keyed corpus keeps string cluster
+    ids; an unconditional numeric cast would NULL them all out).
 
     100 TB shape: the components loop is the dominant cost (its own
-    documented discipline); the rest is one broadcast-or-hash left
-    join of the (pair-graph-sized, usually tiny vs corpus) cluster
-    labels onto the corpus and a codegen hash filter — the corpus
-    never shuffles. No window, no skew surface (cluster ids hash
-    uniformly)."""
+    documented discipline); the rest is one left join of the cluster
+    labels onto the corpus and a codegen hash CASE. With
+    ``broadcast_labels=True`` (default) the label side is broadcast —
+    the checkpoint-backed components frame carries no size stats, so
+    WITHOUT the hint Spark plans a sort-merge join that shuffles the
+    full corpus — and the corpus never shuffles; pass False when the
+    pair graph covers too many documents to broadcast (a heavily
+    duplicated corpus) and the join becomes a plain id-keyed hash
+    join, which distributes uniformly. No window, no skew surface
+    (cluster ids hash uniformly)."""
     from .dedup import connected_components
 
     if fractions is None:
@@ -720,6 +728,8 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
     comps = connected_components(pairs).select(
         F.col("doc_id").alias("_cid_key"),
         F.col("component_id").alias("_comp"))
+    if broadcast_labels:
+        comps = F.broadcast(comps)
     base = docs.select(F.col(id_col)).join(
         comps, F.col(id_col) == F.col("_cid_key"), "left")
     cluster = F.coalesce(F.col("_comp"), F.col(id_col))
@@ -736,6 +746,6 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
         expr = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(expr)
     return base.select(
         F.col(id_col),
-        cluster.cast("long").alias("cluster_id"),
+        cluster.alias("cluster_id"),
         expr.alias("split"),
     )

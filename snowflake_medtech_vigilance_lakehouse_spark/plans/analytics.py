@@ -2588,8 +2588,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.py:chunk_documents). Zero exchanges: chunk
     starts from one sequence+transform, windows from slice, all
     row-local codegen. The oracle reproduces the chunk-count rule
-    ``ceil(max(k - chunk, 0) / stride) + 1`` and DuckDB's inclusive
-    1-based list slicing mirrors Spark's slice()."""
+    ``min(ceil(max(k - chunk, 0) / stride), floor((k - 1) / stride))
+    + 1`` (the cap keeps the gap regime from minting a past-text
+    chunk) and DuckDB's inclusive 1-based list slicing mirrors
+    Spark's slice()."""
     return cu.chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48)
 
