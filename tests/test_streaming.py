@@ -192,3 +192,37 @@ def test_streaming_hopping_window_matches_batch(spark, tmp_path):
     assert got == want
     # each event lands in exactly 7 sliding windows
     assert sum(want.values()) == 3 * 7
+
+
+def test_streaming_chunk_documents_matches_batch(spark, tmp_path):
+    """chunk_documents is a stateless row-local projection (zero
+    exchanges, plan-asserted in test_curation.py), so the SAME
+    operator must run unchanged over a stream — append mode, no
+    watermark, no state — and produce exactly the batch chunks. The
+    pin that makes the chunking stage usable inside an incremental
+    ingest pipeline, not just a batch rebuild."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        chunk_documents)
+
+    in_dir = tmp_path / "chunks"; in_dir.mkdir()
+    _write_ndjson(in_dir / "d.ndjson", [
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))},
+        {"doc_id": 2, "text": "short"},
+        {"doc_id": 3, "text": " ".join(f"u{i}" for i in range(7))},
+    ])
+    schema = "doc_id long, text string"
+
+    stream = chunk_documents(
+        spark.readStream.schema(schema).json(str(in_dir)),
+        chunk_tokens=4, stride=3)
+    q = (
+        stream.writeStream.format("memory").queryName("chunk_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("chunk_out").collect()}
+
+    want = {tuple(r) for r in chunk_documents(
+        spark.read.schema(schema).json(str(in_dir)),
+        chunk_tokens=4, stride=3).collect()}
+    assert got == want and len(want) == 3 + 1 + 2
