@@ -605,21 +605,46 @@ def main() -> None:
     band = 0.25
     regressions, reg_baseline = [], None
     root = os.path.dirname(os.path.abspath(__file__))
+
+    def _art_round(path: str) -> int | None:
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else None
+
+    # glob-matched files without an _r<digits> round (a stray
+    # BENCH_rerun.json) are SKIPPED, not crashed on — the unguarded
+    # .group(1) in the sort key took the whole bench down with an
+    # AttributeError (round-10 ADVICE fix)
     arts = sorted(
-        glob.glob(os.path.join(root, "BENCH_r*.json"))
-        + glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json")),
+        (p for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+         + glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json"))
+         if _art_round(p) is not None),
         key=lambda p: (  # by round number, BENCH_LOCAL (full map) last
-            int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
-            "LOCAL" in os.path.basename(p)))
+            _art_round(p), "LOCAL" in os.path.basename(p)))
+    # the driver's artifact for round N lands AFTER this process
+    # exits, so the round being benched = newest driver artifact + 1;
+    # an earlier bench run of the SAME round may already have left a
+    # LOCAL file — it names this round's output file below, and it is
+    # EXCLUDED from baseline selection: diffing successive same-round
+    # runs against each other lets cumulative drift under the band
+    # per run slip past the prior round's pinned numbers (round-10
+    # ADVICE fix)
+    driver_rounds = [_art_round(p) for p in arts
+                     if "LOCAL" not in os.path.basename(p)]
+    local_rounds = [_art_round(p) for p in arts
+                    if "LOCAL" in os.path.basename(p)]
+    this_round = max(max(driver_rounds, default=0) + 1,
+                     max(local_rounds, default=0))
     prev = None
-    # newest-first, first FULL-MAP artifact at the SAME sf wins (the
-    # 30x sweep can leave a different-sf artifact newest; round-9
-    # driver artifacts carry only a truncated top-slowest queries map,
-    # flagged queries_truncated — the full map lives in the committed
-    # BENCH_LOCAL_r{N}.json). The driver wraps the bench's JSON line
-    # under a "parsed" envelope — unwrap either layout, and skip
-    # artifacts carrying neither shape
+    # newest-first, first FULL-MAP artifact at the SAME sf from a
+    # PRIOR round wins (the 30x sweep can leave a different-sf
+    # artifact newest; round-9 driver artifacts carry only a truncated
+    # top-slowest queries map, flagged queries_truncated — the full
+    # map lives in the committed BENCH_LOCAL_r{N}.json). The driver
+    # wraps the bench's JSON line under a "parsed" envelope — unwrap
+    # either layout, and skip artifacts carrying neither shape
     for art in reversed(arts):
+        if _art_round(art) == this_round:
+            continue
         with open(art) as f:
             cand = json.load(f)
         cand = cand.get("parsed") or cand
@@ -670,16 +695,8 @@ def main() -> None:
     # the 3 worst offenders, and a truncated top-slowest queries map
     # (flagged queries_truncated so the regression-baseline scan above
     # never diffs against it).
-    def _rounds(pattern: str) -> list[int]:
-        return [int(m.group(1)) for p in glob.glob(os.path.join(root, pattern))
-                for m in [re.search(r"_r(\d+)", os.path.basename(p))] if m]
-
-    # the driver's artifact for round N lands AFTER this process exits,
-    # so the round being benched = newest driver artifact + 1; an
-    # earlier bench run of the SAME round already left a LOCAL file —
-    # overwrite it, don't advance past it
-    this_round = max(max(_rounds("BENCH_r*.json"), default=0) + 1,
-                     max(_rounds("BENCH_LOCAL_r*.json"), default=0))
+    # this_round was derived above (with same-round LOCAL files named
+    # for output but excluded from the regression baseline).
     # the bare name is the driver-facing sf0.1 artifact; other scales
     # get an sf suffix so a 3-scale sweep can't clobber it
     sf_tag = "" if abs(sf - 0.1) < 1e-9 else f"_sf{str(sf).replace('.', '_')}"

@@ -620,10 +620,14 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
 
     Chunk count per doc is ``min(ceil(max(k - chunk_tokens, 0) /
     stride), floor((k - 1) / stride)) + 1`` — every document emits at
-    least one chunk (a short or empty doc emits exactly one), the
-    final chunk keeps the tail even when shorter than
-    ``chunk_tokens``, and no start position past the text is
-    generated: the first term alone overshoots in the gap regime
+    least one chunk (a short or empty doc emits exactly one), and in
+    the contiguous regime (``stride <= chunk_tokens``) the final
+    chunk keeps the tail even when shorter than ``chunk_tokens``; in
+    the gap regime (``stride > chunk_tokens``) windows deliberately
+    SAMPLE the text, so up to ``stride - chunk_tokens`` trailing
+    tokens after the last in-text start can appear in no chunk — the
+    tail guarantee is scoped to contiguous windows. No start position
+    past the text is generated: the first term alone overshoots in the gap regime
     (stride > chunk_tokens) where it minted an empty past-text chunk
     whenever the leftover ``(k - chunk_tokens) % stride`` exceeded
     ``chunk_tokens`` (round-9 review finding — the oracle mirrored
@@ -735,10 +739,16 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
     cluster = F.coalesce(F.col("_comp"), F.col(id_col))
     bucket = md5_hash32(cluster.cast("string")) % F.lit(denom)
     names = list(fractions)
-    cum, bounds = 0.0, []
+    # bounds accumulate in INTEGER space (sum of round(f * denom) per
+    # fraction), not int(float-running-sum * denom): the float sum
+    # truncates downward under accumulated error (0.3 + 0.3 gives
+    # bound 599999, not 600000), silently moving a 1e-6 bucket slice
+    # between splits and diverging from any consumer that derives
+    # exact integer bounds (round-10 ADVICE fix)
+    acc, bounds = 0, []
     for name in names:
-        cum += fractions[name]
-        bounds.append(int(cum * denom))
+        acc += round(fractions[name] * denom)
+        bounds.append(acc)
     # remainder buckets (fractions summing under 1) fall into the
     # last split rather than silently dropping documents
     expr = F.lit(names[-1])
