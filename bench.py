@@ -350,6 +350,75 @@ def main() -> None:
 
     timings["pagerank_neardup"] = timed_build(_pagerank_neardup)
 
+    # keep-representatives (round 10): the registry query's exact
+    # composition — ngram pairs -> CC + PageRank -> per-cluster keep
+    # flag. Eager loops at plan time -> timed_build. Read next to
+    # keep_split_composed and leakage_safe_split below for the
+    # shared-components claim: composed ~= keep + split - one CC loop.
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        curation as cu)
+
+    timings["keep_representatives"] = timed_build(
+        lambda: gx.keep_representatives(
+            dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)))
+
+    # composed keep-the-hub + split-by-cluster pipeline (round 10):
+    # keep_representatives' component labels feed leakage_safe_split
+    # via components=, so the dominant CC loop runs ONCE for both
+    # decisions; label frames are checkpoint-backed (no size stats),
+    # hence the explicit broadcasts
+    def _keep_split_composed():
+        pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+        kr = gx.keep_representatives(pairs)
+        split = cu.leakage_safe_split(
+            docs, components=kr.select("doc_id", "component_id"))
+        return split.join(
+            _F.broadcast(kr.select("doc_id", "keep")), "doc_id", "left"
+        ).select("doc_id", "cluster_id", "split",
+                 _F.coalesce(_F.col("keep"), _F.lit(True)).alias("keep"))
+
+    timings["keep_split_composed"] = timed_build(_keep_split_composed)
+
+    # CDF curation-ledger replay (round 10): store + 3-commit Delta
+    # feed PREBUILT untimed (the maintained-artifact premise of the
+    # other serving entries); the timed part is the replay loop
+    # itself — three incremental near-dup checks, decision writes,
+    # store absorbs. The replay MUTATES its store, so every rep
+    # copies the pristine store first (a few ms of small files).
+    import shutil
+    import tempfile
+
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+
+    with tempfile.TemporaryDirectory(prefix="bench_cdf_") as cdf_dir:
+        docs_kt = docs.select("doc_id", "text")
+        dd.build_minhash_store(docs_kt.filter(_F.col("doc_id") % 4 == 3),
+                               cdf_dir + "/store0", num_hashes=64, bands=32)
+        for c in (0, 1, 2):
+            dl.write_delta(docs_kt.filter(_F.col("doc_id") % 4 == c),
+                           cdf_dir + "/tbl",
+                           mode="overwrite" if c == 0 else "append")
+        _rep = [0]
+
+        def _cdf_replay():
+            _rep[0] += 1
+            store = f"{cdf_dir}/store_rep{_rep[0]}"
+            # the store is a directory FAMILY (main + _meta and
+            # friends share the path prefix) — clone every sibling
+            for entry in sorted(os.listdir(cdf_dir)):
+                if entry.startswith("store0"):
+                    shutil.copytree(
+                        os.path.join(cdf_dir, entry),
+                        store + entry[len("store0"):])
+            done = cu.curate_minhash_from_cdf(spark, cdf_dir + "/tbl",
+                                              store, threshold=0.5)
+            if done != [0, 1, 2]:
+                raise AssertionError(f"cdf replay processed {done}")
+            return spark.read.parquet(store + "_decisions")
+
+        timings["cdf_curation_ledger"] = timed_build(_cdf_replay)
+
     # semantic dedup END-TO-END: the connected-components loop runs
     # Spark jobs eagerly at plan-construction time, so it must be
     # (re)built INSIDE the timing window — timed_build, not timed

@@ -681,7 +681,8 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
     )
 
 
-def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame | None = None, *,
+                       components: DataFrame | None = None,
                        fractions: dict[str, float] | None = None,
                        id_col: str = "doc_id",
                        broadcast_labels: bool = True,
@@ -695,8 +696,19 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
     train-test contamination findings).
 
     ``pairs`` is a near-dup pair list (any dedup-family operator);
-    :func:`~.dedup.connected_components` labels the clusters, docs
-    absent from the pair graph are their own singleton cluster, and
+    :func:`~.dedup.connected_components` labels the clusters.
+    Alternatively pass precomputed ``components`` — a
+    (doc_id, component_id) frame, e.g. the label columns of
+    :func:`~.graph.keep_representatives`'s output or a
+    connected-components run the pipeline already paid for — and the
+    dominant iterative loop is skipped entirely: the keep-the-hub +
+    split-by-cluster pipeline (the normal combination) then pays the
+    components loop ONCE instead of once per operator (mirrors
+    ``keep_representatives(scores=)``). Exactly one of
+    ``pairs``/``components`` must be given; the split is
+    hash-identical either way given the same labels. Docs absent
+    from the pair graph / label frame are their own singleton
+    cluster, and
     the split is the deterministic md5-hash bucket OF THE CLUSTER ID
     against cumulative fraction thresholds (insertion order of
     ``fractions``; integer floor(r * denom) thresholds — the
@@ -722,6 +734,11 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
     (cluster ids hash uniformly)."""
     from .dedup import connected_components
 
+    if (pairs is None) == (components is None):
+        raise ValueError(
+            "leakage_safe_split takes exactly one of pairs= (the "
+            "components loop runs here) or components= (precomputed "
+            "(doc_id, component_id) labels)")
     if fractions is None:
         fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
     if not fractions or any(r < 0 for r in fractions.values()) \
@@ -729,7 +746,9 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
         raise ValueError(
             f"fractions must be non-negative and sum to <= 1, got "
             f"{fractions}")
-    comps = connected_components(pairs).select(
+    labels = connected_components(pairs) if components is None \
+        else components
+    comps = labels.select(
         F.col("doc_id").alias("_cid_key"),
         F.col("component_id").alias("_comp"))
     if broadcast_labels:

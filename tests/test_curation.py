@@ -245,6 +245,59 @@ def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
                                                       "val": 0.2})
 
 
+def test_leakage_safe_split_precomputed_components_identical(spark):
+    """components= (round 10): given the labels the pipeline already
+    paid for (keep_representatives output, a prior CC run), the split
+    must be hash-identical to the pairs= path — the keep-the-hub +
+    split-by-cluster pipeline pays the dominant iterative loop ONCE.
+    Also pins the exactly-one-of contract and that bounds are exact
+    integers (0.3 + 0.3 accumulates to 600000, not 599999: a bucket
+    exactly at the float-truncated boundary must land in the SECOND
+    split, verified by independent md5 recompute)."""
+    import hashlib
+
+    import pytest as _pt
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        dedup as dd, graph as gx)
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, a), (2, a + " extra"), (3, a)]
+    rows += [(100 + i, f"unique u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f")
+             for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+
+    via_pairs = {tuple(r) for r in
+                 cu.leakage_safe_split(docs, pairs).collect()}
+    comps = dd.connected_components(pairs)
+    via_comps = {tuple(r) for r in
+                 cu.leakage_safe_split(docs, components=comps).collect()}
+    assert via_pairs == via_comps
+    # the real composition: keep_representatives' label columns
+    kr = gx.keep_representatives(pairs)
+    via_kr = {tuple(r) for r in cu.leakage_safe_split(
+        docs, components=kr.select("doc_id", "component_id")).collect()}
+    assert via_pairs == via_kr
+
+    with _pt.raises(ValueError, match="exactly one"):
+        cu.leakage_safe_split(docs)
+    with _pt.raises(ValueError, match="exactly one"):
+        cu.leakage_safe_split(docs, pairs, components=comps)
+
+    # integer-exact bounds: independent md5 recompute of every doc's
+    # bucket against cumulative fractions 0.3/0.3/0.4 — the float
+    # running sum would put bucket 599999 in the THIRD split
+    out = {r["doc_id"]: r["split"] for r in cu.leakage_safe_split(
+        docs, pairs,
+        fractions={"s1": 0.3, "s2": 0.3, "s3": 0.4}).collect()}
+    for r in cu.leakage_safe_split(docs, pairs).select(
+            "doc_id", "cluster_id").collect():
+        b = int(hashlib.md5(
+            str(r["cluster_id"]).encode()).hexdigest()[:8], 16) % 1_000_000
+        want = "s1" if b < 300_000 else "s2" if b < 600_000 else "s3"
+        assert out[r["doc_id"]] == want, (r, b)
+
+
 def test_shuffle_shards_is_deterministic_permutation(spark, sf_dir):
     from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
         shuffle_shards)
