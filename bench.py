@@ -458,6 +458,15 @@ def main() -> None:
         lambda: _sim.embedding_neardup_pairs_bucketed(
             clustered, threshold=0.9))
 
+    # degree-capped twin (round 10): the uncapped entry above is the
+    # ONE documented super-linear curve (quadratic-in-cluster pair
+    # contract, 23x wall at 30x data) — max_partners bounds emission
+    # at O(rows * m) while keeping every vector attached to its best
+    # partner. Read the pair for the cap's cost/benefit at each scale.
+    timings["semantic_dedup_clustered_pairs_capped"] = timed_build(
+        lambda: _sim.embedding_neardup_pairs_bucketed(
+            clustered, threshold=0.9, max_partners=8))
+
     # indexed hybrid serving: postings PREBUILT to parquet (untimed —
     # that is the point of a maintained index; the target_lag refresh
     # loop pays it incrementally), then the same hybrid query served

@@ -264,7 +264,9 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
                                      seed: int = 42,
                                      centroids: list | None = None,
                                      block_rows: int = 4096,
-                                     target_list_rows: int = 512) -> DataFrame:
+                                     target_list_rows: int = 512,
+                                     max_partners: int | None = None
+                                     ) -> DataFrame:
     """FULL-CORPUS embedding near-dup pairs, bucket-bounded — the
     100 TB shape of the SemDedup pair stage (reference
     /root/reference/README.md:60,72,116): every vector is assigned to
@@ -333,6 +335,26 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
     GEMM, 1e-6 slack prefilter in numpy, exact ``round(_,6) >=
     threshold`` applied JVM-side.
 
+    ``max_partners`` bounds the one regime where the pair CONTRACT
+    itself is quadratic (round 10): a duplicate mega-cluster of C
+    members has C(C-1)/2 qualifying pairs, so emission — not the
+    bucketing — dominates at scale (the measured 23x wall for 30x
+    data on the clustered-corpus bench entry). With ``max_partners=m``
+    each row emits only its top-``m``-by-cosine qualifying partners
+    per scored block (ties at the m-th value all kept, so the cut is
+    a pure deterministic function of the cosine values — no
+    row-order dependence), bounding output at O(rows * m * blocks)
+    instead of O(C^2). The result is a SUBSET of the uncapped
+    contract — the same recall trade as
+    ``ngram_jaccard_pairs(max_doc_freq=)`` — with the guarantee that
+    matters for dedup clustering: in default exact mode every vector
+    with >= 1 qualifying partner keeps at least its best-cosine pair
+    (its probe set provably covers the partner's home list, and the
+    best partner is never below the m-th value), so every duplicate
+    still attaches to a copy; clusters may split into star-shaped
+    fragments rather than full cliques, which "keep one per cluster"
+    consumers tolerate by construction. Default None = exact contract.
+
     ``probes`` switches to PROBE-SET semantics — the distributed twin
     of :func:`embedding_neardup_pairs` (and the collect-free
     replacement for the blocked variant's driver-collected probe
@@ -350,6 +372,8 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
     from pyspark.sql.types import (ByteType, IntegerType, LongType,
                                    ShortType, StringType)
 
+    if max_partners is not None and max_partners < 1:
+        raise ValueError(f"max_partners must be >= 1, got {max_partners}")
     id_type = corpus.schema[id_col].dataType
     if not isinstance(id_type, (ByteType, ShortType, IntegerType,
                                 LongType, StringType)):
@@ -539,13 +563,25 @@ def embedding_neardup_pairs_bucketed(corpus: DataFrame,
                         # id_1 IS the probe
                         keep = (denom != 0) & (cos >= slack) & (
                             pblk[:, np.newaxis] < hblock)
-                        pi, ci = np.nonzero(keep)
-                        out1.append(pblk[pi])
-                        out2.append(hid[lo + ci])
                     else:
                         keep = (denom != 0) & (cos >= slack) & (
                             pblk[:, np.newaxis] != hblock)
-                        pi, ci = np.nonzero(keep)
+                    if max_partners is not None and hi - lo > max_partners:
+                        # degree cap: keep each row's top-m qualifying
+                        # partners in this block, ties at the m-th
+                        # value included — the cut is a function of
+                        # the cosine values alone, so it is stable
+                        # under any row order / retry
+                        masked = np.where(keep, cos, -np.inf)
+                        kth = np.partition(
+                            masked, hi - lo - max_partners,
+                            axis=1)[:, hi - lo - max_partners]
+                        keep &= masked >= kth[:, np.newaxis]
+                    pi, ci = np.nonzero(keep)
+                    if probe_mode:
+                        out1.append(pblk[pi])
+                        out2.append(hid[lo + ci])
+                    else:
                         a = pblk[pi]
                         b = hid[lo + ci]
                         lt = a < b

@@ -230,6 +230,55 @@ def test_neardup_bucketed_capped_probe_is_subset(spark, emb):
     assert n_capped >= 0.5 * n_exact, (n_capped, n_exact)
 
 
+def test_neardup_bucketed_max_partners_bounds_megacluster(spark):
+    # max_partners (round 10): the one regime where the pair CONTRACT
+    # is quadratic — a duplicate mega-cluster of C members has
+    # C(C-1)/2 qualifying pairs (the measured 23x wall at 30x data on
+    # the clustered-pairs bench entry). The degree cap must (a) emit
+    # a strict SUBSET of the uncapped pair set with identical scores,
+    # (b) bound the total at ~linear in C instead of C^2, (c) keep
+    # every clustered vector attached to >= 1 partner (exact mode
+    # probes provably cover the best partner's home list), so "keep
+    # one per cluster" dedup still drops every duplicate, and (d) be
+    # deterministic across runs (ties cut by cosine value, never row
+    # order).
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    C, dim = 200, 16
+    center = rng.randn(dim)
+    center /= np.linalg.norm(center)
+    X = center[np.newaxis, :] + 0.03 * rng.randn(C, dim)
+    iso = rng.randn(20, dim) * 5  # far-away singletons
+    rows = [(i, [float(x) for x in X[i]]) for i in range(C)]
+    rows += [(1000 + i, [float(x) for x in iso[i]]) for i in range(20)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    full = sim.embedding_neardup_pairs_bucketed(emb2, threshold=0.9,
+                                                n_lists=4)
+    m = 4
+    capped = sim.embedding_neardup_pairs_bucketed(emb2, threshold=0.9,
+                                                  n_lists=4, max_partners=m)
+    assert capped.exceptAll(full).count() == 0          # subset, same scores
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full > C * (C - 1) / 4                     # the quadratic regime
+    # linear bound: each row emits <= m per scored block from each of
+    # its two orientations; with C=200 << block_rows there is one
+    # block per bucket, so <= 2*m*C even before the pair dedupe
+    assert n_capped <= 2 * m * C, (n_capped, n_full)
+    # every clustered vector keeps at least one pair
+    attached = {v for r in capped.collect() for v in (r[0], r[1])}
+    assert attached >= set(range(C))
+    # deterministic across runs
+    again = sim.embedding_neardup_pairs_bucketed(emb2, threshold=0.9,
+                                                 n_lists=4, max_partners=m)
+    assert sorted(map(tuple, capped.collect())) == \
+        sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError, match="max_partners"):
+        sim.embedding_neardup_pairs_bucketed(emb2, threshold=0.9,
+                                             max_partners=0)
+
+
 def test_neardup_bucketed_dirty_rows_and_string_ids(spark):
     # NULL vectors, NULL elements, and zero-norm vectors drop (the
     # fold's NULL/NaN-cosine rule); ids are carried opaquely, so
