@@ -208,6 +208,10 @@ HEADLINE = (
     # noop-write rep would time only the final join (see PLANS.md)
     "hard_negatives",
     "chunk_documents",
+    # chunk-level RAG composition (round 10): chunk -> embed -> exact
+    # cosine -> max-pool -> filtered top-k; pure lazy plan, the ANN
+    # tier is benched separately below (MLlib fit at plan time)
+    "chunked_retrieval",
     # runs its components loop eagerly at plan-construction time; the
     # ExistingRDD plan detection below routes it to timed_build
     "leakage_safe_split",
@@ -557,6 +561,22 @@ def main() -> None:
                 spark.read.parquet(tick_root), HYBRID_TERMS)
             timings["bm25_served_compacted"] = timed(bm25_from_postings(
                 p_comp, HYBRID_TERMS, doc_stats=ann_stats))
+
+    # chunk-level retrieval, ANN tier (round 10): the same chunk
+    # vectors as the headline chunked_retrieval entry routed through
+    # IVF kNN — the quantizer fit runs at plan-construction time, so
+    # timed_build; read beside chunked_retrieval for the prune win.
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        retrieval as rt)
+    from snowflake_medtech_vigilance_lakehouse_spark.plans.analytics import (
+        CHUNKED_QUERY_TEXT)
+
+    timings["chunked_retrieval_ann"] = timed_build(
+        lambda: rt.chunked_retrieval_ann(
+            docs, CHUNKED_QUERY_TEXT, k=20, chunk_tokens=32, stride=24,
+            dim=32, n_lists=16, n_probe=4, m_chunks=200,
+            metadata_filter=F.col("source").isin(
+                "src0", "src1", "src2", "src3")))
 
     # skewed-aggregate evidence (reference README.md:46 — one
     # manufacturer owns 30% of events): quarterly-style sum over a

@@ -434,3 +434,199 @@ def hybrid_search_ann(spark, ivf_path: str, postings: DataFrame, *,
         .select(id_col, F.coalesce("_ls", F.lit(0.0)).alias("_ls"), "_vs")
     )
     return _ranked_topk(_weighted_fuse(scored, w_lexical, id_col), id_col, k)
+
+
+def _md5_bucket_sums(df: DataFrame, keys: list[str], text_col: str,
+                     dim: int) -> DataFrame:
+    """Sparse md5 hashing-trick term sums per key group: one
+    ``(*keys, idx, s)`` row per NONZERO bucket, where each whitespace
+    token adds +/-1 to bucket ``md5[:8] % dim`` with sign from the
+    9th hex char's parity — the exact bucket/sign recipe of
+    ``enrich.embed_hashing_md5_long`` (and its DuckDB twin), kept as
+    raw INTEGER sums instead of rounded normalized values so every
+    downstream dot product is exact integer arithmetic and the
+    cosine (dot / (sqrt(int) * sqrt(int))) is bit-identical in any
+    IEEE engine — no rounded-intermediate drift."""
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.col("_tok")), 9, 1), 16, 10)
+        .cast("int") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return (
+        df.select(*keys, tok)
+        .select(*keys, F.pmod(h, F.lit(dim)).alias("idx"), sgn.alias("_sgn"))
+        .groupBy(*keys, "idx").agg(F.sum("_sgn").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+
+
+def chunked_retrieval(docs: DataFrame, query_text: str, *, k: int = 20,
+                      chunk_tokens: int = 64, stride: int = 48,
+                      dim: int = 32,
+                      metadata_filter: Column | None = None,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Chunk-level retrieval composed end-to-end (round 10) — the
+    standard RAG pipeline the chunking operator exists for:
+    :func:`~.curation.chunk_documents` splits each document into
+    sliding token windows, every chunk is embedded with the
+    deterministic md5 hashing-trick recipe (the AI3 stand-in; a model
+    UDF drops in at the same column contract), the query text is
+    embedded identically, chunks are scored by exact cosine, and
+    chunk scores MAX-POOL to documents — a long document ranks by its
+    best-matching passage, not its diluted whole-text vector, which
+    is the retrieval-quality reason chunking exists (pinned by the
+    overlap test against whole-doc retrieval).
+
+    Returns the top-``k`` documents as (doc_id, best_chunk_id, score,
+    rank): the winning chunk's ordinal, its cosine rounded to 6, and
+    the dense rank by (score desc, doc_id asc). ``metadata_filter``
+    prunes documents BEFORE chunking/scoring (filter-first, same as
+    the hybrid tiers — scoring cost is proportional to the filtered
+    set). Scores tie exactly between engines: term sums are integers,
+    the dot product is exact integer arithmetic, and sqrt/divide are
+    IEEE exactly-rounded, so the DuckDB oracle hash-matches without
+    rounded-intermediate fuzz.
+
+    100 TB shape: one explode + partial-agg groupBy keyed
+    (doc, chunk, idx) builds the sparse chunk vectors (the corpus
+    never joins itself); the query side is ``dim`` rows, broadcast;
+    the dot is one broadcast hash join + one (doc, chunk) partial
+    agg; max-pool is one doc-keyed partial agg; the final cut is
+    TakeOrderedAndProject (per-partition top-k heaps, no global
+    sort). The exact brute-force scoring here is the ORACLE-SCALE
+    twin; the production ANN path runs the same chunk vectors through
+    the IVF index (``knn_ivf`` over the array form), overlap-gated in
+    pytest like ``knn_ivf_direct``/``hybrid_search_ann``."""
+    from .curation import chunk_documents
+
+    if metadata_filter is not None:
+        docs = docs.filter(metadata_filter)
+    chunks = chunk_documents(docs, chunk_tokens=chunk_tokens,
+                             stride=stride, text_col=text_col,
+                             id_col=id_col)
+    sums = _md5_bucket_sums(chunks, [id_col, "chunk_id"], "chunk_text", dim)
+    norms = sums.groupBy(id_col, "chunk_id").agg(
+        F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_l2"))
+
+    # the query frame is a pure literal plan (range(1) + lit), NOT
+    # createDataFrame — that would put an ExistingRDD scan into every
+    # downstream plan (unprunable black box; the bench guard refuses)
+    spark = docs.sparkSession
+    qdoc = spark.range(1).select(F.lit(query_text).alias("q"))
+    qsums = _md5_bucket_sums(qdoc, [], "q", dim).select(
+        "idx", F.col("s").alias("_qs"))
+    qnorm = qsums.agg(F.sqrt(F.sum(F.col("_qs") * F.col("_qs")))
+                      .alias("_ql2"))
+
+    dot = (
+        sums.join(F.broadcast(qsums), "idx")
+        .groupBy(id_col, "chunk_id")
+        .agg(F.sum(F.col("s") * F.col("_qs")).alias("_dot"))
+    )
+    scored = (
+        dot.join(norms, [id_col, "chunk_id"])
+        .crossJoin(F.broadcast(qnorm))
+        .filter((F.col("_l2") > 0) & (F.col("_ql2") > 0))
+        .select(id_col, "chunk_id",
+                (F.col("_dot") / (F.col("_l2") * F.col("_ql2")))
+                .alias("_cos"))
+    )
+    # max-pool, then the MIN chunk_id among chunks achieving the max
+    # (exact equality is safe — every engine computes the identical
+    # bits, see docstring); two partial aggs, both doc-keyed
+    pooled = scored.groupBy(id_col).agg(F.max("_cos").alias("_score"))
+    best = (
+        scored.join(pooled, id_col)
+        .filter(F.col("_cos") == F.col("_score"))
+        .groupBy(id_col)
+        .agg(F.min("chunk_id").alias("best_chunk_id"),
+             F.max("_cos").alias("_score"))
+    )
+    topk = _ranked_topk(best.select(id_col, "_score"), id_col, k)
+    return (
+        topk.join(best.select(id_col, "best_chunk_id"), id_col)
+        .select(id_col, "best_chunk_id", "score", "rank")
+    )
+
+
+def _dense_from_sums(sums: DataFrame, keys: list[str], dim: int,
+                     id_expr: Column, out: str = "embedding") -> DataFrame:
+    """Densify sparse (keys..., idx, s) bucket sums into one
+    ``(id, array<double>)`` row per key group — the array contract the
+    ANN operators take. Missing buckets are 0."""
+    m = F.map_from_entries(F.collect_list(F.struct("idx", "s")))
+    return (
+        sums.groupBy(*keys).agg(m.alias("_m"))
+        .select(
+            id_expr.alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("_m"),
+                                                  i.cast("long")),
+                                     F.lit(0.0)),
+            ).alias(out))
+    )
+
+
+def chunked_retrieval_ann(docs: DataFrame, query_text: str, *, k: int = 20,
+                          chunk_tokens: int = 64, stride: int = 48,
+                          dim: int = 32, n_lists: int = 16,
+                          n_probe: int = 8, m_chunks: int = 200,
+                          metadata_filter: Column | None = None,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          chunk_key_scale: int = 1_000_000) -> DataFrame:
+    """The production tier of :func:`chunked_retrieval`: the same
+    chunk vectors routed through IVF approximate kNN
+    (:func:`~.similarity.knn_ivf`) instead of brute-force cosine —
+    a query scores ``n_probe``/``n_lists`` of the chunk corpus, the
+    top ``m_chunks`` chunk hits max-pool to documents, and the top-k
+    cut follows. Approximate where the exact twin is exact (missed
+    chunks are those outside the probed lists), overlap-gated in
+    pytest the way ``knn_ivf_direct`` is gated against
+    ``knn_bruteforce``. Same output schema as the exact twin.
+
+    Requires non-negative integral doc ids (the chunk key is
+    ``doc_id * chunk_key_scale + chunk_id``, so per-doc chunk counts
+    must stay below ``chunk_key_scale``). The MLlib quantizer fit
+    runs at plan-construction time — bench with ``timed_build``."""
+    from .curation import chunk_documents
+    from .similarity import knn_ivf
+
+    if metadata_filter is not None:
+        docs = docs.filter(metadata_filter)
+    chunks = chunk_documents(docs, chunk_tokens=chunk_tokens,
+                             stride=stride, text_col=text_col,
+                             id_col=id_col)
+    sums = _md5_bucket_sums(chunks, [id_col, "chunk_id"],
+                            "chunk_text", dim)
+    dense = _dense_from_sums(
+        sums, [id_col, "chunk_id"], dim,
+        F.col(id_col).cast("long") * chunk_key_scale + F.col("chunk_id"))
+
+    spark = docs.sparkSession
+    qdoc = spark.range(1).select(F.lit(query_text).alias("q"))
+    qvec = _dense_from_sums(_md5_bucket_sums(qdoc, [], "q", dim), [],
+                            dim, F.lit(-1).cast("long"))
+
+    nn = knn_ivf(dense, qvec, k=m_chunks, n_lists=n_lists,
+                 n_probe=n_probe)
+    hits = nn.select(
+        F.floor(F.col("neighbor_id") / chunk_key_scale)
+        .cast("long").alias(id_col),
+        F.pmod(F.col("neighbor_id"), F.lit(chunk_key_scale))
+        .cast("long").alias("chunk_id"),
+        F.col("cosine").alias("_cos"))
+    pooled = hits.groupBy(id_col).agg(F.max("_cos").alias("_score"))
+    best = (
+        hits.join(pooled, id_col)
+        .filter(F.col("_cos") == F.col("_score"))
+        .groupBy(id_col)
+        .agg(F.min("chunk_id").alias("best_chunk_id"),
+             F.max("_cos").alias("_score"))
+    )
+    topk = _ranked_topk(best.select(id_col, "_score"), id_col, k)
+    return (
+        topk.join(best.select(id_col, "best_chunk_id"), id_col)
+        .select(id_col, "best_chunk_id", "score", "rank")
+    )

@@ -2618,6 +2618,95 @@ FROM e
 """
 
 
+CHUNKED_QUERY_TEXT = "spark merge join window agg table scan fast"
+
+
+def q_chunked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level retrieval composed end-to-end (round 10) — the RAG
+    pipeline AI27 exists for: chunk_documents (32-token windows,
+    stride 24) -> md5 hashing-trick chunk embeddings -> exact cosine
+    against the embedded query text -> MAX-POOL chunk scores to
+    documents -> metadata-filtered top-20
+    (operators/retrieval.py:chunked_retrieval). Term sums stay
+    integers and sqrt/divide are IEEE exactly-rounded, so the cosine
+    is bit-identical across engines and the oracle hash-matches with
+    no rounded-intermediate fuzz. The brute-force chunk scoring here
+    is the ORACLE-SCALE twin; the production ANN tier runs the same
+    chunk vectors through the IVF index (overlap-gated in
+    tests/test_retrieval.py, benched as chunked_retrieval_ann)."""
+    from ..operators.retrieval import chunked_retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunked_retrieval(
+        docs, CHUNKED_QUERY_TEXT, k=20, chunk_tokens=32, stride=24,
+        dim=32, metadata_filter=F.col("source").isin(*HYBRID_SOURCES))
+
+
+ORACLE_CHUNKED_RETRIEVAL = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), tok AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM src
+), c AS (
+  SELECT doc_id, t,
+         least(CASE WHEN len(t) > 32
+                    THEN ceil((len(t) - 32) / 24.0)::INT ELSE 0 END,
+               floor((len(t) - 1) / 24.0)::INT) + 1 AS nc
+  FROM tok
+), ch AS (
+  SELECT doc_id, i::BIGINT AS chunk_id,
+         array_to_string(t[1 + i * 24 : i * 24 + 32], ' ') AS chunk_text
+  FROM (SELECT doc_id, t, unnest(range(0, nc)) AS i FROM c)
+), ctok AS (
+  SELECT doc_id, chunk_id,
+         unnest(string_split(chunk_text, ' ')) AS tk
+  FROM ch
+), sums AS (
+  SELECT doc_id, chunk_id,
+         ('0x' || substr(md5(tk), 1, 8))::BIGINT % 32 AS idx,
+         sum(CASE WHEN ('0x' || substr(md5(tk), 9, 1))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS s
+  FROM ctok GROUP BY doc_id, chunk_id, idx
+), nz AS (
+  SELECT * FROM sums WHERE s <> 0
+), norms AS (
+  SELECT doc_id, chunk_id, sqrt(sum(s * s)) AS l2
+  FROM nz GROUP BY doc_id, chunk_id
+), qtok AS (
+  SELECT unnest(string_split('{CHUNKED_QUERY_TEXT}', ' ')) AS tk
+), q AS (
+  SELECT ('0x' || substr(md5(tk), 1, 8))::BIGINT % 32 AS idx,
+         sum(CASE WHEN ('0x' || substr(md5(tk), 9, 1))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS qs
+  FROM qtok GROUP BY idx
+), qnz AS (
+  SELECT * FROM q WHERE qs <> 0
+), qn AS (
+  SELECT sqrt(sum(qs * qs)) AS ql2 FROM qnz
+), dots AS (
+  SELECT nz.doc_id, nz.chunk_id, sum(nz.s * qnz.qs) AS dot
+  FROM nz JOIN qnz USING (idx) GROUP BY nz.doc_id, nz.chunk_id
+), scored AS (
+  SELECT d.doc_id, d.chunk_id,
+         d.dot / (n.l2 * (SELECT ql2 FROM qn)) AS cos
+  FROM dots d JOIN norms n USING (doc_id, chunk_id)
+  WHERE n.l2 > 0 AND (SELECT ql2 FROM qn) > 0
+), pooled AS (
+  SELECT doc_id, max(cos) AS score FROM scored GROUP BY doc_id
+), best AS (
+  SELECT s.doc_id, min(s.chunk_id) AS best_chunk_id, p.score
+  FROM scored s JOIN pooled p ON s.doc_id = p.doc_id AND s.cos = p.score
+  GROUP BY s.doc_id, p.score
+)
+SELECT doc_id, best_chunk_id, round(score, 6) AS score, rank FROM (
+  SELECT doc_id, best_chunk_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM best
+) WHERE rank <= 20
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary coverage (round 8): the 500 most frequent
     whitespace tokens with rank, frequency, and cumulative corpus
@@ -3454,6 +3543,7 @@ QUERIES: dict[str, QueryFn] = {
     "exact_substr": q_exact_substr,
     "exact_substr_cut": q_exact_substr_cut,
     "chunk_documents": q_chunk_documents,
+    "chunked_retrieval": q_chunked_retrieval,
     "leakage_safe_split": q_leakage_safe_split,
     "vocab_topk": q_vocab_topk,
     "char_lm_score": q_char_lm_score,
@@ -3515,6 +3605,7 @@ ORACLES: dict[str, str] = {
     "exact_substr": ORACLE_EXACT_SUBSTR,
     "exact_substr_cut": ORACLE_EXACT_SUBSTR_CUT,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "chunked_retrieval": ORACLE_CHUNKED_RETRIEVAL,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "char_lm_score": ORACLE_CHAR_LM,

@@ -321,3 +321,52 @@ def test_hybrid_ann_null_query_vector_serves_lexical_only(
         postings, terms, doc_stats=doc_stats).collect()}
     assert served  # lexical side still serves
     assert {r["doc_id"] for r in served} <= lexical_ids  # no padding
+
+
+def test_chunked_retrieval_tiers_overlap_and_compose(spark, sf_dir):
+    """Chunk-level RAG composition (round 10): the exact tier's
+    contract is oracle-checked (chunked_retrieval registry query);
+    here the COMPOSITION claims are pinned. (a) whole-doc retrieval
+    (one giant chunk) and chunked retrieval rank correlated but not
+    identical top-20 sets — chunking genuinely re-ranks by best
+    passage; (b) the IVF ANN tier probing EVERY list recovers the
+    exact tier's doc set (the plumbing adds no error of its own —
+    only list pruning does); (c) a pruned probe set keeps overlap
+    above the recall floor, the knn_ivf_direct-style gate; (d) both
+    tiers share the output schema."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        retrieval as rt)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = "spark merge join window agg table scan fast"
+    flt = F.col("source").isin("src0", "src1", "src2", "src3")
+    kw = dict(k=20, chunk_tokens=32, stride=24, dim=32,
+              metadata_filter=flt)
+
+    exact = rt.chunked_retrieval(docs, q, **kw)
+    e = {r["doc_id"] for r in exact.collect()}
+    assert len(e) == 20
+
+    whole = rt.chunked_retrieval(docs, q, k=20, chunk_tokens=10**6,
+                                 stride=10**6, dim=32,
+                                 metadata_filter=flt)
+    w = {r["doc_id"] for r in whole.collect()}
+    assert len(e & w) >= 10            # correlated...
+    assert e != w                      # ...but chunking re-ranks
+
+    allprobe = rt.chunked_retrieval_ann(docs, q, n_lists=8, n_probe=8,
+                                        m_chunks=400, **kw)
+    a_all = {r["doc_id"] for r in allprobe.collect()}
+    assert len(e & a_all) >= 18        # exhaustive probe ~= exact
+
+    pruned = rt.chunked_retrieval_ann(docs, q, n_lists=8, n_probe=4,
+                                      m_chunks=200, **kw)
+    a = {r["doc_id"] for r in pruned.collect()}
+    assert len(e & a) >= 10            # recall floor at half the lists
+
+    assert exact.columns == pruned.columns == \
+        ["doc_id", "best_chunk_id", "score", "rank"]
+    # deterministic across runs
+    again = {r["doc_id"] for r in rt.chunked_retrieval(docs, q,
+                                                       **kw).collect()}
+    assert again == e
