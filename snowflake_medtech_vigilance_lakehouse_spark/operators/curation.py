@@ -28,7 +28,8 @@ from .dedup import _shingled, md5_hash32
 
 __all__ = ["decontaminate", "stratified_sample", "pack_sequences",
            "hard_negatives", "gopher_filter", "weighted_sample",
-           "temperature_mix", "chunk_documents", "leakage_safe_split"]
+           "temperature_mix", "chunk_documents", "leakage_safe_split",
+           "build_split_store", "assign_splits_incremental"]
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, *, n: int = 3,
@@ -681,6 +682,38 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
     )
 
 
+def _validate_fractions(fractions: dict[str, float] | None
+                        ) -> dict[str, float]:
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not fractions or any(r < 0 for r in fractions.values()) \
+            or sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError(
+            f"fractions must be non-negative and sum to <= 1, got "
+            f"{fractions}")
+    return fractions
+
+
+def _split_case(cluster: Column, fractions: dict[str, float],
+                denom: int) -> Column:
+    """The deterministic cluster->split rule shared by
+    :func:`leakage_safe_split` and the sticky store: md5 bucket of
+    the cluster id against cumulative INTEGER thresholds (sum of
+    round(f * denom) per fraction — a float running sum truncates
+    downward and moves 1e-6 bucket slices between splits); remainder
+    buckets fall into the LAST split."""
+    bucket = md5_hash32(cluster.cast("string")) % F.lit(denom)
+    names = list(fractions)
+    acc, bounds = 0, []
+    for name in names:
+        acc += round(fractions[name] * denom)
+        bounds.append(acc)
+    expr = F.lit(names[-1])
+    for name, hi in zip(reversed(names[:-1]), reversed(bounds[:-1])):
+        expr = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(expr)
+    return expr
+
+
 def leakage_safe_split(docs: DataFrame, pairs: DataFrame | None = None, *,
                        components: DataFrame | None = None,
                        fractions: dict[str, float] | None = None,
@@ -739,13 +772,7 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame | None = None, *,
             "leakage_safe_split takes exactly one of pairs= (the "
             "components loop runs here) or components= (precomputed "
             "(doc_id, component_id) labels)")
-    if fractions is None:
-        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
-    if not fractions or any(r < 0 for r in fractions.values()) \
-            or sum(fractions.values()) > 1.0 + 1e-9:
-        raise ValueError(
-            f"fractions must be non-negative and sum to <= 1, got "
-            f"{fractions}")
+    fractions = _validate_fractions(fractions)
     labels = connected_components(pairs) if components is None \
         else components
     comps = labels.select(
@@ -756,25 +783,182 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame | None = None, *,
     base = docs.select(F.col(id_col)).join(
         comps, F.col(id_col) == F.col("_cid_key"), "left")
     cluster = F.coalesce(F.col("_comp"), F.col(id_col))
-    bucket = md5_hash32(cluster.cast("string")) % F.lit(denom)
-    names = list(fractions)
-    # bounds accumulate in INTEGER space (sum of round(f * denom) per
-    # fraction), not int(float-running-sum * denom): the float sum
-    # truncates downward under accumulated error (0.3 + 0.3 gives
-    # bound 599999, not 600000), silently moving a 1e-6 bucket slice
-    # between splits and diverging from any consumer that derives
-    # exact integer bounds (round-10 ADVICE fix)
-    acc, bounds = 0, []
-    for name in names:
-        acc += round(fractions[name] * denom)
-        bounds.append(acc)
-    # remainder buckets (fractions summing under 1) fall into the
-    # last split rather than silently dropping documents
-    expr = F.lit(names[-1])
-    for name, hi in zip(reversed(names[:-1]), reversed(bounds[:-1])):
-        expr = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(expr)
     return base.select(
         F.col(id_col),
         cluster.alias("cluster_id"),
-        expr.alias("split"),
+        _split_case(cluster, fractions, denom).alias("split"),
     )
+
+
+def build_split_store(docs: DataFrame, pairs: DataFrame, path: str, *,
+                      fractions: dict[str, float] | None = None,
+                      id_col: str = "doc_id",
+                      broadcast_labels: bool = True,
+                      denom: int = 1_000_000) -> None:
+    """Persist the leakage-safe split as a STICKY assignment store —
+    the rebuild contract :func:`leakage_safe_split` alone cannot give
+    (round 10): cluster ids are min-labels, so when a later increment
+    MERGES two clusters the merged cluster takes the smaller label,
+    its md5 bucket changes, and a full re-split silently migrates
+    every doc of the losing cluster across splits — a test doc's
+    near-copies landing in train on the next rebuild, the exact leak
+    the operator exists to prevent, now ACROSS TIME. The store makes
+    assignment append-only: once a doc has a split, no future
+    increment changes it (the freshness-contract analog of the
+    reference's target_lag maintenance loops,
+    /root/reference/README.md:83,117).
+
+    Layout: ``{path}`` = (doc_id, cluster_id, split) parquet,
+    ``{path}_meta/meta.json`` = the split parameters (ordered
+    fraction list, denom, id column) — increments must hash with the
+    SAME parameters or silently diverge, so
+    :func:`assign_splits_incremental` reads them from the store,
+    never from its caller."""
+    import json
+    import os
+
+    fractions = _validate_fractions(fractions)
+    leakage_safe_split(docs, pairs, fractions=fractions, id_col=id_col,
+                       broadcast_labels=broadcast_labels,
+                       denom=denom).write.mode("overwrite").parquet(path)
+    os.makedirs(path + "_meta", exist_ok=True)
+    tmp = os.path.join(path + "_meta", "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"fractions": list(fractions.items()),
+                   "denom": denom, "id_col": id_col}, f)
+    os.replace(tmp, os.path.join(path + "_meta", "meta.json"))
+
+
+def assign_splits_incremental(spark, new_docs: DataFrame, path: str,
+                              new_pairs: DataFrame, *,
+                              update_store: bool = True) -> DataFrame:
+    """Assign splits to an increment against the sticky store: NO
+    stored doc ever changes split (the contract), new docs inherit
+    the split of the cluster they near-dup into, and only genuinely
+    novel clusters hash fresh buckets.
+
+    ``new_pairs`` is the increment's near-dup pair list against
+    (increment ∪ stored corpus) — e.g.
+    :func:`~.dedup.minhash_neardup_incremental` plus the in-batch
+    fold, the same candidate discipline as the CDF curation loop.
+    Resolution per connected component of the CONTRACTED graph
+    (stored docs collapse into their cluster node, so the iterative
+    loop runs on increment-sized data, never the corpus):
+
+    * component touches >= 1 stored cluster -> every new member
+      inherits the split of the member cluster containing the OLDEST
+      stored doc (min doc id; deterministic across engines), and
+      records that cluster's label as its cluster_id. A component
+      touching clusters that already sit in DIFFERENT splits is a
+      MERGE ACROSS SPLITS — stored docs stay put (sticky), the new
+      doc inherits the oldest cluster's split, and the row is flagged
+      ``straddling=true`` so an eval pipeline can quarantine it (the
+      across-time leak is surfaced, never silent).
+    * component of new docs only -> cluster_id = min new doc id,
+      split = the store's own md5 bucket rule (meta-sidecar
+      parameters, so a drifted caller cannot diverge the hashing).
+    * a new doc in no pair -> its own singleton cluster, hashed.
+
+    Ids already present in the store return their STORED row
+    (straddling=false) and are skipped by the append — at-least-once
+    replays converge to identical output and an unchanged store.
+
+    Returns (doc_id, cluster_id, split, straddling) for every input
+    doc. ``update_store=True`` appends the truly-new rows.
+
+    100 TB shape: the store is read once; the contracted edge list is
+    increment-sized (stored endpoints collapse to cluster nodes
+    BEFORE the components loop, via one hash join against the store —
+    at broadcast-increment sizes AQE plans the store-side probe); the
+    governing-cluster resolution is two increment-sized aggregations;
+    the corpus itself never shuffles."""
+    import json
+    import os
+
+    from .dedup import connected_components
+
+    with open(os.path.join(path + "_meta", "meta.json")) as f:
+        meta = json.load(f)
+    fractions = dict(meta["fractions"])
+    denom, id_col = meta["denom"], meta["id_col"]
+
+    store = spark.read.parquet(path)
+    old_map = store.select(F.col(id_col).alias("_sid"),
+                           F.col("cluster_id").alias("_scl"),
+                           F.col("split").alias("_ssp"))
+
+    # contracted node keys: stored endpoint -> its cluster node,
+    # new endpoint -> its doc node (string space keeps both apart)
+    def _node(c: Column, cl: Column) -> Column:
+        return F.when(cl.isNotNull(),
+                      F.concat(F.lit("c:"), cl.cast("string"))) \
+            .otherwise(F.concat(F.lit("d:"), c.cast("string")))
+
+    p = (
+        new_pairs
+        .join(old_map.select(F.col("_sid").alias("doc_id_1"),
+                             F.col("_scl").alias("_cl1")),
+              "doc_id_1", "left")
+        .join(old_map.select(F.col("_sid").alias("doc_id_2"),
+                             F.col("_scl").alias("_cl2")),
+              "doc_id_2", "left")
+        .select(_node(F.col("doc_id_1"), F.col("_cl1")).alias("doc_id_1"),
+                _node(F.col("doc_id_2"), F.col("_cl2")).alias("doc_id_2"))
+        .filter(F.col("doc_id_1") != F.col("doc_id_2"))
+    )
+    comps = connected_components(p)
+
+    # per stored cluster: its split and oldest doc (the governing rank)
+    cmeta = store.groupBy("cluster_id", "split").agg(
+        F.min(id_col).alias("_min_doc"))
+    cnodes = (
+        comps.filter(F.col("doc_id").startswith("c:"))
+        .join(cmeta.withColumn(
+            "_ck", F.concat(F.lit("c:"), F.col("cluster_id").cast("string"))),
+            F.col("doc_id") == F.col("_ck"))
+    )
+    gov = cnodes.groupBy("component_id").agg(
+        F.min_by(F.col("split"), F.struct("_min_doc", "_ck")).alias("_gsp"),
+        F.min_by(F.col("cluster_id"),
+                 F.struct("_min_doc", "_ck")).alias("_gcl"),
+        (F.count_distinct(F.col("split")) > 1).alias("_straddle"))
+
+    new_ids = new_docs.select(F.col(id_col)).distinct()
+    dnodes = comps.filter(F.col("doc_id").startswith("d:")).select(
+        F.col("doc_id").alias("_dnode"), "component_id")
+    with_comp = new_ids.join(
+        dnodes, F.concat(F.lit("d:"), F.col(id_col).cast("string"))
+        == F.col("_dnode"), "left")
+    # min NEW doc id per fresh component, in the id column's own type
+    min_new = with_comp.filter(F.col("component_id").isNotNull()) \
+        .groupBy("component_id").agg(F.min(id_col).alias("_min_new"))
+
+    cluster = F.coalesce(F.col("_gcl"), F.col("_min_new"), F.col(id_col))
+    fresh = (
+        with_comp
+        .join(gov, "component_id", "left")
+        .join(min_new, "component_id", "left")
+        .select(
+            F.col(id_col),
+            cluster.alias("cluster_id"),
+            F.coalesce(F.col("_gsp"),
+                       _split_case(cluster, fractions, denom))
+            .alias("split"),
+            F.coalesce(F.col("_straddle"), F.lit(False))
+            .alias("straddling"))
+    )
+    # replayed ids return their stored row and never re-enter the store
+    replayed = new_ids.join(
+        old_map.select(F.col("_sid").alias(id_col), "_scl", "_ssp"),
+        id_col).select(
+        id_col, F.col("_scl").alias("cluster_id"),
+        F.col("_ssp").alias("split"), F.lit(False).alias("straddling"))
+    fresh = fresh.join(replayed.select(id_col), id_col, "left_anti")
+    out = fresh.unionByName(replayed)
+    if update_store:
+        fresh.select(id_col, "cluster_id", "split") \
+            .write.mode("append").parquet(path)
+        return spark.read.parquet(path).join(
+            out.select(id_col, "straddling"), id_col) \
+            .select(id_col, "cluster_id", "split", "straddling")
+    return out

@@ -3037,6 +3037,161 @@ FROM bucketed
 """
 
 
+_SPLIT_STORE_CACHE: dict[str, tuple[tuple, str]] = {}
+
+
+def q_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sticky split store's increment path under the full hash
+    gate (round 10): the corpus splits into a base (doc_id % 5 != 0,
+    split-assigned and persisted by build_split_store) and an
+    increment (% 5 == 0) whose near-dup pairs against base ∪ increment
+    feed assign_splits_incremental — docs near-dupping an existing
+    cluster INHERIT its split (stored docs never move, merges are
+    flagged straddling), fresh clusters hash the store's own md5 rule
+    (operators/curation.py:assign_splits_incremental; the
+    across-time-leak contract the sticky store exists for). The
+    oracle unrolls the identical two-stage resolution: base
+    reachability clustering + md5 split, then reachability over the
+    CONTRACTED increment graph (stored docs collapse to cluster
+    nodes), oldest-doc governance, and the fresh-hash fallback.
+    Store setup runs once per process per fixture fingerprint, like
+    the incremental-IVF twin; update_store=False keeps the cached
+    store pristine."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    fp = _fixture_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    cached = _SPLIT_STORE_CACHE.get(sf_dir)
+    if cached is None or cached[0] != fp or not os.path.isdir(cached[1]):
+        if cached is not None:
+            shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
+        work = tempfile.mkdtemp(prefix="sparkgraft_split_store_")
+        try:
+            store = os.path.join(work, "splits")
+            cu.build_split_store(
+                docs.filter(F.col("doc_id") % 5 != 0),
+                pairs.filter((F.col("doc_id_1") % 5 != 0)
+                             & (F.col("doc_id_2") % 5 != 0)),
+                store)
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        _SPLIT_STORE_CACHE[sf_dir] = (fp, store)
+    store = _SPLIT_STORE_CACHE[sf_dir][1]
+    inc = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    inc_pairs = pairs.filter((F.col("doc_id_1") % 5 == 0)
+                             | (F.col("doc_id_2") % 5 == 0))
+    return cu.assign_splits_incremental(spark, inc, store, inc_pairs,
+                                        update_store=False)
+
+
+_SPLIT_BUCKET_SQL = ("('0x' || substr(md5({c}::VARCHAR), 1, 8))::BIGINT"
+                     " % 1000000")
+
+ORACLE_SPLIT_INCREMENTAL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM documents
+), sd AS (
+  SELECT * FROM d WHERE len(sh) > 0
+), prs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM sd a JOIN sd b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+), bprs AS (
+  SELECT * FROM prs WHERE id1 % 5 <> 0 AND id2 % 5 <> 0
+), bedges AS (
+  SELECT id1 AS a, id2 AS b FROM bprs UNION SELECT id2, id1 FROM bprs
+), breach (a, b) AS (
+  SELECT a, b FROM bedges
+  UNION
+  SELECT r.a, e2.b FROM breach r JOIN bedges e2 ON r.b = e2.a
+), bcomp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component_id
+  FROM breach GROUP BY a
+), store AS (
+  SELECT d0.doc_id, coalesce(c.component_id, d0.doc_id)::BIGINT AS cluster_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d0
+  LEFT JOIN bcomp c USING (doc_id)
+), store_split AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 800000
+              THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 900000
+              THEN 'val' ELSE 'test' END AS split
+  FROM store
+), iprs AS (
+  SELECT * FROM prs WHERE id1 % 5 = 0 OR id2 % 5 = 0
+), cprs AS (
+  SELECT CASE WHEN s1.cluster_id IS NOT NULL
+              THEN 'c:' || s1.cluster_id::VARCHAR
+              ELSE 'd:' || p.id1::VARCHAR END AS a,
+         CASE WHEN s2.cluster_id IS NOT NULL
+              THEN 'c:' || s2.cluster_id::VARCHAR
+              ELSE 'd:' || p.id2::VARCHAR END AS b
+  FROM iprs p
+  LEFT JOIN store s1 ON p.id1 = s1.doc_id
+  LEFT JOIN store s2 ON p.id2 = s2.doc_id
+), cedges AS (
+  SELECT a, b FROM cprs WHERE a <> b
+  UNION SELECT b, a FROM cprs WHERE a <> b
+), creach (a, b) AS (
+  SELECT a, b FROM cedges
+  UNION
+  SELECT r.a, e2.b FROM creach r JOIN cedges e2 ON r.b = e2.a
+), ccomp AS (
+  SELECT a AS node, least(a, min(b)) AS comp FROM creach GROUP BY a
+), cmeta AS (
+  SELECT cluster_id, split, min(doc_id) AS min_doc
+  FROM store_split GROUP BY cluster_id, split
+), cn AS (
+  SELECT c.comp, m.cluster_id, m.split, m.min_doc
+  FROM ccomp c JOIN cmeta m ON c.node = 'c:' || m.cluster_id::VARCHAR
+), gov AS (
+  SELECT r.comp, r.cluster_id AS gcl, r.split AS gsp, s.straddle
+  FROM (
+    SELECT comp, cluster_id, split,
+           row_number() OVER (PARTITION BY comp
+                              ORDER BY min_doc, cluster_id) AS rk
+    FROM cn
+  ) r JOIN (
+    SELECT comp, count(DISTINCT split) > 1 AS straddle
+    FROM cn GROUP BY comp
+  ) s USING (comp) WHERE r.rk = 1
+), newids AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+), dmem AS (
+  SELECT n.doc_id, c.comp
+  FROM newids n JOIN ccomp c ON c.node = 'd:' || n.doc_id::VARCHAR
+), minnew AS (
+  SELECT comp, min(doc_id) AS min_new FROM dmem GROUP BY comp
+), resolved AS (
+  SELECT n.doc_id,
+         coalesce(g.gcl, mn.min_new, n.doc_id)::BIGINT AS cluster_id,
+         g.gsp,
+         coalesce(g.straddle, false) AS straddling
+  FROM newids n
+  LEFT JOIN dmem dm ON n.doc_id = dm.doc_id
+  LEFT JOIN gov g ON dm.comp = g.comp
+  LEFT JOIN minnew mn ON dm.comp = mn.comp
+)
+SELECT doc_id, cluster_id,
+       coalesce(gsp,
+         CASE WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 800000
+              THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 900000
+              THEN 'val' ELSE 'test' END) AS split,
+       straddling
+FROM resolved
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (round 8): keep at most 10
     documents per source, selected by deterministic content-hash rank
@@ -3545,6 +3700,7 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_documents": q_chunk_documents,
     "chunked_retrieval": q_chunked_retrieval,
     "leakage_safe_split": q_leakage_safe_split,
+    "split_incremental": q_split_incremental,
     "vocab_topk": q_vocab_topk,
     "char_lm_score": q_char_lm_score,
     "gopher_filter": q_gopher_filter,
@@ -3607,6 +3763,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "chunked_retrieval": ORACLE_CHUNKED_RETRIEVAL,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "split_incremental": ORACLE_SPLIT_INCREMENTAL,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "char_lm_score": ORACLE_CHAR_LM,
     "gopher_filter": ORACLE_GOPHER_FILTER,

@@ -487,3 +487,94 @@ def test_curate_embeddings_from_cdf_end_to_end(spark, tmp_path):
         change_data=True)
     with pytest.raises(ValueError, match="rebuild the index"):
         curate_embeddings_from_cdf(spark, tbl, idx, threshold=0.95)
+
+
+def test_split_store_sticky_under_cluster_merge(spark, tmp_path):
+    """The incremental split-stability contract (round 10): cluster
+    ids are min-labels, so a naive full re-split after an increment
+    MERGES two clusters would rehash the losing cluster's bucket and
+    silently migrate its docs across splits — the across-time leak.
+    The sticky store pins: (1) no stored doc EVER changes split;
+    (2) a merging increment doc inherits the oldest member cluster's
+    split and is flagged straddling; (3) a doc joining one existing
+    cluster inherits ITS split — even when the naive rebuild would
+    now hash it elsewhere; (4) fresh clusters/singletons hash exactly
+    the leakage_safe_split rule (independent md5 recompute);
+    (5) replays converge (identical output, store unchanged)."""
+    import hashlib
+
+    store = str(tmp_path / "splits")
+    # clusters A={1,2,3} (label 1 -> train) and B={4,5} (label 4 ->
+    # test); md5("1")%1e6=589560, md5("4")%1e6=958457
+    base = spark.createDataFrame([(i,) for i in range(1, 14)],
+                                 "doc_id long")
+    base_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_id_1 long, doc_id_2 long")
+    cu.build_split_store(base, base_pairs, store)
+    before = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+              spark.read.parquet(store).collect()}
+    assert before[1][1] == "train" and before[4][1] == "test"
+    assert before[5] == (4, "test")
+
+    # increment 1: doc 100 bridges A and B -> MERGE across splits
+    inc1 = spark.createDataFrame([(100,)], "doc_id long")
+    inc1_pairs = spark.createDataFrame(
+        [(100, 2), (100, 5)], "doc_id_1 long, doc_id_2 long")
+    out1 = {r["doc_id"]: r for r in cu.assign_splits_incremental(
+        spark, inc1, store, inc1_pairs).collect()}
+    # (2) bridge inherits the OLDEST member cluster's split, flagged
+    assert out1[100]["split"] == "train"          # cluster A, oldest doc 1
+    assert out1[100]["cluster_id"] == 1
+    assert out1[100]["straddling"] is True
+    # (1) no stored doc moved
+    after1 = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+              spark.read.parquet(store).collect()}
+    assert all(after1[k] == v for k, v in before.items())
+
+    # increment 2: 200 joins ONLY cluster B (sticky: inherits test,
+    # though a naive rebuild would now hash the merged cluster under
+    # label 1 -> train); 20+21 form a fresh cluster; 14 is a singleton
+    inc2 = spark.createDataFrame([(200,), (20,), (21,), (14,)],
+                                 "doc_id long")
+    inc2_pairs = spark.createDataFrame(
+        [(200, 5), (20, 21)], "doc_id_1 long, doc_id_2 long")
+    out2 = {r["doc_id"]: r for r in cu.assign_splits_incremental(
+        spark, inc2, store, inc2_pairs).collect()}
+    assert out2[200]["split"] == "test"           # (3) stays with B
+    assert out2[200]["cluster_id"] == 4
+    assert out2[200]["straddling"] is False
+    # (4) fresh cluster + singleton follow the md5 rule exactly
+    for did, cl in ((20, 20), (21, 20), (14, 14)):
+        b = int(hashlib.md5(str(cl).encode()).hexdigest()[:8],
+                16) % 1_000_000
+        want = "train" if b < 800_000 else "val" if b < 900_000 else "test"
+        assert out2[did]["cluster_id"] == cl
+        assert out2[did]["split"] == want, (did, b)
+
+    # (5) replay of increment 2 converges: identical output, store
+    # row count unchanged, still no stored doc moved
+    n_store = spark.read.parquet(store).count()
+    out2_again = {r["doc_id"]: r for r in cu.assign_splits_incremental(
+        spark, inc2, store, inc2_pairs).collect()}
+    assert {k: tuple(v) for k, v in out2.items()} == \
+        {k: tuple(v) for k, v in out2_again.items()}
+    assert spark.read.parquet(store).count() == n_store
+    final = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+             spark.read.parquet(store).collect()}
+    assert all(final[k] == v for k, v in before.items())
+
+    # all-singleton increment (no pairs at all) survives the empty
+    # contracted graph and hashes fresh
+    inc3 = spark.createDataFrame([(300,)], "doc_id long")
+    no_pairs = spark.createDataFrame([], "doc_id_1 long, doc_id_2 long")
+    out3 = cu.assign_splits_incremental(spark, inc3, store,
+                                        no_pairs).collect()
+    got = {r["doc_id"]: r for r in out3}
+    assert got[300]["cluster_id"] == 300 and got[300]["split"] == "train"
+
+    # update_store=False leaves the store untouched
+    n_store = spark.read.parquet(store).count()
+    inc4 = spark.createDataFrame([(400,)], "doc_id long")
+    cu.assign_splits_incremental(spark, inc4, store, no_pairs,
+                                 update_store=False).collect()
+    assert spark.read.parquet(store).count() == n_store

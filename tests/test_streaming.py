@@ -226,3 +226,88 @@ def test_streaming_chunk_documents_matches_batch(spark, tmp_path):
         spark.read.schema(schema).json(str(in_dir)),
         chunk_tokens=4, stride=3).collect()}
     assert got == want and len(want) == 3 + 1 + 2
+
+
+def _stream_equals_batch(spark, in_dir, schema, op, name, min_rows=1):
+    """Round-10 pin template: a stateless row-local projection
+    (zero exchanges in batch) must run UNCHANGED over a stream —
+    append mode, no watermark, no state — and produce exactly the
+    batch rows. Template extracted from the round-9 chunking pin."""
+    stream = op(spark.readStream.schema(schema).json(str(in_dir)))
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in
+            op(spark.read.schema(schema).json(str(in_dir))).collect()}
+    assert got == want and len(want) >= min_rows
+    return want
+
+
+def test_streaming_gopher_filter_matches_batch(spark, tmp_path):
+    """gopher_filter is a fused zero-shuffle projection pass, so the
+    SAME battery must evaluate inside an incremental ingest stream —
+    the filter-at-ingest deployment a curation pipeline wants."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        gopher_filter)
+
+    in_dir = tmp_path / "gopher"; in_dir.mkdir()
+    _write_ndjson(in_dir / "d.ndjson", [
+        {"doc_id": 1, "text": "the quick brown fox jumps over a lazy dog "
+                              "again and again with many fine words here"},
+        {"doc_id": 2, "text": "spam spam spam spam spam spam"},
+        {"doc_id": 3, "text": "tiny"},
+    ])
+    want = _stream_equals_batch(
+        spark, in_dir, "doc_id long, text string",
+        lambda df: gopher_filter(df, min_tokens=5, min_mean_word_len=3.0,
+                                 min_stopword_frac=0.01,
+                                 max_top_token_frac=0.5),
+        "gopher_out", min_rows=3)
+    # both verdicts exercised
+    assert {r[5] for r in want} == {True, False}
+
+
+def test_streaming_repetition_stats_matches_batch(spark, tmp_path):
+    """repetition_stats folds sorted token/bigram arrays row-locally
+    (zero shuffles) — identical over a stream."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.text import (
+        repetition_stats)
+
+    in_dir = tmp_path / "rep"; in_dir.mkdir()
+    _write_ndjson(in_dir / "d.ndjson", [
+        {"doc_id": 1, "text": "a b a b a b"},
+        {"doc_id": 2, "text": "all different words entirely"},
+        {"doc_id": 3, "text": "one"},
+    ])
+    _stream_equals_batch(spark, in_dir, "doc_id long, text string",
+                         repetition_stats, "rep_out", min_rows=3)
+
+
+def test_streaming_pii_redact_matches_batch(spark, tmp_path):
+    """pii_redact/pii_counts are a regexp_replace chain — identical
+    over a stream (redact-at-ingest is the deployment that keeps PII
+    from ever landing in the lake)."""
+    from pyspark.sql import functions as _F
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.text import (
+        pii_counts, pii_redact)
+
+    in_dir = tmp_path / "pii"; in_dir.mkdir()
+    _write_ndjson(in_dir / "d.ndjson", [
+        {"doc_id": 1, "text": "mail me at alice@example.com or call "
+                              "555-867-5309"},
+        {"doc_id": 2, "text": "server 10.0.0.1 ssn 123-45-6789"},
+        {"doc_id": 3, "text": "nothing sensitive here"},
+    ])
+
+    def op(df):
+        return df.select("doc_id", pii_redact(_F.col("text")).alias("redacted"),
+                         *pii_counts(_F.col("text")))
+
+    want = _stream_equals_batch(spark, in_dir, "doc_id long, text string",
+                                op, "pii_out", min_rows=3)
+    text = " ".join(r[1] for r in want)
+    assert "alice@example.com" not in text and "123-45-6789" not in text
