@@ -119,3 +119,290 @@ def test_spark_matches_duckdb(engines, sql):
     cs, cd = _canon(s), _canon(d)
     diffs = [i for i, (a, b) in enumerate(zip(cs, cd)) if a != b]
     assert not diffs, f"{len(diffs)} diffs; first spark={cs[diffs[0]]!r} duckdb={cd[diffs[0]]!r}"
+
+
+# ---------------------------------------------------------------------------
+# Independent-recompute property tests (round 10): when an operator and
+# its DuckDB oracle SHARE a derived formula, the hash gate is blind to
+# formula bugs — the round-9 chunking gap-regime bug survived the gate
+# because the oracle mirrored the bad chunk-count expression. These
+# tests recompute each round-9 operator's contract in naive pure
+# Python (different formulation, no shared expressions) over seeded
+# random fixtures and tiny real slices.
+# ---------------------------------------------------------------------------
+
+
+def _naive_chunks(text, chunk, stride):
+    """Naive chunking by simulation, NOT by the closed-form count:
+    walk starts 0, stride, 2*stride, ... appending while in-text,
+    stopping once a chunk reaches the tail (contiguous regime) or the
+    next start would fall past the text (gap regime)."""
+    toks = (text or "").split(" ")
+    k = len(toks)
+    out, s = [], 0
+    while True:
+        out.append((len(out), s + 1, toks[s:s + chunk]))
+        if s + chunk >= k:
+            break
+        s += stride
+        if s >= k:
+            break
+    return out
+
+
+def test_chunk_documents_matches_naive_simulation(spark):
+    import random as _r
+
+    rng = _r.Random(20260815)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        chunk_documents)
+
+    rows = [(i, " ".join(f"w{rng.randint(0, 5)}"
+                         for _ in range(rng.randint(0, 40))) or None)
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # contiguous, exact-tiling, and gap regimes, plus stride 1
+    for chunk, stride in ((4, 3), (4, 4), (4, 6), (3, 1), (1, 5)):
+        got = {(r["doc_id"], r["chunk_id"], r["pos"], r["n_tokens"],
+                r["chunk_text"])
+               for r in chunk_documents(docs, chunk_tokens=chunk,
+                                        stride=stride).collect()}
+        want = {(i, cid, pos, len(ct), " ".join(ct))
+                for i, text in rows
+                for cid, pos, ct in _naive_chunks(text, chunk, stride)}
+        assert got == want, (chunk, stride)
+
+
+class _UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def test_leakage_safe_split_matches_union_find_and_md5(spark):
+    """Clusters via union-find (not min-label propagation), buckets
+    via hashlib md5 (not Spark's md5), bounds via per-fraction
+    integer accumulation — three independent reformulations."""
+    import hashlib
+    import random as _r
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.curation import (
+        leakage_safe_split)
+
+    rng = _r.Random(11)
+    ids = list(range(300))
+    pairs = [(a, b) for a in ids for b in ids
+             if a < b and rng.random() < 0.004]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "doc_id_1 long, doc_id_2 long")
+    for fractions in ({"train": 0.8, "val": 0.1, "test": 0.1},
+                      {"s1": 0.3, "s2": 0.3, "s3": 0.4}):
+        got = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+               leakage_safe_split(docs, pdf,
+                                  fractions=dict(fractions)).collect()}
+        uf = _UnionFind()
+        for a, b in pairs:
+            uf.union(a, b)
+        names = list(fractions)
+        acc, bounds = 0, []
+        for nm in names:
+            acc += round(fractions[nm] * 1_000_000)
+            bounds.append(acc)
+        for i in ids:
+            cl = uf.find(i) if i in uf.p else i
+            bkt = int(hashlib.md5(str(cl).encode()).hexdigest()[:8],
+                      16) % 1_000_000
+            want = names[-1]
+            for nm, hi in zip(names[:-1], bounds[:-1]):
+                if bkt < hi:
+                    want = nm
+                    break
+            assert got[i] == (cl, want), (i, got[i], cl, want)
+
+
+def test_exact_substr_cut_matches_naive_coverage(spark):
+    """Span-cut coverage recomputed by brute force: every 8-token
+    window occurring >= 2 times anywhere in the corpus covers its
+    positions; text_cut keeps exactly the uncovered tokens, in
+    order."""
+    import random as _r
+    from collections import Counter
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.dedup import (
+        cut_duplicated_spans)
+
+    rng = _r.Random(5)
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(80):
+        words = [f"w{rng.randint(0, 30)}" for _ in range(rng.randint(0, 25))]
+        if i % 3 == 0:
+            at = rng.randint(0, max(0, len(words)))
+            words[at:at] = boiler.split(" ")
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text_cut"])
+           for r in cut_duplicated_spans(docs).collect()}
+
+    L = 8
+    toks = {i: (t or "").split(" ") if t else [""] for i, t in rows}
+    counts = Counter(" ".join(t[i:i + L])
+                     for t in toks.values()
+                     for i in range(len(t) - L + 1))
+    for i, t in toks.items():
+        covered = set()
+        for s in range(len(t) - L + 1):
+            if counts[" ".join(t[s:s + L])] >= 2:
+                covered.update(range(s, s + L))
+        kept = [w for p, w in enumerate(t) if p not in covered]
+        assert got[i] == (len(t), len(kept), " ".join(kept)), i
+
+
+def test_keep_representatives_matches_naive_pagerank(spark):
+    """Components via union-find, centrality via a dense pure-Python
+    power iteration (dict arithmetic, no DataFrames), keeper = max
+    rounded score then min id — recomputed end to end."""
+    import random as _r
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.graph import (
+        keep_representatives)
+
+    rng = _r.Random(3)
+    ids = list(range(60))
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a in ids for b in ids
+                    if a != b and rng.random() < 0.02})
+    pdf = spark.createDataFrame(pairs, "doc_id_1 long, doc_id_2 long")
+    got = {r["doc_id"]: (r["component_id"], r["score"], r["keep"])
+           for r in keep_representatives(pdf).collect()}
+
+    uf = _UnionFind()
+    edges = []
+    for a, b in pairs:
+        uf.union(a, b)
+        edges += [(a, b), (b, a)]
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        contrib = {}
+        for s, dd in edges:
+            contrib[dd] = contrib.get(dd, 0.0) + r[s] / outdeg[s]
+        r = {v: 0.15 / n + 0.85 * contrib.get(v, 0.0) for v in nodes}
+    want_scores = {v: round(r[v], 6) for v in nodes}
+    for v in nodes:
+        comp = uf.find(v)
+        assert got[v][0] == comp
+        assert abs(got[v][1] - want_scores[v]) <= 2e-6, v
+    # exactly-one-keep per cluster, max rounded score, min-id tiebreak
+    by_comp: dict[int, list[int]] = {}
+    for v in nodes:
+        by_comp.setdefault(uf.find(v), []).append(v)
+    for comp, members in by_comp.items():
+        best = min(members, key=lambda v: (-want_scores[v], v))
+        for v in members:
+            assert got[v][2] == (v == best), (comp, v)
+
+
+def test_cdf_curation_decisions_match_naive_replay(spark, tmp_path):
+    """The CDF curation loop's keep/reject trail recomputed by a
+    naive single-threaded replay: python MinHash signatures (shared
+    coefficient TABLE, independent pipeline — per-shingle md5 hash,
+    per-coefficient min, band tuples), band-candidate generation by
+    dict lookup, hash-set Jaccard verification, and the min-canonical
+    keep rule with store absorption between commits."""
+    import hashlib
+    import random as _r
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        curation as cu, dedup as dd)
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+
+    rng = _r.Random(9)
+    vocab = [f"tok{j}" for j in range(12)]
+    base_texts = [" ".join(rng.choice(vocab) for _ in range(12))
+                  for _ in range(10)]
+    rows = []
+    for i in range(60):
+        if rng.random() < 0.5:
+            t = base_texts[rng.randrange(len(base_texts))]
+            if rng.random() < 0.5:
+                t += " extra"
+        else:
+            t = " ".join(rng.choice(vocab) for _ in range(12))
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = str(tmp_path / "mh")
+    tbl = str(tmp_path / "tbl")
+    dd.build_minhash_store(docs.filter("doc_id % 4 = 3"), store,
+                           num_hashes=32, bands=16)
+    for c in (0, 1, 2):
+        dl.write_delta(docs.filter(f"doc_id % 4 = {c}"), tbl,
+                       mode="overwrite" if c == 0 else "append")
+    assert cu.curate_minhash_from_cdf(spark, tbl, store,
+                                      threshold=0.5) == [0, 1, 2]
+    got = {(r["doc_id"], int(r["tick"])): r["keep"] for r in
+           spark.read.parquet(store + "_decisions").collect()}
+
+    # --- naive replay ---
+    coeffs = dd._hash_coeffs(32)
+    p = dd._MERSENNE_P
+    rowsz = 32 // 16
+
+    def shingle_hashes(text):
+        w = text.split(" ")
+        grams = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return {int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                for g in grams}
+
+    def sig(hs):
+        return [min((h * a + b) % p for h in hs) for a, b in coeffs]
+
+    def bands(s):
+        return [(bi, tuple(s[bi * rowsz:(bi + 1) * rowsz]))
+                for bi in range(16)]
+
+    hsets = {i: shingle_hashes(t) for i, t in rows}
+    store_ids = sorted(i for i, _ in rows if i % 4 == 3 and hsets[i])
+    want = {}
+    for c in (0, 1, 2):
+        batch = sorted(i for i, _ in rows if i % 4 == c)
+        cand = set()
+        for i in batch:
+            if not hsets[i]:
+                continue
+            bi = bands(sig(hsets[i]))
+            for j in store_ids + [j for j in batch
+                                  if j != i and hsets[j]]:
+                if set(bi) & set(bands(sig(hsets[j]))):
+                    a, b = hsets[i], hsets[j]
+                    jac = len(a & b) / len(a | b)
+                    if round(jac, 6) >= 0.5:
+                        cand.add((min(i, j), max(i, j))
+                                 if j in batch else (j, i))
+        rejected = set()
+        for x, y in cand:
+            # historical partner always wins; within a commit the
+            # larger id loses
+            rejected.add(y if (x in store_ids or x < y) else x)
+        for i in batch:
+            want[(i, c)] = i not in rejected
+        store_ids += sorted(i for i in batch
+                            if want[(i, c)] and hsets[i])
+    assert got == want
