@@ -488,16 +488,23 @@ def chunked_retrieval(docs: DataFrame, query_text: str, *, k: int = 20,
     IEEE exactly-rounded, so the DuckDB oracle hash-matches without
     rounded-intermediate fuzz.
 
-    100 TB shape: one explode + partial-agg groupBy keyed
-    (doc, chunk, idx) builds the sparse chunk vectors (the corpus
-    never joins itself); the query side is ``dim`` rows, broadcast;
-    the dot is one broadcast hash join + one (doc, chunk) partial
-    agg; max-pool is one doc-keyed partial agg; the final cut is
-    TakeOrderedAndProject (per-partition top-k heaps, no global
-    sort). The exact brute-force scoring here is the ORACLE-SCALE
-    twin; the production ANN path runs the same chunk vectors through
-    the IVF index (``knn_ivf`` over the array form), overlap-gated in
-    pytest like ``knn_ivf_direct``/``hybrid_search_ann``."""
+    100 TB shape — every level of the pipeline is consumed EXACTLY
+    once, so the corpus is scanned once (the first cut of this
+    operator reused the sparse-sums and scored frames across
+    dot/norm/pool/best self-joins, and Catalyst duplicated the
+    subtree into 8 file scans / 32 exchanges — caught by the plan
+    audit): one explode + partial-agg groupBy keyed (doc, chunk, idx)
+    builds the sparse chunk vectors; ONE broadcast LEFT join of the
+    ≤ dim query buckets + ONE (doc, chunk) partial agg produces dot
+    AND squared norm together (a chunk sharing no bucket with the
+    query scores dot 0 — both engines agree); max-pool + best-chunk
+    is ONE doc-keyed partial agg (``min_by`` over (−cos, chunk_id));
+    the final cut is TakeOrderedAndProject (per-partition top-k
+    heaps, no global sort) + a rank window over the k survivors. The
+    exact brute-force scoring here is the ORACLE-SCALE twin; the
+    production ANN path runs the same chunk vectors through the IVF
+    index (``knn_ivf`` over the array form), overlap-gated in pytest
+    like ``knn_ivf_direct``/``hybrid_search_ann``."""
     from .curation import chunk_documents
 
     if metadata_filter is not None:
@@ -506,8 +513,6 @@ def chunked_retrieval(docs: DataFrame, query_text: str, *, k: int = 20,
                              stride=stride, text_col=text_col,
                              id_col=id_col)
     sums = _md5_bucket_sums(chunks, [id_col, "chunk_id"], "chunk_text", dim)
-    norms = sums.groupBy(id_col, "chunk_id").agg(
-        F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_l2"))
 
     # the query frame is a pure literal plan (range(1) + lit), NOT
     # createDataFrame — that would put an ExistingRDD scan into every
@@ -519,35 +524,37 @@ def chunked_retrieval(docs: DataFrame, query_text: str, *, k: int = 20,
     qnorm = qsums.agg(F.sqrt(F.sum(F.col("_qs") * F.col("_qs")))
                       .alias("_ql2"))
 
-    dot = (
-        sums.join(F.broadcast(qsums), "idx")
-        .groupBy(id_col, "chunk_id")
-        .agg(F.sum(F.col("s") * F.col("_qs")).alias("_dot"))
-    )
+    # dot and squared norm in ONE pass over the sparse sums: LEFT
+    # join keeps non-overlapping buckets contributing 0 to the dot
+    # and their s^2 to the norm
     scored = (
-        dot.join(norms, [id_col, "chunk_id"])
+        sums.join(F.broadcast(qsums), "idx", "left")
+        .groupBy(id_col, "chunk_id")
+        .agg(F.sum(F.col("s") * F.coalesce(F.col("_qs"), F.lit(0.0)))
+             .alias("_dot"),
+             F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_l2"))
         .crossJoin(F.broadcast(qnorm))
         .filter((F.col("_l2") > 0) & (F.col("_ql2") > 0))
         .select(id_col, "chunk_id",
                 (F.col("_dot") / (F.col("_l2") * F.col("_ql2")))
                 .alias("_cos"))
     )
-    # max-pool, then the MIN chunk_id among chunks achieving the max
-    # (exact equality is safe — every engine computes the identical
-    # bits, see docstring); two partial aggs, both doc-keyed
-    pooled = scored.groupBy(id_col).agg(F.max("_cos").alias("_score"))
-    best = (
-        scored.join(pooled, id_col)
-        .filter(F.col("_cos") == F.col("_score"))
-        .groupBy(id_col)
-        .agg(F.min("chunk_id").alias("best_chunk_id"),
-             F.max("_cos").alias("_score"))
-    )
-    topk = _ranked_topk(best.select(id_col, "_score"), id_col, k)
-    return (
-        topk.join(best.select(id_col, "best_chunk_id"), id_col)
-        .select(id_col, "best_chunk_id", "score", "rank")
-    )
+    # max-pool + best chunk in ONE doc-keyed agg: min_by over
+    # (−cos, chunk_id) = the max-cos chunk, ties broken by min
+    # chunk_id (exact float equality is safe — every engine computes
+    # the identical bits, see docstring)
+    best = scored.groupBy(id_col).agg(
+        F.max("_cos").alias("_score"),
+        F.min_by("chunk_id", F.struct((-F.col("_cos")).alias("nc"),
+                                      F.col("chunk_id").alias("ci")))
+        .alias("best_chunk_id"))
+    topk = best.orderBy(F.col("_score").desc(), F.col(id_col).asc()) \
+        .limit(k)
+    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    return topk.select(
+        id_col, "best_chunk_id",
+        F.round("_score", 6).alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"))
 
 
 def _dense_from_sums(sums: DataFrame, keys: list[str], dim: int,
@@ -617,16 +624,17 @@ def chunked_retrieval_ann(docs: DataFrame, query_text: str, *, k: int = 20,
         F.pmod(F.col("neighbor_id"), F.lit(chunk_key_scale))
         .cast("long").alias("chunk_id"),
         F.col("cosine").alias("_cos"))
-    pooled = hits.groupBy(id_col).agg(F.max("_cos").alias("_score"))
-    best = (
-        hits.join(pooled, id_col)
-        .filter(F.col("_cos") == F.col("_score"))
-        .groupBy(id_col)
-        .agg(F.min("chunk_id").alias("best_chunk_id"),
-             F.max("_cos").alias("_score"))
-    )
-    topk = _ranked_topk(best.select(id_col, "_score"), id_col, k)
-    return (
-        topk.join(best.select(id_col, "best_chunk_id"), id_col)
-        .select(id_col, "best_chunk_id", "score", "rank")
-    )
+    # same single-agg pool + inline top-k as the exact tier (each
+    # level consumed once — no subtree duplication)
+    best = hits.groupBy(id_col).agg(
+        F.max("_cos").alias("_score"),
+        F.min_by("chunk_id", F.struct((-F.col("_cos")).alias("nc"),
+                                      F.col("chunk_id").alias("ci")))
+        .alias("best_chunk_id"))
+    topk = best.orderBy(F.col("_score").desc(), F.col(id_col).asc()) \
+        .limit(k)
+    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    return topk.select(
+        id_col, "best_chunk_id",
+        F.round("_score", 6).alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"))

@@ -2685,8 +2685,9 @@ WITH src AS (
 ), qn AS (
   SELECT sqrt(sum(qs * qs)) AS ql2 FROM qnz
 ), dots AS (
-  SELECT nz.doc_id, nz.chunk_id, sum(nz.s * qnz.qs) AS dot
-  FROM nz JOIN qnz USING (idx) GROUP BY nz.doc_id, nz.chunk_id
+  SELECT nz.doc_id, nz.chunk_id,
+         sum(nz.s * coalesce(qnz.qs, 0)) AS dot
+  FROM nz LEFT JOIN qnz USING (idx) GROUP BY nz.doc_id, nz.chunk_id
 ), scored AS (
   SELECT d.doc_id, d.chunk_id,
          d.dot / (n.l2 * (SELECT ql2 FROM qn)) AS cos
