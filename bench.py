@@ -354,75 +354,6 @@ def main() -> None:
 
     timings["pagerank_neardup"] = timed_build(_pagerank_neardup)
 
-    # keep-representatives (round 10): the registry query's exact
-    # composition — ngram pairs -> CC + PageRank -> per-cluster keep
-    # flag. Eager loops at plan time -> timed_build. Read next to
-    # keep_split_composed and leakage_safe_split below for the
-    # shared-components claim: composed ~= keep + split - one CC loop.
-    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
-        curation as cu)
-
-    timings["keep_representatives"] = timed_build(
-        lambda: gx.keep_representatives(
-            dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)))
-
-    # composed keep-the-hub + split-by-cluster pipeline (round 10):
-    # keep_representatives' component labels feed leakage_safe_split
-    # via components=, so the dominant CC loop runs ONCE for both
-    # decisions; label frames are checkpoint-backed (no size stats),
-    # hence the explicit broadcasts
-    def _keep_split_composed():
-        pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
-        kr = gx.keep_representatives(pairs)
-        split = cu.leakage_safe_split(
-            docs, components=kr.select("doc_id", "component_id"))
-        return split.join(
-            _F.broadcast(kr.select("doc_id", "keep")), "doc_id", "left"
-        ).select("doc_id", "cluster_id", "split",
-                 _F.coalesce(_F.col("keep"), _F.lit(True)).alias("keep"))
-
-    timings["keep_split_composed"] = timed_build(_keep_split_composed)
-
-    # CDF curation-ledger replay (round 10): store + 3-commit Delta
-    # feed PREBUILT untimed (the maintained-artifact premise of the
-    # other serving entries); the timed part is the replay loop
-    # itself — three incremental near-dup checks, decision writes,
-    # store absorbs. The replay MUTATES its store, so every rep
-    # copies the pristine store first (a few ms of small files).
-    import shutil
-    import tempfile
-
-    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
-        delta_lite as dl)
-
-    with tempfile.TemporaryDirectory(prefix="bench_cdf_") as cdf_dir:
-        docs_kt = docs.select("doc_id", "text")
-        dd.build_minhash_store(docs_kt.filter(_F.col("doc_id") % 4 == 3),
-                               cdf_dir + "/store0", num_hashes=64, bands=32)
-        for c in (0, 1, 2):
-            dl.write_delta(docs_kt.filter(_F.col("doc_id") % 4 == c),
-                           cdf_dir + "/tbl",
-                           mode="overwrite" if c == 0 else "append")
-        _rep = [0]
-
-        def _cdf_replay():
-            _rep[0] += 1
-            store = f"{cdf_dir}/store_rep{_rep[0]}"
-            # the store is a directory FAMILY (main + _meta and
-            # friends share the path prefix) — clone every sibling
-            for entry in sorted(os.listdir(cdf_dir)):
-                if entry.startswith("store0"):
-                    shutil.copytree(
-                        os.path.join(cdf_dir, entry),
-                        store + entry[len("store0"):])
-            done = cu.curate_minhash_from_cdf(spark, cdf_dir + "/tbl",
-                                              store, threshold=0.5)
-            if done != [0, 1, 2]:
-                raise AssertionError(f"cdf replay processed {done}")
-            return spark.read.parquet(store + "_decisions")
-
-        timings["cdf_curation_ledger"] = timed_build(_cdf_replay)
-
     # semantic dedup END-TO-END: the connected-components loop runs
     # Spark jobs eagerly at plan-construction time, so it must be
     # (re)built INSIDE the timing window — timed_build, not timed
@@ -562,22 +493,6 @@ def main() -> None:
             timings["bm25_served_compacted"] = timed(bm25_from_postings(
                 p_comp, HYBRID_TERMS, doc_stats=ann_stats))
 
-    # chunk-level retrieval, ANN tier (round 10): the same chunk
-    # vectors as the headline chunked_retrieval entry routed through
-    # IVF kNN — the quantizer fit runs at plan-construction time, so
-    # timed_build; read beside chunked_retrieval for the prune win.
-    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
-        retrieval as rt)
-    from snowflake_medtech_vigilance_lakehouse_spark.plans.analytics import (
-        CHUNKED_QUERY_TEXT)
-
-    timings["chunked_retrieval_ann"] = timed_build(
-        lambda: rt.chunked_retrieval_ann(
-            docs, CHUNKED_QUERY_TEXT, k=20, chunk_tokens=32, stride=24,
-            dim=32, n_lists=16, n_probe=4, m_chunks=200,
-            metadata_filter=F.col("source").isin(
-                "src0", "src1", "src2", "src3")))
-
     # skewed-aggregate evidence (reference README.md:46 — one
     # manufacturer owns 30% of events): quarterly-style sum over a
     # 30%-hot key, plain vs salted_agg. Expected PARITY — Spark's
@@ -684,6 +599,97 @@ def main() -> None:
             lambda: sim.embedding_neardup_indexed(
                 spark, inc_dir + "/ivf",
                 emb.filter(F.col("vec_id") % 10 == 0), threshold=0.35))
+
+    # --- round-10 additions run LAST: the CDF replay and the twin
+    # graph compositions leave enough JVM/page-cache state behind
+    # that mid-list placement inflated the next entries ~2x even
+    # through the GC barrier (semantic_dedup 3.0->6.4 s measured);
+    # appending them preserves the shared subset's historical
+    # measurement context round over round ---
+    # keep-representatives (round 10): the registry query's exact
+    # composition — ngram pairs -> CC + PageRank -> per-cluster keep
+    # flag. Eager loops at plan time -> timed_build. Read next to
+    # keep_split_composed and leakage_safe_split below for the
+    # shared-components claim: composed ~= keep + split - one CC loop.
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        curation as cu)
+
+    timings["keep_representatives"] = timed_build(
+        lambda: gx.keep_representatives(
+            dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)))
+
+    # composed keep-the-hub + split-by-cluster pipeline (round 10):
+    # keep_representatives' component labels feed leakage_safe_split
+    # via components=, so the dominant CC loop runs ONCE for both
+    # decisions; label frames are checkpoint-backed (no size stats),
+    # hence the explicit broadcasts
+    def _keep_split_composed():
+        pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+        kr = gx.keep_representatives(pairs)
+        split = cu.leakage_safe_split(
+            docs, components=kr.select("doc_id", "component_id"))
+        return split.join(
+            _F.broadcast(kr.select("doc_id", "keep")), "doc_id", "left"
+        ).select("doc_id", "cluster_id", "split",
+                 _F.coalesce(_F.col("keep"), _F.lit(True)).alias("keep"))
+
+    timings["keep_split_composed"] = timed_build(_keep_split_composed)
+
+    # CDF curation-ledger replay (round 10): store + 3-commit Delta
+    # feed PREBUILT untimed (the maintained-artifact premise of the
+    # other serving entries); the timed part is the replay loop
+    # itself — three incremental near-dup checks, decision writes,
+    # store absorbs. The replay MUTATES its store, so every rep
+    # copies the pristine store first (a few ms of small files).
+    import shutil
+    import tempfile
+
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+
+    with tempfile.TemporaryDirectory(prefix="bench_cdf_") as cdf_dir:
+        docs_kt = docs.select("doc_id", "text")
+        dd.build_minhash_store(docs_kt.filter(_F.col("doc_id") % 4 == 3),
+                               cdf_dir + "/store0", num_hashes=64, bands=32)
+        for c in (0, 1, 2):
+            dl.write_delta(docs_kt.filter(_F.col("doc_id") % 4 == c),
+                           cdf_dir + "/tbl",
+                           mode="overwrite" if c == 0 else "append")
+        _rep = [0]
+
+        def _cdf_replay():
+            _rep[0] += 1
+            store = f"{cdf_dir}/store_rep{_rep[0]}"
+            # the store is a directory FAMILY (main + _meta and
+            # friends share the path prefix) — clone every sibling
+            for entry in sorted(os.listdir(cdf_dir)):
+                if entry.startswith("store0"):
+                    shutil.copytree(
+                        os.path.join(cdf_dir, entry),
+                        store + entry[len("store0"):])
+            done = cu.curate_minhash_from_cdf(spark, cdf_dir + "/tbl",
+                                              store, threshold=0.5)
+            if done != [0, 1, 2]:
+                raise AssertionError(f"cdf replay processed {done}")
+            return spark.read.parquet(store + "_decisions")
+
+        timings["cdf_curation_ledger"] = timed_build(_cdf_replay)
+
+    # chunk-level retrieval, ANN tier (round 10): the same chunk
+    # vectors as the headline chunked_retrieval entry routed through
+    # IVF kNN — the quantizer fit runs at plan-construction time, so
+    # timed_build; read beside chunked_retrieval for the prune win.
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        retrieval as rt)
+    from snowflake_medtech_vigilance_lakehouse_spark.plans.analytics import (
+        CHUNKED_QUERY_TEXT)
+
+    timings["chunked_retrieval_ann"] = timed_build(
+        lambda: rt.chunked_retrieval_ann(
+            docs, CHUNKED_QUERY_TEXT, k=20, chunk_tokens=32, stride=24,
+            dim=32, n_lists=16, n_probe=4, m_chunks=200,
+            metadata_filter=F.col("source").isin(
+                "src0", "src1", "src2", "src3")))
 
     exact = sim.knn_bruteforce(emb, probe, k=20)
     recall = round(sim.recall_at_k(sim.knn_lsh(emb, probe, k=20), exact, k=20), 4)
