@@ -744,9 +744,10 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame | None = None, *,
     cluster, and
     the split is the deterministic md5-hash bucket OF THE CLUSTER ID
     against cumulative fraction thresholds (insertion order of
-    ``fractions``; integer floor(r * denom) thresholds — the
-    round-then-scale discipline of :func:`stratified_sample`, so
-    membership is bit-reproducible across engines). Fractions must
+    ``fractions``; bounds accumulate in INTEGER space as the running
+    sum of ``round(f * denom)`` per fraction — see :func:`_split_case`
+    — so membership is bit-reproducible across engines and boundaries
+    are exact under any fraction list). Fractions must
     sum to <= 1; any remainder hashes into the LAST split (so the
     default 0.8/0.1/0.1 is exhaustive).
 
@@ -866,12 +867,18 @@ def assign_splits_incremental(spark, new_docs: DataFrame, path: str,
     Returns (doc_id, cluster_id, split, straddling) for every input
     doc. ``update_store=True`` appends the truly-new rows.
 
-    100 TB shape: the store is read once; the contracted edge list is
-    increment-sized (stored endpoints collapse to cluster nodes
-    BEFORE the components loop, via one hash join against the store —
-    at broadcast-increment sizes AQE plans the store-side probe); the
-    governing-cluster resolution is two increment-sized aggregations;
-    the corpus itself never shuffles."""
+    100 TB shape: the store is never shuffled at corpus size — its
+    only exchange is the cluster-keyed oldest-doc aggregation, which
+    partial-aggregates map-side down to one row per cluster before
+    moving. The store IS scanned by several column-pruned probe joins
+    (the two pair-endpoint lookups, the cluster metadata pass, the
+    replay lookup — distinct subtrees Catalyst does not merge), each
+    a parquet scan of 2-3 columns; the iterative components loop runs
+    on the CONTRACTED increment-sized graph only (stored endpoints
+    collapse to cluster nodes BEFORE the loop), governing-cluster
+    resolution is two increment-sized aggregations, and the
+    update-path assignments are localCheckpointed once so neither the
+    append nor the returned frame re-executes the loop."""
     import json
     import os
 
@@ -954,11 +961,14 @@ def assign_splits_incremental(spark, new_docs: DataFrame, path: str,
         id_col, F.col("_scl").alias("cluster_id"),
         F.col("_ssp").alias("split"), F.lit(False).alias("straddling"))
     fresh = fresh.join(replayed.select(id_col), id_col, "left_anti")
-    out = fresh.unionByName(replayed)
     if update_store:
+        # materialize the increment-sized assignments ONCE: the append
+        # below must not scan the path it is writing to through a live
+        # lineage, and the returned frame must not re-run the
+        # components loop when the caller collects it (round-10 review
+        # catch — the old path re-read the store post-append, a fifth
+        # corpus-sized scan, and re-executed the fresh lineage)
+        fresh = fresh.localCheckpoint(eager=True)
         fresh.select(id_col, "cluster_id", "split") \
             .write.mode("append").parquet(path)
-        return spark.read.parquet(path).join(
-            out.select(id_col, "straddling"), id_col) \
-            .select(id_col, "cluster_id", "split", "straddling")
-    return out
+    return fresh.unionByName(replayed)

@@ -539,10 +539,18 @@ def chunked_retrieval(docs: DataFrame, query_text: str, *, k: int = 20,
                 (F.col("_dot") / (F.col("_l2") * F.col("_ql2")))
                 .alias("_cos"))
     )
-    # max-pool + best chunk in ONE doc-keyed agg: min_by over
-    # (−cos, chunk_id) = the max-cos chunk, ties broken by min
-    # chunk_id (exact float equality is safe — every engine computes
-    # the identical bits, see docstring)
+    return _pool_topk(scored, id_col, k)
+
+
+def _pool_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared output tail of both chunked-retrieval tiers: max-pool +
+    best chunk in ONE doc-keyed agg (``min_by`` over (−cos, chunk_id)
+    = the max-cos chunk, ties broken by min chunk_id — exact float
+    equality is safe, both engines compute the identical bits), a
+    TakeOrderedAndProject top-k cut, and a rank window over the k
+    survivors. One implementation so the tiers' documented
+    (doc_id, best_chunk_id, score, rank) contract cannot silently
+    diverge."""
     best = scored.groupBy(id_col).agg(
         F.max("_cos").alias("_score"),
         F.min_by("chunk_id", F.struct((-F.col("_cos")).alias("nc"),
@@ -618,23 +626,14 @@ def chunked_retrieval_ann(docs: DataFrame, query_text: str, *, k: int = 20,
 
     nn = knn_ivf(dense, qvec, k=m_chunks, n_lists=n_lists,
                  n_probe=n_probe)
+    # integer `div`, NOT floor of a double quotient: float division
+    # promotes the long key, and past ~9e9 docs the ulp exceeds the
+    # chunk fraction, so floor(doc + 0.999999) rounds UP and credits
+    # the hit to the wrong document (round-10 review catch)
     hits = nn.select(
-        F.floor(F.col("neighbor_id") / chunk_key_scale)
+        F.expr(f"neighbor_id div {int(chunk_key_scale)}")
         .cast("long").alias(id_col),
         F.pmod(F.col("neighbor_id"), F.lit(chunk_key_scale))
         .cast("long").alias("chunk_id"),
         F.col("cosine").alias("_cos"))
-    # same single-agg pool + inline top-k as the exact tier (each
-    # level consumed once — no subtree duplication)
-    best = hits.groupBy(id_col).agg(
-        F.max("_cos").alias("_score"),
-        F.min_by("chunk_id", F.struct((-F.col("_cos")).alias("nc"),
-                                      F.col("chunk_id").alias("ci")))
-        .alias("best_chunk_id"))
-    topk = best.orderBy(F.col("_score").desc(), F.col(id_col).asc()) \
-        .limit(k)
-    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
-    return topk.select(
-        id_col, "best_chunk_id",
-        F.round("_score", 6).alias("score"),
-        F.row_number().over(w).cast("long").alias("rank"))
+    return _pool_topk(hits, id_col, k)
