@@ -1942,6 +1942,108 @@ s{c + 1} AS (SELECT doc_id FROM s{c} UNION ALL SELECT doc_id FROM k{c})""")
 ORACLE_CDF_CURATION_LEDGER = _cdf_ledger_oracle()
 
 
+_CDF_EMB_LEDGER_CACHE: dict[str, tuple[tuple, str]] = {}
+
+
+def q_cdf_embedding_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VECTOR twin of cdf_curation_ledger under the hash gate
+    (round 10 — previously the embedding CDF loop was pytest-only,
+    an asymmetry vs the MinHash side): the embeddings table splits
+    into a persisted IVF index (vec_id % 4 == 3) and a 3-commit Delta
+    change feed (% 4 == 0/1/2);
+    operators/curation.py:curate_embeddings_from_cdf replays the feed
+    — each commit near-dup-checked against the index PLUS all
+    previously-absorbed keeps via the EXACT radius-bounded indexed
+    probe, decisions per tick, keeps absorbed through the shared tick
+    publisher — and the query returns the decision trail
+    (vec_id, commit_version, keep). The oracle unrolls the identical
+    replay: per commit the rejected set is every batch vector with a
+    qualifying partner (round(cosine,6) >= threshold) in the current
+    store or a SMALLER-id batch partner (historical partner always
+    wins; within a commit the larger id loses), and store_{c+1} =
+    store_c ∪ kept commit_c — exactness holds because the indexed
+    probe's triangle radius bound covers every qualifying pair.
+    Setup runs once per process per fixture fingerprint."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.curation import curate_embeddings_from_cdf
+    from ..sources import delta_lite as dl
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fp = _fixture_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    cached = _CDF_EMB_LEDGER_CACHE.get(sf_dir)
+    if cached is None or cached[0] != fp or not os.path.isdir(cached[1]):
+        if cached is not None:
+            shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
+        work = tempfile.mkdtemp(prefix="sparkgraft_cdf_emb_ledger_")
+        try:
+            idx = os.path.join(work, "ivf")
+            tbl = os.path.join(work, "emb_delta")
+            sim.build_ivf_index(emb.filter(F.col("vec_id") % 4 == 3),
+                                idx, n_lists=8)
+            for c in (0, 1, 2):
+                dl.write_delta(emb.filter(F.col("vec_id") % 4 == c), tbl,
+                               mode="overwrite" if c == 0 else "append")
+            done = curate_embeddings_from_cdf(spark, tbl, idx,
+                                              threshold=0.35)
+            if done != [0, 1, 2]:
+                raise RuntimeError(
+                    f"cdf_embedding_ledger setup expected commits "
+                    f"[0, 1, 2], processed {done}")
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        _CDF_EMB_LEDGER_CACHE[sf_dir] = (fp, idx)
+    idx = _CDF_EMB_LEDGER_CACHE[sf_dir][1]
+    return (
+        spark.read.parquet(idx + "_decisions")
+        .select("vec_id",
+                F.col("tick").cast("long").alias("commit_version"), "keep")
+    )
+
+
+def _cdf_embedding_ledger_oracle(threshold: float = 0.35) -> str:
+    """DuckDB twin of q_cdf_embedding_ledger: the three-commit replay
+    unrolled with EXACT cosine candidate generation (the indexed
+    probe is exact, so the oracle needs no IVF simulation). Per
+    commit ``c`` the rejected set is the batch side of every
+    qualifying (store_c ∪ smaller-id batch) x batch pair; keeps fold
+    into store_{c+1}."""
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+s0 AS (SELECT vec_id FROM e WHERE vec_id % 4 = 3)"""]
+    for c in (0, 1, 2):
+        parts.append(f"""
+rej{c} AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b
+    ON b.vec_id % 4 = {c}
+   AND a.vec_id <> b.vec_id
+   AND (a.vec_id IN (SELECT vec_id FROM s{c})
+        OR (a.vec_id % 4 = {c} AND a.vec_id < b.vec_id))
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold!r}
+),
+s{c + 1} AS (
+  SELECT vec_id FROM s{c}
+  UNION
+  SELECT vec_id FROM e WHERE vec_id % 4 = {c}
+     AND vec_id NOT IN (SELECT vec_id FROM rej{c})
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {c}::BIGINT AS commit_version,"
+        f" vec_id NOT IN (SELECT vec_id FROM rej{c}) AS keep"
+        f" FROM e WHERE vec_id % 4 = {c}"
+        for c in (0, 1, 2))
+    return ",".join(parts) + "\n" + finals
+
+
+ORACLE_CDF_EMBEDDING_LEDGER = _cdf_embedding_ledger_oracle()
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AI8 SimHash near-dup: Hamming distance <= 3 over 64-bit
     signatures, banded join. The 4-chunk pigeonhole banding is
@@ -3670,6 +3772,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_neardup": q_minhash_neardup,
     "minhash_incremental": q_minhash_incremental,
     "cdf_curation_ledger": q_cdf_curation_ledger,
+    "cdf_embedding_ledger": q_cdf_embedding_ledger,
     "embedding_neardup_incremental": q_embedding_neardup_incremental,
     "simhash_neardup": q_simhash_neardup,
     "dedup_clusters": q_dedup_clusters,
@@ -3827,6 +3930,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "minhash_incremental": ORACLE_MINHASH_INCREMENTAL,
     "cdf_curation_ledger": ORACLE_CDF_CURATION_LEDGER,
+    "cdf_embedding_ledger": ORACLE_CDF_EMBEDDING_LEDGER,
     "embedding_neardup_incremental": ORACLE_EMBEDDING_NEARDUP_INCREMENTAL,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_curation": ORACLE_CORPUS_CURATION,
