@@ -116,8 +116,10 @@ def pagerank(edges: DataFrame, *, damping: float = 0.85, iters: int = 5,
             _release_persistent(jsc, last_ids)
 
 
-def keep_representatives(pairs: DataFrame, scores: DataFrame | None = None,
-                         *, damping: float = 0.85, iters: int = 5,
+def keep_representatives(pairs: DataFrame | None,
+                         scores: DataFrame | None = None,
+                         *, components: DataFrame | None = None,
+                         damping: float = 0.85, iters: int = 5,
                          left_col: str = "doc_id_1",
                          right_col: str = "doc_id_2") -> DataFrame:
     """The composition :func:`pagerank` exists for (module doc):
@@ -134,7 +136,13 @@ def keep_representatives(pairs: DataFrame, scores: DataFrame | None = None,
     (node, pagerank) frame; when omitted it is computed here — 5
     power iterations over the symmetrized pair graph. A node missing
     from a caller-supplied ``scores`` sorts last (never the keeper of
-    a cluster with any scored member).
+    a cluster with any scored member). ``components`` (round 10) is
+    an optional precomputed (doc_id, component_id) label frame —
+    the symmetric twin of ``leakage_safe_split(components=)``, so a
+    pipeline that already paid for either iterative loop passes its
+    output in and only the missing loop runs; with BOTH supplied,
+    ``pairs`` may be None (no loop runs at all — the function is then
+    one join + one window).
 
     Returns (doc_id, component_id, score, keep): every graph node,
     its cluster label, its centrality, and keep = True on exactly one
@@ -152,24 +160,37 @@ def keep_representatives(pairs: DataFrame, scores: DataFrame | None = None,
     """
     from pyspark.sql.window import Window
 
-    jsc = pairs.sparkSession.sparkContext._jsc
-    p, pair_ids = _eager_checkpoint(
-        pairs.select(F.col(left_col).alias("doc_id_1"),
-                     F.col(right_col).alias("doc_id_2")), jsc)
-    try:
-        comps = connected_components(p)
-        if scores is None:
-            edges = p.select(
-                F.col("doc_id_1").alias("src"),
-                F.col("doc_id_2").alias("dst"),
-            ).union(p.select(
-                F.col("doc_id_2").alias("src"),
-                F.col("doc_id_1").alias("dst")))
-            scores = pagerank(edges, damping=damping, iters=iters)
-    finally:
-        # both loop outputs are checkpoint-backed (lineage-truncated),
-        # so the pair checkpoint is dead even on error paths
-        _release_persistent(jsc, pair_ids)
+    need_cc, need_pr = components is None, scores is None
+    if pairs is None and (need_cc or need_pr):
+        raise ValueError(
+            "keep_representatives needs pairs unless BOTH scores= and "
+            "components= are supplied")
+    if need_cc or need_pr:
+        jsc = pairs.sparkSession.sparkContext._jsc
+        # checkpointed ONCE even when only one loop runs: each loop
+        # would otherwise re-derive the upstream pair list while
+        # materializing its own edge checkpoint
+        p, pair_ids = _eager_checkpoint(
+            pairs.select(F.col(left_col).alias("doc_id_1"),
+                         F.col(right_col).alias("doc_id_2")), jsc)
+        try:
+            comps = connected_components(p) if need_cc else \
+                components.select("doc_id", "component_id")
+            if need_pr:
+                edges = p.select(
+                    F.col("doc_id_1").alias("src"),
+                    F.col("doc_id_2").alias("dst"),
+                ).union(p.select(
+                    F.col("doc_id_2").alias("src"),
+                    F.col("doc_id_1").alias("dst")))
+                scores = pagerank(edges, damping=damping, iters=iters)
+        finally:
+            # both loop outputs are checkpoint-backed
+            # (lineage-truncated), so the pair checkpoint is dead even
+            # on error paths
+            _release_persistent(jsc, pair_ids)
+    else:
+        comps = components.select("doc_id", "component_id")
     scored = comps.join(
         scores.select(F.col("node").alias("doc_id"),
                       F.col("pagerank").alias("score")),

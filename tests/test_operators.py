@@ -1319,6 +1319,25 @@ def test_keep_representatives_one_max_score_keeper_per_cluster(spark):
     for i, r in by_id.items():
         assert r["score"] == direct[i]
 
+    # components= (round 10, the leakage_safe_split twin): precomputed
+    # labels skip the CC loop and the output is identical; with BOTH
+    # scores and components supplied, pairs may be None entirely
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.dedup import (
+        connected_components)
+
+    comps = connected_components(pairs)
+    via_comps = {tuple(r) for r in
+                 keep_representatives(pairs, components=comps).collect()}
+    assert via_comps == {tuple(r) for r in rows}
+    pr = spark.createDataFrame(
+        [(n, direct[n]) for n in direct], "node long, pagerank double")
+    no_pairs = {tuple(r) for r in keep_representatives(
+        None, pr, components=comps).collect()}
+    assert no_pairs == {tuple(r) for r in rows}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="needs pairs"):
+        keep_representatives(None, components=comps)
+
 
 def test_temperature_mix_rates_and_membership(spark):
     # rates recomputed by hand ((min/c)^(1-alpha)), membership
