@@ -140,9 +140,11 @@ def keep_representatives(pairs: DataFrame | None,
     an optional precomputed (doc_id, component_id) label frame —
     the symmetric twin of ``leakage_safe_split(components=)``, so a
     pipeline that already paid for either iterative loop passes its
-    output in and only the missing loop runs; with BOTH supplied,
-    ``pairs`` may be None (no loop runs at all — the function is then
-    one join + one window).
+    output in and only the missing loop runs; a graph node missing
+    from the supplied labels falls back to its own singleton cluster
+    (never silently dropped). With BOTH supplied, ``pairs`` may be
+    None (no loop runs at all — the function is then one join + one
+    window over the label frame's nodes).
 
     Returns (doc_id, component_id, score, keep): every graph node,
     its cluster label, its centrality, and keep = True on exactly one
@@ -165,6 +167,8 @@ def keep_representatives(pairs: DataFrame | None,
         raise ValueError(
             "keep_representatives needs pairs unless BOTH scores= and "
             "components= are supplied")
+    labels = None if components is None else \
+        components.select("doc_id", "component_id")
     if need_cc or need_pr:
         jsc = pairs.sparkSession.sparkContext._jsc
         # checkpointed ONCE even when only one loop runs: each loop
@@ -174,8 +178,27 @@ def keep_representatives(pairs: DataFrame | None,
             pairs.select(F.col(left_col).alias("doc_id_1"),
                          F.col(right_col).alias("doc_id_2")), jsc)
         try:
-            comps = connected_components(p) if need_cc else \
-                components.select("doc_id", "component_id")
+            if need_cc:
+                comps = connected_components(p)
+            else:
+                # a stale or filtered caller label frame must not
+                # silently DROP graph nodes (the documented contract
+                # is a row for every pair endpoint): nodes missing
+                # from the labels fall back to their own singleton
+                # cluster, the same coalesce convention
+                # leakage_safe_split uses
+                nodes = (p.select(F.col("doc_id_1").alias("doc_id"))
+                         .union(p.select(F.col("doc_id_2")
+                                         .alias("doc_id")))
+                         .distinct())
+                comps = nodes.join(labels, "doc_id", "left").select(
+                    "doc_id",
+                    F.coalesce("component_id", F.col("doc_id"))
+                    .alias("component_id"))
+                # node-sized, and it must survive the pair-checkpoint
+                # release below (it reads p's blocks) — truncate its
+                # lineage like connected_components' own output
+                comps, _ = _eager_checkpoint(comps, jsc)
             if need_pr:
                 edges = p.select(
                     F.col("doc_id_1").alias("src"),
@@ -190,7 +213,9 @@ def keep_representatives(pairs: DataFrame | None,
             # on error paths
             _release_persistent(jsc, pair_ids)
     else:
-        comps = components.select("doc_id", "component_id")
+        # both supplied, no pairs: the label frame IS the node
+        # universe (documented)
+        comps = labels
     scored = comps.join(
         scores.select(F.col("node").alias("doc_id"),
                       F.col("pagerank").alias("score")),

@@ -1803,6 +1803,37 @@ ORACLE_MINHASH_INCREMENTAL = _minhash_incremental_oracle()
 _CDF_LEDGER_CACHE: dict[str, tuple[tuple, str]] = {}
 
 
+def _fixture_cached_setup(cache: dict, sf_dir: str, fixture_file: str,
+                          prefix: str, build) -> str:
+    """ONE implementation of the per-process setup-cache protocol the
+    stateful-setup queries share (CDF ledgers, incremental IVF, split
+    store — round-10 review factored the four hand-rolled copies):
+    the cache is keyed on the fixture's file fingerprint so a
+    REGENERATED fixture under the same sf_dir rebuilds instead of
+    serving stale artifacts; the superseded temp dir is removed; and
+    a FAILED build removes its half-built work dir instead of
+    orphaning it on every retried invocation of a long-lived process.
+    ``build(work_dir)`` performs the setup and returns the artifact
+    path inside ``work_dir``."""
+    import os
+    import shutil
+    import tempfile
+
+    fp = _fixture_fingerprint(os.path.join(sf_dir, fixture_file))
+    cached = cache.get(sf_dir)
+    if cached is None or cached[0] != fp or not os.path.isdir(cached[1]):
+        if cached is not None:
+            shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
+        work = tempfile.mkdtemp(prefix=prefix)
+        try:
+            artifact = build(work)
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        cache[sf_dir] = (fp, artifact)
+    return cache[sf_dir][1]
+
+
 def q_cdf_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDF curation loop's keep/reject ledger under the DuckDB
     hash gate (round 9 — the loop was pytest-only before): the
@@ -1821,40 +1852,30 @@ def q_cdf_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop) runs once per process per fixture fingerprint, like the
     incremental-IVF twin."""
     import os
-    import shutil
-    import tempfile
 
     from ..operators.curation import curate_minhash_from_cdf
     from ..sources import delta_lite as dl
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = _fixture_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    cached = _CDF_LEDGER_CACHE.get(sf_dir)
-    if cached is None or cached[0] != fp or not os.path.isdir(cached[1]):
-        if cached is not None:
-            shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
-        work = tempfile.mkdtemp(prefix="sparkgraft_cdf_ledger_")
-        try:
-            store = os.path.join(work, "store")
-            tbl = os.path.join(work, "docs_delta")
-            dd.build_minhash_store(docs.filter(F.col("doc_id") % 4 == 3),
-                                   store, num_hashes=64, bands=32)
-            for c in (0, 1, 2):
-                dl.write_delta(docs.filter(F.col("doc_id") % 4 == c), tbl,
-                               mode="overwrite" if c == 0 else "append")
-            done = curate_minhash_from_cdf(spark, tbl, store, threshold=0.5)
-            if done != [0, 1, 2]:
-                raise RuntimeError(
-                    f"cdf_curation_ledger setup expected commits [0, 1, 2], "
-                    f"processed {done}")
-        except BaseException:
-            # a failed setup must not orphan the half-built store +
-            # Delta log on every retried invocation of a long-lived
-            # process
-            shutil.rmtree(work, ignore_errors=True)
-            raise
-        _CDF_LEDGER_CACHE[sf_dir] = (fp, store)
-    store = _CDF_LEDGER_CACHE[sf_dir][1]
+
+    def _build(work: str) -> str:
+        store = os.path.join(work, "store")
+        tbl = os.path.join(work, "docs_delta")
+        dd.build_minhash_store(docs.filter(F.col("doc_id") % 4 == 3),
+                               store, num_hashes=64, bands=32)
+        for c in (0, 1, 2):
+            dl.write_delta(docs.filter(F.col("doc_id") % 4 == c), tbl,
+                           mode="overwrite" if c == 0 else "append")
+        done = curate_minhash_from_cdf(spark, tbl, store, threshold=0.5)
+        if done != [0, 1, 2]:
+            raise RuntimeError(
+                f"cdf_curation_ledger setup expected commits [0, 1, 2], "
+                f"processed {done}")
+        return store
+
+    store = _fixture_cached_setup(_CDF_LEDGER_CACHE, sf_dir,
+                                  "documents.parquet",
+                                  "sparkgraft_cdf_ledger_", _build)
     return (
         spark.read.parquet(store + "_decisions")
         .select("doc_id",
@@ -1965,38 +1986,30 @@ def q_cdf_embedding_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe's triangle radius bound covers every qualifying pair.
     Setup runs once per process per fixture fingerprint."""
     import os
-    import shutil
-    import tempfile
 
     from ..operators.curation import curate_embeddings_from_cdf
     from ..sources import delta_lite as dl
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    fp = _fixture_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    cached = _CDF_EMB_LEDGER_CACHE.get(sf_dir)
-    if cached is None or cached[0] != fp or not os.path.isdir(cached[1]):
-        if cached is not None:
-            shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
-        work = tempfile.mkdtemp(prefix="sparkgraft_cdf_emb_ledger_")
-        try:
-            idx = os.path.join(work, "ivf")
-            tbl = os.path.join(work, "emb_delta")
-            sim.build_ivf_index(emb.filter(F.col("vec_id") % 4 == 3),
-                                idx, n_lists=8)
-            for c in (0, 1, 2):
-                dl.write_delta(emb.filter(F.col("vec_id") % 4 == c), tbl,
-                               mode="overwrite" if c == 0 else "append")
-            done = curate_embeddings_from_cdf(spark, tbl, idx,
-                                              threshold=0.35)
-            if done != [0, 1, 2]:
-                raise RuntimeError(
-                    f"cdf_embedding_ledger setup expected commits "
-                    f"[0, 1, 2], processed {done}")
-        except BaseException:
-            shutil.rmtree(work, ignore_errors=True)
-            raise
-        _CDF_EMB_LEDGER_CACHE[sf_dir] = (fp, idx)
-    idx = _CDF_EMB_LEDGER_CACHE[sf_dir][1]
+
+    def _build(work: str) -> str:
+        idx = os.path.join(work, "ivf")
+        tbl = os.path.join(work, "emb_delta")
+        sim.build_ivf_index(emb.filter(F.col("vec_id") % 4 == 3),
+                            idx, n_lists=8)
+        for c in (0, 1, 2):
+            dl.write_delta(emb.filter(F.col("vec_id") % 4 == c), tbl,
+                           mode="overwrite" if c == 0 else "append")
+        done = curate_embeddings_from_cdf(spark, tbl, idx, threshold=0.35)
+        if done != [0, 1, 2]:
+            raise RuntimeError(
+                f"cdf_embedding_ledger setup expected commits "
+                f"[0, 1, 2], processed {done}")
+        return idx
+
+    idx = _fixture_cached_setup(_CDF_EMB_LEDGER_CACHE, sf_dir,
+                                "embeddings.parquet",
+                                "sparkgraft_cdf_emb_ledger_", _build)
     return (
         spark.read.parquet(idx + "_decisions")
         .select("vec_id",
@@ -2367,24 +2380,21 @@ def q_embedding_neardup_incremental(spark: SparkSession,
     same sf_dir rebuilds instead of serving stale pairs; the
     superseded temp dir is removed."""
     import os
-    import shutil
-    import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 10 != 0).select(
         "vec_id", "embedding")
     incr = emb.filter(F.col("vec_id") % 10 == 0)
-    fp = _fixture_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    cached = _INCR_IVF_CACHE.get(sf_dir)
-    if cached is None or cached[0] != fp or not os.path.isdir(cached[1]):
-        if cached is not None:
-            shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
-        idx = os.path.join(
-            tempfile.mkdtemp(prefix="sparkgraft_incr_ivf_"), "ivf")
+
+    def _build(work: str) -> str:
+        idx = os.path.join(work, "ivf")
         sim.build_ivf_index(corpus, idx, n_lists=8, seed=42)
-        _INCR_IVF_CACHE[sf_dir] = (fp, idx)
-    return sim.embedding_neardup_indexed(
-        spark, _INCR_IVF_CACHE[sf_dir][1], incr, threshold=0.35)
+        return idx
+
+    idx = _fixture_cached_setup(_INCR_IVF_CACHE, sf_dir,
+                                "embeddings.parquet",
+                                "sparkgraft_incr_ivf_", _build)
+    return sim.embedding_neardup_indexed(spark, idx, incr, threshold=0.35)
 
 
 ORACLE_EMBEDDING_NEARDUP_INCREMENTAL = """
@@ -3161,29 +3171,22 @@ def q_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the incremental-IVF twin; update_store=False keeps the cached
     store pristine."""
     import os
-    import shutil
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
-    fp = _fixture_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    cached = _SPLIT_STORE_CACHE.get(sf_dir)
-    if cached is None or cached[0] != fp or not os.path.isdir(cached[1]):
-        if cached is not None:
-            shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
-        work = tempfile.mkdtemp(prefix="sparkgraft_split_store_")
-        try:
-            store = os.path.join(work, "splits")
-            cu.build_split_store(
-                docs.filter(F.col("doc_id") % 5 != 0),
-                pairs.filter((F.col("doc_id_1") % 5 != 0)
-                             & (F.col("doc_id_2") % 5 != 0)),
-                store)
-        except BaseException:
-            shutil.rmtree(work, ignore_errors=True)
-            raise
-        _SPLIT_STORE_CACHE[sf_dir] = (fp, store)
-    store = _SPLIT_STORE_CACHE[sf_dir][1]
+
+    def _build(work: str) -> str:
+        store = os.path.join(work, "splits")
+        cu.build_split_store(
+            docs.filter(F.col("doc_id") % 5 != 0),
+            pairs.filter((F.col("doc_id_1") % 5 != 0)
+                         & (F.col("doc_id_2") % 5 != 0)),
+            store)
+        return store
+
+    store = _fixture_cached_setup(_SPLIT_STORE_CACHE, sf_dir,
+                                  "documents.parquet",
+                                  "sparkgraft_split_store_", _build)
     inc = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
     inc_pairs = pairs.filter((F.col("doc_id_1") % 5 == 0)
                              | (F.col("doc_id_2") % 5 == 0))

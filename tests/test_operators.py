@@ -1334,9 +1334,18 @@ def test_keep_representatives_one_max_score_keeper_per_cluster(spark):
     no_pairs = {tuple(r) for r in keep_representatives(
         None, pr, components=comps).collect()}
     assert no_pairs == {tuple(r) for r in rows}
-    import pytest as _pt
-    with _pt.raises(ValueError, match="needs pairs"):
+    with pytest.raises(ValueError, match="needs pairs"):
         keep_representatives(None, components=comps)
+    # a stale label frame missing graph nodes must not silently drop
+    # them: the missing node falls back to its own singleton cluster
+    stale = comps.filter(F.col("doc_id") != 60)
+    with_stale = {r["doc_id"]: r for r in
+                  keep_representatives(pairs,
+                                       components=stale).collect()}
+    assert set(with_stale) == {10, 20, 30, 40, 50, 60}
+    assert with_stale[60]["component_id"] == 60      # singleton fallback
+    assert with_stale[60]["keep"] is True            # keeper of itself
+    assert with_stale[50]["keep"] is True            # now alone in 50
 
 
 def test_temperature_mix_rates_and_membership(spark):
