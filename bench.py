@@ -137,7 +137,16 @@ def _guard_environment() -> tuple[float, bool]:
 # this 32-core container at load <= 0.7. Re-measure and update if the
 # probe or container changes.
 CALIBRATION_CLEAN_S = 0.25
-CALIBRATION_TOLERANCE = 1.3  # contended iff min > clean * tolerance
+# Round 11 tightened the gate from 1.3 to 1.15 (VERDICT r10 "What's
+# wrong" #1: the r10 driver artifact passed the load gate at 0.79 and
+# the 1.3 calibration tolerance with the probe at 0.293 — ratio 1.17 —
+# and stamped 15 false regressions that the quiet sf1/sf3 sweeps
+# adjudicated as pure ambient contention; 1.15 would have caught it)
+# and extended the retry window to 10 minutes so a transient noisy
+# epoch is WAITED OUT instead of flagged — the "auto-retry at the
+# next quiet epoch" the verdict asked for.
+CALIBRATION_TOLERANCE = 1.15  # contended iff min > clean * tolerance
+CALIBRATION_RETRY_S = 600
 
 
 def _calibrate(spark) -> tuple[float, bool]:
@@ -145,10 +154,10 @@ def _calibrate(spark) -> tuple[float, bool]:
     self-flagging: a 33%-inflated artifact shipped at load 1.48, under
     the 1.6 settle threshold). A fixed pure-CPU probe — hash+sum over
     spark.range, no I/O, no sf dependence — is timed min-of-3 against
-    the committed clean range; if it runs >25% over, keep settling and
-    re-probing for up to 2 minutes, then stamp ``contended: true`` so
-    downstream consumers discard the totals on evidence, not
-    forensics. Returns (calibration_s, contended)."""
+    the committed clean range; if it runs >15% over, keep settling and
+    re-probing for up to CALIBRATION_RETRY_S, then stamp
+    ``contended: true`` so downstream consumers discard the totals on
+    evidence, not forensics. Returns (calibration_s, contended)."""
     from pyspark.sql import functions as F
 
     # pmod keeps the running sum inside int64 (the session runs ANSI)
@@ -162,7 +171,7 @@ def _calibrate(spark) -> tuple[float, bool]:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    deadline = time.time() + 120
+    deadline = time.time() + CALIBRATION_RETRY_S
     cal = probe()
     while cal > CALIBRATION_CLEAN_S * CALIBRATION_TOLERANCE:
         if time.time() >= deadline:
@@ -691,6 +700,84 @@ def main() -> None:
             metadata_filter=F.col("source").isin(
                 "src0", "src1", "src2", "src3")))
 
+    # --- round-11 additions, appended after the r10 block for the
+    # same measurement-context reason ---
+    # persisted chunk-index serving (VERDICT r10 #1): build_chunk_index
+    # pays chunking + embedding + the quantizer fit ONCE untimed (the
+    # maintained-artifact premise of every serving entry); the timed
+    # query embeds its text driver-side and scans only the probed
+    # lists' directories. Read beside chunked_retrieval_ann (per-query
+    # rebuild + refit) and chunked_retrieval (exact rescan) for the
+    # serving win; same geometry and filter as both.
+    with tempfile.TemporaryDirectory(prefix="bench_chunkidx_") as c_dir:
+        cidx = c_dir + "/idx"
+        rt.build_chunk_index(
+            docs.filter(F.col("source").isin(
+                "src0", "src1", "src2", "src3")),
+            cidx, chunk_tokens=32, stride=24, dim=32, n_lists=16)
+        timings["chunked_retrieval_served"] = timed_build(
+            lambda: rt.chunked_retrieval_served(
+                spark, cidx, CHUNKED_QUERY_TEXT, k=20, n_probe=4,
+                m_chunks=200))
+
+    # sticky split store, the INCREMENT-against-big-store shape
+    # (VERDICT r10 #3): the store covers 99% of the corpus (built
+    # untimed), the increment is the 1%. The increment's pair list is
+    # MATERIALIZED untimed — it is the operator's input contract, and
+    # leaving it lazy would re-run the full-corpus ngram pair join
+    # inside the timing window. The timed part is exactly the claim:
+    # contracted-graph CC (increment-sized loop) + governance
+    # resolution + the store's column-pruned probe joins
+    # (update_store=False keeps reps store-pristine).
+    with tempfile.TemporaryDirectory(prefix="bench_split_") as sp_dir:
+        sstore = sp_dir + "/splits"
+        spairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+        cu.build_split_store(
+            docs.filter(_F.col("doc_id") % 100 != 0),
+            spairs.filter((_F.col("doc_id_1") % 100 != 0)
+                          & (_F.col("doc_id_2") % 100 != 0)), sstore)
+        (spairs.filter((_F.col("doc_id_1") % 100 == 0)
+                       | (_F.col("doc_id_2") % 100 == 0))
+         .write.mode("overwrite").parquet(sp_dir + "/inc_pairs"))
+        inc_docs = docs.filter(_F.col("doc_id") % 100 == 0) \
+            .select("doc_id")
+        inc_pairs = spark.read.parquet(sp_dir + "/inc_pairs")
+        timings["split_incremental"] = timed_build(
+            lambda: cu.assign_splits_incremental(
+                spark, inc_docs, sstore, inc_pairs,
+                update_store=False))
+
+    # vector CDF curation ledger (landed after the r10 bench was
+    # pinned — VERDICT r10 "What's missing" #1): index + 3-commit
+    # Delta feed prebuilt untimed; the replay MUTATES its index
+    # family, so each rep copies the pristine build first, the
+    # cdf_curation_ledger discipline. Runs LAST: the stateful replay
+    # leaves the most JVM/page-cache residue behind.
+    with tempfile.TemporaryDirectory(prefix="bench_cdfemb_") as ce_dir:
+        emb_kt = emb.select("vec_id", "embedding")
+        sim.build_ivf_index(emb_kt.filter(_F.col("vec_id") % 4 == 3),
+                            ce_dir + "/idx0", n_lists=8)
+        for c in (0, 1, 2):
+            dl.write_delta(emb_kt.filter(_F.col("vec_id") % 4 == c),
+                           ce_dir + "/tbl",
+                           mode="overwrite" if c == 0 else "append")
+        _erep = [0]
+
+        def _cdf_emb_replay():
+            _erep[0] += 1
+            idx = f"{ce_dir}/idx_rep{_erep[0]}"
+            for entry in sorted(os.listdir(ce_dir)):
+                if entry.startswith("idx0"):
+                    shutil.copytree(os.path.join(ce_dir, entry),
+                                    idx + entry[len("idx0"):])
+            done = cu.curate_embeddings_from_cdf(
+                spark, ce_dir + "/tbl", idx, threshold=0.35)
+            if done != [0, 1, 2]:
+                raise AssertionError(f"cdf emb replay processed {done}")
+            return spark.read.parquet(idx + "_decisions")
+
+        timings["cdf_embedding_ledger"] = timed_build(_cdf_emb_replay)
+
     exact = sim.knn_bruteforce(emb, probe, k=20)
     recall = round(sim.recall_at_k(sim.knn_lsh(emb, probe, k=20), exact, k=20), 4)
     recall_ivf = round(
@@ -756,6 +843,7 @@ def main() -> None:
                 and not cand.get("queries_truncated")):
             prev, reg_baseline = cand, os.path.basename(art)
             break
+    cal_ratio = round(calibration_s / CALIBRATION_CLEAN_S, 3)
     if prev is not None:
         for name, now_s in timings.items():
             prev_s = prev["queries"].get(name)
@@ -763,9 +851,17 @@ def main() -> None:
                 continue
             ratio = now_s / prev_s
             if abs(ratio - 1.0) > band:
+                # every regression record carries THIS run's
+                # calibration ratio (and the baseline's, when its
+                # artifact stamped one) so a reviewer can tell
+                # code-drift from capture-window contention without
+                # re-running anything (VERDICT r10 fix)
                 regressions.append({
                     "query": name, "prev_s": prev_s, "now_s": now_s,
-                    "ratio": round(ratio, 3)})
+                    "ratio": round(ratio, 3),
+                    "calibration_ratio": cal_ratio,
+                    "baseline_calibration_ratio": prev.get(
+                        "calibration_ratio")})
         regressions.sort(key=lambda r: -r["ratio"])
         for r in regressions:
             print(f"bench: {'REGRESSION' if r['ratio'] > 1 else 'speedup'}"
@@ -784,6 +880,7 @@ def main() -> None:
         "load_at_start": load_at_start,
         "calibration_s": calibration_s,
         "calibration_clean_s": CALIBRATION_CLEAN_S,
+        "calibration_ratio": cal_ratio,
         "contended": contended or load_contended,
         "regression_baseline": reg_baseline,
         "regression_band": band,

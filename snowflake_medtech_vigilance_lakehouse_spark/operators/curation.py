@@ -29,7 +29,8 @@ from .dedup import _shingled, md5_hash32
 __all__ = ["decontaminate", "stratified_sample", "pack_sequences",
            "hard_negatives", "gopher_filter", "weighted_sample",
            "temperature_mix", "chunk_documents", "leakage_safe_split",
-           "build_split_store", "assign_splits_incremental"]
+           "build_split_store", "assign_splits_incremental",
+           "compact_split_store", "split_store_quarantine"]
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, *, n: int = 3,
@@ -809,19 +810,26 @@ def build_split_store(docs: DataFrame, pairs: DataFrame, path: str, *,
     reference's target_lag maintenance loops,
     /root/reference/README.md:83,117).
 
-    Layout: ``{path}`` = (doc_id, cluster_id, split) parquet,
-    ``{path}_meta/meta.json`` = the split parameters (ordered
-    fraction list, denom, id column) — increments must hash with the
-    SAME parameters or silently diverge, so
+    Layout: ``{path}`` = (doc_id, cluster_id, split, straddling)
+    parquet (straddling is False for every build-time row; increments
+    append their own flags — round 11, so the quarantine view can
+    read the flag from the store instead of only from the increment's
+    return value), ``{path}_meta/meta.json`` = the split parameters
+    (ordered fraction list, denom, id column) — increments must hash
+    with the SAME parameters or silently diverge, so
     :func:`assign_splits_incremental` reads them from the store,
-    never from its caller."""
+    never from its caller. :func:`assign_splits_incremental` also
+    appends the stored clusters a cross-split merge implicated to a
+    ``{path}_straddle`` sidecar, and :func:`split_store_quarantine` /
+    :func:`compact_split_store` are the lifecycle consumers."""
     import json
     import os
 
     fractions = _validate_fractions(fractions)
-    leakage_safe_split(docs, pairs, fractions=fractions, id_col=id_col,
-                       broadcast_labels=broadcast_labels,
-                       denom=denom).write.mode("overwrite").parquet(path)
+    (leakage_safe_split(docs, pairs, fractions=fractions, id_col=id_col,
+                        broadcast_labels=broadcast_labels, denom=denom)
+     .withColumn("straddling", F.lit(False))
+     .write.mode("overwrite").parquet(path))
     os.makedirs(path + "_meta", exist_ok=True)
     tmp = os.path.join(path + "_meta", "meta.json.tmp")
     with open(tmp, "w") as f:
@@ -969,6 +977,112 @@ def assign_splits_incremental(spark, new_docs: DataFrame, path: str,
         # catch — the old path re-read the store post-append, a fifth
         # corpus-sized scan, and re-executed the fresh lineage)
         fresh = fresh.localCheckpoint(eager=True)
-        fresh.select(id_col, "cluster_id", "split") \
-            .write.mode("append").parquet(path)
+        # append with the STORE's own column set: a round-10 store
+        # lacks the straddling column, and mixing 3- and 4-column
+        # parquet files under one path makes reads schema-dependent
+        # on file order
+        cols = [id_col, "cluster_id", "split"]
+        if "straddling" in store.columns:
+            cols.append("straddling")
+        fresh.select(*cols).write.mode("append").parquet(path)
+        # the stored clusters a cross-split merge implicated (round
+        # 11): every member cluster of a straddling component — the
+        # docs an eval pipeline must subtract, because their
+        # near-copies now provably span splits. Duplicate rows across
+        # replays are harmless (the quarantine view reads distinct).
+        (cnodes.join(gov.filter(F.col("_straddle"))
+                     .select("component_id"), "component_id")
+         .select("cluster_id").distinct()
+         .write.mode("append").parquet(path + "_straddle"))
     return fresh.unionByName(replayed)
+
+
+def compact_split_store(spark, path: str, *,
+                        num_files: int | None = None) -> dict:
+    """Compact the sticky split store's append-only parquet (round 11
+    — VERDICT #3: :func:`assign_splits_incremental` appends one file
+    batch per increment, so a daily tick cadence accumulates
+    many-small-files and every store probe pays O(increments)
+    footer/listing overhead at plan time; this is the
+    ``compact_index_ticks`` analog for the split store).
+
+    Rewrites the store into ``num_files`` parquet files (default: one
+    file per ~8M rows, floor 1) via a staged write + directory swap,
+    so a reader never sees a half-compacted store: stage to
+    ``{path}.compact``, move the live store to ``{path}.old``, move
+    the stage in, then drop the old copy. A crash between the two
+    renames leaves ``{path}.old`` intact — restore it by renaming
+    back. The STICKY CONTRACT is preserved by construction (the
+    rewrite is a pure file-layout change; pytest pins that the
+    (doc_id, cluster_id, split, straddling) row set is identical
+    before and after, and that a post-compaction increment resolves
+    identically). The ``_meta`` / ``_straddle`` sidecars are
+    untouched. Returns {files_before, files_after, rows}."""
+    import glob
+    import os
+    import shutil
+
+    rows = spark.read.parquet(path)
+    n_rows = rows.count()
+    files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    if num_files is None:
+        num_files = max(1, -(-n_rows // 8_000_000))
+    stage, old = path + ".compact", path + ".old"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    # localCheckpoint first: the staged write's lineage reads the very
+    # directory the swap below replaces
+    (rows.localCheckpoint(eager=True).coalesce(num_files)
+     .write.mode("overwrite").parquet(stage))
+    os.replace(path, old)
+    os.replace(stage, path)
+    shutil.rmtree(old)
+    return {"files_before": files_before,
+            "files_after": len(glob.glob(os.path.join(path,
+                                                      "*.parquet"))),
+            "rows": n_rows}
+
+
+def split_store_quarantine(spark, path: str) -> DataFrame:
+    """The consumer the ``straddling`` flag was missing (round 11 —
+    VERDICT #3: "an eval pipeline needs a quarantine view/operator,
+    not just a column"): every stored assignment with a
+    ``quarantined`` verdict an eval pipeline can subtract
+    (``filter(~quarantined)``) before trusting the split boundary.
+
+    Quarantined = the straddling rows themselves (new docs that
+    bridged clusters already sitting in different splits) PLUS every
+    doc of every stored cluster such a merge implicated (the
+    ``{path}_straddle`` sidecar) — those docs now provably have
+    near-copies across the train/eval boundary, so an honest eval
+    drops the whole bridged neighborhood, not just the bridging doc.
+    Stored assignments are never REWRITTEN (the sticky contract);
+    quarantine is a read-time verdict.
+
+    Returns (doc_id, cluster_id, split, quarantined). Round-10 stores
+    (no straddling column, no sidecar) quarantine nothing. 100 TB
+    shape: one store scan + a broadcast join against the
+    straddle-cluster sidecar (merge events are rare by construction —
+    the sidecar is increments x straddles sized, never corpus
+    sized)."""
+    import json
+    import os
+
+    with open(os.path.join(path + "_meta", "meta.json")) as f:
+        id_col = json.load(f)["id_col"]
+    store = spark.read.parquet(path)
+    srow = F.col("straddling") if "straddling" in store.columns \
+        else F.lit(False)
+    base = store.select(F.col(id_col), "cluster_id", "split",
+                        srow.alias("_srow"))
+    if os.path.isdir(path + "_straddle"):
+        qcl = (spark.read.parquet(path + "_straddle")
+               .select("cluster_id").distinct()
+               .withColumn("_q", F.lit(True)))
+        base = base.join(F.broadcast(qcl), "cluster_id", "left")
+    else:
+        base = base.withColumn("_q", F.lit(None).cast("boolean"))
+    return base.select(
+        F.col(id_col), "cluster_id", "split",
+        (F.col("_srow") | F.coalesce(F.col("_q"), F.lit(False)))
+        .alias("quarantined"))

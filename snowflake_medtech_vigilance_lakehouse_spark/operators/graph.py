@@ -144,7 +144,12 @@ def keep_representatives(pairs: DataFrame | None,
     from the supplied labels falls back to its own singleton cluster
     (never silently dropped). With BOTH supplied, ``pairs`` may be
     None (no loop runs at all — the function is then one join + one
-    window over the label frame's nodes).
+    window over the label frame's nodes). Whenever ``pairs`` IS
+    given, it defines the node universe — even beside both ``scores``
+    and ``components`` — so the singleton fallback applies uniformly
+    and a stale label frame can never silently drop pair endpoints
+    (round-11 ADVICE fix: the old three-argument path took the label
+    frame as the universe and contradicted this contract).
 
     Returns (doc_id, component_id, score, keep): every graph node,
     its cluster label, its centrality, and keep = True on exactly one
@@ -169,7 +174,7 @@ def keep_representatives(pairs: DataFrame | None,
             "components= are supplied")
     labels = None if components is None else \
         components.select("doc_id", "component_id")
-    if need_cc or need_pr:
+    if pairs is not None:
         jsc = pairs.sparkSession.sparkContext._jsc
         # checkpointed ONCE even when only one loop runs: each loop
         # would otherwise re-derive the upstream pair list while
@@ -213,8 +218,8 @@ def keep_representatives(pairs: DataFrame | None,
             # on error paths
             _release_persistent(jsc, pair_ids)
     else:
-        # both supplied, no pairs: the label frame IS the node
-        # universe (documented)
+        # no pairs (both scores= and components= supplied): the label
+        # frame IS the node universe (documented)
         comps = labels
     scored = comps.join(
         scores.select(F.col("node").alias("doc_id"),

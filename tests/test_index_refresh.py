@@ -822,3 +822,52 @@ def test_ivf_refresh_appends_sq8_codes_to_quantized_index(spark, tmp_path):
                                              rerank=10_000)
     assert refined.exceptAll(served).count() == 0
     assert served.exceptAll(refined).count() == 0
+
+
+def test_chunk_index_cdf_refresh_serves_appends(spark, tmp_path):
+    """Round-11 chunk-index maintenance: an index built over a base
+    corpus absorbs two Delta insert commits through
+    refresh_chunk_index_from_cdf, and full-probe serving over the
+    refreshed index equals the exact brute-force tier over
+    base ∪ increments BIT-FOR-BIT (with every list probed, the frozen
+    quantizer's assignment cannot matter — so this pins the whole
+    append path: chunking geometry from the meta sidecar, composite
+    keys, docids ticks, radii/growth sidecars). Replays are no-ops,
+    and a re-inserted document refuses loudly."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        retrieval as rt)
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        refresh_chunk_index_from_cdf)
+
+    words = ["alpha", "beta", "gamma", "delta", "spark", "join",
+             "merge", "window", "scan", "fast", "slow", "agg"]
+    rows = [(i, " ".join(words[(i + j) % len(words)]
+                         for j in range(18 + i % 11)))
+            for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = "spark join merge fast"
+    idx = str(tmp_path / "chunkidx")
+    rt.build_chunk_index(docs.filter(F.col("doc_id") % 3 == 0), idx,
+                         chunk_tokens=8, stride=6, dim=16, n_lists=4)
+
+    tbl = str(tmp_path / "docs_delta")
+    dl.write_delta(docs.filter(F.col("doc_id") % 3 == 1), tbl,
+                   mode="overwrite")
+    dl.write_delta(docs.filter(F.col("doc_id") % 3 == 2), tbl,
+                   mode="append")
+    assert refresh_chunk_index_from_cdf(spark, tbl, idx) == [0, 1]
+
+    exact = sorted(tuple(r) for r in rt.chunked_retrieval(
+        docs, q, k=15, chunk_tokens=8, stride=6, dim=16).collect())
+    served = sorted(tuple(r) for r in rt.chunked_retrieval_served(
+        spark, idx, q, k=15, n_probe=4, m_chunks=10**4).collect())
+    assert served == exact
+
+    # up to date: the high-water mark holds, nothing re-ingests
+    assert refresh_chunk_index_from_cdf(spark, tbl, idx) == []
+    # a re-inserted doc id refuses loudly (append-only contract)
+    dl.write_delta(docs.filter(F.col("doc_id") == 1), tbl, mode="append")
+    with pytest.raises(ValueError, match="re-inserts"):
+        refresh_chunk_index_from_cdf(spark, tbl, idx)

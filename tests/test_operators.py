@@ -1346,6 +1346,14 @@ def test_keep_representatives_one_max_score_keeper_per_cluster(spark):
     assert with_stale[60]["component_id"] == 60      # singleton fallback
     assert with_stale[60]["keep"] is True            # keeper of itself
     assert with_stale[50]["keep"] is True            # now alone in 50
+    # round-11 ADVICE fix: with pairs AND scores AND components all
+    # supplied, pairs still defines the node universe — the old path
+    # took the stale label frame as the universe and silently dropped
+    # pair node 60
+    three = {r["doc_id"]: r for r in
+             keep_representatives(pairs, pr, components=stale).collect()}
+    assert set(three) == {10, 20, 30, 40, 50, 60}
+    assert three[60]["component_id"] == 60 and three[60]["keep"] is True
 
 
 def test_temperature_mix_rates_and_membership(spark):
