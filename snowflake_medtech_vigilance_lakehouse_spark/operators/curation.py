@@ -380,7 +380,7 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
     from ..streaming.index_refresh import (_consume_change_feed,
                                            _ivf_append_batch)
     from .similarity import (embedding_neardup_indexed,
-                             embedding_neardup_pairs)
+                             embedding_neardup_pairs_bucketed)
 
     reserved = {"_v", "_nrm", "list_id", "_v8", "_qs", "_n8"}
     idx_cols = [c for c in spark.read.parquet(index_path).columns
@@ -404,12 +404,22 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
         cross = embedding_neardup_indexed(
             spark, index_path, batch, threshold,
             id_col=id_col, vec_col=vec_col)
-        intra = embedding_neardup_pairs(
-            batch, batch, threshold, id_col=id_col, vec_col=vec_col)
+        # in-batch fold pairs through the bucketed exact engine, NOT
+        # the broadcast-crossJoin fold variant: the fold pays an
+        # interpreted HOF dot per PAIR over |batch|^2 — at the sf3
+        # bench (15k-vector commits, threshold 0.35) that one stage
+        # was 9.4x per 3x data and ~90% of the 1207 s entry; the
+        # bucketed engine scores the same pairs as per-list float64
+        # GEMMs behind ONE shuffle (contract-equal: id_1 < id_2,
+        # round(_, 6) >= threshold — the fold≡bucketed equality the
+        # semantic-dedup family already pytest-pins)
+        intra = embedding_neardup_pairs_bucketed(
+            batch, threshold, id_col=id_col, vec_col=vec_col)
         # a replayed keep is in BOTH the index and the batch, so the
-        # same pair can surface through both stages — identical
-        # (id_1, id_2, cosine) rows, collapsed by distinct
-        pairs = cross.unionByName(intra).distinct()
+        # same pair can surface through both stages; only the id pair
+        # matters downstream, so project before distinct
+        pairs = (cross.select("id_1", "id_2")
+                 .unionByName(intra.select("id_1", "id_2")).distinct())
         bids = batch.select(F.col(id_col).alias("_bid")).distinct()
         flagged = (
             pairs

@@ -3241,20 +3241,19 @@ def q_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_BUCKET_SQL = ("('0x' || substr(md5({c}::VARCHAR), 1, 8))::BIGINT"
                      " % 1000000")
 
-ORACLE_SPLIT_INCREMENTAL = f"""
-WITH RECURSIVE d AS (
-  SELECT doc_id,
-         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
-                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
-  FROM documents
-), sd AS (
-  SELECT * FROM d WHERE len(sh) > 0
-), prs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2
-  FROM sd a JOIN sd b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
-), bprs AS (
+# Shared two-stage unroll for the sticky-split-store oracles: base
+# reachability clustering + md5 split, then reachability over the
+# CONTRACTED increment graph (stored docs collapse to cluster nodes),
+# oldest-doc governance, and the fresh-hash fallback. The chain is
+# SOURCE-AGNOSTIC: it expects the consumer's head to define
+# ``prs(id1, id2)`` (the near-dup pair list) and ``alldocs(doc_id)``
+# (the id universe) — `split_incremental` feeds it ngram-Jaccard text
+# pairs over ``documents``, `split_quarantine` exact-cosine vector
+# pairs over ``embeddings``. Ends at ``resolved`` (the increment
+# rows, split still unresolved) so each consumer appends its own
+# tail CTEs / final SELECT.
+_SPLIT_RESOLVE_CTES = f"""
+, bprs AS (
   SELECT * FROM prs WHERE id1 % 5 <> 0 AND id2 % 5 <> 0
 ), bedges AS (
   SELECT id1 AS a, id2 AS b FROM bprs UNION SELECT id2, id1 FROM bprs
@@ -3267,7 +3266,7 @@ WITH RECURSIVE d AS (
   FROM breach GROUP BY a
 ), store AS (
   SELECT d0.doc_id, coalesce(c.component_id, d0.doc_id)::BIGINT AS cluster_id
-  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d0
+  FROM (SELECT doc_id FROM alldocs WHERE doc_id % 5 <> 0) d0
   LEFT JOIN bcomp c USING (doc_id)
 ), store_split AS (
   SELECT doc_id, cluster_id,
@@ -3315,7 +3314,7 @@ WITH RECURSIVE d AS (
     FROM cn GROUP BY comp
   ) s USING (comp) WHERE r.rk = 1
 ), newids AS (
-  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+  SELECT doc_id FROM alldocs WHERE doc_id % 5 = 0
 ), dmem AS (
   SELECT n.doc_id, c.comp
   FROM newids n JOIN ccomp c ON c.node = 'd:' || n.doc_id::VARCHAR
@@ -3330,7 +3329,28 @@ WITH RECURSIVE d AS (
   LEFT JOIN dmem dm ON n.doc_id = dm.doc_id
   LEFT JOIN gov g ON dm.comp = g.comp
   LEFT JOIN minnew mn ON dm.comp = mn.comp
-)
+)"""
+
+# ngram-Jaccard text pairs over ``documents`` — the head the resolve
+# chain expects (prs + alldocs)
+_SPLIT_TEXT_HEAD = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM documents
+), sd AS (
+  SELECT * FROM d WHERE len(sh) > 0
+), prs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM sd a JOIN sd b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+), alldocs AS (
+  SELECT doc_id FROM documents
+)"""
+
+ORACLE_SPLIT_INCREMENTAL = _SPLIT_TEXT_HEAD + _SPLIT_RESOLVE_CTES + f"""
 SELECT doc_id, cluster_id,
        coalesce(gsp,
          CASE WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 800000
@@ -3339,6 +3359,99 @@ SELECT doc_id, cluster_id,
               THEN 'val' ELSE 'test' END) AS split,
        straddling
 FROM resolved
+"""
+
+
+_SPLIT_QUAR_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+
+def q_split_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split store's read-time quarantine verdict under the full
+    hash gate (round 11 — the lifecycle VERDICT r10 #4 asked for,
+    driver-checked rather than pytest-only): a VECTOR-keyed split
+    store (embeddings table, exact-cosine near-dup pairs at the
+    semantic-dedup threshold) with the % 5 == 0 increment APPLIED
+    (update_store=True), so the store carries the increment's
+    assignments and the ``_straddle`` sidecar carries every stored
+    cluster a cross-split merge implicated. Vector pairs, not text
+    pairs, deliberately: cosine similarity is non-transitive, so an
+    increment vector genuinely BRIDGES stored clusters (6 straddling
+    components at sf0.01) — the fixture's text near-dups are verbatim
+    copies (every pair ≥ 0.9 Jaccard, transitively closed) and can
+    never produce the cross-split merge this query exists to surface.
+    operators/curation.py:split_store_quarantine renders the verdict
+    over the whole store: a row is quarantined iff it was itself
+    flagged ``straddling`` at assignment time OR its cluster is
+    implicated by such a merge — the bridged neighborhood an honest
+    eval must subtract, not just the bridging doc. The oracle replays
+    the identical two-stage resolution over exact-cosine pairs and
+    derives the implicated-cluster set as the member clusters of
+    every contracted component whose stored clusters span >1 split.
+    Setup (store build + the applied increment) runs once per process
+    per fixture fingerprint; the store is never mutated after setup,
+    so replays hash identically."""
+    import os
+
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = sim.embedding_neardup_pairs_bucketed(vecs, 0.35).select(
+        F.col("id_1").alias("doc_id_1"), F.col("id_2").alias("doc_id_2"))
+
+    def _build(work: str) -> str:
+        store = os.path.join(work, "splits")
+        cu.build_split_store(
+            vecs.filter(F.col("vec_id") % 5 != 0),
+            pairs.filter((F.col("doc_id_1") % 5 != 0)
+                         & (F.col("doc_id_2") % 5 != 0)),
+            store, id_col="vec_id")
+        inc = vecs.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+        inc_pairs = pairs.filter((F.col("doc_id_1") % 5 == 0)
+                                 | (F.col("doc_id_2") % 5 == 0))
+        cu.assign_splits_incremental(spark, inc, store, inc_pairs,
+                                     update_store=True)
+        return store
+
+    store = _fixture_cached_setup(_SPLIT_QUAR_CACHE, sf_dir,
+                                  "embeddings.parquet",
+                                  "sparkgraft_split_quar_", _build)
+    return cu.split_store_quarantine(spark, store)
+
+
+# exact-cosine vector pairs over ``embeddings`` (the bucketed pair
+# stage's contract: round(cos, 6) >= threshold), ids aliased into the
+# resolve chain's doc_id vocabulary
+_SPLIT_VECTOR_HEAD = """
+WITH RECURSIVE prs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.35
+), alldocs AS (
+  SELECT vec_id AS doc_id FROM embeddings
+)"""
+
+ORACLE_SPLIT_QUARANTINE = _SPLIT_VECTOR_HEAD + _SPLIT_RESOLVE_CTES + f"""
+, inc_final AS (
+  SELECT doc_id, cluster_id,
+         coalesce(gsp,
+           CASE WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 800000
+                THEN 'train'
+                WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 900000
+                THEN 'val' ELSE 'test' END) AS split,
+         straddling
+  FROM resolved
+), impl AS (
+  SELECT DISTINCT cluster_id FROM cn
+  WHERE comp IN (SELECT comp FROM cn
+                 GROUP BY comp HAVING count(DISTINCT split) > 1)
+)
+SELECT doc_id AS vec_id, cluster_id, split,
+       (cluster_id IN (SELECT cluster_id FROM impl)) AS quarantined
+FROM store_split
+UNION ALL
+SELECT doc_id AS vec_id, cluster_id, split,
+       (straddling OR cluster_id IN (SELECT cluster_id FROM impl))
+         AS quarantined
+FROM inc_final
 """
 
 
@@ -3853,6 +3966,7 @@ QUERIES: dict[str, QueryFn] = {
     "chunked_retrieval_served": q_chunked_retrieval_served,
     "leakage_safe_split": q_leakage_safe_split,
     "split_incremental": q_split_incremental,
+    "split_quarantine": q_split_quarantine,
     "vocab_topk": q_vocab_topk,
     "char_lm_score": q_char_lm_score,
     "gopher_filter": q_gopher_filter,
@@ -3919,6 +4033,7 @@ ORACLES: dict[str, str] = {
     "chunked_retrieval_served": ORACLE_CHUNKED_RETRIEVAL,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "split_incremental": ORACLE_SPLIT_INCREMENTAL,
+    "split_quarantine": ORACLE_SPLIT_QUARANTINE,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "char_lm_score": ORACLE_CHAR_LM,
     "gopher_filter": ORACLE_GOPHER_FILTER,
