@@ -285,6 +285,24 @@ def main() -> None:
     def timed(df) -> float:
         return timed_build(lambda: df)
 
+    def timed_build_setup(setup, build) -> float:
+        """timed_build with an UNTIMED per-rep setup (round 12 —
+        VERDICT r11 "what's wrong" #1: the vector-CDF ledger's
+        per-rep pristine-index copytree ran INSIDE the timed lambda,
+        and at sf0.1 the copy+FS overhead dominated the small-sf
+        point, producing a non-monotonic 22.3 s sf0.1 vs 12.3 s sf1
+        curve). ``setup()`` runs before each rep's clock starts and
+        its return value is passed to ``build`` — the timed region is
+        exactly the operator's own work."""
+        spark.sparkContext._jvm.System.gc()
+        best = float("inf")
+        for _ in range(REPS):
+            arg = setup()
+            t0 = time.perf_counter()
+            build(arg).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     # Queries whose plan carries a localCheckpoint (lazy or an eager
     # loop) need a FRESH frame per rep: re-timing ONE constructed
     # frame would let reps 2+ read the first rep's checkpoint blocks
@@ -719,6 +737,14 @@ def main() -> None:
             lambda: rt.chunked_retrieval_served(
                 spark, cidx, CHUNKED_QUERY_TEXT, k=20, n_probe=4,
                 m_chunks=200))
+        # batch serving (round 12 — VERDICT r11 #4): 8 query texts in
+        # ONE pruned scan; read beside chunked_retrieval_served x8 for
+        # the amortization (shared probe lists are listed and scanned
+        # once for the batch instead of once per query)
+        batch_q = [f"{CHUNKED_QUERY_TEXT} v{i}" for i in range(8)]
+        timings["chunked_retrieval_batch8"] = timed_build(
+            lambda: rt.chunked_retrieval_served_many(
+                spark, cidx, batch_q, k=20, n_probe=4, m_chunks=200))
 
     # sticky split store, the INCREMENT-against-big-store shape
     # (VERDICT r10 #3): the store covers 99% of the corpus (built
@@ -756,6 +782,13 @@ def main() -> None:
                                      inc_pairs, update_store=True)
         timings["split_quarantine"] = timed_build(
             lambda: cu.split_store_quarantine(spark, sstore))
+        # the quarantine verdict's consumer (round 12 — VERDICT r11
+        # #6): test-split rows minus the quarantined neighborhood,
+        # joined back against the corpus — the export an actual eval
+        # pipeline pays; composes the stores built above, untimed
+        timings["eval_export"] = timed_build(
+            lambda: cu.export_eval_set(
+                spark, sstore, docs.select("doc_id", "text")))
 
     # vector CDF curation ledger (landed after the r10 bench was
     # pinned — VERDICT r10 "What's missing" #1): index + 3-commit
@@ -773,20 +806,80 @@ def main() -> None:
                            mode="overwrite" if c == 0 else "append")
         _erep = [0]
 
-        def _cdf_emb_replay():
+        # the pristine-index copy is per-rep SETUP, not operator work:
+        # timing it inflated the small-sf point into a non-monotonic
+        # curve (22.3 s sf0.1 > 12.3 s sf1, VERDICT r11) — the timed
+        # region is now exactly the three-commit replay
+        def _cdf_emb_setup() -> str:
             _erep[0] += 1
             idx = f"{ce_dir}/idx_rep{_erep[0]}"
             for entry in sorted(os.listdir(ce_dir)):
                 if entry.startswith("idx0"):
                     shutil.copytree(os.path.join(ce_dir, entry),
                                     idx + entry[len("idx0"):])
+            return idx
+
+        def _cdf_emb_replay(idx: str):
             done = cu.curate_embeddings_from_cdf(
                 spark, ce_dir + "/tbl", idx, threshold=0.35)
             if done != [0, 1, 2]:
                 raise AssertionError(f"cdf emb replay processed {done}")
             return spark.read.parquet(idx + "_decisions")
 
-        timings["cdf_embedding_ledger"] = timed_build(_cdf_emb_replay)
+        timings["cdf_embedding_ledger"] = timed_build_setup(
+            _cdf_emb_setup, _cdf_emb_replay)
+
+    # chunk-index CHURN tick (round 12 — VERDICT r11 #1): absorb one
+    # update commit + one delete commit through the tombstone tier and
+    # serve a query over the churned index — the target_lag cost a
+    # changed document actually pays, vs the full rebuild r11 forced.
+    # Index + 2-commit feed prebuilt untimed; the replay mutates its
+    # index family, so each rep copies the pristine build (untimed,
+    # the timed_build_setup discipline).
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming import (
+        index_refresh as ir)
+
+    with tempfile.TemporaryDirectory(prefix="bench_chunkchurn_") as cc_dir:
+        fdocs = docs.filter(F.col("source").isin(
+            "src0", "src1", "src2", "src3")).select("doc_id", "text")
+        ctbl = cc_dir + "/tbl"
+        dl.write_delta(fdocs, ctbl)
+        rt.build_chunk_index(dl.read_delta(spark, ctbl), cc_dir + "/idx0",
+                             chunk_tokens=32, stride=24, dim=32,
+                             n_lists=16)
+        ir.bootstrap_cdf_state(cc_dir + "/idx0_cdf_state", 0)
+        dl.merge_delta(
+            spark, ctbl,
+            fdocs.filter(F.col("doc_id") % 7 == 2).select(
+                "doc_id", F.concat(F.lit("spark fast fast "),
+                                   F.col("text")).alias("text")),
+            on=["doc_id"], when_matched="update", when_not_matched=None,
+            change_data=True)
+        dl.merge_delta(
+            spark, ctbl, fdocs.filter(F.col("doc_id") % 7 == 3),
+            on=["doc_id"], when_matched="delete", when_not_matched=None,
+            change_data=True)
+        _crep = [0]
+
+        def _churn_setup() -> str:
+            _crep[0] += 1
+            idx = f"{cc_dir}/idx_rep{_crep[0]}"
+            for entry in sorted(os.listdir(cc_dir)):
+                if entry.startswith("idx0"):
+                    shutil.copytree(os.path.join(cc_dir, entry),
+                                    idx + entry[len("idx0"):])
+            return idx
+
+        def _churn_replay(idx: str):
+            done = ir.refresh_chunk_index_from_cdf(spark, ctbl, idx)
+            if done != [1, 2]:
+                raise AssertionError(f"churn replay processed {done}")
+            return rt.chunked_retrieval_served(
+                spark, idx, CHUNKED_QUERY_TEXT, k=20, n_probe=4,
+                m_chunks=200)
+
+        timings["chunk_index_churn_serve"] = timed_build_setup(
+            _churn_setup, _churn_replay)
 
     exact = sim.knn_bruteforce(emb, probe, k=20)
     recall = round(sim.recall_at_k(sim.knn_lsh(emb, probe, k=20), exact, k=20), 4)

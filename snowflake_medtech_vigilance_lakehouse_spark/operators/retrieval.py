@@ -640,7 +640,8 @@ def _doc_key_bridge(docs: DataFrame, id_col: str,
 
 def _decode_chunk_hits(nn: DataFrame, id_col: str,
                        chunk_key_scale: int,
-                       cos_col: str = "cosine") -> DataFrame:
+                       cos_col: str = "cosine",
+                       keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Composite chunk key -> (_dkey, chunk_id, _cos). Integer ``div``
     for the doc part, NOT floor of a double quotient (float division
     promotes the long key, and past ~9e9 docs the ulp exceeds the
@@ -650,14 +651,17 @@ def _decode_chunk_hits(nn: DataFrame, id_col: str,
     ADVICE fix; the old pmod is only div-consistent for non-negative
     keys, which the bridge now guarantees anyway). Null-cosine hits
     (zero-norm chunks) are dropped, matching the exact tier's
-    ``_l2 > 0`` filter."""
+    ``_l2 > 0`` filter. ``keep_cols`` ride through unchanged — the
+    batch tier passes ``("query_id",)``."""
     scale = int(chunk_key_scale)
+    extra = [F.col(c) for c in keep_cols]
     return (
         nn.filter(F.col(cos_col).isNotNull())
-        .select(F.expr(f"neighbor_id div {scale}").cast("long")
+        .select(*extra,
+                F.expr(f"neighbor_id div {scale}").cast("long")
                 .alias("_dkey"),
                 F.col("neighbor_id"), F.col(cos_col).alias("_cos"))
-        .select("_dkey",
+        .select(*extra, "_dkey",
                 (F.col("neighbor_id") - F.col("_dkey") * F.lit(scale))
                 .cast("long").alias("chunk_id"), "_cos")
     )
@@ -921,8 +925,13 @@ def chunked_retrieval_served(spark, path: str, query_text: str, *,
             return _empty()
         lit_hits = spark.createDataFrame(
             rows, "_dkey long, chunk_id long, _cos double")
+        # distinct: an updated document re-appends its (id, _dkey)
+        # mapping under the update's tick, so a churned sidecar holds
+        # the same pair more than once — without the dedup the decode
+        # join would fan every hit out per copy (round 12)
         side = (spark.read.option("basePath", side_path).parquet(*dirs)
-                .filter(F.col("_dkey").isin([r["_dkey"] for r in rows])))
+                .filter(F.col("_dkey").isin([r["_dkey"] for r in rows]))
+                .select(id_col, "_dkey").distinct())
         hits = side.join(F.broadcast(lit_hits), "_dkey") \
             .select(id_col, "chunk_id", "_cos")
     else:
@@ -932,3 +941,108 @@ def chunked_retrieval_served(spark, path: str, query_text: str, *,
         hits = hits.join(F.broadcast(allowed_ids.select(id_col)),
                          id_col, "left_semi")
     return _pool_topk(hits, id_col, k)
+
+
+def chunked_retrieval_served_many(spark, path: str,
+                                  query_texts: Sequence[str], *,
+                                  k: int = 20, n_probe: int = 8,
+                                  m_chunks: int = 200,
+                                  allowed_ids: DataFrame | None = None,
+                                  max_driver_hits: int = 65536) -> DataFrame:
+    """BATCH serving over a :func:`build_chunk_index` store (round 12
+    — VERDICT r11 #4): N query texts answered in ONE pruned scan.
+    Each text embeds driver-side, the queries' probe lists UNION into
+    a single directory-pruned index read (shared lists are scanned
+    once for all queries probing them, where N single calls re-list
+    and re-scan them N times), per-query top-``m_chunks`` cuts are
+    one window over the scored rows (bounded by |Q| x the probed
+    rows), and decode/pool/top-k run per query in the same plan.
+
+    Output: (query_id, <id_col>, best_chunk_id, score, rank) — the
+    single-query contract plus ``query_id`` = the 0-based position of
+    the text in ``query_texts``. Per query, rows equal
+    :func:`chunked_retrieval_served` on the same text EXACTLY
+    (pytest-pinned): same probe arithmetic, same cut order (_cos
+    desc, neighbor asc), same unrounded pooling. The hash-bridge
+    decode collects <= |Q| x m_chunks hits (capped at
+    ``max_driver_hits``) and reads only their ``_db`` buckets once
+    for the whole batch."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from .similarity import _ivf_indexed_scored
+
+    meta = _read_chunk_meta(path)
+    scale = int(meta["chunk_key_scale"])
+    id_col = meta["id_col"]
+    bridged = meta["id_bridge"] == "xxhash64"
+    queries = [(int(i), embed_query_text(t, meta["dim"]))
+               for i, t in enumerate(query_texts)]
+
+    def _empty() -> DataFrame:
+        id_type = LongType() if not bridged else \
+            spark.read.parquet(path + "_docids").schema[id_col].dataType
+        return spark.createDataFrame([], StructType([
+            StructField("query_id", LongType()),
+            StructField(id_col, id_type),
+            StructField("best_chunk_id", LongType()),
+            StructField("score", DoubleType()),
+            StructField("rank", LongType(), False),
+        ]))
+
+    if not queries:
+        return _empty()
+    scored = _ivf_indexed_scored(spark, path, queries, n_probe,
+                                 "vec_id", "embedding")
+    if scored is None:
+        return _empty()
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc())
+    cut = (scored.withColumn("_mr", F.row_number().over(wq))
+           .filter(F.col("_mr") <= m_chunks).drop("_mr"))
+    hits = _decode_chunk_hits(cut, id_col, scale, cos_col="_cos",
+                              keep_cols=("query_id",))
+    if bridged:
+        if len(queries) * m_chunks > max_driver_hits:
+            raise ValueError(
+                f"{len(queries)} queries x m_chunks={m_chunks} exceeds "
+                f"max_driver_hits={max_driver_hits}: the hash-bridge "
+                f"decode collects the hits to prune the docids "
+                f"sidecar read")
+        import os
+
+        rows = hits.collect()
+        buckets = sorted({r["_dkey"] % meta["docid_buckets"]
+                          for r in rows})
+        side_path = path + "_docids"
+        dirs = [f"{side_path}/_db={b}" for b in buckets
+                if os.path.isdir(os.path.join(side_path, f"_db={b}"))]
+        if not rows or not dirs:
+            return _empty()
+        lit_hits = spark.createDataFrame(
+            rows, "query_id long, _dkey long, chunk_id long, _cos double")
+        side = (spark.read.option("basePath", side_path).parquet(*dirs)
+                .filter(F.col("_dkey").isin(
+                    list({r["_dkey"] for r in rows})))
+                .select(id_col, "_dkey").distinct())
+        hits = side.join(F.broadcast(lit_hits), "_dkey") \
+            .select("query_id", id_col, "chunk_id", "_cos")
+    else:
+        hits = hits.select("query_id", F.col("_dkey").alias(id_col),
+                           "chunk_id", "_cos")
+    if allowed_ids is not None:
+        hits = hits.join(F.broadcast(allowed_ids.select(id_col)),
+                         id_col, "left_semi")
+    best = hits.groupBy("query_id", id_col).agg(
+        F.max("_cos").alias("_score"),
+        F.min_by("chunk_id", F.struct((-F.col("_cos")).alias("nc"),
+                                      F.col("chunk_id").alias("ci")))
+        .alias("best_chunk_id"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc())
+    return (
+        best.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), id_col, "best_chunk_id",
+                F.round("_score", 6).alias("score"), "rank")
+    )

@@ -1022,7 +1022,7 @@ def _ivf_indexed_scored_distributed(spark, path: str, queries: DataFrame,
                       F.row_number().over(w).alias("_pr"))
         .filter(F.col("_pr") <= n_probe).drop("_pr")
     )
-    idx = spark.read.parquet(path)
+    idx = apply_ivf_tombstones(spark, path, spark.read.parquet(path))
     return (
         idx.join(probe_lists, "list_id")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -1157,6 +1157,68 @@ def _ivf_probe_base(spark, path: str, queries: DataFrame,
     return probe_lists, idx
 
 
+def apply_ivf_tombstones(spark, path: str, idx: DataFrame) -> DataFrame:
+    """Serve-time liveness filter for a :func:`build_ivf_index` layout
+    with a ``{path}_tombstones`` sidecar (round 12 — the churn tier:
+    the reference's Cortex Search keeps serving CHANGED documents
+    within target_lag, /root/reference/README.md:83,117, where the
+    r11 CDF loops refused update/delete feeds outright).
+
+    Contract: the sidecar holds one ``tick=<commit_version>`` dir per
+    churn commit, each row a ``key`` killed AS OF that commit. A row
+    of the index is dead iff some tombstone for its key is NEWER than
+    the row's own refresh epoch — the epoch is derived from the file
+    name the row was published under (``tick<N>-…`` by
+    :func:`~..streaming.index_refresh._ivf_append_batch`; build-time
+    files carry no prefix and read as epoch -1), so an updated vector
+    re-appended at the tombstone's own commit version survives
+    (tick == epoch) while every earlier copy dies. No schema change,
+    no read of unprobed data: the epoch is ``input_file_name()``
+    arithmetic inside the scan projection, and the tombstone frame is
+    churn-sized by construction (broadcast).
+
+    ``key`` is the index's id column; for a chunk index
+    (``{path}_chunkmeta`` present) tombstones are doc-level, keyed by
+    ``_dkey = vec_id div chunk_key_scale``, so one tombstone kills
+    every chunk of the dead document. Without a sidecar the filter is
+    the identity — the steady state pays nothing."""
+    import json
+    import os
+
+    tomb_dir = path + "_tombstones"
+    if not os.path.isdir(tomb_dir):
+        return idx
+    reserved = {"_v", "_nrm", "list_id", "_v8", "_qs", "_n8"}
+    id_cols = [c for c in idx.columns if c not in reserved]
+    if len(id_cols) != 1:
+        raise ValueError(
+            f"cannot infer the id column of {path} for tombstone "
+            f"filtering: non-reserved columns {id_cols}")
+    key = F.col(id_cols[0])
+    meta_f = os.path.join(path + "_chunkmeta", "meta.json")
+    if os.path.isfile(meta_f):
+        with open(meta_f) as f:
+            scale = int(json.load(f)["chunk_key_scale"])
+        key = F.expr(f"`{id_cols[0]}` div {scale}").cast("long")
+    tomb = (spark.read.parquet(tomb_dir)
+            .groupBy("key")
+            .agg(F.max("tick").cast("long").alias("_tmb_tick"))
+            .select(F.col("key").alias("_tmb_key"), "_tmb_tick"))
+    # the when() guard keeps the cast off the no-match "" (ANSI mode
+    # would throw); prefix-less (build/compaction-written) files read
+    # as epoch -1, older than every commit version
+    m = F.regexp_extract(F.input_file_name(), r"tick(\d+)-\d+\.parquet$", 1)
+    epoch = F.when(m != F.lit(""), m.cast("long")) \
+        .otherwise(F.lit(-1).cast("long"))
+    return (
+        idx.withColumn("_row_epoch", epoch)
+        .join(F.broadcast(tomb), key == F.col("_tmb_key"), "left")
+        .filter(F.col("_tmb_tick").isNull()
+                | (F.col("_tmb_tick") <= F.col("_row_epoch")))
+        .drop("_tmb_key", "_tmb_tick", "_row_epoch")
+    )
+
+
 def _pruned_index_read(spark, path: str,
                        touched: list[int]) -> DataFrame | None:
     """The directory-pruned index scan shared by the served paths:
@@ -1186,11 +1248,13 @@ def _pruned_index_read(spark, path: str,
                 if os.path.isdir(os.path.join(path, f"list_id={t}"))]
         if not dirs:
             return None
-        return (reader.parquet(*dirs)
-                .filter(F.col("list_id").isin(touched)))
+        return apply_ivf_tombstones(
+            spark, path,
+            reader.parquet(*dirs).filter(F.col("list_id").isin(touched)))
     # not driver-statable (remote FS): full-discovery read
-    return (spark.read.parquet(path)
-            .filter(F.col("list_id").isin(touched)))
+    return apply_ivf_tombstones(
+        spark, path,
+        spark.read.parquet(path).filter(F.col("list_id").isin(touched)))
 
 
 def _ivf_indexed_scored(spark, path: str, queries: DataFrame,

@@ -2759,10 +2759,22 @@ def q_chunked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=32, metadata_filter=F.col("source").isin(*HYBRID_SOURCES))
 
 
-ORACLE_CHUNKED_RETRIEVAL = f"""
+def _chunked_retrieval_oracle(src_cte: str,
+                              qtext: str = None,
+                              k: int = 20,
+                              qid: int | None = None) -> str:
+    """Parameterized DuckDB twin of the chunked-retrieval pipeline
+    (round 12 factored it so the churn and batch tiers reuse one
+    body): ``src_cte`` must define ``src(doc_id, text)`` — the
+    (possibly MUTATED) corpus the retrieval runs over; ``qid``
+    non-None prepends a literal query_id column (the batch tier's
+    contract). Geometry is the registry configuration (32-token
+    chunks, stride 24, dim 32)."""
+    qtext = CHUNKED_QUERY_TEXT if qtext is None else qtext
+    qid_sel = "" if qid is None else f"{qid}::BIGINT AS query_id, "
+    return f"""
 WITH src AS (
-  SELECT doc_id, text FROM documents
-  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+  {src_cte}
 ), tok AS (
   SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM src
 ), c AS (
@@ -2791,7 +2803,7 @@ WITH src AS (
   SELECT doc_id, chunk_id, sqrt(sum(s * s)) AS l2
   FROM nz GROUP BY doc_id, chunk_id
 ), qtok AS (
-  SELECT unnest(string_split('{CHUNKED_QUERY_TEXT}', ' ')) AS tk
+  SELECT unnest(string_split('{qtext}', ' ')) AS tk
 ), q AS (
   SELECT ('0x' || substr(md5(tk), 1, 8))::BIGINT % 32 AS idx,
          sum(CASE WHEN ('0x' || substr(md5(tk), 9, 1))::BIGINT % 2 = 0
@@ -2817,12 +2829,19 @@ WITH src AS (
   FROM scored s JOIN pooled p ON s.doc_id = p.doc_id AND s.cos = p.score
   GROUP BY s.doc_id, p.score
 )
-SELECT doc_id, best_chunk_id, round(score, 6) AS score, rank FROM (
+SELECT {qid_sel}doc_id, best_chunk_id, round(score, 6) AS score, rank
+FROM (
   SELECT doc_id, best_chunk_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
   FROM best
-) WHERE rank <= 20
+) WHERE rank <= {k}
 """
+
+
+_CHUNKED_SRC_FILTERED = """SELECT doc_id, text FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')"""
+
+ORACLE_CHUNKED_RETRIEVAL = _chunked_retrieval_oracle(_CHUNKED_SRC_FILTERED)
 
 
 _CHUNK_INDEX_CACHE: dict[str, tuple[tuple, str, str]] = {}
@@ -2844,6 +2863,17 @@ def q_chunked_retrieval_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle hash-gates this query (the hybrid_search_indexed
     discipline); the pruned production probe is overlap-gated in
     pytest and benched separately."""
+    from ..operators import retrieval as rt
+
+    idx = _chunk_index_store(spark, sf_dir)
+    return rt.chunked_retrieval_served(spark, idx, CHUNKED_QUERY_TEXT,
+                                       k=20, n_probe=16, m_chunks=10**6)
+
+
+def _chunk_index_store(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted chunk index over the HYBRID_SOURCES documents —
+    ONE cached setup shared by `chunked_retrieval_served` and
+    `chunked_retrieval_batch` (round 12 factored it out)."""
     import os
 
     from ..operators import retrieval as rt
@@ -2857,11 +2887,117 @@ def q_chunked_retrieval_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk_tokens=32, stride=24, dim=32, n_lists=16)
         return idx
 
-    idx = _fixture_cached_setup(_CHUNK_INDEX_CACHE, sf_dir,
+    return _fixture_cached_setup(_CHUNK_INDEX_CACHE, sf_dir,
+                                 "documents.parquet",
+                                 "sparkgraft_chunk_index_", _build)
+
+
+CHUNKED_QUERY_TEXT_2 = "alpha device narrative quarter signal event"
+
+
+def q_chunked_retrieval_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH serving over the persisted chunk index (round 12 —
+    VERDICT r11 #4): two query texts answered in ONE pruned scan
+    (operators/retrieval.py:chunked_retrieval_served_many) — shared
+    probe lists are listed and scanned once for the whole batch where
+    per-query calls re-scan them per query. Full probe + uncut
+    m_chunks makes each query's rows bit-identical to its single-call
+    twin (pytest-pinned), so the oracle is the UNION of the two
+    single-query oracles with literal query_id columns — the same
+    hash gate, composed. Reuses the served query's cached store."""
+    from ..operators import retrieval as rt
+
+    idx = _chunk_index_store(spark, sf_dir)
+    return rt.chunked_retrieval_served_many(
+        spark, idx, [CHUNKED_QUERY_TEXT, CHUNKED_QUERY_TEXT_2],
+        k=20, n_probe=16, m_chunks=10**6)
+
+
+# each branch is a full WITH-chain, so it unions as a derived table
+ORACLE_CHUNKED_RETRIEVAL_BATCH = (
+    "SELECT * FROM (\n"
+    + _chunked_retrieval_oracle(_CHUNKED_SRC_FILTERED, qid=0)
+    + ")\nUNION ALL\nSELECT * FROM (\n"
+    + _chunked_retrieval_oracle(_CHUNKED_SRC_FILTERED,
+                                qtext=CHUNKED_QUERY_TEXT_2, qid=1)
+    + ")")
+
+
+_CHUNK_CHURN_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+
+def q_chunked_retrieval_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 churn tier under the DuckDB hash gate: a chunk
+    index is built from the documents table's Delta SNAPSHOT
+    (build_chunk_index + bootstrap_cdf_state), the table then takes
+    an UPDATE commit (doc_id % 7 == 2 texts get a distinguishing
+    prefix) and a DELETE commit (% 7 == 3 rows removed), both as
+    MERGE with change-data, and refresh_chunk_index_from_cdf absorbs
+    them — preimages die under doc-level tombstone ticks, postimages
+    re-chunk and re-embed at their commit version
+    (streaming/index_refresh.py:refresh_chunk_index_from_cdf,
+    operators/similarity.py:apply_ivf_tombstones). Full-probe serving
+    over the churned index is bit-identical to the exact brute-force
+    tier over the MUTATED corpus, so the oracle is the shared
+    chunked-retrieval body over a src CTE that applies the same
+    mutation in SQL — the reference's target_lag semantics
+    (/root/reference/README.md:83,117: changed documents re-serve
+    within the lag, no rebuild) under the same hash gate as the
+    insert-only tiers. Setup runs once per process per fixture
+    fingerprint."""
+    import os
+
+    from ..operators import retrieval as rt
+    from ..sources import delta_lite as dl
+    from ..streaming.index_refresh import (bootstrap_cdf_state,
+                                           refresh_chunk_index_from_cdf)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("source").isin(*HYBRID_SOURCES))
+            .select("doc_id", "text"))
+
+    def _build(work: str) -> str:
+        idx = os.path.join(work, "chunkidx")
+        tbl = os.path.join(work, "docs_delta")
+        dl.write_delta(docs, tbl)  # version 0 = the built snapshot
+        rt.build_chunk_index(dl.read_delta(spark, tbl), idx,
+                             chunk_tokens=32, stride=24, dim=32,
+                             n_lists=16)
+        bootstrap_cdf_state(idx + "_cdf_state", 0)
+        upd = (docs.filter(F.col("doc_id") % 7 == 2)
+               .select("doc_id",
+                       F.concat(F.lit("spark fast fast "),
+                                F.col("text")).alias("text")))
+        dl.merge_delta(spark, tbl, upd, on=["doc_id"],
+                       when_matched="update", when_not_matched=None,
+                       change_data=True)  # v1: update
+        dl.merge_delta(spark, tbl, docs.filter(F.col("doc_id") % 7 == 3),
+                       on=["doc_id"], when_matched="delete",
+                       when_not_matched=None, change_data=True)  # v2
+        done = refresh_chunk_index_from_cdf(spark, tbl, idx)
+        if done != [1, 2]:
+            raise RuntimeError(
+                f"chunked_retrieval_churn setup expected commits "
+                f"[1, 2], processed {done}")
+        return idx
+
+    idx = _fixture_cached_setup(_CHUNK_CHURN_CACHE, sf_dir,
                                 "documents.parquet",
-                                "sparkgraft_chunk_index_", _build)
+                                "sparkgraft_chunk_churn_", _build)
     return rt.chunked_retrieval_served(spark, idx, CHUNKED_QUERY_TEXT,
                                        k=20, n_probe=16, m_chunks=10**6)
+
+
+ORACLE_CHUNKED_RETRIEVAL_CHURN = _chunked_retrieval_oracle("""
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN 'spark fast fast ' || text
+              ELSE text END AS text
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3') AND doc_id % 7 <> 3""")
+
+
+# q_eval_export and its oracle live beside q_split_quarantine below
+# (they share the vector split-store fixture and the resolve CTEs).
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3390,13 +3526,22 @@ def q_split_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Setup (store build + the applied increment) runs once per process
     per fixture fingerprint; the store is never mutated after setup,
     so replays hash identically."""
+    return cu.split_store_quarantine(
+        spark, _split_quarantine_store(spark, sf_dir))
+
+
+def _split_quarantine_store(spark: SparkSession, sf_dir: str) -> str:
+    """The vector-keyed sticky split store with an applied cross-split
+    increment — ONE cached setup shared by `split_quarantine` and
+    `eval_export` (round 12 factored it out)."""
     import os
 
     vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pairs = sim.embedding_neardup_pairs_bucketed(vecs, 0.35).select(
-        F.col("id_1").alias("doc_id_1"), F.col("id_2").alias("doc_id_2"))
 
     def _build(work: str) -> str:
+        pairs = sim.embedding_neardup_pairs_bucketed(vecs, 0.35).select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"))
         store = os.path.join(work, "splits")
         cu.build_split_store(
             vecs.filter(F.col("vec_id") % 5 != 0),
@@ -3410,10 +3555,9 @@ def q_split_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      update_store=True)
         return store
 
-    store = _fixture_cached_setup(_SPLIT_QUAR_CACHE, sf_dir,
-                                  "embeddings.parquet",
-                                  "sparkgraft_split_quar_", _build)
-    return cu.split_store_quarantine(spark, store)
+    return _fixture_cached_setup(_SPLIT_QUAR_CACHE, sf_dir,
+                                 "embeddings.parquet",
+                                 "sparkgraft_split_quar_", _build)
 
 
 # exact-cosine vector pairs over ``embeddings`` (the bucketed pair
@@ -3452,6 +3596,56 @@ SELECT doc_id AS vec_id, cluster_id, split,
        (straddling OR cluster_id IN (SELECT cluster_id FROM impl))
          AS quarantined
 FROM inc_final
+"""
+
+
+def q_eval_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine-composed eval-set export (round 12 — VERDICT
+    r11 #6, the operator an actual eval pipeline calls): from the
+    same vector-keyed sticky split store as `split_quarantine` (one
+    cached setup serves both queries), take the split='test' rows,
+    subtract the quarantined neighborhood (straddling docs plus every
+    cluster a cross-split merge implicated — trusting them would
+    score the model on leaked data), and join the survivors against
+    the embeddings corpus (operators/curation.py:export_eval_set).
+    The corpus payload exported here is the embedding's dimension
+    count — a scalar proving the corpus join happened that both
+    engines hash identically. The oracle unrolls the identical
+    two-stage resolution and applies the same subtraction in SQL."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    store = _split_quarantine_store(spark, sf_dir)
+    corpus = vecs.select(
+        "vec_id", F.size("embedding").cast("long").alias("n_dims"))
+    return cu.export_eval_set(spark, store, corpus, split="test")
+
+
+ORACLE_EVAL_EXPORT = _SPLIT_VECTOR_HEAD + _SPLIT_RESOLVE_CTES + f"""
+, inc_final AS (
+  SELECT doc_id, cluster_id,
+         coalesce(gsp,
+           CASE WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 800000
+                THEN 'train'
+                WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 900000
+                THEN 'val' ELSE 'test' END) AS split,
+         straddling
+  FROM resolved
+), impl AS (
+  SELECT DISTINCT cluster_id FROM cn
+  WHERE comp IN (SELECT comp FROM cn
+                 GROUP BY comp HAVING count(DISTINCT split) > 1)
+), quar AS (
+  SELECT doc_id AS vec_id, cluster_id, split,
+         (cluster_id IN (SELECT cluster_id FROM impl)) AS quarantined
+  FROM store_split
+  UNION ALL
+  SELECT doc_id AS vec_id, cluster_id, split,
+         (straddling OR cluster_id IN (SELECT cluster_id FROM impl))
+           AS quarantined
+  FROM inc_final
+)
+SELECT q.vec_id, len(e.embedding)::BIGINT AS n_dims, q.cluster_id
+FROM quar q JOIN embeddings e ON e.vec_id = q.vec_id
+WHERE q.split = 'test' AND NOT q.quarantined
 """
 
 
@@ -3964,9 +4158,12 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_documents": q_chunk_documents,
     "chunked_retrieval": q_chunked_retrieval,
     "chunked_retrieval_served": q_chunked_retrieval_served,
+    "chunked_retrieval_batch": q_chunked_retrieval_batch,
+    "chunked_retrieval_churn": q_chunked_retrieval_churn,
     "leakage_safe_split": q_leakage_safe_split,
     "split_incremental": q_split_incremental,
     "split_quarantine": q_split_quarantine,
+    "eval_export": q_eval_export,
     "vocab_topk": q_vocab_topk,
     "char_lm_score": q_char_lm_score,
     "gopher_filter": q_gopher_filter,
@@ -4031,9 +4228,16 @@ ORACLES: dict[str, str] = {
     # the persisted-index tier at full probe must reproduce the exact
     # brute-force tier bit-for-bit (the hybrid_search_indexed rule)
     "chunked_retrieval_served": ORACLE_CHUNKED_RETRIEVAL,
+    # the batch tier at full probe = the union of its single-query
+    # twins with literal query_id columns (same hash gate, composed)
+    "chunked_retrieval_batch": ORACLE_CHUNKED_RETRIEVAL_BATCH,
+    # the churn tier: served-over-tombstones = the exact body over a
+    # src CTE applying the same update/delete mutation in SQL
+    "chunked_retrieval_churn": ORACLE_CHUNKED_RETRIEVAL_CHURN,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "split_incremental": ORACLE_SPLIT_INCREMENTAL,
     "split_quarantine": ORACLE_SPLIT_QUARANTINE,
+    "eval_export": ORACLE_EVAL_EXPORT,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "char_lm_score": ORACLE_CHAR_LM,
     "gopher_filter": ORACLE_GOPHER_FILTER,

@@ -100,19 +100,61 @@ def refresh_postings(stream_docs: DataFrame, out_path: str,
 
 def write_corpus_stats(docs: DataFrame, stats_path: str, *,
                        text_col: str = "text",
-                       tick: int | None = None) -> None:
+                       tick: int | None = None,
+                       minus: DataFrame | None = None) -> None:
     """Append one (n_docs, sum_dl) delta row for ``docs`` to the
     stats sidecar — THE definition of the sidecar contract (schema +
     whitespace tokenization), shared by the refresh loop, the bench,
     and the tests so no copy can drift. ``tick`` selects the
     idempotent per-tick overwrite dir; None = a one-shot overwrite
-    (batch-built indexes)."""
-    out = (docs.select(F.size(F.split(F.col(text_col), " "))
-                       .cast("long").alias("_dl"))
-           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.sum("_dl").alias("sum_dl")))
+    (batch-built indexes).
+
+    ``minus`` (round 12 — the churn tier) subtracts a commit's DEAD
+    documents: their preimage text carries the exact token counts the
+    original ingest added, so a churn tick's delta row is
+    (+live, -dead) and :func:`corpus_stats_from_sidecar` stays one
+    plain sum — N/avgdl track the mutated corpus exactly with no
+    corpus-wide pass."""
+    def _signed(df: DataFrame, w: int) -> DataFrame:
+        return df.select(
+            F.lit(w).cast("long").alias("_w"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("_dl"))
+
+    rows = _signed(docs, 1)
+    if minus is not None:
+        rows = rows.unionByName(_signed(minus, -1))
+    out = rows.agg(
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("n_docs"),
+        F.sum(F.col("_w") * F.col("_dl")).alias("sum_dl"))
     dst = stats_path if tick is None else f"{stats_path}/tick={tick}"
     out.write.mode("overwrite").parquet(dst)
+
+
+def read_postings(spark, out_path: str) -> DataFrame:
+    """Serve-side read of a refresh-maintained postings index: the
+    (doc_id, term, tf, dl) rows that are LIVE under the
+    ``{out_path}_tombstones`` sidecar (round 12 — a doc whose ingest
+    tick is older than a tombstone for it is dead; the postimage
+    re-ingested at the tombstone's own commit version or later
+    serves). Without a sidecar this is a plain read — the steady
+    state pays nothing. The churn-sized tombstone frame broadcasts;
+    term/bucket pruning applies downstream as before (the liveness
+    join is keyed on doc_id and preserves the ``tb`` partition
+    column when present)."""
+    import os
+
+    posts = spark.read.parquet(out_path)
+    tomb_dir = out_path + "_tombstones"
+    if os.path.isdir(tomb_dir):
+        tomb = (spark.read.parquet(tomb_dir)
+                .groupBy("key")
+                .agg(F.max("tick").cast("long").alias("_tmb")))
+        posts = (posts.join(
+            F.broadcast(tomb), posts["doc_id"] == tomb["key"], "left")
+            .filter(F.col("_tmb").isNull()
+                    | (F.col("_tmb") <= F.col("tick")))
+            .drop("key", "_tmb"))
+    return posts.drop("tick")
 
 
 def corpus_stats_from_sidecar(spark, stats_path: str) -> DataFrame:
@@ -222,6 +264,23 @@ def _ticked_dirs(tick_dirs: list[str],
     return owned
 
 
+def _max_tick_prefix(path: str) -> int:
+    """Newest refresh epoch among an IVF layout's ``tick<N>-``
+    publication files (-1 when none) — the crash-window evidence the
+    CDF-gated maintenance ops compare to the consumed high-water
+    mark."""
+    import os
+    import re
+
+    mx = -1
+    for root, _, files in os.walk(path):
+        for fn in files:
+            m = re.match(r"tick(\d+)-", fn)
+            if m:
+                mx = max(mx, int(m.group(1)))
+    return mx
+
+
 def _require_checkpoint_owns_ticks(checkpoint: str, tick_dirs: list[str],
                                    file_prefix_root: str | None = None) -> None:
     """Refuse to start a refresh whose index already holds tick data
@@ -261,7 +320,14 @@ def _refuse_reingested_docs(batch: DataFrame, out_path: str,
     one tick) at refresh time: join the incoming batch's doc_ids
     against the ``_docs`` sidecar (every prior tick's ids, one thin
     column) and refuse the tick on any hit. The current epoch's own
-    dir is excluded so idempotent at-least-once replays pass."""
+    dir is excluded so idempotent at-least-once replays pass.
+
+    With a ``{out_path}_tombstones`` sidecar (round 12) only LIVE
+    prior ingests count: a doc whose prior tick is older than a
+    tombstone for it is dead, so re-inserting it (an update's
+    postimage, at the tombstone's own commit or later) is legal —
+    the stale postings stay physically present but serve-dead
+    (:func:`read_postings`)."""
     import os
 
     docs_side = out_path + "_docs"
@@ -284,7 +350,17 @@ def _refuse_reingested_docs(batch: DataFrame, out_path: str,
         else:
             return  # brand-new index: nothing ingested yet
     prior = (batch.sparkSession.read.parquet(docs_side)
-             .filter(F.col("tick") != epoch).select("doc_id"))
+             .filter(F.col("tick") != epoch))
+    tomb_dir = out_path + "_tombstones"
+    if os.path.isdir(tomb_dir):
+        tomb = (batch.sparkSession.read.parquet(tomb_dir)
+                .groupBy("key")
+                .agg(F.max("tick").cast("long").alias("_tmb")))
+        prior = (prior.join(
+            F.broadcast(tomb), prior["doc_id"] == tomb["key"], "left")
+            .filter(F.col("_tmb").isNull()
+                    | (F.col("_tmb") <= F.col("tick"))))
+    prior = prior.select("doc_id")
     dups = (batch.select("doc_id").distinct()
             .join(prior, "doc_id").limit(5).collect())
     if dups:
@@ -392,7 +468,21 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
     The tick listing is re-verified immediately before the swap and
     the run aborts (index untouched) if a new tick committed while
     staging was being built — the naive swap would strand that tick
-    in the retired dir and delete it."""
+    in the retired dir and delete it.
+
+    TOMBSTONES (round 12): when the layout carries a churn sidecar
+    (``{path}_tombstones``; for a ``_docs`` sidecar path, the parent
+    index's), the merge PHYSICALLY APPLIES it to the merged range —
+    rows dead under the liveness rule (a tombstone newer than the
+    row's tick) are dropped, and the consolidated dir is named for
+    the NEWEST merged tick (so surviving rows, re-labeled with it,
+    stay on the live side of every tombstone that already let them
+    live; the default oldest-tick name would pull re-ingested rows
+    back behind the tombstone that freed their doc id). The sidecar
+    itself is NOT pruned — entries at or below the merged range are
+    spent and kill nothing, and keeping them preserves correctness
+    for the sibling ``_docs``/postings dir whichever is compacted
+    first; the sidecar is churn-sized, not corpus-sized."""
     import os
     import shutil
 
@@ -406,7 +496,21 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
     merge = ticks[:-keep_ticks]
     if len(merge) <= 1:
         return []
+    tomb_dir = path + "_tombstones"
+    if not os.path.isdir(tomb_dir) and path.endswith("_docs"):
+        tomb_dir = path[:-len("_docs")] + "_tombstones"
     df = spark.read.parquet(path).filter(F.col("tick").isin(merge))
+    merged_tick = merge[0]
+    if os.path.isdir(tomb_dir):
+        tomb = (spark.read.parquet(tomb_dir)
+                .groupBy("key")
+                .agg(F.max("tick").cast("long").alias("_tmb")))
+        df = (df.join(F.broadcast(tomb),
+                      df["doc_id"] == tomb["key"], "left")
+              .filter(F.col("_tmb").isNull()
+                      | (F.col("_tmb") <= F.col("tick")))
+              .drop("key", "_tmb"))
+        merged_tick = merge[-1]
     has_tb = any(
         n.startswith("tb=")
         for n in os.listdir(os.path.join(path, f"tick={merge[0]}")))
@@ -415,7 +519,7 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
     writer = df.drop("tick").write.mode("overwrite")
     if has_tb:
         writer = writer.partitionBy("tb")
-    writer.parquet(os.path.join(root, f"tick={merge[0]}"))
+    writer.parquet(os.path.join(root, f"tick={merged_tick}"))
     # hardlink every SURVIVING entry (kept ticks + any non-tick files)
     # into the staging root so it is the complete next layout
     merged_names = {f"tick={t}" for t in merge}
@@ -461,6 +565,173 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
     os.rename(root, path)
     shutil.rmtree(retired)
     return merge
+
+
+def _rewrite_docids_live(spark, path: str) -> None:
+    """Rewrite the chunk index's ``{path}_docids`` bridge sidecar to
+    its LIVE rows in one consolidated file set (round 12 — the sidecar
+    lifecycle VERDICT r11 #3 flagged: refresh ticks accumulate
+    tick-prefixed files forever, and churn leaves dead mapping rows
+    whose doc ids would be refused for re-insert once the tombstones
+    they die under are cleared). Preserves the bucketed ``_db=``
+    layout (the decode join's directory pruning) and the ``_tick``
+    values of surviving rows (liveness under any remaining tombstone
+    is evaluated against them). Staged write + two renames, same
+    crash discipline as the index swap. No-op when the sidecar does
+    not exist (a plain, non-chunk IVF index)."""
+    import os
+    import shutil
+
+    side = path + "_docids"
+    if not os.path.isdir(side):
+        return
+    rows = spark.read.parquet(side)
+    tomb_dir = path + "_tombstones"
+    if os.path.isdir(tomb_dir):
+        tomb = (spark.read.parquet(tomb_dir)
+                .groupBy("key")
+                .agg(F.max("tick").cast("long").alias("_tmb")))
+        rows = (rows.join(
+            F.broadcast(tomb), rows["_dkey"] == tomb["key"], "left")
+            .filter(F.col("_tmb").isNull()
+                    | (F.col("_tmb") <= F.col("_tick")))
+            .drop("key", "_tmb"))
+    stage, retired = side + "_stage", side + "_retired"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    # localCheckpoint: the staged write's lineage reads the directory
+    # the swap replaces (same discipline as compact_split_store) —
+    # the sidecar is (id, _dkey, _tick) thin rows, doc-count sized
+    (rows.localCheckpoint(eager=True).write.mode("overwrite")
+     .partitionBy("_db").parquet(stage))
+    os.rename(side, retired)
+    os.rename(stage, side)
+    shutil.rmtree(retired)
+
+
+def compact_ivf_index(spark, path: str, *,
+                      checkpoint: str | None = None) -> dict:
+    """OPTIMIZE for a :func:`~..operators.similarity.build_ivf_index`
+    layout maintained by refresh ticks (round 12): rewrite every
+    inverted list to its LIVE rows in consolidated files — physically
+    applying the ``{path}_tombstones`` sidecar, folding the
+    ``tick<N>-`` publication files a tick cadence accumulates, and
+    rewriting the ``{path}_docids`` bridge (chunk indexes) to live
+    rows in one file set per bucket. Unlike
+    :func:`maintain_ivf_index` this does NOT refit the quantizer:
+    rows keep their list assignment, so it is cheap enough for a
+    routine schedule, and the ``_growth`` drift ledger is preserved
+    (appended mass is still appended mass to the frozen quantizer,
+    wherever its bytes live). The ``_radii`` sidecar is recomputed
+    from the surviving rows — deletes can only have SHRUNK each
+    list's true radius, so this tightens the probe bound the
+    max-merge refresh path can only over-state.
+
+    Serving results are IDENTICAL across the compaction
+    (pytest-pinned): dead rows were already serve-invisible, and the
+    rewritten files read as epoch -1 with the spent tombstones
+    cleared. Swap discipline matches the other maintenance ops
+    (staged write, rename old away, rename new in — a crash between
+    the renames leaves ``{path}_compact_old`` next to a missing
+    index, loud and recoverable).
+
+    MUST run with the refresh stopped and its newest tick COMMITTED:
+    a tick in the at-least-once crash window would replay after its
+    rows were folded into un-prefixed files and duplicate them. The
+    guard reads the CDF state sidecar when present, else the
+    streaming ``checkpoint`` (pass it for stream-maintained indexes);
+    an index with tick files but neither source refuses. Returns
+    {rows_before, rows_after, tombstones_applied}."""
+    import json as _json
+    import os
+    import shutil
+
+    from ..operators.similarity import _ivf_radii_frame, apply_ivf_tombstones
+
+    def _tick_files() -> frozenset:
+        out = set()
+        for root, _, files in os.walk(path):
+            for fn in files:
+                if fn.startswith("tick") and fn.endswith(".parquet"):
+                    out.add(os.path.join(os.path.relpath(root, path), fn))
+        return frozenset(out)
+
+    ticked = _tick_files()
+    has_tombs = os.path.isdir(path + "_tombstones")
+    if not ticked and not has_tombs:
+        return {"rows_before": 0, "rows_after": 0,
+                "tombstones_applied": 0}
+    state_path = os.path.join(path + "_cdf_state", "state.json")
+    if ticked:
+        max_tick = _max_tick_prefix(path)
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                hwm = _json.load(f)["last_commit_version"]
+            if max_tick > hwm:
+                raise ValueError(
+                    f"compact_ivf_index refused: tick {max_tick} of "
+                    f"{path} is newer than the consumed high-water "
+                    f"mark {hwm} (a crashed refresh's uncommitted "
+                    f"tick) — folding it would duplicate its rows on "
+                    f"replay. Re-run the refresh, then compact")
+        elif checkpoint is not None:
+            offsets = os.path.join(checkpoint, "offsets")
+            batches = [int(f) for f in os.listdir(offsets)
+                       if f.isdigit()] if os.path.isdir(offsets) else []
+            latest = max(batches, default=-1)
+            if latest < 0 or not os.path.exists(
+                    os.path.join(checkpoint, "commits", str(latest))):
+                raise ValueError(
+                    f"compact_ivf_index refused: streaming batch "
+                    f"{latest} of {checkpoint} is uncommitted (crash "
+                    f"window) — re-run the refresh, then compact")
+        else:
+            raise ValueError(
+                f"compact_ivf_index: {path} holds refresh-tick files "
+                f"but no {state_path}; pass the refresh stream's "
+                f"checkpoint so the crash-window guard can run")
+
+    raw = spark.read.parquet(path)
+    rows_before = raw.count()
+    live = apply_ivf_tombstones(spark, path, raw)
+    if live.isEmpty():
+        raise ValueError(
+            f"compact_ivf_index refused: every row of {path} is "
+            f"tombstone-dead — an empty index cannot serve; rebuild "
+            f"from the source table instead")
+    stage, old = path + "_compact_stage", path + "_compact_old"
+    for d in (stage, stage + "_radii", old, old + "_radii"):
+        shutil.rmtree(d, ignore_errors=True)
+    live.write.mode("overwrite").partitionBy("list_id").parquet(stage)
+    if not os.path.isdir(stage):
+        raise RuntimeError(
+            f"compact_ivf_index requires a driver-visible POSIX index "
+            f"path; {stage} is not readable from the driver")
+    staged = spark.read.option("basePath", stage).parquet(stage)
+    rows_after = staged.count()
+    (_ivf_radii_frame(staged, spark.read.parquet(path + "_centroids"))
+     .coalesce(1).write.mode("overwrite").parquet(stage + "_radii"))
+    # last-moment re-verification (same contract as the other
+    # maintenance swaps): a refresh tick that committed while staging
+    # would be absent from the staged layout — abort, index untouched
+    if _tick_files() != ticked:
+        for d in (stage, stage + "_radii"):
+            shutil.rmtree(d, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_ivf_index aborted: {path} gained refresh ticks "
+            f"while the compacted layout was staging. Stop the "
+            f"refresh stream and re-run — the index was left untouched")
+    for suf in ("", "_radii"):
+        if os.path.isdir(path + suf):
+            os.rename(path + suf, old + suf)
+        os.rename(stage + suf, path + suf)
+    if has_tombs:
+        _rewrite_docids_live(spark, path)
+        shutil.rmtree(path + "_tombstones", ignore_errors=True)
+    for suf in ("", "_radii"):
+        shutil.rmtree(old + suf, ignore_errors=True)
+    return {"rows_before": rows_before, "rows_after": rows_after,
+            "tombstones_applied": rows_before - rows_after}
 
 
 def maintain_ivf_index(spark, path: str, checkpoint: str, *,
@@ -537,35 +808,68 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
     # the checkpoint gate protects only the REBUILD branch: below
     # threshold the function returns False harmlessly whatever the
     # checkpoint state, so a periodic maintenance job keeps running
-    # through the at-least-once crash window instead of erroring
-    offsets = os.path.join(checkpoint, "offsets")
-    batches = [int(f) for f in os.listdir(offsets) if f.isdigit()] \
-        if os.path.isdir(offsets) else []
-    if not batches:
-        raise ValueError(
-            f"maintain_ivf_index: {growth_path} holds appended ticks "
-            f"but checkpoint {checkpoint} is empty — wrong checkpoint "
-            f"path, or the index belongs to a lost refresh lineage")
-    latest = max(batches)
-    if not os.path.exists(os.path.join(checkpoint, "commits", str(latest))):
-        raise ValueError(
-            f"maintain_ivf_index: refresh batch {latest} is "
-            f"uncommitted (crash window) — folding its tick into a "
-            f"rebuild would duplicate it on replay. Re-run the "
-            f"refresh to let the batch replay idempotently, then "
-            f"retry maintenance")
+    # through the at-least-once crash window instead of erroring.
+    # ``checkpoint`` is the refresh lineage's OWN commit evidence:
+    # the streaming loop's checkpoint dir, or (round 12) a CDF
+    # refresher's ``{path}_cdf_state`` root — detected by its
+    # state.json, gated by comparing the newest published tick
+    # prefix to the consumed high-water mark.
+    import json as _json
 
-    def _ckpt_state() -> tuple[frozenset, frozenset]:
-        commits = os.path.join(checkpoint, "commits")
-        return (
-            frozenset(os.listdir(offsets)) if os.path.isdir(offsets)
-            else frozenset(),
-            frozenset(os.listdir(commits)) if os.path.isdir(commits)
-            else frozenset(),
-        )
+    cdf_state = os.path.join(checkpoint, "state.json")
+    offsets = os.path.join(checkpoint, "offsets")
+    if os.path.exists(cdf_state):
+        with open(cdf_state) as f:
+            hwm = _json.load(f)["last_commit_version"]
+        newest = _max_tick_prefix(path)
+        if newest > hwm:
+            raise ValueError(
+                f"maintain_ivf_index: tick {newest} of {path} is newer "
+                f"than the consumed high-water mark {hwm} (a crashed "
+                f"refresh's uncommitted commit) — folding it into a "
+                f"rebuild would duplicate it on replay. Re-run the "
+                f"refresh, then retry maintenance")
+
+        def _ckpt_state():
+            with open(cdf_state) as f:
+                return f.read()
+    else:
+        batches = [int(f) for f in os.listdir(offsets) if f.isdigit()] \
+            if os.path.isdir(offsets) else []
+        if not batches:
+            raise ValueError(
+                f"maintain_ivf_index: {growth_path} holds appended ticks "
+                f"but checkpoint {checkpoint} is empty — wrong checkpoint "
+                f"path, or the index belongs to a lost refresh lineage")
+        latest = max(batches)
+        if not os.path.exists(os.path.join(checkpoint, "commits",
+                                           str(latest))):
+            raise ValueError(
+                f"maintain_ivf_index: refresh batch {latest} is "
+                f"uncommitted (crash window) — folding its tick into a "
+                f"rebuild would duplicate it on replay. Re-run the "
+                f"refresh to let the batch replay idempotently, then "
+                f"retry maintenance")
+
+        def _ckpt_state():
+            commits = os.path.join(checkpoint, "commits")
+            return (
+                frozenset(os.listdir(offsets)) if os.path.isdir(offsets)
+                else frozenset(),
+                frozenset(os.listdir(commits)) if os.path.isdir(commits)
+                else frozenset(),
+            )
+
+    from ..operators.similarity import apply_ivf_tombstones
 
     ckpt_before = _ckpt_state()
-    live = spark.read.parquet(path)
+    # rebuild from LIVE rows only (round 12): a churned index holds
+    # tombstone-dead copies of updated/deleted vectors; folding them
+    # into the rebuild — whose fresh files read as epoch -1 — would
+    # let the surviving tombstones kill the UPDATED copies too. The
+    # rebuild is the physical apply: dead rows are dropped here and
+    # the spent tombstone sidecar is cleared after the swap.
+    live = apply_ivf_tombstones(spark, path, spark.read.parquet(path))
     n_lists = spark.read.parquet(path + "_centroids").count()
     corpus = live.select(id_col, "_v")
     stage = path + "_rebuild"
@@ -607,6 +911,14 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
         if os.path.isdir(path + suf):
             os.rename(path + suf, retired + suf)
         os.rename(stage + suf, path + suf)
+    # spent tombstones: the rebuild folded only live rows, so keeping
+    # the sidecar would re-kill the rebuilt (epoch -1) copies of every
+    # updated key. The _docids bridge is rewritten to live rows FIRST
+    # — with the tombstones gone, a dead doc's stale mapping row would
+    # otherwise count as live again and refuse its own re-insert.
+    if os.path.isdir(path + "_tombstones"):
+        _rewrite_docids_live(spark, path)
+        shutil.rmtree(path + "_tombstones", ignore_errors=True)
     shutil.rmtree(growth_path, ignore_errors=True)
     for suf in ("", "_centroids", "_radii"):
         shutil.rmtree(retired + suf, ignore_errors=True)
@@ -730,7 +1042,8 @@ def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
 def _consume_change_feed(spark, delta_path: str, state_root: str, *,
                          op: str, contract: str,
                          tick_dirs: list[str],
-                         file_prefix_root: str | None = None):
+                         file_prefix_root: str | None = None,
+                         allow_churn: bool = False):
     """Shared CDF scaffolding for the index-from-change-feed
     refreshers: high-water-mark sidecar, lineage-ownership guard,
     maintenance-commit tolerance, and insert-only feed refusal.
@@ -740,6 +1053,13 @@ def _consume_change_feed(spark, delta_path: str, state_root: str, *,
     crash-safe state writer the caller invokes after each commit's
     tick lands. Factored so a protocol fix lands once, not per
     refresher.
+
+    ``allow_churn=True`` (round 12: the three INDEX refreshers)
+    skips the insert-only refusal — the caller absorbs
+    delete/update_preimage rows as tombstone ticks and
+    insert/update_postimage rows as appends. The curation loops keep
+    the refusal: their decision ledgers are append-only audit trails
+    with no tombstone semantics.
 
     Three contracts enforced here:
 
@@ -806,12 +1126,76 @@ def _consume_change_feed(spark, delta_path: str, state_root: str, *,
         advance(-1)  # claim the lineage before the first tick lands
     feed = dl.read_change_feed(spark, delta_path,
                                from_version=hwm + 1, to_version=latest)
-    bad = feed.filter(F.col("_change_type") != "insert").limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"{op}: change feed carries '{bad[0]['_change_type']}' "
-            f"rows — {contract}")
+    if not allow_churn:
+        bad = feed.filter(
+            F.col("_change_type") != "insert").limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"{op}: change feed carries '{bad[0]['_change_type']}' "
+                f"rows — {contract}")
     return feed, versions, advance
+
+
+def bootstrap_cdf_state(state_root: str, version: int) -> None:
+    """Claim a CDF maintenance lineage for an index BUILT from the
+    table's snapshot (round 12): ``build_*_index`` over
+    ``read_delta(tbl)`` at head version V covers commits 0..V, so the
+    refresher must start consuming at V+1 — without this mark its
+    first call would re-ingest the whole snapshot (and the re-ingest
+    guards would refuse it loudly). Write the mark IMMEDIATELY after
+    the build, before any new table commit. ``state_root`` is the
+    refresher's state dir (``{index_path}_cdf_state``); refuses to
+    overwrite an existing lineage."""
+    import json as _json
+    import os
+
+    state_path = os.path.join(state_root, "state.json")
+    if os.path.exists(state_path):
+        raise ValueError(
+            f"{state_root} already holds a CDF lineage; "
+            f"bootstrap_cdf_state is only for a freshly built index")
+    os.makedirs(state_root, exist_ok=True)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"last_commit_version": int(version)}, f)
+    os.replace(tmp, state_path)
+
+
+def _split_churn(feed: DataFrame, version: int) -> tuple[DataFrame, DataFrame]:
+    """One commit's change rows split into (dead, live): rows a churn
+    tick must tombstone (delete / update_preimage — the pre-change
+    copies) and rows it must append (insert / update_postimage).
+    Synthesized feeds (commits without explicit cdc) list a rewritten
+    file's rows as both delete and insert at the same version — the
+    tombstone-at-own-epoch rule keeps the re-appended copy alive, so
+    they absorb correctly, just with rewrite-sized work."""
+    commit = feed.filter(F.col("_commit_version") == version)
+    dead = commit.filter(
+        F.col("_change_type").isin("delete", "update_preimage"))
+    live = commit.filter(
+        F.col("_change_type").isin("insert", "update_postimage"))
+    return dead, live
+
+
+def _write_tombstone_tick(keys: DataFrame, path: str, epoch: int) -> bool:
+    """Publish one commit's dead keys as ``{path}_tombstones/tick=N``
+    (round 12 — the churn tier's sidecar): per-tick overwrite, so an
+    at-least-once replay replaces its own tick instead of appending
+    duplicates (duplicates would be harmless for the max-tick
+    liveness rule, but the idempotence discipline is uniform across
+    every sidecar). The single column is named ``key`` whatever the
+    index id column is called — the liveness filter
+    (:func:`~..operators.similarity.apply_ivf_tombstones`,
+    :func:`read_postings`) joins it against the layout's own key
+    expression. Returns True iff the tick held any dead key (an
+    insert-only commit writes nothing — the steady state stays
+    sidecar-free and filter-free)."""
+    dead = keys.toDF("key").distinct()
+    if dead.isEmpty():
+        return False
+    _require_tick_layout(path + "_tombstones")
+    dead.write.mode("overwrite").parquet(f"{path}_tombstones/tick={epoch}")
+    return True
 
 
 def refresh_ivf_from_cdf(spark, delta_path: str, path: str, *,
@@ -826,10 +1210,25 @@ def refresh_ivf_from_cdf(spark, delta_path: str, path: str, *,
     unchanged). A ``{path}_cdf_state`` sidecar holds the consumed
     high-water mark, advanced only after the commit's tick landed —
     a crash in between replays the commit idempotently (same epoch,
-    same tick-stamped names). Update/delete feeds refuse loudly: the
-    index holds one row per vector id; absorbing a changed vector
-    would leave the stale one serving. Returns the commit versions
-    ingested.
+    same tick-stamped names).
+
+    CHURN is absorbed (round 12 — r11's loop refused update/delete
+    feeds, so one changed vector forced a full rebuild; the
+    reference's search service keeps serving changed rows within
+    target_lag, /root/reference/README.md:83,117): a commit's
+    delete/update_preimage ids land as a ``{path}_tombstones`` tick
+    and its insert/update_postimage vectors append as before. Serving
+    filters dead rows by the newer-tombstone rule
+    (:func:`~..operators.similarity.apply_ivf_tombstones`) — the
+    updated copy, re-appended at the tombstone's own commit version,
+    survives while every older copy dies. Tombstones are physically
+    applied by :func:`compact_ivf_index` or the next
+    :func:`maintain_ivf_index` rebuild. The ``_radii`` sidecar only
+    max-merges, so after deletes it over-states (probe fan-out grows,
+    exactness never breaks) until a rebuild/compaction recomputes it;
+    likewise ``_growth`` keeps counting appended mass, so the rebuild
+    trigger fires conservatively early under churn. Returns the
+    commit versions ingested.
 
     Drive an index from exactly ONE maintenance source: stream OR
     change feed. The streaming loop's lost-checkpoint guard refuses to
@@ -840,15 +1239,14 @@ def refresh_ivf_from_cdf(spark, delta_path: str, path: str, *,
     (foreachBatch epochs vs Delta commit versions)."""
     feed, versions, advance = _consume_change_feed(
         spark, delta_path, path + "_cdf_state",
-        op="refresh_ivf_from_cdf",
-        contract=("the index holds one row per vector id and cannot "
-                  "absorb updates; rebuild (maintain_ivf_index / "
-                  "build_ivf_index) after changes"),
-        tick_dirs=[path + "_growth"], file_prefix_root=path)
+        op="refresh_ivf_from_cdf", contract="",
+        tick_dirs=[path + "_growth"], file_prefix_root=path,
+        allow_churn=True)
     for v in versions:
-        batch = (feed.filter(F.col("_commit_version") == v)
-                 .select(id_col, vec_col))
-        _ivf_append_batch(batch, path, v, id_col=id_col, vec_col=vec_col)
+        dead, live = _split_churn(feed, v)
+        _write_tombstone_tick(dead.select(id_col), path, v)
+        _ivf_append_batch(live.select(id_col, vec_col), path, v,
+                          id_col=id_col, vec_col=vec_col)
         advance(v)
     return versions
 
@@ -896,9 +1294,7 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
 
     Mechanics: a ``{out_path}_cdf_state`` sidecar holds the last
     consumed ``_commit_version`` (the incremental high-water mark);
-    each call reads ``read_change_feed(from_version=hwm+1)``, refuses
-    updates/deletes (the postings layout is append-only — a changed
-    document needs a rebuild, exactly the `_docs` contract), and
+    each call reads ``read_change_feed(from_version=hwm+1)`` and
     appends one ``tick=<commit_version>`` dir per commit — the SAME
     layout (and idempotency/uniqueness guards) as the streaming
     refresh, so serving, compaction, and the sidecar stats all apply
@@ -906,19 +1302,34 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
     date). Crash-safe: the state sidecar is advanced only after a
     commit's tick (and its ``_stats``/``_docs`` rows) landed; a crash
     in between replays the commit into the same tick dir
-    idempotently."""
+    idempotently.
+
+    CHURN is absorbed (round 12 — previously update/delete feeds
+    refused and a changed document forced a rebuild; the reference's
+    search service re-serves changed rows within target_lag,
+    /root/reference/README.md:83,117): a commit's dead rows
+    (delete / update_preimage) land as a ``{out_path}_tombstones``
+    tick plus a NEGATIVE ``_stats`` contribution computed from their
+    preimage text (so N/avgdl track the mutated corpus with one
+    sidecar sum), and the live rows (insert / update_postimage)
+    append as before — the re-ingest guard admits a postimage whose
+    prior ingest is tombstone-dead. Serve through
+    :func:`read_postings`, which drops rows older than a tombstone
+    for their doc; the stale postings are physically dropped when
+    :func:`compact_index_ticks` folds their tick range."""
     feed, versions, advance = _consume_change_feed(
         spark, delta_path, out_path + "_cdf_state",
-        op="refresh_postings_from_cdf",
-        contract=("the postings layout is append-only (see "
-                  "_refuse_reingested_docs); rebuild the index after "
-                  "updates/deletes"),
-        tick_dirs=[out_path, out_path + "_stats", out_path + "_docs"])
+        op="refresh_postings_from_cdf", contract="",
+        tick_dirs=[out_path, out_path + "_stats", out_path + "_docs"],
+        allow_churn=True)
     for v in versions:
-        batch = (feed.filter(F.col("_commit_version") == v)
-                 .select("doc_id", "text"))
+        dead, live = _split_churn(feed, v)
+        batch = live.select("doc_id", "text")
+        dead = dead.select("doc_id", "text")
         _require_tick_layout(out_path)
         _require_tick_layout(out_path + "_stats")
+        had_dead = _write_tombstone_tick(dead.select("doc_id"),
+                                         out_path, v)
         _refuse_reingested_docs(batch, out_path, v)
         post = postings_stream(batch)
         tick = f"{out_path}/tick={v}"
@@ -927,7 +1338,8 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
              .partitionBy("tb").parquet(tick))
         else:
             post.write.mode("overwrite").parquet(tick)
-        write_corpus_stats(batch, out_path + "_stats", tick=v)
+        write_corpus_stats(batch, out_path + "_stats", tick=v,
+                           minus=dead if had_dead else None)
         (batch.select("doc_id").distinct().write.mode("overwrite")
          .parquet(f"{out_path}_docs/tick={v}"))
         advance(v)
@@ -947,15 +1359,17 @@ def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
     under the same tick-prefix discipline — an at-least-once replay
     of the same epoch overwrites itself everywhere.
 
-    Guards, in order: re-ingest (a doc id already in the sidecar
+    Guards, in order: re-ingest (a doc id already LIVE in the sidecar
     from ANOTHER tick refuses loudly — a re-inserted document would
     duplicate every one of its chunks; this epoch's own rows are
-    replay-tolerant), the identity bridge's id-domain check
-    (non-negative, composite key inside int64), and the hash
-    bridge's collision checks (in-batch distinct counts plus a
-    ``_dkey`` join against the stored mapping — any match is a
-    cross-increment collision, since equal ids were already
-    refused)."""
+    replay-tolerant, and a doc whose prior ingest is tombstone-dead
+    is legal to re-insert: that IS the update path, round 12), the
+    identity bridge's id-domain check (non-negative, composite key
+    inside int64), and the hash bridge's collision checks (in-batch
+    distinct counts plus a ``_dkey`` join against the stored mapping
+    where the stored id DIFFERS — an equal id re-keying itself is
+    the update path, but a different id reusing a ``_dkey``, live or
+    dead, would make the decode join attribute hits to both)."""
     import contextlib
     import os
     import shutil
@@ -967,16 +1381,28 @@ def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
         return  # replay-idempotent, same as _ivf_append_batch
     known = (spark.read.parquet(path + "_docids")
              .filter(F.col("_tick") != epoch))
+    live_known = known
+    tomb_dir = path + "_tombstones"
+    if os.path.isdir(tomb_dir):
+        tomb = (spark.read.parquet(tomb_dir)
+                .groupBy("key")
+                .agg(F.max("tick").cast("long").alias("_tmb")))
+        live_known = (known.join(
+            F.broadcast(tomb), known["_dkey"] == tomb["key"], "left")
+            .filter(F.col("_tmb").isNull()
+                    | (F.col("_tmb") <= F.col("_tick")))
+            .drop("key", "_tmb"))
     dup = (batch.select(id_col).distinct()
-           .join(known.select(id_col), id_col, "left_semi")
+           .join(live_known.select(id_col), id_col, "left_semi")
            .limit(1).collect())
     if dup:
         raise ValueError(
             f"refresh_chunk_index_from_cdf: commit {epoch} re-inserts "
-            f"document {dup[0][0]!r} already present in the chunk "
-            f"index — the layout is append-only (a re-ingested doc "
-            f"would duplicate its chunks); rebuild via "
-            f"build_chunk_index after changes")
+            f"document {dup[0][0]!r} already live in the chunk "
+            f"index — a re-ingested doc would duplicate its chunks; "
+            f"feed changes as update/delete commits (tombstoned and "
+            f"re-served within the tick) or rebuild via "
+            f"build_chunk_index")
     if meta["id_bridge"] == "identity":
         lo, hi = batch.agg(F.min(id_col), F.max(id_col)).first()
         if lo is None or lo < 0 or hi > (1 << 63) // scale - 1:
@@ -993,9 +1419,15 @@ def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
                             F.lit(rt._DOC_KEY_SPACE)))
         n_ids, n_keys = keyed.agg(
             F.countDistinct(id_col), F.countDistinct("_dkey")).first()
+        # clash = a DIFFERENT stored id (any tick, live or dead —
+        # dead mapping rows still poison the decode join) reusing an
+        # incoming _dkey; an equal id is the update path, already
+        # vetted by the liveness guard above
         clash = None if n_ids != n_keys else (
-            keyed.select("_dkey")
-            .join(known.select("_dkey"), "_dkey").limit(1).collect())
+            keyed.select("_dkey", F.col(id_col).alias("_bid"))
+            .join(known.select("_dkey", F.col(id_col).alias("_kid")),
+                  "_dkey")
+            .filter(F.col("_bid") != F.col("_kid")).limit(1).collect())
         if n_ids != n_keys or clash:
             raise ValueError(
                 f"refresh_chunk_index_from_cdf: commit {epoch} "
@@ -1055,22 +1487,36 @@ def refresh_chunk_index_from_cdf(spark, delta_path: str,
     Protocol is identical to :func:`refresh_ivf_from_cdf` (same
     ``_consume_change_feed`` scaffolding): ``{path}_cdf_state``
     high-water mark advanced only after the commit's tick landed,
-    maintenance-commit tolerance, insert-only contract, ownership
-    guard against a second maintenance lineage. Returns the commit
-    versions ingested ([] = up to date)."""
-    from ..operators.retrieval import _read_chunk_meta
+    maintenance-commit tolerance, ownership guard against a second
+    maintenance lineage. Returns the commit versions ingested
+    ([] = up to date).
+
+    CHURN is absorbed (round 12): a commit's delete/update_preimage
+    doc ids map through the store's OWN bridge to ``_dkey`` and land
+    as a ``{path}_tombstones`` tick — ONE doc-level tombstone kills
+    every chunk of the dead version (the serve filter decodes each
+    hit's ``vec_id div chunk_key_scale``); the postimage re-chunks
+    and re-embeds at the same commit version and serves from the
+    very next query. An index built from the table's SNAPSHOT (the
+    ``build_chunk_index`` + :func:`bootstrap_cdf_state` flow) starts
+    consuming at the snapshot version + 1."""
+    from ..operators.retrieval import _DOC_KEY_SPACE, _read_chunk_meta
 
     meta = _read_chunk_meta(path)
+    id_col = meta["id_col"]
     feed, versions, advance = _consume_change_feed(
         spark, delta_path, path + "_cdf_state",
-        op="refresh_chunk_index_from_cdf",
-        contract=("the chunk index holds one row per (doc, chunk) and "
-                  "cannot absorb updates; rebuild (build_chunk_index) "
-                  "after changes"),
-        tick_dirs=[path + "_growth"], file_prefix_root=path)
+        op="refresh_chunk_index_from_cdf", contract="",
+        tick_dirs=[path + "_growth"], file_prefix_root=path,
+        allow_churn=True)
+    if meta["id_bridge"] == "identity":
+        dkey = F.col(id_col).cast("long")
+    else:
+        dkey = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_DOC_KEY_SPACE))
     for v in versions:
-        batch = (feed.filter(F.col("_commit_version") == v)
-                 .select(meta["id_col"], meta["text_col"]))
-        _chunk_index_append_batch(spark, batch, path, v, meta)
+        dead, live = _split_churn(feed, v)
+        _write_tombstone_tick(dead.select(dkey.alias("k")), path, v)
+        _chunk_index_append_batch(
+            spark, live.select(id_col, meta["text_col"]), path, v, meta)
         advance(v)
     return versions

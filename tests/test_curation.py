@@ -629,20 +629,59 @@ def test_split_store_lifecycle_quarantine_and_compaction(spark, tmp_path):
 
     rows_before = sorted(tuple(r) for r in
                          spark.read.parquet(store).collect())
+    # a replay of increment 1 appends duplicate straddle rows — the
+    # round-12 compaction target
+    cu.assign_splits_incremental(spark, inc1, store, inc1_pairs).collect()
+    straddle_rows = spark.read.parquet(store + "_straddle").count()
+    assert straddle_rows > 2        # duplicates accumulated
     n_files = len(glob.glob(os.path.join(store, "*.parquet")))
-    assert n_files >= 3             # build + two increments
+    assert n_files >= 3             # build + increments (+ replay)
     stats = cu.compact_split_store(spark, store)
     assert stats["files_before"] == n_files and stats["files_after"] == 1
     assert sorted(tuple(r) for r in
                   spark.read.parquet(store).collect()) == rows_before
     assert {r["doc_id"]: r["quarantined"] for r in
             cu.split_store_quarantine(spark, store).collect()} == q2
+    # straddle sidecar collapsed to its distinct cluster set, one file
+    assert sorted(r["cluster_id"] for r in
+                  spark.read.parquet(store + "_straddle").collect()) \
+        == [1, 4]
+    assert len(glob.glob(os.path.join(store + "_straddle",
+                                      "*.parquet"))) == 1
     # replay of increment 2 against the compacted store converges
     n_store = spark.read.parquet(store).count()
     out = {r["doc_id"]: r for r in cu.assign_splits_incremental(
         spark, inc2, store, inc2_pairs).collect()}
     assert out[200]["split"] == "test" and out[200]["cluster_id"] == 4
     assert spark.read.parquet(store).count() == n_store
+
+    # the quarantine verdict's consumer (round 12 — VERDICT r11 #6):
+    # eval export = test-split rows minus the quarantined
+    # neighborhood, joined against the corpus; keep_flags subtracts
+    # non-representatives on top
+    corpus = spark.createDataFrame(
+        [(i, f"text-{i}") for i in list(range(1, 14)) + [20, 21, 100, 200]],
+        "doc_id long, text string")
+    exp = cu.export_eval_set(spark, store, corpus)
+    got = {r["doc_id"]: r for r in exp.collect()}
+    # cluster B (test) is implicated -> quarantined; the only test
+    # rows left are whichever unclustered singletons hashed to test
+    expected = {d for d, q in ({r["doc_id"]: (r["split"], r["quarantined"])
+                for r in cu.split_store_quarantine(
+                    spark, store).collect()}).items()
+                if q[0] == "test" and not q[1]}
+    assert set(got) == expected
+    assert all(got[d]["text"] == f"text-{d}" for d in got)  # corpus cols
+    if expected:
+        keep = spark.createDataFrame(
+            [(d, d == min(expected)) for d in expected],
+            "doc_id long, keep boolean")
+        kept = cu.export_eval_set(spark, store, corpus, keep_flags=keep)
+        assert {r["doc_id"] for r in kept.collect()} == {min(expected)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lacks the store's id"):
+        cu.export_eval_set(spark, store, corpus.select(
+            F.col("doc_id").alias("other"), "text"))
 
 
 def test_capped_pairs_compose_with_keep_and_split(spark):

@@ -627,8 +627,10 @@ def test_postings_refresh_from_delta_change_feed(spark, tmp_path):
     table and the BM25 index maintains itself from the table's change
     feed — per-commit ticks in the SAME layout as the streaming
     refresh (serving, stats, uniqueness guard all shared), a
-    high-water-mark sidecar for incremental consumption, and a loud
-    refusal on update/delete feeds (append-only postings)."""
+    high-water-mark sidecar for incremental consumption, and (round
+    12) CHURN absorption: an update commit tombstones the preimage
+    and re-ingests the postimage, and read_postings + the sidecar
+    stats serve the MUTATED corpus exactly."""
     from snowflake_medtech_vigilance_lakehouse_spark.sources import (
         delta_lite as dl)
     from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
@@ -654,14 +656,45 @@ def test_postings_refresh_from_delta_change_feed(spark, tmp_path):
         dl.read_delta(spark, tbl), ("spark", "merge")).collect()}
     assert from_index == batch
 
-    # an update in the feed (MERGE with CDF) refuses the refresh: the
-    # append-only layout cannot absorb changed documents
+    # an update in the feed (MERGE with CDF) is ABSORBED (round 12):
+    # the preimage lands as a tombstone tick + negative stats delta,
+    # the postimage re-ingests, and the live view serves the mutated
+    # corpus — bit-identical to a batch rescan of the table head
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        read_postings)
+
     src = spark.createDataFrame([(1, "totally new words")],
                                 "doc_id long, text string")
     dl.merge_delta(spark, tbl, src, on=["doc_id"], when_matched="update",
                    when_not_matched=None, change_data=True)
-    with pytest.raises(ValueError, match="append-only"):
-        refresh_postings_from_cdf(spark, tbl, idx)
+    assert refresh_postings_from_cdf(spark, tbl, idx) == [2]
+    # and a delete commit tombstones without re-ingest
+    dl.merge_delta(spark, tbl, spark.createDataFrame(
+        [(2, "x")], "doc_id long, text string"), on=["doc_id"],
+        when_matched="delete", when_not_matched=None, change_data=True)
+    assert refresh_postings_from_cdf(spark, tbl, idx) == [3]
+
+    live = read_postings(spark, idx)
+    from_index = {r["doc_id"]: r["bm25"] for r in bm25_from_postings(
+        live, ("spark", "new"),
+        doc_stats=corpus_stats_from_sidecar(
+            spark, idx + "_stats")).collect()}
+    batch = {r["doc_id"]: r["bm25"] for r in bm25_scores(
+        dl.read_delta(spark, tbl), ("spark", "new")).collect()}
+    assert from_index == batch
+    # the updated doc scores for its NEW terms only, the deleted doc
+    # for none
+    assert 1 in {r["doc_id"] for r in bm25_from_postings(
+        live, ("new",), doc_stats=corpus_stats_from_sidecar(
+            spark, idx + "_stats")).collect()}
+    assert 2 not in from_index
+    # sidecar stats track the mutated corpus exactly (one plain sum)
+    n_docs, avgdl = corpus_stats_from_sidecar(
+        spark, idx + "_stats").first()
+    head = dl.read_delta(spark, tbl)
+    assert n_docs == head.count()
+    assert avgdl == pytest.approx(head.select(
+        F.avg(F.size(F.split("text", " ")))).first()[0])
 
 
 def test_ivf_refresh_from_delta_change_feed(spark, tmp_path):
@@ -669,8 +702,10 @@ def test_ivf_refresh_from_delta_change_feed(spark, tmp_path):
     is a Delta table; each commit's insert rows append into the
     frozen-quantizer IVF layout (growth sidecar included, so
     rebuild-on-evidence applies unchanged), served immediately by
-    knn_ivf_indexed. Update feeds refuse; the high-water mark makes
-    reruns no-ops."""
+    knn_ivf_indexed. Update feeds are ABSORBED (round 12): the
+    preimage vector dies under a tombstone tick, the postimage
+    re-appends at the same commit version and serves; the high-water
+    mark makes reruns no-ops."""
     from snowflake_medtech_vigilance_lakehouse_spark.operators import similarity as sim
     from snowflake_medtech_vigilance_lakehouse_spark.sources import (
         delta_lite as dl)
@@ -703,13 +738,38 @@ def test_ivf_refresh_from_delta_change_feed(spark, tmp_path):
     top = sim.knn_ivf_indexed(spark, idx, q, k=3, n_probe=4).collect()
     assert {r["neighbor_id"] for r in top} >= {777001, 777002}
 
-    # update feed refuses (the index cannot absorb changed vectors)
+    # an update feed is ABSORBED (round 12): 777001 moves to the
+    # opposite of base — its old copy at base dies under the
+    # tombstone, the new copy re-appends at the same commit version
+    # and serves from the next query
+    moved = [-float(x) for x in base]
     dl.merge_delta(spark, tbl, spark.createDataFrame(
-        [(777001, [0.0] * len(base))], "vec_id long, embedding array<float>"),
+        [(777001, moved)], "vec_id long, embedding array<float>"),
         on=["vec_id"], when_matched="update", when_not_matched=None,
         change_data=True)
-    with pytest.raises(ValueError, match="cannot absorb"):
-        refresh_ivf_from_cdf(spark, tbl, idx)
+    assert refresh_ivf_from_cdf(spark, tbl, idx) == [2]
+    top = sim.knn_ivf_indexed(spark, idx, q, k=2, n_probe=4).collect()
+    assert {r["neighbor_id"] for r in top} == {777002, 0}  # not 777001
+    anti = sim.knn_ivf_indexed(
+        spark, idx, [(998, moved)], k=1, n_probe=4).collect()
+    assert anti[0]["neighbor_id"] == 777001  # the UPDATED copy serves
+
+    # a delete feed tombstones without re-append; full-probe serving
+    # now equals brute force over the mutated corpus
+    dl.merge_delta(spark, tbl, spark.createDataFrame(
+        [(777002, list(base))], "vec_id long, embedding array<float>"),
+        on=["vec_id"], when_matched="delete", when_not_matched=None,
+        change_data=True)
+    assert refresh_ivf_from_cdf(spark, tbl, idx) == [3]
+    mutated = emb.unionByName(spark.createDataFrame(
+        [(777001, moved)], "vec_id long, embedding array<float>"))
+    served = sim.knn_ivf_indexed(spark, idx, q, k=5, n_probe=4)
+    exact = sim.knn_bruteforce(
+        mutated, spark.createDataFrame(
+            [(999, [float(x) for x in base])],
+            "vec_id long, embedding array<double>"), k=5)
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, exact.collect()))
 
 
 def test_cdf_refresh_tolerates_maintenance_commits(spark, tmp_path):

@@ -480,3 +480,60 @@ def test_chunk_tiers_bridge_string_and_negative_ids(spark, tmp_path):
         ndocs, q, n_lists=4, n_probe=4, m_chunks=10**6, **kw).collect())
     assert n_ann == n_exact
     assert any(t[0] < 0 for t in n_exact)
+
+
+def test_chunked_retrieval_served_many_equals_singles(spark, tmp_path):
+    """Batch serving (round 12 — VERDICT r11 #4): N query texts in
+    one pruned scan reproduce N single chunked_retrieval_served calls
+    EXACTLY, per query — identical rows, scores, ranks — through both
+    id bridges, with m_chunks cuts and allowed_ids applied per
+    query."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        retrieval as rt)
+
+    words = ["alpha", "beta", "gamma", "delta", "spark", "join",
+             "merge", "window", "scan", "fast"]
+    texts = ["spark join merge fast", "alpha beta gamma",
+             "window scan agg", "", "spark spark spark"]
+
+    for id_type, mk in (("long", lambda i: i),
+                        ("string", lambda i: f"doc-{i:03d}")):
+        rows = [(mk(i), " ".join(words[(i + j) % len(words)]
+                                 for j in range(20 + i % 13)))
+                for i in range(60)]
+        docs = spark.createDataFrame(rows, f"doc_id {id_type}, text string")
+        idx = str(tmp_path / f"idx_{id_type}")
+        rt.build_chunk_index(docs, idx, chunk_tokens=8, stride=6,
+                             dim=16, n_lists=4)
+        for kw in (dict(k=7, n_probe=4, m_chunks=10**4),
+                   dict(k=7, n_probe=2, m_chunks=25)):
+            batch = rt.chunked_retrieval_served_many(
+                spark, idx, texts, **kw).collect()
+            for qi, text in enumerate(texts):
+                single = sorted(tuple(r) for r in rt.chunked_retrieval_served(
+                    spark, idx, text, **kw).collect())
+                got = sorted(tuple(r)[1:] for r in batch
+                             if r["query_id"] == qi)
+                assert got == single, (id_type, kw, qi)
+
+    # allowed_ids applies per query over the unioned hit set
+    allowed = spark.createDataFrame([(i,) for i in range(0, 60, 2)],
+                                    "doc_id long")
+    idx = str(tmp_path / "idx_long")
+    batch = rt.chunked_retrieval_served_many(
+        spark, idx, texts, k=7, n_probe=4, m_chunks=10**4,
+        allowed_ids=allowed).collect()
+    assert all(r["doc_id"] % 2 == 0 for r in batch)
+    for qi, text in enumerate(texts):
+        single = sorted(tuple(r) for r in rt.chunked_retrieval_served(
+            spark, idx, text, k=7, n_probe=4, m_chunks=10**4,
+            allowed_ids=allowed).collect())
+        got = sorted(tuple(r)[1:] for r in batch if r["query_id"] == qi)
+        assert got == single
+
+    # the driver-hit cap guards the hash-bridge decode collect
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_driver_hits"):
+        rt.chunked_retrieval_served_many(
+            spark, str(tmp_path / "idx_string"), texts, k=7,
+            m_chunks=20000, max_driver_hits=65536)

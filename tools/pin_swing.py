@@ -19,10 +19,18 @@ Usage:
 
 Each trial prints min-of-REPS (default 3, SPARK_GRAFT_BENCH_REPS) for
 one checkout; the verdict compares per-checkout medians-of-mins.
+Round-12 ADVICE fixes: argparse (the hand-rolled filter corrupted
+positionals when --json's value collided with one, and a trailing
+--json crashed), and the warm-up is one UNTIMED execution of the
+query itself — warming exactly the fixtures and code paths the timed
+reps touch, the way bench.py's calibration discipline does, instead
+of a documents-only table scan that left other fixtures cold in the
+first rep.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -40,11 +48,12 @@ from snowflake_medtech_vigilance_lakehouse_spark.session import get_spark
 import __spark_entry__ as se
 spark = get_spark("pin-swing")
 spark.sparkContext.setLogLevel("ERROR")
-for t in ("documents",):
-    spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 qs = se.queries()
 df = qs[query](spark, sf_dir)
+# one untimed execution warms the exact fixtures + code paths the
+# timed reps will touch (not just the documents table)
+df.write.format("noop").mode("overwrite").save()
 spark.sparkContext._jvm.System.gc()
 best = float("inf")
 for _ in range(reps):
@@ -68,29 +77,33 @@ def _one_trial(root: str, query: str, sf_dir: str) -> float:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out_path = None
-    if "--json" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--json") + 1]
-        args = [a for a in args if a != out_path]
-    query, sf_dir, root_a, root_b = args[:4]
-    trials = int(args[4]) if len(args) > 4 else 4
+    p = argparse.ArgumentParser(
+        description="Same-epoch interleaved A/B timing of one registry "
+                    "query across two checkouts")
+    p.add_argument("query")
+    p.add_argument("sf_dir")
+    p.add_argument("root_a")
+    p.add_argument("root_b")
+    p.add_argument("trials", nargs="?", type=int, default=4)
+    p.add_argument("--json", dest="out_path", default=None,
+                   metavar="OUT", help="also write the summary JSON here")
+    a = p.parse_args()
 
-    results: dict[str, list[float]] = {root_a: [], root_b: []}
-    for i in range(trials):
-        for root in (root_a, root_b):  # interleaved: same epoch for both
-            t = _one_trial(root, query, sf_dir)
+    results: dict[str, list[float]] = {a.root_a: [], a.root_b: []}
+    for i in range(a.trials):
+        for root in (a.root_a, a.root_b):  # interleaved: same epoch
+            t = _one_trial(root, a.query, a.sf_dir)
             results[root].append(t)
             print(f"[trial {i}] {os.path.basename(root) or root}: {t:.3f} s",
                   flush=True)
 
     med = {r: statistics.median(v) for r, v in results.items()}
-    ratio = med[root_b] / med[root_a] if med[root_a] else float("inf")
+    ratio = med[a.root_b] / med[a.root_a] if med[a.root_a] else float("inf")
     verdict = ("SAME-EPOCH GAP REPRODUCES — cause is in the diff"
                if ratio > 1.15 or ratio < 1 / 1.15
                else "no same-epoch gap — prior sweep delta was epoch noise")
     summary = {
-        "query": query, "sf_dir": sf_dir, "trials": trials,
+        "query": a.query, "sf_dir": a.sf_dir, "trials": a.trials,
         "load_1min": round(os.getloadavg()[0], 2),
         "results": {r: [round(x, 3) for x in v] for r, v in results.items()},
         "medians": {r: round(m, 3) for r, m in med.items()},
@@ -98,8 +111,8 @@ def main() -> None:
         "verdict": verdict,
     }
     print(json.dumps(summary, indent=1))
-    if out_path:
-        with open(out_path, "w") as f:
+    if a.out_path:
+        with open(a.out_path, "w") as f:
             json.dump(summary, f, indent=1)
 
 
