@@ -609,6 +609,45 @@ def _rewrite_docids_live(spark, path: str) -> None:
     shutil.rmtree(retired)
 
 
+def prune_spent_tombstones(spark, out_path: str) -> list[int]:
+    """Drop tombstone ticks that can no longer kill anything (round
+    12 — the postings layout's tombstones are deliberately NOT pruned
+    by :func:`compact_index_ticks`, because a tombstone spent for the
+    postings dir may still govern the ``_docs`` sidecar until IT is
+    compacted too). A tombstone at tick T kills rows with tick < T;
+    once BOTH the postings dir and the ``_docs`` sidecar have been
+    compacted past T (their oldest surviving tick >= T), T is fully
+    spent — run this after compacting both. Returns the pruned tick
+    ids ([] = nothing prunable). Driver-side directory arithmetic
+    only; the ``spark`` arg is unused but kept for maintenance-op
+    signature uniformity."""
+    import os
+    import shutil
+
+    tomb_dir = out_path + "_tombstones"
+    if not os.path.isdir(tomb_dir):
+        return []
+
+    def _min_tick(d: str) -> int | None:
+        ticks = [int(n.split("=", 1)[1]) for n in os.listdir(d)
+                 if n.startswith("tick=")]
+        return min(ticks) if ticks else None
+
+    floors = [t for t in (_min_tick(out_path),
+                          _min_tick(out_path + "_docs")) if t is not None]
+    if not floors:
+        return []
+    floor = min(floors)
+    pruned = []
+    for n in sorted(os.listdir(tomb_dir)):
+        if n.startswith("tick=") and int(n.split("=", 1)[1]) <= floor:
+            shutil.rmtree(os.path.join(tomb_dir, n))
+            pruned.append(int(n.split("=", 1)[1]))
+    if not any(n.startswith("tick=") for n in os.listdir(tomb_dir)):
+        shutil.rmtree(tomb_dir)
+    return pruned
+
+
 def compact_ivf_index(spark, path: str, *,
                       checkpoint: str | None = None) -> dict:
     """OPTIMIZE for a :func:`~..operators.similarity.build_ivf_index`

@@ -265,6 +265,15 @@ def test_compact_index_ticks_applies_postings_tombstones(spark, tmp_path):
     compact_index_ticks(spark, idx + "_docs", keep_ticks=1)
     compact_index_ticks(spark, idx + "_stats", keep_ticks=1)
     assert _scores() == before
+    # tombstones spent for BOTH the postings dir and the _docs
+    # sidecar (oldest surviving tick >= their tick) prune away;
+    # the delete commit's (tick 3, above the floor) stays —
+    # conservative until the next cycle — and results are unchanged
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        prune_spent_tombstones)
+    assert prune_spent_tombstones(spark, idx) == [2]
+    assert os.path.isdir(idx + "_tombstones")  # tick=3 survives
+    assert _scores() == before
 
     # guard behavior after compaction: a live doc still refuses...
     dl.write_delta(docs.filter(F.col("doc_id") == 5)
