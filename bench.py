@@ -829,6 +829,25 @@ def main() -> None:
         timings["cdf_embedding_ledger"] = timed_build_setup(
             _cdf_emb_setup, _cdf_emb_replay)
 
+        # tight-threshold twin (round 12): the 0.35 entry's keep
+        # composition flips with scale (sf0.1 keeps ~88/commit and
+        # pays the full absorb/tick-publish pipeline; the rotation-
+        # replicated sf1/sf3 corpora reject EVERYTHING and the absorb
+        # early-exits on zero keeps — the measured cause of the
+        # non-monotonic 21.9 s sf0.1 > 10.3 s sf1 curve, see PLANS.md).
+        # At 0.9 nearly every vector survives at every scale, so this
+        # twin prices the absorb-inclusive path on a comparable
+        # composition across the sweep.
+        def _cdf_emb_replay_tight(idx: str):
+            done = cu.curate_embeddings_from_cdf(
+                spark, ce_dir + "/tbl", idx, threshold=0.9)
+            if done != [0, 1, 2]:
+                raise AssertionError(f"cdf tight replay processed {done}")
+            return spark.read.parquet(idx + "_decisions")
+
+        timings["cdf_embedding_ledger_tight"] = timed_build_setup(
+            _cdf_emb_setup, _cdf_emb_replay_tight)
+
     # chunk-index CHURN tick (round 12 — VERDICT r11 #1): absorb one
     # update commit + one delete commit through the tombstone tier and
     # serve a query over the churned index — the target_lag cost a

@@ -39,35 +39,50 @@ import sys
 
 # Runs inside the subprocess: land in the checkout's own registry,
 # time the query the way bench.py does (noop sink, min of REPS, GC
-# barrier before the reps), print one float.
+# barrier before the reps), print one float. With PIN_EXPR=1 the
+# "query" is instead a Python SCRIPT (the bench-entry construction
+# for entries that live only in bench.py, e.g. skew_sum_salted) run
+# with ``spark``/``sf_dir`` in scope; it must bind ``df``.
 _TRIAL = r"""
 import os, sys, time
 root = sys.argv[1]; query = sys.argv[2]; sf_dir = sys.argv[3]
 sys.path.insert(0, root)
 from snowflake_medtech_vigilance_lakehouse_spark.session import get_spark
-import __spark_entry__ as se
 spark = get_spark("pin-swing")
 spark.sparkContext.setLogLevel("ERROR")
 reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-qs = se.queries()
-df = qs[query](spark, sf_dir)
+if os.environ.get("PIN_EXPR") == "1":
+    def _mk():
+        env = {"spark": spark, "sf_dir": sf_dir}
+        exec(query, env)
+        return env["df"]
+else:
+    import __spark_entry__ as se
+    qs = se.queries()
+    def _mk():
+        return qs[query](spark, sf_dir)
 # one untimed execution warms the exact fixtures + code paths the
-# timed reps will touch (not just the documents table)
-df.write.format("noop").mode("overwrite").save()
+# timed reps will touch (not just the documents table). Eager-at-
+# plan-time entries get a fresh frame per rep (the bench's
+# timed_build discipline); pure-lazy plans reuse one frame, so the
+# warm run is honest either way.
+_mk().write.format("noop").mode("overwrite").save()
 spark.sparkContext._jvm.System.gc()
 best = float("inf")
 for _ in range(reps):
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    _mk().write.format("noop").mode("overwrite").save()
     best = min(best, time.perf_counter() - t0)
 print(f"PIN_RESULT {best:.3f}")
 """
 
 
-def _one_trial(root: str, query: str, sf_dir: str) -> float:
+def _one_trial(root: str, query: str, sf_dir: str,
+               expr: bool = False) -> float:
+    env = dict(os.environ, PIN_EXPR="1" if expr else "0")
     out = subprocess.run(
         [sys.executable, "-c", _TRIAL, root, query, sf_dir],
-        capture_output=True, text=True, cwd=root)
+        capture_output=True, text=True, cwd=root, env=env)
     for line in out.stdout.splitlines():
         if line.startswith("PIN_RESULT "):
             return float(line.split()[1])
@@ -87,12 +102,19 @@ def main() -> None:
     p.add_argument("trials", nargs="?", type=int, default=4)
     p.add_argument("--json", dest="out_path", default=None,
                    metavar="OUT", help="also write the summary JSON here")
+    p.add_argument("--expr", action="store_true",
+                   help="QUERY is a Python script binding `df` (for "
+                        "bench-only entries with no registry name); "
+                        "pass a path to a .py file or the script text")
     a = p.parse_args()
+    if a.expr and os.path.isfile(a.query):
+        with open(a.query) as f:
+            a.query = f.read()
 
     results: dict[str, list[float]] = {a.root_a: [], a.root_b: []}
     for i in range(a.trials):
         for root in (a.root_a, a.root_b):  # interleaved: same epoch
-            t = _one_trial(root, a.query, a.sf_dir)
+            t = _one_trial(root, a.query, a.sf_dir, expr=a.expr)
             results[root].append(t)
             print(f"[trial {i}] {os.path.basename(root) or root}: {t:.3f} s",
                   flush=True)
