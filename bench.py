@@ -900,6 +900,58 @@ def main() -> None:
         timings["chunk_index_churn_serve"] = timed_build_setup(
             _churn_setup, _churn_replay)
 
+    # postings CHURN tick (round 12, the registry `bm25_churn` twin):
+    # absorb the same update+delete commit pair through the BM25
+    # postings index — tombstone tick + negative _stats deltas from
+    # the preimage text — then serve two-term BM25 through the
+    # liveness-filtered view with the sidecar N/avgdl. Prices the
+    # text-index side of the target_lag churn cost the chunk entry
+    # prices for vectors. Commit-0 build untimed; per-rep pristine
+    # copy untimed (timed_build_setup discipline).
+    with tempfile.TemporaryDirectory(prefix="bench_postchurn_") as pc_dir:
+        from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+            bm25_from_postings, corpus_stats_from_sidecar, read_postings)
+
+        pdocs = docs.select("doc_id", "text")
+        ptbl = pc_dir + "/tbl"
+        dl.write_delta(pdocs, ptbl)
+        done0 = ir.refresh_postings_from_cdf(spark, ptbl,
+                                             pc_dir + "/pidx0")
+        if done0 != [0]:
+            raise AssertionError(f"postings churn build processed {done0}")
+        dl.merge_delta(
+            spark, ptbl,
+            pdocs.filter(F.col("doc_id") % 7 == 2).select(
+                "doc_id", F.concat(F.lit("spark fast fast "),
+                                   F.col("text")).alias("text")),
+            on=["doc_id"], when_matched="update", when_not_matched=None,
+            change_data=True)
+        dl.merge_delta(
+            spark, ptbl, pdocs.filter(F.col("doc_id") % 7 == 3),
+            on=["doc_id"], when_matched="delete", when_not_matched=None,
+            change_data=True)
+        _prep = [0]
+
+        def _pchurn_setup() -> str:
+            _prep[0] += 1
+            idx = f"{pc_dir}/pidx_rep{_prep[0]}"
+            for entry in sorted(os.listdir(pc_dir)):
+                if entry.startswith("pidx0"):
+                    shutil.copytree(os.path.join(pc_dir, entry),
+                                    idx + entry[len("pidx0"):])
+            return idx
+
+        def _pchurn_replay(idx: str):
+            done = ir.refresh_postings_from_cdf(spark, ptbl, idx)
+            if done != [1, 2]:
+                raise AssertionError(f"postings churn replay processed {done}")
+            return bm25_from_postings(
+                read_postings(spark, idx), ("spark", "merge"),
+                doc_stats=corpus_stats_from_sidecar(spark, idx + "_stats"))
+
+        timings["postings_churn_serve"] = timed_build_setup(
+            _pchurn_setup, _pchurn_replay)
+
     exact = sim.knn_bruteforce(emb, probe, k=20)
     recall = round(sim.recall_at_k(sim.knn_lsh(emb, probe, k=20), exact, k=20), 4)
     recall_ivf = round(

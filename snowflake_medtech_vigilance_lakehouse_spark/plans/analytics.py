@@ -3771,6 +3771,96 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bm25_scores(_t(spark, sf_dir, "documents"), BM25_TERMS)
 
 
+_BM25_CHURN_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+
+def q_bm25_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POSTINGS side of the round-12 churn tier under the hash
+    gate (the chunk-index side is `chunked_retrieval_churn`): the
+    documents table lands as a Delta insert commit, the BM25 index
+    builds itself from the change feed
+    (streaming/index_refresh.py:refresh_postings_from_cdf), then an
+    UPDATE commit (doc_id % 7 == 2 texts re-prefixed) and a DELETE
+    commit (% 7 == 3 removed) are ABSORBED — preimages land as a
+    tombstone tick plus NEGATIVE corpus-stats deltas computed from
+    their preimage text, postimages re-ingest past the liveness-aware
+    uniqueness guard. Serving = bm25_from_postings over
+    read_postings (the tombstone-filtered live view) with the sidecar
+    N/avgdl — which now track the MUTATED corpus in one plain sum.
+    The oracle recomputes two-term BM25 over a src CTE applying the
+    same mutation in SQL (two terms, where the postings path's
+    row-order and the oracle's column-order additions are IEEE
+    commutative — the bit-exactness note on bm25_from_postings).
+    Setup runs once per process per fixture fingerprint."""
+    import os
+
+    from ..sources import delta_lite as dl
+    from ..streaming.index_refresh import (bm25_from_postings,
+                                           corpus_stats_from_sidecar,
+                                           read_postings,
+                                           refresh_postings_from_cdf)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build(work: str) -> str:
+        idx = os.path.join(work, "postings")
+        tbl = os.path.join(work, "docs_delta")
+        dl.write_delta(docs, tbl)  # v0: the initial insert commit
+        upd = (docs.filter(F.col("doc_id") % 7 == 2)
+               .select("doc_id",
+                       F.concat(F.lit("spark fast fast "),
+                                F.col("text")).alias("text")))
+        dl.merge_delta(spark, tbl, upd, on=["doc_id"],
+                       when_matched="update", when_not_matched=None,
+                       change_data=True)  # v1
+        dl.merge_delta(spark, tbl, docs.filter(F.col("doc_id") % 7 == 3),
+                       on=["doc_id"], when_matched="delete",
+                       when_not_matched=None, change_data=True)  # v2
+        done = refresh_postings_from_cdf(spark, tbl, idx)
+        if done != [0, 1, 2]:
+            raise RuntimeError(
+                f"bm25_churn setup expected commits [0, 1, 2], "
+                f"processed {done}")
+        return idx
+
+    idx = _fixture_cached_setup(_BM25_CHURN_CACHE, sf_dir,
+                                "documents.parquet",
+                                "sparkgraft_bm25_churn_", _build)
+    return bm25_from_postings(
+        read_postings(spark, idx), ("spark", "merge"),
+        doc_stats=corpus_stats_from_sidecar(spark, idx + "_stats"))
+
+
+ORACLE_BM25_CHURN = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN 'spark fast fast ' || text
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 3
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM src
+), per AS (
+  SELECT doc_id,
+         len(w)::DOUBLE AS dl,
+         len(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf0,
+         len(list_filter(w, x -> x = 'merge'))::DOUBLE AS tf1
+  FROM t
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+  FROM per
+)
+SELECT doc_id,
+       round(
+         ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       , 6) AS bm25
+FROM per CROSS JOIN stats
+WHERE tf0 + tf1 > 0
+"""
+
+
 ORACLE_BM25 = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -4160,6 +4250,7 @@ QUERIES: dict[str, QueryFn] = {
     "chunked_retrieval_served": q_chunked_retrieval_served,
     "chunked_retrieval_batch": q_chunked_retrieval_batch,
     "chunked_retrieval_churn": q_chunked_retrieval_churn,
+    "bm25_churn": q_bm25_churn,
     "leakage_safe_split": q_leakage_safe_split,
     "split_incremental": q_split_incremental,
     "split_quarantine": q_split_quarantine,
@@ -4234,6 +4325,9 @@ ORACLES: dict[str, str] = {
     # the churn tier: served-over-tombstones = the exact body over a
     # src CTE applying the same update/delete mutation in SQL
     "chunked_retrieval_churn": ORACLE_CHUNKED_RETRIEVAL_CHURN,
+    # the postings churn twin: live-view BM25 + sidecar stats over an
+    # update+delete-churned index vs the same mutation applied in SQL
+    "bm25_churn": ORACLE_BM25_CHURN,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "split_incremental": ORACLE_SPLIT_INCREMENTAL,
     "split_quarantine": ORACLE_SPLIT_QUARANTINE,
