@@ -344,6 +344,14 @@ def main() -> None:
     capped = dd.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64)
     timings["ngram_jaccard_capped64"] = timed(capped)
 
+    # two-pass exact heavy hitters (round 12, operators/sketch.py):
+    # Misra-Gries candidate scan (zero exchanges) + broadcast-semi
+    # exact recount — only candidate keys ever shuffle. timed_build:
+    # the candidate pass runs eagerly (localCheckpoint) at plan
+    # construction, so each rep builds a fresh frame.
+    timings["heavy_hitters"] = timed_build(
+        lambda: qs["heavy_hitters"](spark, sf_dir))
+
     # adversarial ExactSubstr (round 9): one 8-token boilerplate span
     # pasted into 10% of docs — the hot-join-key regime the checkpoint
     # + AQE-skew-split design in duplicated_span_stats exists for

@@ -3649,6 +3649,28 @@ WHERE q.split = 'test' AND NOT q.quarantined
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters without a full-key shuffle (round 12,
+    operators/sketch.py): users owning >= 1/128 of the events table —
+    per-partition Misra-Gries candidate summaries (zero exchanges),
+    then an exact broadcast-semi-join recount so only candidate keys
+    ever shuffle. min_share is an exact binary fraction so the
+    ceil(min_share * N) cutoff computes identically in DuckDB.
+    Reference analog: the heavy-hitter manufacturer distribution the
+    data model is built around (/root/reference/README.md:46)."""
+    from ..operators.sketch import heavy_hitters
+    return heavy_hitters(_t(spark, sf_dir, "events"), "user_id",
+                         min_share=1 / 128)
+
+
+ORACLE_HEAVY_HITTERS = """
+SELECT user_id, count(*) AS cnt
+FROM events
+GROUP BY user_id
+HAVING count(*) >= ceil(0.0078125 * (SELECT count(*) FROM events))
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (round 8): keep at most 10
     documents per source, selected by deterministic content-hash rank
@@ -4243,6 +4265,7 @@ QUERIES: dict[str, QueryFn] = {
     "variant_navigate": q_variant_navigate,
     "repetition_stats": q_repetition_stats,
     "domain_cap": q_domain_cap,
+    "heavy_hitters": q_heavy_hitters,
     "exact_substr": q_exact_substr,
     "exact_substr_cut": q_exact_substr_cut,
     "chunk_documents": q_chunk_documents,
@@ -4345,6 +4368,9 @@ ORACLES: dict[str, str] = {
     "variant_navigate": ORACLE_VARIANT_NAVIGATE,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "domain_cap": ORACLE_DOMAIN_CAP,
+    # two-pass sketch: candidates can't miss (Misra-Gries bound),
+    # pass 2 recounts exactly — so plain GROUP BY/HAVING is the oracle
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "quarterly_event_counts": ORACLE_QUARTERLY,
     "early_signals": ORACLE_EARLY_SIGNALS,
