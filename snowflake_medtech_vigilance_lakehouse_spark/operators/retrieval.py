@@ -976,7 +976,13 @@ def chunked_retrieval_served_many(spark, path: str,
     scale = int(meta["chunk_key_scale"])
     id_col = meta["id_col"]
     bridged = meta["id_bridge"] == "xxhash64"
-    queries = [(int(i), embed_query_text(t, meta["dim"]))
+    # query ids enter _ivf_indexed_scored's self-exclusion filter
+    # (neighbor_id != query_id, the corpus-vs-itself kNN contract), so
+    # they must never equal a corpus chunk key. Composite chunk keys
+    # are non-negative by construction (both bridges), so NEGATIVE
+    # sentinels -(i+1) can't collide — the batch analog of the single
+    # path's [(-1, qvec)]; decoded back to 0-based after scoring.
+    queries = [(-(int(i) + 1), embed_query_text(t, meta["dim"]))
                for i, t in enumerate(query_texts)]
 
     def _empty() -> DataFrame:
@@ -996,6 +1002,8 @@ def chunked_retrieval_served_many(spark, path: str,
                                  "vec_id", "embedding")
     if scored is None:
         return _empty()
+    scored = scored.withColumn("query_id",
+                               (-F.col("query_id") - 1).cast("long"))
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id").asc())
     cut = (scored.withColumn("_mr", F.row_number().over(wq))

@@ -3666,6 +3666,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HEAVY_HITTERS = """
 SELECT user_id, count(*) AS cnt
 FROM events
+WHERE user_id IS NOT NULL  -- the operator's contract: NULL keys are
+                           -- excluded from groups, counted in N
 GROUP BY user_id
 HAVING count(*) >= ceil(0.0078125 * (SELECT count(*) FROM events))
 """

@@ -537,3 +537,39 @@ def test_chunked_retrieval_served_many_equals_singles(spark, tmp_path):
         rt.chunked_retrieval_served_many(
             spark, str(tmp_path / "idx_string"), texts, k=7,
             m_chunks=20000, max_driver_hits=65536)
+
+
+def test_served_many_query_ids_never_collide_with_chunk_keys(
+        spark, tmp_path):
+    """Round-12 review catch: under the identity bridge doc 0's chunk
+    0 has composite key 0, and 0-based batch query ids fed it into
+    _ivf_indexed_scored's kNN self-exclusion filter (neighbor_id !=
+    query_id) — silently dropping exactly the best chunk when it is
+    the query's top hit. Batch ids are now negative sentinels; this
+    fixture makes the colliding chunk the argmax so the drop would be
+    visible as a wrong best_chunk_id/score, not just a missing
+    also-ran."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        retrieval as rt)
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "omega psi chi phi upsilon tau")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "collide_idx")
+    rt.build_chunk_index(docs, idx, chunk_tokens=4, stride=3, dim=16,
+                         n_lists=2)
+    texts = ["alpha beta gamma delta", "omega psi chi phi"]
+    kw = dict(k=2, n_probe=2, m_chunks=100)
+    batch = rt.chunked_retrieval_served_many(spark, idx, texts,
+                                             **kw).collect()
+    for qi, text in enumerate(texts):
+        single = sorted(tuple(r) for r in rt.chunked_retrieval_served(
+            spark, idx, text, **kw).collect())
+        got = sorted(tuple(r)[1:] for r in batch if r["query_id"] == qi)
+        assert got == single, (qi, got, single)
+    # and the collision row itself: query 0's rank-1 hit is doc 0 via
+    # its FIRST chunk (composite key 0 — the row the bug dropped)
+    top0 = [r for r in batch if r["query_id"] == 0 and r["rank"] == 1]
+    assert len(top0) == 1
+    assert top0[0]["doc_id"] == 0 and top0[0]["best_chunk_id"] == 0
