@@ -1157,6 +1157,38 @@ def _ivf_probe_base(spark, path: str, queries: DataFrame,
     return probe_lists, idx
 
 
+def _tombstones_applied_through(path: str) -> int:
+    """Read the ``{path}/_tombstones_applied.json`` marker a
+    compaction/rebuild stamps into the layout it swaps in (round 12
+    review fix): rewritten files read as epoch -1, so if a crash lands
+    between the swap and the sidecar rmtree, the already-APPLIED
+    tombstones would re-kill the live rows they were applied to.
+    The marker records the highest tombstone tick physically applied;
+    serve-time filtering ignores ticks at or below it. -1 = no marker
+    (every tombstone is live). Underscore-prefixed files are invisible
+    to the parquet reader, so the marker travels atomically with the
+    directory swap."""
+    import json
+    import os
+
+    marker = os.path.join(path, "_tombstones_applied.json")
+    if not os.path.isfile(marker):
+        return -1
+    with open(marker) as f:
+        return int(json.load(f)["applied_through"])
+
+
+def _write_tombstones_applied(stage_dir: str, applied_through: int) -> None:
+    """Stamp the applied-through marker into a STAGED index layout
+    (before its swap — see :func:`_tombstones_applied_through`)."""
+    import json
+    import os
+
+    with open(os.path.join(stage_dir, "_tombstones_applied.json"),
+              "w") as f:
+        json.dump({"applied_through": int(applied_through)}, f)
+
+
 def apply_ivf_tombstones(spark, path: str, idx: DataFrame) -> DataFrame:
     """Serve-time liveness filter for a :func:`build_ivf_index` layout
     with a ``{path}_tombstones`` sidecar (round 12 — the churn tier:
@@ -1200,7 +1232,13 @@ def apply_ivf_tombstones(spark, path: str, idx: DataFrame) -> DataFrame:
         with open(meta_f) as f:
             scale = int(json.load(f)["chunk_key_scale"])
         key = F.expr(f"`{id_cols[0]}` div {scale}").cast("long")
+    # ticks at or below the applied-through marker were PHYSICALLY
+    # applied by a compaction/rebuild whose crash window left the
+    # sidecar behind — they must not re-kill the rewritten (epoch -1)
+    # copies of the keys they already killed (round-12 review fix)
+    applied = _tombstones_applied_through(path)
     tomb = (spark.read.parquet(tomb_dir)
+            .filter(F.col("tick").cast("long") > F.lit(applied))
             .groupBy("key")
             .agg(F.max("tick").cast("long").alias("_tmb_tick"))
             .select(F.col("key").alias("_tmb_key"), "_tmb_tick"))

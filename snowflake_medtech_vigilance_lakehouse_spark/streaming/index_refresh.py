@@ -685,7 +685,10 @@ def compact_ivf_index(spark, path: str, *,
     import os
     import shutil
 
-    from ..operators.similarity import _ivf_radii_frame, apply_ivf_tombstones
+    from ..operators.similarity import (_ivf_radii_frame,
+                                        _tombstones_applied_through,
+                                        _write_tombstones_applied,
+                                        apply_ivf_tombstones)
 
     def _tick_files() -> frozenset:
         out = set()
@@ -695,7 +698,16 @@ def compact_ivf_index(spark, path: str, *,
                     out.add(os.path.join(os.path.relpath(root, path), fn))
         return frozenset(out)
 
+    def _tomb_ticks() -> frozenset:
+        d = path + "_tombstones"
+        if not os.path.isdir(d):
+            return frozenset()
+        return frozenset(n for n in os.listdir(d)
+                         if n.startswith("tick="))
+
     ticked = _tick_files()
+    tombs_at_gate = _tomb_ticks()
+    _applied_at_gate = _tombstones_applied_through(path)
     has_tombs = os.path.isdir(path + "_tombstones")
     if not ticked and not has_tombs:
         return {"rows_before": 0, "rows_after": 0,
@@ -750,16 +762,32 @@ def compact_ivf_index(spark, path: str, *,
     rows_after = staged.count()
     (_ivf_radii_frame(staged, spark.read.parquet(path + "_centroids"))
      .coalesce(1).write.mode("overwrite").parquet(stage + "_radii"))
+    # applied-through marker (round-12 review fix): the staged rows
+    # read as epoch -1 after the swap, so if the crash window between
+    # the swap and the sidecar rmtree is hit, the already-applied
+    # tombstones must not re-kill them at serve time. Stamped INTO
+    # the staged dir so it travels with the rename.
+    if has_tombs or _applied_at_gate >= 0:
+        applied_through = max(
+            _applied_at_gate,
+            max((int(n.split("=", 1)[1]) for n in tombs_at_gate),
+                default=-1))
+        _write_tombstones_applied(stage, applied_through)
     # last-moment re-verification (same contract as the other
     # maintenance swaps): a refresh tick that committed while staging
-    # would be absent from the staged layout — abort, index untouched
-    if _tick_files() != ticked:
+    # would be absent from the staged layout — and a DELETE-ONLY
+    # commit writes a tombstone tick with NO index files (round-12
+    # review fix), so the tombstone listing is compared too; folding
+    # from the pre-delete frame and then clearing the sidecar would
+    # resurrect the deleted doc. Abort, index untouched.
+    if _tick_files() != ticked or _tomb_ticks() != tombs_at_gate:
         for d in (stage, stage + "_radii"):
             shutil.rmtree(d, ignore_errors=True)
         raise RuntimeError(
             f"compact_ivf_index aborted: {path} gained refresh ticks "
-            f"while the compacted layout was staging. Stop the "
-            f"refresh stream and re-run — the index was left untouched")
+            f"or tombstone ticks while the compacted layout was "
+            f"staging. Stop the refresh stream and re-run — the "
+            f"index was left untouched")
     for suf in ("", "_radii"):
         if os.path.isdir(path + suf):
             os.rename(path + suf, old + suf)
@@ -924,6 +952,20 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
     build_ivf_index(corpus, stage, n_lists=n_lists, id_col=id_col,
                     vec_col="_v", seed=seed,
                     quantize_int8="_v8" in live.columns)
+    # applied-through marker (round-12 review fix, same window as
+    # compact_ivf_index): the rebuilt files read as epoch -1, so a
+    # crash between the swap and the tombstone rmtree must not let
+    # the already-applied tombstones re-kill the rebuilt copies
+    from ..operators.similarity import (_tombstones_applied_through,
+                                        _write_tombstones_applied)
+    tomb_root = path + "_tombstones"
+    if os.path.isdir(tomb_root) or _tombstones_applied_through(path) >= 0:
+        ticks = [int(n.split("=", 1)[1]) for n in
+                 (os.listdir(tomb_root) if os.path.isdir(tomb_root)
+                  else []) if n.startswith("tick=")]
+        _write_tombstones_applied(
+            stage, max(_tombstones_applied_through(path),
+                       max(ticks, default=-1)))
     # last-moment re-verification before the swap: the rebuild read
     # the index as of the gate; a refresh tick that committed DURING
     # the (slow) rebuild appended vectors the staged index does not

@@ -300,3 +300,105 @@ def test_compact_index_ticks_applies_postings_tombstones(spark, tmp_path):
     assert refresh_postings_from_cdf(spark, tbl2, idx2) == [2]
     live = read_postings(spark, idx2)
     assert live.filter(F.col("doc_id") == 2).count() > 0
+
+
+def _churned_chunk_index(spark, tmp_path, name="crash"):
+    """Build + CDF-absorb one update and one delete commit; return
+    (table path, index path, mutated head)."""
+    docs = _word_docs(spark, n=60)
+    tbl = str(tmp_path / f"tbl_{name}")
+    idx = str(tmp_path / f"idx_{name}")
+    dl.write_delta(docs, tbl)
+    rt.build_chunk_index(dl.read_delta(spark, tbl), idx,
+                         chunk_tokens=8, stride=6, dim=16, n_lists=4)
+    bootstrap_cdf_state(idx + "_cdf_state", 0)
+    upd = (docs.filter(F.col("doc_id") % 7 == 2)
+           .select("doc_id", F.concat(F.lit("spark fast fast "),
+                                      F.col("text")).alias("text")))
+    dl.merge_delta(spark, tbl, upd, on=["doc_id"], when_matched="update",
+                   when_not_matched=None, change_data=True)
+    dl.merge_delta(spark, tbl,
+                   docs.filter(F.col("doc_id") % 7 == 3)
+                   .select("doc_id", "text"),
+                   on=["doc_id"], when_matched="delete",
+                   when_not_matched=None, change_data=True)
+    assert refresh_chunk_index_from_cdf(spark, tbl, idx) == [1, 2]
+    return tbl, idx, dl.read_delta(spark, tbl)
+
+
+def test_stale_tombstones_after_compaction_crash_window(spark, tmp_path):
+    """Round-12 review fix: a crash between compact_ivf_index's swap
+    and the sidecar rmtree leaves APPLIED tombstones next to the
+    rewritten epoch -1 rows — without the applied-through marker they
+    re-kill the live copies of every updated key (silent misses, then
+    permanent deletion on the compact re-run)."""
+    import shutil
+
+    _, idx, head = _churned_chunk_index(spark, tmp_path)
+    want = _serve(spark, idx)
+    assert want == _exact(head)
+
+    tomb, saved = idx + "_tombstones", str(tmp_path / "tomb_saved")
+    shutil.copytree(tomb, saved)
+    compact_ivf_index(spark, idx)
+    assert not os.path.isdir(tomb)
+    shutil.copytree(saved, tomb)  # the crash window, reconstructed
+
+    # updated docs must still serve through the stale sidecar
+    assert _serve(spark, idx) == want
+    # and the compact re-run converges: nothing wrongly dropped, the
+    # sidecar cleared, serving identical
+    rows = spark.read.parquet(idx).count()
+    stats = compact_ivf_index(spark, idx)
+    assert stats["tombstones_applied"] == 0
+    assert stats["rows_after"] == rows
+    assert not os.path.isdir(tomb)
+    assert _serve(spark, idx) == want
+
+
+def test_maintain_rebuild_crash_window_stale_tombstones(spark, tmp_path):
+    """The same window through maintain_ivf_index's rebuild: the
+    rebuilt (epoch -1) rows must survive a restored spent sidecar."""
+    import shutil
+
+    _, idx, head = _churned_chunk_index(spark, tmp_path, name="mt")
+    want = _serve(spark, idx)
+    tomb, saved = idx + "_tombstones", str(tmp_path / "tomb_mt")
+    shutil.copytree(tomb, saved)
+    assert maintain_ivf_index(spark, idx, idx + "_cdf_state",
+                              threshold=0.0)
+    assert not os.path.isdir(tomb)
+    shutil.copytree(saved, tomb)
+    assert _serve(spark, idx) == want
+
+
+def test_compact_aborts_on_tombstone_tick_during_staging(
+        spark, tmp_path, monkeypatch):
+    """Round-12 review fix: a DELETE-ONLY commit writes a tombstone
+    tick but NO index files, so the old last-moment re-verification
+    (index tick files only) missed it — compaction would fold from
+    the pre-delete frame and then discard the unapplied tombstone,
+    resurrecting the deleted doc. The check now compares the
+    tombstone listing too."""
+    _, idx, _ = _churned_chunk_index(spark, tmp_path, name="race")
+    want = _serve(spark, idx)
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        similarity as sim_mod)
+    real = sim_mod._ivf_radii_frame
+
+    def _sneaky(*a, **k):
+        # a concurrent delete-only commit lands mid-staging
+        os.makedirs(os.path.join(idx + "_tombstones", "tick=99"),
+                    exist_ok=True)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sim_mod, "_ivf_radii_frame", _sneaky)
+    with pytest.raises(RuntimeError, match="tombstone ticks"):
+        compact_ivf_index(spark, idx)
+    monkeypatch.undo()
+
+    # index untouched, stage cleaned, serving unchanged (the injected
+    # tick dir is empty — no tombstone rows — so results are equal)
+    assert not os.path.isdir(idx + "_compact_stage")
+    assert _serve(spark, idx) == want
