@@ -1185,7 +1185,16 @@ def export_eval_set(spark, path: str, corpus: DataFrame, *,
            .filter((F.col("split") == split) & ~F.col("quarantined"))
            .select(id_col, "cluster_id"))
     if keep_flags is not None:
+        # the id column is whichever column is NOT the keep flag —
+        # taking columns[0] positionally accepted a (keep, id)-ordered
+        # frame and semi-joined on the BOOLEAN, silently emptying the
+        # export (round-12 review fix)
+        flag_id = [c for c in keep_flags.columns if c != "keep"]
+        if "keep" not in keep_flags.columns or len(flag_id) != 1:
+            raise ValueError(
+                f"export_eval_set: keep_flags must be a two-column "
+                f"(id, keep) frame, got {keep_flags.columns}")
         keeps = keep_flags.filter(F.col("keep")).select(
-            F.col(keep_flags.columns[0]).alias(id_col))
+            F.col(flag_id[0]).alias(id_col))
         sel = sel.join(keeps, id_col, "left_semi")
     return corpus.join(sel, id_col)

@@ -678,6 +678,18 @@ def test_split_store_lifecycle_quarantine_and_compaction(spark, tmp_path):
             "doc_id long, keep boolean")
         kept = cu.export_eval_set(spark, store, corpus, keep_flags=keep)
         assert {r["doc_id"] for r in kept.collect()} == {min(expected)}
+        # column ORDER must not matter, and a frame without a 'keep'
+        # column must refuse loudly (round-12 review fix: columns[0]
+        # positionally aliased the boolean as the id, silently
+        # emptying the export)
+        swapped = keep.select("keep", "doc_id")
+        kept2 = cu.export_eval_set(spark, store, corpus,
+                                   keep_flags=swapped)
+        assert {r["doc_id"] for r in kept2.collect()} == {min(expected)}
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="two-column"):
+            cu.export_eval_set(spark, store, corpus,
+                               keep_flags=keep.select("doc_id"))
     import pytest as _pytest
     with _pytest.raises(ValueError, match="lacks the store's id"):
         cu.export_eval_set(spark, store, corpus.select(
