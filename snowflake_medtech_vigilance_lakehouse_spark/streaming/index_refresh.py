@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .liveness import live_filter
+
 
 def postings_stream(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
@@ -141,19 +143,11 @@ def read_postings(spark, out_path: str) -> DataFrame:
     term/bucket pruning applies downstream as before (the liveness
     join is keyed on doc_id and preserves the ``tb`` partition
     column when present)."""
-    import os
+    from .liveness import live_filter
 
-    posts = spark.read.parquet(out_path)
-    tomb_dir = out_path + "_tombstones"
-    if os.path.isdir(tomb_dir):
-        tomb = (spark.read.parquet(tomb_dir)
-                .groupBy("key")
-                .agg(F.max("tick").cast("long").alias("_tmb")))
-        posts = (posts.join(
-            F.broadcast(tomb), posts["doc_id"] == tomb["key"], "left")
-            .filter(F.col("_tmb").isNull()
-                    | (F.col("_tmb") <= F.col("tick")))
-            .drop("key", "_tmb"))
+    posts = live_filter(spark.read.parquet(out_path),
+                        out_path + "_tombstones",
+                        F.col("doc_id"), F.col("tick"))
     return posts.drop("tick")
 
 
@@ -315,7 +309,9 @@ def _require_checkpoint_owns_ticks(checkpoint: str, tick_dirs: list[str],
 
 
 def _refuse_reingested_docs(batch: DataFrame, out_path: str,
-                            epoch: int) -> None:
+                            epoch: int,
+                            pending_dead: DataFrame | None = None
+                            ) -> None:
     """Enforce the postings contract (each doc_id ingested by exactly
     one tick) at refresh time: join the incoming batch's doc_ids
     against the ``_docs`` sidecar (every prior tick's ids, one thin
@@ -327,7 +323,14 @@ def _refuse_reingested_docs(batch: DataFrame, out_path: str,
     tombstone for it is dead, so re-inserting it (an update's
     postimage, at the tombstone's own commit or later) is legal —
     the stale postings stay physically present but serve-dead
-    (:func:`read_postings`)."""
+    (:func:`read_postings`).
+
+    ``pending_dead`` (round-13 ADVICE) is the CURRENT commit's
+    dead-key frame, vetted as a tombstone tick at ``epoch`` BEFORE it
+    is published — so the caller can refuse an illegal commit without
+    having half-absorbed it (the old publish-then-vet order left the
+    preimages serve-dead while the postimages and the negative
+    ``_stats`` delta never landed)."""
     import os
 
     docs_side = out_path + "_docs"
@@ -351,15 +354,10 @@ def _refuse_reingested_docs(batch: DataFrame, out_path: str,
             return  # brand-new index: nothing ingested yet
     prior = (batch.sparkSession.read.parquet(docs_side)
              .filter(F.col("tick") != epoch))
-    tomb_dir = out_path + "_tombstones"
-    if os.path.isdir(tomb_dir):
-        tomb = (batch.sparkSession.read.parquet(tomb_dir)
-                .groupBy("key")
-                .agg(F.max("tick").cast("long").alias("_tmb")))
-        prior = (prior.join(
-            F.broadcast(tomb), prior["doc_id"] == tomb["key"], "left")
-            .filter(F.col("_tmb").isNull()
-                    | (F.col("_tmb") <= F.col("tick"))))
+    prior = live_filter(
+        prior, out_path + "_tombstones", F.col("doc_id"),
+        F.col("tick"),
+        pending=None if pending_dead is None else (pending_dead, epoch))
     prior = prior.select("doc_id")
     dups = (batch.select("doc_id").distinct()
             .join(prior, "doc_id").limit(5).collect())
@@ -502,24 +500,31 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
     df = spark.read.parquet(path).filter(F.col("tick").isin(merge))
     merged_tick = merge[0]
     if os.path.isdir(tomb_dir):
-        tomb = (spark.read.parquet(tomb_dir)
-                .groupBy("key")
-                .agg(F.max("tick").cast("long").alias("_tmb")))
-        df = (df.join(F.broadcast(tomb),
-                      df["doc_id"] == tomb["key"], "left")
-              .filter(F.col("_tmb").isNull()
-                      | (F.col("_tmb") <= F.col("tick")))
-              .drop("key", "_tmb"))
+        df = live_filter(df, tomb_dir, F.col("doc_id"), F.col("tick"))
         merged_tick = merge[-1]
-    has_tb = any(
-        n.startswith("tb=")
-        for n in os.listdir(os.path.join(path, f"tick={merge[0]}")))
+    # tb-partitioning is inferred from the MERGED FRAME's schema, not
+    # from tick={merge[0]}'s directory listing (round-13 ADVICE): a
+    # prior compaction can leave an all-dead merged range behind, and
+    # a listing-based probe of such an empty dir would say "no tb="
+    # while the kept ticks keep the partitioning — the next
+    # consolidated write would then mix tb-as-data-column leaves with
+    # tb-as-partition-dir leaves and partition discovery throws. The
+    # read schema carries the partition column whenever ANY leaf dir
+    # is partitioned, so it cannot be fooled by an empty member.
+    has_tb = "tb" in df.columns
     root = path + "_compact_stage"
     shutil.rmtree(root, ignore_errors=True)
-    writer = df.drop("tick").write.mode("overwrite")
-    if has_tb:
-        writer = writer.partitionBy("tb")
-    writer.parquet(os.path.join(root, f"tick={merged_tick}"))
+    if df.isEmpty():
+        # every merged row is tombstone-dead: write NO consolidated
+        # dir (an empty tick dir carries no tb= subdirs and poisons
+        # the next compaction's layout, per above) — the merged range
+        # simply vanishes from the layout
+        os.makedirs(root, exist_ok=True)
+    else:
+        writer = df.drop("tick").write.mode("overwrite")
+        if has_tb:
+            writer = writer.partitionBy("tb")
+        writer.parquet(os.path.join(root, f"tick={merged_tick}"))
     # hardlink every SURVIVING entry (kept ticks + any non-tick files)
     # into the staging root so it is the complete next layout
     merged_names = {f"tick={t}" for t in merge}
@@ -585,17 +590,8 @@ def _rewrite_docids_live(spark, path: str) -> None:
     side = path + "_docids"
     if not os.path.isdir(side):
         return
-    rows = spark.read.parquet(side)
-    tomb_dir = path + "_tombstones"
-    if os.path.isdir(tomb_dir):
-        tomb = (spark.read.parquet(tomb_dir)
-                .groupBy("key")
-                .agg(F.max("tick").cast("long").alias("_tmb")))
-        rows = (rows.join(
-            F.broadcast(tomb), rows["_dkey"] == tomb["key"], "left")
-            .filter(F.col("_tmb").isNull()
-                    | (F.col("_tmb") <= F.col("_tick")))
-            .drop("key", "_tmb"))
+    rows = live_filter(spark.read.parquet(side), path + "_tombstones",
+                       F.col("_dkey"), F.col("_tick"))
     stage, retired = side + "_stage", side + "_retired"
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(retired, ignore_errors=True)
@@ -1135,12 +1131,12 @@ def _consume_change_feed(spark, delta_path: str, state_root: str, *,
     tick lands. Factored so a protocol fix lands once, not per
     refresher.
 
-    ``allow_churn=True`` (round 12: the three INDEX refreshers)
-    skips the insert-only refusal — the caller absorbs
-    delete/update_preimage rows as tombstone ticks and
-    insert/update_postimage rows as appends. The curation loops keep
-    the refusal: their decision ledgers are append-only audit trails
-    with no tombstone semantics.
+    ``allow_churn=True`` (round 12: the three INDEX refreshers;
+    round 13: the curation loops too) skips the insert-only refusal —
+    the caller absorbs delete/update_preimage rows as tombstone ticks
+    and insert/update_postimage rows as appends. The decision ledgers
+    stay append-only audit trails: dead docs simply stop producing
+    decisions.
 
     Three contracts enforced here:
 
@@ -1409,9 +1405,16 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
         dead = dead.select("doc_id", "text")
         _require_tick_layout(out_path)
         _require_tick_layout(out_path + "_stats")
+        # vet BEFORE publishing the commit's tombstone tick (round-13
+        # ADVICE): the guard sees the commit's dead keys as a pending
+        # tombstone, so a legal update's postimage passes — but a
+        # refused commit (an illegal duplicate insert mixed into it)
+        # leaves NOTHING behind, where the old publish-then-vet order
+        # left the preimages serve-dead with no postimage landed
+        _refuse_reingested_docs(batch, out_path, v,
+                                pending_dead=dead.select("doc_id"))
         had_dead = _write_tombstone_tick(dead.select("doc_id"),
                                          out_path, v)
-        _refuse_reingested_docs(batch, out_path, v)
         post = postings_stream(batch)
         tick = f"{out_path}/tick={v}"
         if bucketed:
@@ -1428,7 +1431,9 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
 
 
 def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
-                              epoch: int, meta: dict) -> None:
+                              epoch: int, meta: dict,
+                              pending_dead: DataFrame | None = None
+                              ) -> None:
     """One refresh tick of the persisted CHUNK index (round 11): the
     batch is (id, text) DOCUMENT rows, so the tick re-runs the exact
     build-time chunk->embed stage with the store's OWN meta-sidecar
@@ -1450,29 +1455,34 @@ def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
     distinct counts plus a ``_dkey`` join against the stored mapping
     where the stored id DIFFERS — an equal id re-keying itself is
     the update path, but a different id reusing a ``_dkey``, live or
-    dead, would make the decode join attribute hits to both)."""
+    dead, would make the decode join attribute hits to both).
+
+    ``pending_dead`` (round 13): the commit's dead ``_dkey`` frame.
+    It enters the re-ingest guard as a pending tombstone tick at
+    ``epoch`` and is PUBLISHED here, after every guard passes and
+    before any index write — a refused commit leaves nothing behind
+    (the old caller-side publish-before-guard order left the
+    preimages serve-dead with no postimage landed, round-13
+    ADVICE)."""
     import contextlib
     import os
     import shutil
 
     from ..operators import retrieval as rt
 
+    def _publish_dead() -> None:
+        if pending_dead is not None:
+            _write_tombstone_tick(pending_dead, path, epoch)
+
     id_col, scale = meta["id_col"], int(meta["chunk_key_scale"])
     if batch.isEmpty():
+        _publish_dead()  # a delete-only commit IS its tombstone tick
         return  # replay-idempotent, same as _ivf_append_batch
     known = (spark.read.parquet(path + "_docids")
              .filter(F.col("_tick") != epoch))
-    live_known = known
-    tomb_dir = path + "_tombstones"
-    if os.path.isdir(tomb_dir):
-        tomb = (spark.read.parquet(tomb_dir)
-                .groupBy("key")
-                .agg(F.max("tick").cast("long").alias("_tmb")))
-        live_known = (known.join(
-            F.broadcast(tomb), known["_dkey"] == tomb["key"], "left")
-            .filter(F.col("_tmb").isNull()
-                    | (F.col("_tmb") <= F.col("_tick")))
-            .drop("key", "_tmb"))
+    live_known = live_filter(
+        known, path + "_tombstones", F.col("_dkey"), F.col("_tick"),
+        pending=None if pending_dead is None else (pending_dead, epoch))
     dup = (batch.select(id_col).distinct()
            .join(live_known.select(id_col), id_col, "left_semi")
            .limit(1).collect())
@@ -1515,6 +1525,7 @@ def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
                 f"collides in the 2^41 doc-key space "
                 f"({'in-batch' if n_ids != n_keys else 'against the stored mapping'}); "
                 f"supply non-negative integral doc ids for this corpus")
+    _publish_dead()  # batch vetted — the churn tick may land now
     dense = rt._chunk_vectors(
         keyed, chunk_tokens=meta["chunk_tokens"], stride=meta["stride"],
         dim=meta["dim"], text_col=meta["text_col"],
@@ -1596,8 +1607,12 @@ def refresh_chunk_index_from_cdf(spark, delta_path: str,
         dkey = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_DOC_KEY_SPACE))
     for v in versions:
         dead, live = _split_churn(feed, v)
-        _write_tombstone_tick(dead.select(dkey.alias("k")), path, v)
+        # the commit's dead keys ride into the append as a PENDING
+        # tombstone: vetted first, published only once the batch
+        # passes every guard (round-13 ADVICE — no half-absorbed
+        # refusals)
         _chunk_index_append_batch(
-            spark, live.select(id_col, meta["text_col"]), path, v, meta)
+            spark, live.select(id_col, meta["text_col"]), path, v, meta,
+            pending_dead=dead.select(dkey.alias("k")))
         advance(v)
     return versions

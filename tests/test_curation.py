@@ -405,12 +405,73 @@ def test_curate_minhash_from_cdf_end_to_end(spark, tmp_path):
     with open(state, "w") as f:
         json.dump({"last_commit_version": 2}, f)  # post-compact head
 
-    # update feed refuses: a changed doc needs a store rebuild
-    dl.merge_delta(spark, tbl, _docs(spark, [(13, "rewritten text")]),
+    # CHURN (round 13 — VERDICT r12 #1): an update feed now ABSORBS.
+    # Doc 13 (a commit-0 keep) is rewritten to near-dup the store's
+    # base doc: its old signature retires under a tombstone tick and
+    # the postimage gets a FRESH decision — reject, against doc 1.
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.dedup import (
+        read_minhash_store)
+    dl.merge_delta(spark, tbl, _docs(spark, [(13, base + " exactly")]),
                    on=["doc_id"], when_matched="update",
-                   when_not_matched=None, change_data=True)
-    with pytest.raises(ValueError, match="rebuild the store"):
+                   when_not_matched=None, change_data=True)       # v3
+    assert curate_minhash_from_cdf(spark, tbl, store) == [3]
+    assert {r["doc_id"]: r["keep"] for r in
+            spark.read.parquet(f"{store}_decisions/tick=3").collect()} \
+        == {13: False}
+    # retirement is visible: a NEW doc duplicating 13's ORIGINAL text
+    # is now kept (the dead signature generates no candidates)...
+    orig13 = "unique narrative token stream with no partner at all"
+    dl.write_delta(_docs(spark, [(30, orig13)]), tbl, mode="append")
+    assert curate_minhash_from_cdf(spark, tbl, store) == [4]
+    assert {r["doc_id"]: r["keep"] for r in
+            spark.read.parquet(f"{store}_decisions/tick=4").collect()} \
+        == {30: True}
+    # ...while the store's LIVE signatures still reject their dups
+    dl.write_delta(_docs(spark, [(31, other)]), tbl, mode="append")
+    assert curate_minhash_from_cdf(spark, tbl, store) == [5]
+    assert {r["doc_id"]: r["keep"] for r in
+            spark.read.parquet(f"{store}_decisions/tick=5").collect()} \
+        == {31: False}
+    # delete commit: keep 30's signature retires; a delete-only
+    # commit is its tombstone tick — no decisions land
+    dl.merge_delta(spark, tbl, _docs(spark, [(30, orig13)]),
+                   on=["doc_id"], when_matched="delete",
+                   when_not_matched=None, change_data=True)       # v6
+    assert curate_minhash_from_cdf(spark, tbl, store) == [6]
+    assert not os.path.isdir(f"{store}_decisions/tick=6")
+    live_ids = {r["_id"] for r in
+                read_minhash_store(spark, store)[1]
+                .select("_id").collect()}
+    assert 30 not in live_ids and 13 not in live_ids
+    assert 11 in live_ids and 1 in live_ids
+    # and a fresh dup of the deleted text keeps again
+    dl.write_delta(_docs(spark, [(32, orig13)]), tbl, mode="append")
+    assert curate_minhash_from_cdf(spark, tbl, store) == [7]
+    assert {r["doc_id"]: r["keep"] for r in
+            spark.read.parquet(f"{store}_decisions/tick=7").collect()} \
+        == {32: True}
+
+    # at-least-once replay of the last churn-era commit converges:
+    # identical decisions, identical live rows (tick overwrite, no
+    # self-pair rejection against the absorbed copy)
+    n_live = read_minhash_store(spark, store)[1].count()
+    with open(state, "w") as f:
+        json.dump({"last_commit_version": 6}, f)
+    assert curate_minhash_from_cdf(spark, tbl, store) == [7]
+    assert {r["doc_id"]: r["keep"] for r in
+            spark.read.parquet(f"{store}_decisions/tick=7").collect()} \
+        == {32: True}
+    assert read_minhash_store(spark, store)[1].count() == n_live
+
+    # an illegal duplicate insert (id 31's partner 11 is LIVE... the
+    # id itself: re-insert live id 32) refuses BEFORE publishing any
+    # tombstone tick — nothing half-absorbed
+    dl.write_delta(_docs(spark, [(32, other)]), tbl, mode="append")
+    with pytest.raises(ValueError, match="re-inserts"):
         curate_minhash_from_cdf(spark, tbl, store)
+    assert sorted(os.listdir(store + "_tombstones")) == \
+        ["tick=3", "tick=6"]
+    assert not os.path.isdir(f"{store}_decisions/tick=8")
 
 
 def test_curate_embeddings_from_cdf_end_to_end(spark, tmp_path):

@@ -531,12 +531,26 @@ def test_chunked_retrieval_served_many_equals_singles(spark, tmp_path):
         got = sorted(tuple(r)[1:] for r in batch if r["query_id"] == qi)
         assert got == single
 
-    # the driver-hit cap guards the hash-bridge decode collect
+    # the driver-hit cap guards the hash-bridge decode collect on the
+    # ACTUAL hit count (round-13 ADVICE), not the worst-case
+    # |Q| x m_chunks product: the registry's full-equality
+    # configuration (m_chunks=10**6) must stay servable on a
+    # hash-bridged store whose real hits are tiny
     import pytest as _pytest
+    sidx = str(tmp_path / "idx_string")
+    assert rt.chunked_retrieval_served_many(
+        spark, sidx, texts, k=7, n_probe=4, m_chunks=10**6).count() > 0
+    assert rt.chunked_retrieval_served(
+        spark, sidx, texts[0], k=7, n_probe=4, m_chunks=10**6).count() > 0
+    # but real hits past the cap refuse, on both tiers
     with _pytest.raises(ValueError, match="max_driver_hits"):
         rt.chunked_retrieval_served_many(
-            spark, str(tmp_path / "idx_string"), texts, k=7,
-            m_chunks=20000, max_driver_hits=65536)
+            spark, sidx, texts, k=7, n_probe=4, m_chunks=10**4,
+            max_driver_hits=10)
+    with _pytest.raises(ValueError, match="max_driver_hits"):
+        rt.chunked_retrieval_served(
+            spark, sidx, texts[0], k=7, n_probe=4, m_chunks=10**4,
+            max_driver_hits=10)
 
 
 def test_served_many_query_ids_never_collide_with_chunk_keys(

@@ -402,3 +402,138 @@ def test_compact_aborts_on_tombstone_tick_during_staging(
     # tick dir is empty — no tombstone rows — so results are equal)
     assert not os.path.isdir(idx + "_compact_stage")
     assert _serve(spark, idx) == want
+
+
+def test_compact_all_dead_merged_range(spark, tmp_path):
+    """Round-13 ADVICE (medium): when EVERY row of the merged range is
+    tombstone-dead, the old code wrote an empty consolidated tick dir
+    and inferred tb-partitioning from the oldest merged tick's
+    LISTING — a later compaction whose merge[0] was such an empty dir
+    would write its consolidated range without tb= partitioning while
+    kept ticks keep it, and partition discovery throws on the mixed
+    layout. Now: no consolidated dir is written for an all-dead range,
+    and tb is inferred from the merged frame's schema."""
+    docs = _word_docs(spark, n=8)
+    tbl, idx = str(tmp_path / "alldead_tbl"), str(tmp_path / "alldead_idx")
+    dl.write_delta(docs, tbl)                                        # v0
+    for pfx in ("v2 ", "v3 "):  # two update-ALL commits: v1, v2
+        upd = docs.select(
+            "doc_id", F.concat(F.lit(pfx), F.col("text")).alias("text"))
+        dl.merge_delta(spark, tbl, upd, on=["doc_id"],
+                       when_matched="update", when_not_matched=None,
+                       change_data=True)
+    dl.write_delta(spark.createDataFrame([(100, "fresh spark doc")],
+                                         "doc_id long, text string"),
+                   tbl, mode="append")                               # v3
+    assert refresh_postings_from_cdf(spark, tbl, idx, bucketed=True,
+                                     n_buckets=4) == [0, 1, 2, 3]
+
+    def _scores():
+        return sorted(tuple(r) for r in bm25_from_postings(
+            read_postings(spark, idx), ("spark", "v3"),
+            doc_stats=corpus_stats_from_sidecar(
+                spark, idx + "_stats")).collect())
+
+    before = _scores()
+    # ticks 0 and 1 are ENTIRELY dead (every doc updated twice): the
+    # merged range must vanish, not land as an empty tick dir
+    assert compact_index_ticks(spark, idx, keep_ticks=2) == [0, 1]
+    assert not any(d in ("tick=0", "tick=1") for d in os.listdir(idx))
+    assert _scores() == before
+    # a LATER compaction over the surviving (live) ticks still infers
+    # tb-partitioning from the merged frame's schema and preserves it
+    dl.write_delta(spark.createDataFrame([(101, "fresh spark doc two")],
+                                         "doc_id long, text string"),
+                   tbl, mode="append")                               # v4
+    assert refresh_postings_from_cdf(spark, tbl, idx, bucketed=True,
+                                     n_buckets=4) == [4]
+    before = _scores()
+    assert compact_index_ticks(spark, idx, keep_ticks=1) == [2, 3]
+    assert any(n.startswith("tb=")
+               for n in os.listdir(os.path.join(idx, "tick=3")))
+    assert _scores() == before
+
+
+def test_vet_before_tombstone_publish(spark, tmp_path, monkeypatch):
+    """Round-13 ADVICE (low): the CDF refreshers vet a commit's batch
+    BEFORE publishing its tombstone tick — the guard sees the dead
+    keys as a PENDING tombstone (so a legal update's postimage
+    passes), and a refused commit leaves nothing behind. The old
+    publish-then-vet order left a refused mixed commit half-absorbed:
+    preimages serve-dead, postimages and the negative _stats delta
+    never landed."""
+    import snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh as ir
+
+    docs = _word_docs(spark, n=10)
+    tbl, idx = str(tmp_path / "vet_tbl"), str(tmp_path / "vet_idx")
+    dl.write_delta(docs, tbl)                                        # v0
+    assert refresh_postings_from_cdf(spark, tbl, idx) == [0]
+
+    # the guard admits an update postimage through the IN-MEMORY
+    # pending dead keys (not the published sidecar)...
+    batch3 = docs.filter(F.col("doc_id") == 3)
+    dead3 = batch3.select("doc_id")
+    ir._refuse_reingested_docs(batch3, idx, 1, pending_dead=dead3)
+    # ...while refusing it without them, and refusing a duplicate
+    # insert mixed into an otherwise-legal churn batch
+    with pytest.raises(ValueError, match="already ingested"):
+        ir._refuse_reingested_docs(batch3, idx, 1)
+    with pytest.raises(ValueError, match="already ingested"):
+        ir._refuse_reingested_docs(
+            docs.filter(F.col("doc_id").isin(3, 5)), idx, 1,
+            pending_dead=dead3)
+    assert not os.path.isdir(idx + "_tombstones")  # nothing published
+
+    # order through the real refresher: force a refusal on a legal
+    # update commit and assert the tombstone tick was never published
+    upd = (docs.filter(F.col("doc_id") == 1)
+           .select("doc_id", F.lit("changed words").alias("text")))
+    dl.merge_delta(spark, tbl, upd, on=["doc_id"], when_matched="update",
+                   when_not_matched=None, change_data=True)          # v1
+
+    def _always_refuse(*a, **k):
+        raise ValueError("already ingested (forced)")
+
+    monkeypatch.setattr(ir, "_refuse_reingested_docs", _always_refuse)
+    with pytest.raises(ValueError, match="already ingested"):
+        refresh_postings_from_cdf(spark, tbl, idx)
+    monkeypatch.undo()
+    assert not os.path.isdir(idx + "_tombstones")
+    assert not os.path.isdir(os.path.join(idx, "tick=1"))
+    # the feed replays cleanly once the guard passes again
+    assert refresh_postings_from_cdf(spark, tbl, idx) == [1]
+    assert os.path.isdir(idx + "_tombstones")
+    live = read_postings(spark, idx)
+    assert live.filter((F.col("doc_id") == 1)
+                       & (F.col("term") == "changed")).count() == 1
+
+
+def test_chunk_append_vets_before_publish(spark, tmp_path):
+    """Chunk-index twin of the vet-before-publish order: a batch that
+    re-inserts a LIVE doc refuses and publishes NO tombstone tick,
+    even when the same commit carries dead keys; a delete-only batch
+    still publishes its tick."""
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        _chunk_index_append_batch)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.retrieval import (
+        _read_chunk_meta)
+
+    docs = _word_docs(spark, n=12)
+    idx = str(tmp_path / "vetchunk")
+    rt.build_chunk_index(docs, idx, chunk_tokens=8, stride=6, dim=16,
+                         n_lists=2)
+    meta = _read_chunk_meta(idx)
+    dead = spark.createDataFrame([(7,)], "k long")
+    with pytest.raises(ValueError, match="re-inserts"):
+        _chunk_index_append_batch(
+            spark, docs.filter(F.col("doc_id") == 5), idx, 1, meta,
+            pending_dead=dead)
+    assert not os.path.isdir(idx + "_tombstones")
+    # a delete-only commit (empty batch) IS its tombstone tick
+    _chunk_index_append_batch(spark, docs.filter(F.lit(False)), idx, 1,
+                              meta, pending_dead=dead)
+    assert os.path.isdir(os.path.join(idx + "_tombstones", "tick=1"))
+    # and with the tombstone live, re-inserting the dead doc is legal
+    _chunk_index_append_batch(
+        spark, docs.filter(F.col("doc_id") == 7), idx, 2, meta,
+        pending_dead=spark.createDataFrame([], "k long"))
