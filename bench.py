@@ -960,6 +960,140 @@ def main() -> None:
         timings["postings_churn_serve"] = timed_build_setup(
             _pchurn_setup, _pchurn_replay)
 
+    # --- round-13 additions: churn through the CURATION stores
+    # (VERDICT r12 #1) — the mutated-feed replays the new registry
+    # queries run, priced at bench scale. Store + 5-commit feed
+    # (insert/insert/update/delete/insert) prebuilt untimed; the
+    # replays mutate their store family, so each rep copies the
+    # pristine build in untimed setup (the timed_build_setup
+    # discipline).
+    with tempfile.TemporaryDirectory(prefix="bench_churn_") as ch_dir:
+        docs_kt2 = docs.select("doc_id", "text")
+        dd.build_minhash_store(docs_kt2.filter(_F.col("doc_id") % 4 == 3),
+                               ch_dir + "/mh0", num_hashes=64, bands=32)
+        for c in (0, 1):
+            dl.write_delta(docs_kt2.filter(_F.col("doc_id") % 4 == c),
+                           ch_dir + "/dtbl",
+                           mode="overwrite" if c == 0 else "append")
+        dl.merge_delta(
+            spark, ch_dir + "/dtbl",
+            docs_kt2.filter((_F.col("doc_id") % 4 == 0)
+                            & (_F.col("doc_id") % 3 == 0))
+            .select("doc_id",
+                    _F.concat(_F.lit("spark churn rewrite pass "),
+                              _F.col("text")).alias("text")),
+            on=["doc_id"], when_matched="update", when_not_matched=None,
+            change_data=True)
+        dl.merge_delta(
+            spark, ch_dir + "/dtbl",
+            docs_kt2.filter((_F.col("doc_id") % 4 == 1)
+                            & (_F.col("doc_id") % 3 == 1)),
+            on=["doc_id"], when_matched="delete", when_not_matched=None,
+            change_data=True)
+        dl.write_delta(docs_kt2.filter(_F.col("doc_id") % 4 == 2),
+                       ch_dir + "/dtbl", mode="append")
+        _chrep = [0]
+
+        def _mh_churn_setup() -> str:
+            _chrep[0] += 1
+            store = f"{ch_dir}/mh_rep{_chrep[0]}"
+            for entry in sorted(os.listdir(ch_dir)):
+                if entry.startswith("mh0"):
+                    shutil.copytree(os.path.join(ch_dir, entry),
+                                    store + entry[len("mh0"):])
+            return store
+
+        def _mh_churn_replay(store: str):
+            done = cu.curate_minhash_from_cdf(
+                spark, ch_dir + "/dtbl", store, threshold=0.5)
+            if done != [0, 1, 2, 3, 4]:
+                raise AssertionError(f"mh churn replay processed {done}")
+            return spark.read.parquet(store + "_decisions")
+
+        timings["cdf_curation_churn"] = timed_build_setup(
+            _mh_churn_setup, _mh_churn_replay)
+
+        # vector twin (reverse-update) over the embeddings table
+        emb_kt2 = emb.select("vec_id", "embedding")
+        sim.build_ivf_index(emb_kt2.filter(_F.col("vec_id") % 4 == 3),
+                            ch_dir + "/iv0", n_lists=8)
+        for c in (0, 1):
+            dl.write_delta(emb_kt2.filter(_F.col("vec_id") % 4 == c),
+                           ch_dir + "/etbl",
+                           mode="overwrite" if c == 0 else "append")
+        dl.merge_delta(
+            spark, ch_dir + "/etbl",
+            emb_kt2.filter((_F.col("vec_id") % 4 == 0)
+                           & (_F.col("vec_id") % 3 == 0))
+            .select("vec_id",
+                    _F.reverse("embedding").alias("embedding")),
+            on=["vec_id"], when_matched="update", when_not_matched=None,
+            change_data=True)
+        dl.merge_delta(
+            spark, ch_dir + "/etbl",
+            emb_kt2.filter((_F.col("vec_id") % 4 == 1)
+                           & (_F.col("vec_id") % 3 == 1)),
+            on=["vec_id"], when_matched="delete", when_not_matched=None,
+            change_data=True)
+        dl.write_delta(emb_kt2.filter(_F.col("vec_id") % 4 == 2),
+                       ch_dir + "/etbl", mode="append")
+
+        def _emb_churn_setup() -> str:
+            _chrep[0] += 1
+            idx = f"{ch_dir}/iv_rep{_chrep[0]}"
+            for entry in sorted(os.listdir(ch_dir)):
+                if entry.startswith("iv0"):
+                    shutil.copytree(os.path.join(ch_dir, entry),
+                                    idx + entry[len("iv0"):])
+            return idx
+
+        def _emb_churn_replay(idx: str):
+            done = cu.curate_embeddings_from_cdf(
+                spark, ch_dir + "/etbl", idx, threshold=0.35)
+            if done != [0, 1, 2, 3, 4]:
+                raise AssertionError(f"emb churn replay processed {done}")
+            return spark.read.parquet(idx + "_decisions")
+
+        timings["cdf_embedding_churn"] = timed_build_setup(
+            _emb_churn_setup, _emb_churn_replay)
+
+        # split-store delete churn + quarantine serve: the store with
+        # its 1% increment APPLIED is prebuilt untimed; the timed
+        # region is retire_split_rows (tombstone tick + shrink
+        # surface; the first churn pays the one-time _tick migration
+        # rewrite of the thin store) + the quarantine verdict an eval
+        # pipeline reads next.
+        spairs2 = dd.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+        cu.build_split_store(
+            docs.filter(_F.col("doc_id") % 100 != 0),
+            spairs2.filter((_F.col("doc_id_1") % 100 != 0)
+                           & (_F.col("doc_id_2") % 100 != 0)),
+            ch_dir + "/sp0")
+        cu.assign_splits_incremental(
+            spark,
+            docs.filter(_F.col("doc_id") % 100 == 0).select("doc_id"),
+            ch_dir + "/sp0",
+            spairs2.filter((_F.col("doc_id_1") % 100 == 0)
+                           | (_F.col("doc_id_2") % 100 == 0)))
+        dead_frame = (docs.filter(_F.col("doc_id") % 9 == 4)
+                      .select("doc_id").localCheckpoint(eager=True))
+
+        def _split_churn_setup() -> str:
+            _chrep[0] += 1
+            store = f"{ch_dir}/sp_rep{_chrep[0]}"
+            for entry in sorted(os.listdir(ch_dir)):
+                if entry.startswith("sp0"):
+                    shutil.copytree(os.path.join(ch_dir, entry),
+                                    store + entry[len("sp0"):])
+            return store
+
+        def _split_churn_replay(store: str):
+            cu.retire_split_rows(spark, store, dead_frame, tick=1)
+            return cu.split_store_quarantine(spark, store)
+
+        timings["split_churn"] = timed_build_setup(
+            _split_churn_setup, _split_churn_replay)
+
     exact = sim.knn_bruteforce(emb, probe, k=20)
     recall = round(sim.recall_at_k(sim.knn_lsh(emb, probe, k=20), exact, k=20), 4)
     recall_ivf = round(
@@ -1026,8 +1160,18 @@ def main() -> None:
             prev, reg_baseline = cand, os.path.basename(art)
             break
     cal_ratio = round(calibration_s / CALIBRATION_CLEAN_S, 3)
+    # measured but NOT regression-gated (round 13 — VERDICT r12 #6):
+    # cdf_embedding_ledger's keep composition flips with scale/epoch
+    # by construction (threshold 0.35 keeps ~88/commit at sf0.1 and
+    # ~0 at the replicated sf1/sf3), so it trips the ±25% band every
+    # epoch; its curve was attributed with same-JVM instrumentation
+    # in round 12 (PLANS.md) and the uniform-composition twin
+    # cdf_embedding_ledger_tight is the gated absorb headline.
+    ungated = {"cdf_embedding_ledger"}
     if prev is not None:
         for name, now_s in timings.items():
+            if name in ungated:
+                continue
             prev_s = prev["queries"].get(name)
             if not prev_s:
                 continue

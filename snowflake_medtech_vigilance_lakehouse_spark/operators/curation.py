@@ -334,6 +334,12 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
         dead, live = _split_churn(feed, v)
         batch = live.select(id_col, text_col)
         dead_ids = dead.select(id_col)
+        if batch.isEmpty():
+            # a delete-only commit IS its tombstone tick; an empty
+            # batch cannot re-insert anything, so the guard is skipped
+            _write_tombstone_tick(dead_ids, store_path, v)
+            advance(v)
+            continue
         # vet BEFORE publishing the tombstone tick: a batch id LIVE
         # in the store — not retired by the sidecar or by THIS
         # commit's pending dead keys, and not this tick's own
@@ -357,9 +363,6 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
                 f"(retired and re-signatured within the tick) or "
                 f"rebuild the store")
         _write_tombstone_tick(dead_ids, store_path, v)
-        if batch.isEmpty():
-            advance(v)  # delete-only commit IS its tombstone tick
-            continue
         pairs = minhash_neardup_incremental(
             spark, batch, store_path, threshold=threshold)
         bids = batch.select(F.col(id_col).alias("_bid")).distinct()
@@ -429,11 +432,32 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
     identically. One maintenance source per index: the ownership guard
     refuses to start over ticks another lineage (streaming refresh or
     :func:`~..streaming.index_refresh.refresh_ivf_from_cdf`) produced,
-    and vice versa."""
+    and vice versa.
+
+    CHURN is absorbed (round 13 — VERDICT r12 #1, the vector twin of
+    the MinHash loop's churn tier): a commit's delete/update_preimage
+    ids land as a ``{index_path}_tombstones`` tick BEFORE pairing, so
+    the indexed probe (liveness-filtered through
+    :func:`~.similarity.apply_ivf_tombstones`) never generates
+    candidates from retired vectors; update postimages re-enter as
+    ordinary batch vectors and get a FRESH decision — new copy wins.
+    A batch id still LIVE in the index (not retired by the sidecar or
+    this commit's own dead keys, and not this tick's replayed absorb)
+    is an illegal duplicate insert and refuses before the tombstone
+    tick publishes. The re-insert guard scans one thin id column of
+    the index per churn commit — columnar-pruned, no vector data
+    moves. The ``_radii`` sidecar only over-states after deletes
+    (probe fan-out grows, exactness never breaks) until the next
+    rebuild/compaction, exactly like the refresh loop."""
     from ..streaming.index_refresh import (_consume_change_feed,
-                                           _ivf_append_batch)
-    from .similarity import (embedding_neardup_indexed,
-                             embedding_neardup_pairs_bucketed)
+                                           _ivf_append_batch,
+                                           _split_churn,
+                                           _write_tombstone_tick)
+    from ..streaming.liveness import live_filter
+    from .similarity import (_tombstones_applied_through,
+                             embedding_neardup_indexed,
+                             embedding_neardup_pairs_bucketed,
+                             ivf_row_epoch)
 
     reserved = {"_v", "_nrm", "list_id", "_v8", "_qs", "_n8"}
     idx_cols = [c for c in spark.read.parquet(index_path).columns
@@ -446,14 +470,42 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
     feed, versions, advance = _consume_change_feed(
         spark, delta_path, index_path + "_curate_cdf_state",
         op="curate_embeddings_from_cdf",
-        contract=("the index holds one row per vector id and the "
-                  "decision trail is append-only; rebuild the index "
-                  "after updates/deletes"),
+        contract="",
         tick_dirs=[index_path + "_growth", index_path + "_decisions"],
-        file_prefix_root=index_path)
+        file_prefix_root=index_path,
+        allow_churn=True)
     for v in versions:
-        batch = (feed.filter(F.col("_commit_version") == v)
-                 .select(id_col, vec_col))
+        dead, live = _split_churn(feed, v)
+        batch = live.select(id_col, vec_col)
+        dead_ids = dead.select(id_col)
+        if batch.isEmpty():
+            # a delete-only commit IS its tombstone tick; an empty
+            # batch cannot re-insert anything, so the guard is skipped
+            _write_tombstone_tick(dead_ids, index_path, v)
+            advance(v)
+            continue
+        # vet BEFORE publishing the tombstone tick: a batch id LIVE
+        # in the index (not retired by the sidecar or THIS commit's
+        # pending dead keys, and not this tick's own replayed absorb)
+        # would serve twice and double-count in every kNN
+        prior = (spark.read.parquet(index_path)
+                 .select(F.col(id_col), ivf_row_epoch().alias("_ep"))
+                 .filter(F.col("_ep") != v))
+        prior = live_filter(
+            prior, index_path + "_tombstones", F.col(id_col),
+            F.col("_ep"),
+            applied_through=_tombstones_applied_through(index_path),
+            pending=(dead_ids, v))
+        dups = (batch.select(F.col(id_col)).distinct()
+                .join(prior.select(id_col), id_col).limit(5).collect())
+        if dups:
+            raise ValueError(
+                f"curate_embeddings_from_cdf: commit {v} re-inserts "
+                f"ids {[r[0] for r in dups]}… already live in "
+                f"{index_path}; feed changes as update/delete commits "
+                f"(retired and re-decided within the tick) or rebuild "
+                f"the index")
+        _write_tombstone_tick(dead_ids, index_path, v)
         # loud dim-uniformity gate (round-12 ADVICE): the bucketed
         # in-batch engine SAMPLES 4096 rows to fit its quantizer — a
         # corrupt mixed-dimension commit whose minority dim misses
@@ -921,7 +973,8 @@ def build_split_store(docs: DataFrame, pairs: DataFrame, path: str, *,
 
 def assign_splits_incremental(spark, new_docs: DataFrame, path: str,
                               new_pairs: DataFrame, *,
-                              update_store: bool = True) -> DataFrame:
+                              update_store: bool = True,
+                              tick: int | None = None) -> DataFrame:
     """Assign splits to an increment against the sticky store: NO
     stored doc ever changes split (the contract), new docs inherit
     the split of the cluster they near-dup into, and only genuinely
@@ -979,9 +1032,14 @@ def assign_splits_incremental(spark, new_docs: DataFrame, path: str,
     denom, id_col = meta["denom"], meta["id_col"]
 
     store = spark.read.parquet(path)
-    old_map = store.select(F.col(id_col).alias("_sid"),
-                           F.col("cluster_id").alias("_scl"),
-                           F.col("split").alias("_ssp"))
+    # LIVE rows only (round 13 — churn): a retired doc must not
+    # resolve pair endpoints, govern a component, or satisfy the
+    # replay lookup (a re-inserted previously-deleted doc gets a
+    # FRESH assignment under a post-tombstone epoch)
+    live = _split_store_live(spark, path)
+    old_map = live.select(F.col(id_col).alias("_sid"),
+                          F.col("cluster_id").alias("_scl"),
+                          F.col("split").alias("_ssp"))
 
     # contracted node keys: stored endpoint -> its cluster node,
     # new endpoint -> its doc node (string space keeps both apart)
@@ -1005,7 +1063,7 @@ def assign_splits_incremental(spark, new_docs: DataFrame, path: str,
     comps = connected_components(p)
 
     # per stored cluster: its split and oldest doc (the governing rank)
-    cmeta = store.groupBy("cluster_id", "split").agg(
+    cmeta = live.groupBy("cluster_id", "split").agg(
         F.min(id_col).alias("_min_doc"))
     cnodes = (
         comps.filter(F.col("doc_id").startswith("c:"))
@@ -1065,7 +1123,20 @@ def assign_splits_incremental(spark, new_docs: DataFrame, path: str,
         cols = [id_col, "cluster_id", "split"]
         if "straddling" in store.columns:
             cols.append("straddling")
-        fresh.select(*cols).write.mode("append").parquet(path)
+        out = fresh.select(*cols)
+        # a churned (epoch-carrying) store needs the increment's
+        # commit epoch: an appended row must outlive the tombstones
+        # that retired its id's earlier copies (round 13)
+        if "_tick" in store.columns:
+            if tick is None:
+                raise ValueError(
+                    f"assign_splits_incremental: {path} carries the "
+                    f"churn epoch column (_tick); pass "
+                    f"tick=<commit_version> so appended rows outlive "
+                    f"prior tombstones for their ids")
+            out = out.withColumn("_tick",
+                                 F.lit(int(tick)).cast("long"))
+        out.write.mode("append").parquet(path)
         # the stored clusters a cross-split merge implicated (round
         # 11): every member cluster of a straddling component — the
         # docs an eval pipeline must subtract, because their
@@ -1076,6 +1147,96 @@ def assign_splits_incremental(spark, new_docs: DataFrame, path: str,
          .select("cluster_id").distinct()
          .write.mode("append").parquet(path + "_straddle"))
     return fresh.unionByName(replayed)
+
+
+def _split_store_live(spark, path: str) -> DataFrame:
+    """The sticky split store's LIVE rows (round 13 — the churn
+    tier): liveness under the ``{path}_tombstones`` sidecar via the
+    shared rule (a row is dead iff a tombstone for its doc id is
+    newer than the row's ``_tick`` absorb epoch; pre-churn rows read
+    as epoch -1). A store that has never churned has no sidecar and
+    pays nothing. The ``_tick`` column stays ON the frame (readers
+    that surface rows drop it themselves) so compaction can preserve
+    epochs across its rewrite."""
+    from ..streaming.liveness import live_filter
+
+    rows = spark.read.parquet(path)
+    return live_filter(
+        rows, path + "_tombstones", F.col(rows.columns[0]),
+        F.col("_tick") if "_tick" in rows.columns else F.lit(-1))
+
+
+def retire_split_rows(spark, path: str, dead_ids: DataFrame, *,
+                      tick: int) -> dict:
+    """DELETE churn for the sticky split store (round 13 — VERDICT
+    r12 #1: a deleted document kept its split assignment forever; it
+    must leave every read surface — quarantine view, eval export,
+    governance metadata, the replay lookup — while the sticky
+    contract for LIVE docs is untouched).
+
+    Mechanics, in crash-safe order:
+
+    1. **Migrate** a flat store to the epoch discipline on first
+       churn: one staged rewrite adding ``_tick = -1`` to every
+       existing row (all predate the first churn commit), so a doc
+       deleted at tick T and RE-INSERTED by a later increment at
+       tick T' > T gets a new row that outlives the old tombstone —
+       the same rule every churn-capable layout uses.
+    2. **Surface the cluster-shrink edge case** through the existing
+       quarantine surface: a cluster whose OLDEST stored doc dies
+       loses its governance rank — a later merged component
+       containing it would inherit through a different (doc,
+       cluster) order than any pre-delete resolution used, so two
+       docs with near-identical neighborhoods could land in
+       different splits ACROSS TIME. Conservative response: the
+       cluster's id is appended to the ``{path}_straddle`` sidecar
+       (the bridged-neighborhood quarantine consumer already
+       subtracts it); appended BEFORE the tombstone tick publishes
+       so a crash-replay recomputes rather than loses it (duplicate
+       sidecar rows are read distinct).
+    3. **Tombstone** the dead ids as ``{path}_tombstones/tick=N``
+       (per-tick overwrite — replays converge).
+
+    Ids absent from the store are tolerated no-ops (a doc deleted
+    before it was ever split-assigned). Returns
+    ``{"retired": n, "shrunk_clusters": m}``. UPDATE churn needs no
+    store surgery: the sticky contract keeps the doc's split (its id
+    is unchanged), and if its NEW text bridges clusters across
+    splits a later increment's pairs surface it as an ordinary
+    straddle."""
+    import json
+    import os
+    import shutil
+
+    from ..streaming.index_refresh import _write_tombstone_tick
+
+    with open(os.path.join(path + "_meta", "meta.json")) as f:
+        id_col = json.load(f)["id_col"]
+    store = spark.read.parquet(path)
+    if "_tick" not in store.columns:
+        stage, old = path + ".mig", path + ".migold"
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        (store.withColumn("_tick", F.lit(-1).cast("long"))
+         .localCheckpoint(eager=True)
+         .write.mode("overwrite").parquet(stage))
+        os.replace(path, old)
+        os.replace(stage, path)
+        shutil.rmtree(old)
+    live = _split_store_live(spark, path)
+    dead_keys = dead_ids.toDF(id_col).distinct()
+    dying = (live.join(F.broadcast(dead_keys), id_col, "left_semi")
+             .select(id_col, "cluster_id"))
+    cmin = live.groupBy("cluster_id").agg(F.min(id_col).alias("_mn"))
+    shrunk = (dying.join(cmin, "cluster_id")
+              .filter(F.col(id_col) == F.col("_mn"))
+              .select("cluster_id").distinct()
+              .localCheckpoint(eager=True))
+    n_dead, n_shrunk = dying.count(), shrunk.count()
+    if n_shrunk:
+        shrunk.write.mode("append").parquet(path + "_straddle")
+    _write_tombstone_tick(dead_keys, path, tick)
+    return {"retired": n_dead, "shrunk_clusters": n_shrunk}
 
 
 def compact_split_store(spark, path: str, *,
@@ -1115,7 +1276,14 @@ def compact_split_store(spark, path: str, *,
     import os
     import shutil
 
-    rows = spark.read.parquet(path)
+    # physical tombstone apply rides the rewrite (round 13): only
+    # LIVE rows survive, with their _tick epochs PRESERVED — so a
+    # crash between the swap and the sidecar removal below is
+    # harmless (re-applying the stale sidecar to rows that already
+    # passed the liveness rule keeps the same live set; idempotent,
+    # no applied-through marker needed), and the sidecar is cleared
+    # once the apply is durable
+    rows = _split_store_live(spark, path)
     n_rows = rows.count()
     files_before = len(glob.glob(os.path.join(path, "*.parquet")))
     if num_files is None:
@@ -1130,6 +1298,7 @@ def compact_split_store(spark, path: str, *,
     os.replace(path, old)
     os.replace(stage, path)
     shutil.rmtree(old)
+    shutil.rmtree(path + "_tombstones", ignore_errors=True)
     if os.path.isdir(path + "_straddle"):
         sstage, sold = path + "_straddle.compact", path + "_straddle.old"
         shutil.rmtree(sstage, ignore_errors=True)
@@ -1173,7 +1342,7 @@ def split_store_quarantine(spark, path: str) -> DataFrame:
 
     with open(os.path.join(path + "_meta", "meta.json")) as f:
         id_col = json.load(f)["id_col"]
-    store = spark.read.parquet(path)
+    store = _split_store_live(spark, path)  # retired docs never serve
     srow = F.col("straddling") if "straddling" in store.columns \
         else F.lit(False)
     base = store.select(F.col(id_col), "cluster_id", "split",

@@ -19,7 +19,7 @@ sequential fold so they reproduce bit-for-bit across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1238,15 +1238,23 @@ def apply_ivf_tombstones(spark, path: str, idx: DataFrame) -> DataFrame:
     # copies of the keys they already killed (round-12 review fix)
     from ..streaming.liveness import live_filter
 
-    # the when() guard keeps the cast off the no-match "" (ANSI mode
-    # would throw); prefix-less (build/compaction-written) files read
-    # as epoch -1, older than every commit version
-    m = F.regexp_extract(F.input_file_name(), r"tick(\d+)-\d+\.parquet$", 1)
-    epoch = F.when(m != F.lit(""), m.cast("long")) \
-        .otherwise(F.lit(-1).cast("long"))
     return live_filter(
-        idx, tomb_dir, key, epoch,
+        idx, tomb_dir, key, ivf_row_epoch(),
         applied_through=_tombstones_applied_through(path))
+
+
+def ivf_row_epoch() -> Column:
+    """Publication epoch of an IVF-layout row, derived from the
+    ``tick<N>-`` file-name prefix the refreshers publish under —
+    ``input_file_name()`` arithmetic inside the scan projection, no
+    schema change. The when() guard keeps the cast off the no-match
+    "" (ANSI mode would throw); prefix-less (build/compaction-written)
+    files read as epoch -1, older than every commit version. Shared
+    by :func:`apply_ivf_tombstones` and the curation loop's
+    re-insert guard (round 13)."""
+    m = F.regexp_extract(F.input_file_name(), r"tick(\d+)-\d+\.parquet$", 1)
+    return F.when(m != F.lit(""), m.cast("long")) \
+        .otherwise(F.lit(-1).cast("long"))
 
 
 def _pruned_index_read(spark, path: str,

@@ -1968,6 +1968,227 @@ s{c + 1} AS (SELECT doc_id FROM s{c} UNION ALL SELECT doc_id FROM k{c})""")
 ORACLE_CDF_CURATION_LEDGER = _cdf_ledger_oracle()
 
 
+_CDF_CHURN_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+_CHURN_PREFIX = "spark churn rewrite pass "
+
+
+def q_cdf_curation_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 — churn through the CURATION store (VERDICT r12 #1):
+    the MinHash curation loop under a MUTATED feed. Store =
+    doc_id % 4 == 3; commits 0/1 insert the % 4 == 0 / 1 classes;
+    commit 2 UPDATES the % 3 == 0 subset of class 0 (a distinguishing
+    prefix — close enough to the preimage that a loop which failed to
+    retire the old signature would reject every postimage against its
+    own ghost); commit 3 DELETES the % 3 == 1 subset of class 1
+    (delete-only commit: a tombstone tick, no decisions); commit 4
+    inserts class 2, whose decisions see the post-churn live store —
+    deleted partners no longer reject, updated docs reject only via
+    their NEW text (operators/curation.py:curate_minhash_from_cdf,
+    operators/dedup.py:read_minhash_store). The oracle unrolls the
+    identical five-commit replay with (doc_id, ver)-keyed signatures
+    — ver 0 = original text, ver 2 = the updated text — and store
+    sets that subtract the retired members before each decision,
+    exactly the liveness rule the tombstone sidecar enforces. The
+    reference's target_lag freshness applies to the whole pipeline,
+    not just serving (/root/reference/README.md:83,117)."""
+    import os
+
+    from ..operators.curation import curate_minhash_from_cdf
+    from ..sources import delta_lite as dl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build(work: str) -> str:
+        store = os.path.join(work, "store")
+        tbl = os.path.join(work, "docs_delta")
+        dd.build_minhash_store(docs.filter(F.col("doc_id") % 4 == 3),
+                               store, num_hashes=64, bands=32)
+        for c in (0, 1):
+            dl.write_delta(docs.filter(F.col("doc_id") % 4 == c), tbl,
+                           mode="overwrite" if c == 0 else "append")
+        upd = (docs.filter((F.col("doc_id") % 4 == 0)
+                           & (F.col("doc_id") % 3 == 0))
+               .select("doc_id",
+                       F.concat(F.lit(_CHURN_PREFIX),
+                                F.col("text")).alias("text")))
+        dl.merge_delta(spark, tbl, upd, on=["doc_id"],
+                       when_matched="update", when_not_matched=None,
+                       change_data=True)                        # v2
+        dl.merge_delta(spark, tbl,
+                       docs.filter((F.col("doc_id") % 4 == 1)
+                                   & (F.col("doc_id") % 3 == 1)),
+                       on=["doc_id"], when_matched="delete",
+                       when_not_matched=None, change_data=True)  # v3
+        dl.write_delta(docs.filter(F.col("doc_id") % 4 == 2), tbl,
+                       mode="append")                           # v4
+        done = curate_minhash_from_cdf(spark, tbl, store, threshold=0.5)
+        if done != [0, 1, 2, 3, 4]:
+            raise RuntimeError(
+                f"cdf_curation_churn setup expected commits "
+                f"[0..4], processed {done}")
+        return store
+
+    store = _fixture_cached_setup(_CDF_CHURN_CACHE, sf_dir,
+                                  "documents.parquet",
+                                  "sparkgraft_cdf_churn_", _build)
+    return (
+        spark.read.parquet(store + "_decisions")
+        .select("doc_id",
+                F.col("tick").cast("long").alias("commit_version"),
+                "keep")
+    )
+
+
+def _cdf_churn_oracle(num_hashes: int = 64, bands: int = 32,
+                      threshold: float = 0.5) -> str:
+    """DuckDB twin of q_cdf_curation_churn: the five-commit replay
+    unrolled with (doc_id, ver)-keyed signatures. Store sets are
+    (doc_id, ver) pairs; commit 2's store is s2 MINUS the updated
+    ids (their signatures retired), commit 4's is s3 MINUS the
+    deleted ids — the pure-SQL statement of the tombstone liveness
+    rule. Keep rule unchanged: a historical partner always wins,
+    within a commit the larger id loses."""
+    coeffs = dd._hash_coeffs(num_hashes)
+    p = dd._MERSENNE_P
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows = num_hashes // bands
+    band_conds = "\n     OR ".join(
+        "(" + " AND ".join(
+            f"a.mh_{bi * rows + r} = b.mh_{bi * rows + r}" for r in range(rows)
+        ) + ")"
+        for bi in range(bands)
+    )
+    head = f"""
+WITH uni AS (
+  SELECT doc_id, 0 AS ver, text FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS ver, '{_CHURN_PREFIX}' || text FROM documents
+  WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
+), d AS (
+  SELECT doc_id, ver,
+         list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+  FROM uni
+), dh AS (
+  SELECT doc_id, ver,
+         list_distinct(list_transform(
+             sh, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS hs
+  FROM d WHERE len(sh) > 0
+), grams AS (
+  SELECT doc_id, ver, unnest(sh) AS g FROM d WHERE len(sh) > 0
+), hashed AS (
+  SELECT doc_id, ver, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams
+), sigs AS (
+  SELECT doc_id, ver,
+         {mins}
+  FROM hashed GROUP BY doc_id, ver
+),
+upd AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0 AND doc_id % 3 = 0),
+del AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1 AND doc_id % 3 = 1),
+s0 AS (SELECT doc_id, 0 AS ver FROM documents WHERE doc_id % 4 = 3)"""
+    parts = [head]
+    # insert commits 0 and 1 over classes 0 and 1
+    for c in (0, 1):
+        parts.append(f"""
+cand{c} AS (
+  SELECT a.doc_id AS aid, a.ver AS aver, b.doc_id AS bid
+  FROM sigs a JOIN sigs b
+    ON b.ver = 0 AND b.doc_id % 4 = {c}
+   AND (EXISTS (SELECT 1 FROM s{c} s
+                WHERE s.doc_id = a.doc_id AND s.ver = a.ver)
+        OR (a.ver = 0 AND a.doc_id % 4 = {c} AND a.doc_id < b.doc_id))
+  WHERE {band_conds}
+),
+rej{c} AS (
+  SELECT DISTINCT c.bid AS doc_id
+  FROM cand{c} c
+  JOIN dh x ON x.doc_id = c.aid AND x.ver = c.aver
+  JOIN dh y ON y.doc_id = c.bid AND y.ver = 0
+  WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+        / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+        >= {threshold}
+),
+k{c} AS (
+  SELECT doc_id, 0 AS ver FROM documents WHERE doc_id % 4 = {c}
+   AND doc_id NOT IN (SELECT doc_id FROM rej{c})
+),
+s{c + 1} AS (SELECT * FROM s{c} UNION ALL SELECT * FROM k{c})""")
+    # commit 2: update — retire the preimage signatures, decide the
+    # ver-2 postimages against the live store and each other
+    parts.append(f"""
+live2 AS (
+  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+),
+cand2 AS (
+  SELECT a.doc_id AS aid, a.ver AS aver, b.doc_id AS bid
+  FROM sigs a JOIN sigs b
+    ON b.ver = 2
+   AND (EXISTS (SELECT 1 FROM live2 s
+                WHERE s.doc_id = a.doc_id AND s.ver = a.ver)
+        OR (a.ver = 2 AND a.doc_id < b.doc_id))
+  WHERE {band_conds}
+),
+rej2 AS (
+  SELECT DISTINCT c.bid AS doc_id
+  FROM cand2 c
+  JOIN dh x ON x.doc_id = c.aid AND x.ver = c.aver
+  JOIN dh y ON y.doc_id = c.bid AND y.ver = 2
+  WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+        / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+        >= {threshold}
+),
+k2 AS (
+  SELECT doc_id, 2 AS ver FROM upd
+  WHERE doc_id NOT IN (SELECT doc_id FROM rej2)
+),
+s3 AS (SELECT * FROM live2 UNION ALL SELECT * FROM k2),
+live4 AS (
+  SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM del)
+),
+cand4 AS (
+  SELECT a.doc_id AS aid, a.ver AS aver, b.doc_id AS bid
+  FROM sigs a JOIN sigs b
+    ON b.ver = 0 AND b.doc_id % 4 = 2
+   AND (EXISTS (SELECT 1 FROM live4 s
+                WHERE s.doc_id = a.doc_id AND s.ver = a.ver)
+        OR (a.ver = 0 AND a.doc_id % 4 = 2 AND a.doc_id < b.doc_id))
+  WHERE {band_conds}
+),
+rej4 AS (
+  SELECT DISTINCT c.bid AS doc_id
+  FROM cand4 c
+  JOIN dh x ON x.doc_id = c.aid AND x.ver = c.aver
+  JOIN dh y ON y.doc_id = c.bid AND y.ver = 0
+  WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+        / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+        >= {threshold}
+)""")
+    finals = """
+SELECT doc_id, 0::BIGINT AS commit_version,
+       doc_id NOT IN (SELECT doc_id FROM rej0) AS keep
+FROM documents WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id, 1::BIGINT AS commit_version,
+       doc_id NOT IN (SELECT doc_id FROM rej1) AS keep
+FROM documents WHERE doc_id % 4 = 1
+UNION ALL
+SELECT doc_id, 2::BIGINT AS commit_version,
+       doc_id NOT IN (SELECT doc_id FROM rej2) AS keep
+FROM upd
+UNION ALL
+SELECT doc_id, 4::BIGINT AS commit_version,
+       doc_id NOT IN (SELECT doc_id FROM rej4) AS keep
+FROM documents WHERE doc_id % 4 = 2"""
+    return ",".join(parts) + "\n" + finals
+
+
+ORACLE_CDF_CURATION_CHURN = _cdf_churn_oracle()
+
+
 _CDF_EMB_LEDGER_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
@@ -2060,6 +2281,162 @@ s{c + 1} AS (
 
 
 ORACLE_CDF_EMBEDDING_LEDGER = _cdf_embedding_ledger_oracle()
+
+
+_CDF_EMB_CHURN_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+
+def q_cdf_embedding_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 — churn through the vector curation store (VERDICT
+    r12 #1, the twin of `cdf_curation_churn`): index = vec_id % 4 ==
+    3; commits 0/1 insert classes 0/1; commit 2 UPDATES the % 3 == 0
+    subset of class 0 (vector REVERSED — a materially different
+    direction, so the postimage's decisions are its own, not the
+    preimage's); commit 3 DELETES the % 3 == 1 subset of class 1
+    (tombstone tick only); commit 4 inserts class 2, whose decisions
+    see the post-churn LIVE index — deleted partners no longer
+    reject, updated ids match only via their new direction
+    (operators/curation.py:curate_embeddings_from_cdf; serving probes
+    are liveness-filtered through
+    operators/similarity.py:apply_ivf_tombstones). The oracle unrolls
+    the identical five-commit replay with (vec_id, ver)-keyed vectors
+    and store sets that subtract retired members before each decision
+    — exactness holds because the indexed probe's triangle radius
+    bound covers every qualifying pair and deletes only ever
+    OVER-state radii."""
+    import os
+
+    from ..operators.curation import curate_embeddings_from_cdf
+    from ..sources import delta_lite as dl
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _build(work: str) -> str:
+        idx = os.path.join(work, "ivf")
+        tbl = os.path.join(work, "emb_delta")
+        sim.build_ivf_index(emb.filter(F.col("vec_id") % 4 == 3),
+                            idx, n_lists=8)
+        for c in (0, 1):
+            dl.write_delta(emb.filter(F.col("vec_id") % 4 == c), tbl,
+                           mode="overwrite" if c == 0 else "append")
+        upd = (emb.filter((F.col("vec_id") % 4 == 0)
+                          & (F.col("vec_id") % 3 == 0))
+               .select("vec_id",
+                       F.reverse("embedding").alias("embedding")))
+        dl.merge_delta(spark, tbl, upd, on=["vec_id"],
+                       when_matched="update", when_not_matched=None,
+                       change_data=True)                        # v2
+        dl.merge_delta(spark, tbl,
+                       emb.filter((F.col("vec_id") % 4 == 1)
+                                  & (F.col("vec_id") % 3 == 1)),
+                       on=["vec_id"], when_matched="delete",
+                       when_not_matched=None, change_data=True)  # v3
+        dl.write_delta(emb.filter(F.col("vec_id") % 4 == 2), tbl,
+                       mode="append")                           # v4
+        done = curate_embeddings_from_cdf(spark, tbl, idx,
+                                          threshold=0.35)
+        if done != [0, 1, 2, 3, 4]:
+            raise RuntimeError(
+                f"cdf_embedding_churn setup expected commits [0..4], "
+                f"processed {done}")
+        return idx
+
+    idx = _fixture_cached_setup(_CDF_EMB_CHURN_CACHE, sf_dir,
+                                "embeddings.parquet",
+                                "sparkgraft_cdf_emb_churn_", _build)
+    return (
+        spark.read.parquet(idx + "_decisions")
+        .select("vec_id",
+                F.col("tick").cast("long").alias("commit_version"),
+                "keep")
+    )
+
+
+def _cdf_embedding_churn_oracle(threshold: float = 0.35) -> str:
+    """DuckDB twin of q_cdf_embedding_churn: the five-commit replay
+    unrolled with exact cosine over (vec_id, ver)-keyed vectors —
+    ver 0 = original, ver 2 = reversed; commit 2's store subtracts
+    the updated ids, commit 4's subtracts the deleted ids (the
+    pure-SQL tombstone liveness rule)."""
+    head = """
+WITH e AS (
+  SELECT vec_id, 0 AS ver, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id, 2 AS ver, list_reverse(embedding::DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 4 = 0 AND vec_id % 3 = 0
+),
+upd AS (SELECT vec_id FROM embeddings
+        WHERE vec_id % 4 = 0 AND vec_id % 3 = 0),
+del AS (SELECT vec_id FROM embeddings
+        WHERE vec_id % 4 = 1 AND vec_id % 3 = 1),
+s0 AS (SELECT vec_id, 0 AS ver FROM embeddings WHERE vec_id % 4 = 3)"""
+    parts = [head]
+    for c in (0, 1):
+        parts.append(f"""
+rej{c} AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b
+    ON b.ver = 0 AND b.vec_id % 4 = {c}
+   AND (EXISTS (SELECT 1 FROM s{c} s
+                WHERE s.vec_id = a.vec_id AND s.ver = a.ver)
+        OR (a.ver = 0 AND a.vec_id % 4 = {c} AND a.vec_id < b.vec_id))
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold!r}
+),
+k{c} AS (
+  SELECT vec_id, 0 AS ver FROM embeddings WHERE vec_id % 4 = {c}
+     AND vec_id NOT IN (SELECT vec_id FROM rej{c})
+),
+s{c + 1} AS (SELECT * FROM s{c} UNION ALL SELECT * FROM k{c})""")
+    parts.append(f"""
+live2 AS (
+  SELECT * FROM s2 WHERE vec_id NOT IN (SELECT vec_id FROM upd)
+),
+rej2 AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b
+    ON b.ver = 2
+   AND (EXISTS (SELECT 1 FROM live2 s
+                WHERE s.vec_id = a.vec_id AND s.ver = a.ver)
+        OR (a.ver = 2 AND a.vec_id < b.vec_id))
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold!r}
+),
+k2 AS (
+  SELECT vec_id, 2 AS ver FROM upd
+  WHERE vec_id NOT IN (SELECT vec_id FROM rej2)
+),
+s3 AS (SELECT * FROM live2 UNION ALL SELECT * FROM k2),
+live4 AS (
+  SELECT * FROM s3 WHERE vec_id NOT IN (SELECT vec_id FROM del)
+),
+rej4 AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b
+    ON b.ver = 0 AND b.vec_id % 4 = 2
+   AND (EXISTS (SELECT 1 FROM live4 s
+                WHERE s.vec_id = a.vec_id AND s.ver = a.ver)
+        OR (a.ver = 0 AND a.vec_id % 4 = 2 AND a.vec_id < b.vec_id))
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold!r}
+)""")
+    finals = """
+SELECT vec_id, 0::BIGINT AS commit_version,
+       vec_id NOT IN (SELECT vec_id FROM rej0) AS keep
+FROM embeddings WHERE vec_id % 4 = 0
+UNION ALL
+SELECT vec_id, 1::BIGINT AS commit_version,
+       vec_id NOT IN (SELECT vec_id FROM rej1) AS keep
+FROM embeddings WHERE vec_id % 4 = 1
+UNION ALL
+SELECT vec_id, 2::BIGINT AS commit_version,
+       vec_id NOT IN (SELECT vec_id FROM rej2) AS keep
+FROM upd
+UNION ALL
+SELECT vec_id, 4::BIGINT AS commit_version,
+       vec_id NOT IN (SELECT vec_id FROM rej4) AS keep
+FROM embeddings WHERE vec_id % 4 = 2"""
+    return ",".join(parts) + "\n" + finals
+
+
+ORACLE_CDF_EMBEDDING_CHURN = _cdf_embedding_churn_oracle()
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3599,6 +3976,97 @@ FROM inc_final
 """
 
 
+_SPLIT_CHURN_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+
+def q_split_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 — delete churn through the sticky split store
+    (VERDICT r12 #1, third store): the vector-keyed store of
+    `split_quarantine` is rebuilt in its own work dir (the shared
+    fixture stays pristine), the % 5 == 0 increment is APPLIED, and
+    then vec_id % 9 == 4 docs are DELETED
+    (operators/curation.py:retire_split_rows): their rows leave every
+    read surface via a tombstone tick, and every cluster whose
+    OLDEST stored doc died is appended to the straddle/quarantine
+    sidecar — the cluster-shrink edge case (its governance rank
+    changed, so later merged components would inherit through a
+    different order than pre-delete resolutions used; conservative
+    response: quarantine the neighborhood). The query returns the
+    post-churn quarantine view; the oracle unrolls the identical
+    two-stage resolution, EXCLUDES the dead ids from the output, and
+    widens the implicated-cluster set by the clusters whose min
+    stored doc is dead — the pure-SQL statement of the retirement +
+    shrink rule."""
+    import os
+
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _build(work: str) -> str:
+        pairs = sim.embedding_neardup_pairs_bucketed(vecs, 0.35).select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"))
+        store = os.path.join(work, "splits")
+        cu.build_split_store(
+            vecs.filter(F.col("vec_id") % 5 != 0),
+            pairs.filter((F.col("doc_id_1") % 5 != 0)
+                         & (F.col("doc_id_2") % 5 != 0)),
+            store, id_col="vec_id")
+        inc = vecs.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+        inc_pairs = pairs.filter((F.col("doc_id_1") % 5 == 0)
+                                 | (F.col("doc_id_2") % 5 == 0))
+        cu.assign_splits_incremental(spark, inc, store, inc_pairs,
+                                     update_store=True)
+        cu.retire_split_rows(
+            spark, store,
+            vecs.filter(F.col("vec_id") % 9 == 4).select("vec_id"),
+            tick=1)
+        return store
+
+    store = _fixture_cached_setup(_SPLIT_CHURN_CACHE, sf_dir,
+                                  "embeddings.parquet",
+                                  "sparkgraft_split_churn_", _build)
+    return cu.split_store_quarantine(spark, store)
+
+
+ORACLE_SPLIT_CHURN = _SPLIT_VECTOR_HEAD + _SPLIT_RESOLVE_CTES + f"""
+, inc_final AS (
+  SELECT doc_id, cluster_id,
+         coalesce(gsp,
+           CASE WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 800000
+                THEN 'train'
+                WHEN {_SPLIT_BUCKET_SQL.format(c='cluster_id')} < 900000
+                THEN 'val' ELSE 'test' END) AS split,
+         straddling
+  FROM resolved
+), impl AS (
+  SELECT DISTINCT cluster_id FROM cn
+  WHERE comp IN (SELECT comp FROM cn
+                 GROUP BY comp HAVING count(DISTINCT split) > 1)
+), allstored AS (
+  SELECT doc_id, cluster_id FROM store_split
+  UNION ALL
+  SELECT doc_id, cluster_id FROM inc_final
+), deadset AS (
+  SELECT doc_id FROM alldocs WHERE doc_id % 9 = 4
+), shrunk AS (
+  SELECT cluster_id
+  FROM (SELECT cluster_id, min(doc_id) AS mn
+        FROM allstored GROUP BY cluster_id)
+  WHERE mn IN (SELECT doc_id FROM deadset)
+), quarcl AS (
+  SELECT cluster_id FROM impl UNION SELECT cluster_id FROM shrunk
+)
+SELECT doc_id AS vec_id, cluster_id, split,
+       (cluster_id IN (SELECT cluster_id FROM quarcl)) AS quarantined
+FROM store_split WHERE doc_id NOT IN (SELECT doc_id FROM deadset)
+UNION ALL
+SELECT doc_id AS vec_id, cluster_id, split,
+       (straddling OR cluster_id IN (SELECT cluster_id FROM quarcl))
+         AS quarantined
+FROM inc_final WHERE doc_id NOT IN (SELECT doc_id FROM deadset)
+"""
+
+
 def q_eval_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quarantine-composed eval-set export (round 12 — VERDICT
     r11 #6, the operator an actual eval pipeline calls): from the
@@ -4240,7 +4708,9 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_neardup": q_minhash_neardup,
     "minhash_incremental": q_minhash_incremental,
     "cdf_curation_ledger": q_cdf_curation_ledger,
+    "cdf_curation_churn": q_cdf_curation_churn,
     "cdf_embedding_ledger": q_cdf_embedding_ledger,
+    "cdf_embedding_churn": q_cdf_embedding_churn,
     "embedding_neardup_incremental": q_embedding_neardup_incremental,
     "simhash_neardup": q_simhash_neardup,
     "dedup_clusters": q_dedup_clusters,
@@ -4279,6 +4749,7 @@ QUERIES: dict[str, QueryFn] = {
     "leakage_safe_split": q_leakage_safe_split,
     "split_incremental": q_split_incremental,
     "split_quarantine": q_split_quarantine,
+    "split_churn": q_split_churn,
     "eval_export": q_eval_export,
     "vocab_topk": q_vocab_topk,
     "char_lm_score": q_char_lm_score,
@@ -4356,6 +4827,7 @@ ORACLES: dict[str, str] = {
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "split_incremental": ORACLE_SPLIT_INCREMENTAL,
     "split_quarantine": ORACLE_SPLIT_QUARANTINE,
+    "split_churn": ORACLE_SPLIT_CHURN,
     "eval_export": ORACLE_EVAL_EXPORT,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "char_lm_score": ORACLE_CHAR_LM,
@@ -4422,7 +4894,9 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
     "minhash_incremental": ORACLE_MINHASH_INCREMENTAL,
     "cdf_curation_ledger": ORACLE_CDF_CURATION_LEDGER,
+    "cdf_curation_churn": ORACLE_CDF_CURATION_CHURN,
     "cdf_embedding_ledger": ORACLE_CDF_EMBEDDING_LEDGER,
+    "cdf_embedding_churn": ORACLE_CDF_EMBEDDING_CHURN,
     "embedding_neardup_incremental": ORACLE_EMBEDDING_NEARDUP_INCREMENTAL,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_curation": ORACLE_CORPUS_CURATION,

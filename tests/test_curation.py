@@ -541,13 +541,73 @@ def test_curate_embeddings_from_cdf_end_to_end(spark, tmp_path):
     with pytest.raises(ValueError, match="maintenance lineage"):
         refresh_ivf_from_cdf(spark, tbl, idx)
 
-    # update feed refuses
+    # CHURN (round 13 — VERDICT r12 #1): an update feed now ABSORBS.
+    # Keep 903's vector is rewritten to a scaled copy of absorbed keep
+    # 901's: the old 903 retires under a tombstone tick and the
+    # postimage gets a FRESH decision — reject, against 901 (cosine
+    # is scale-invariant, so the dup is exact)
+    import os
+    n_rows = spark.read.parquet(idx).count()
     dl.merge_delta(spark, tbl, spark.createDataFrame(
-        [(903, [1.0] * len(base))], "vec_id long, embedding array<double>"),
+        [(903, [2.0 * x for x in far])],
+        "vec_id long, embedding array<double>"),
         on=["vec_id"], when_matched="update", when_not_matched=None,
-        change_data=True)
-    with pytest.raises(ValueError, match="rebuild the index"):
+        change_data=True)                                         # v2
+    assert curate_embeddings_from_cdf(spark, tbl, idx,
+                                      threshold=0.95) == [2]
+    assert {r["vec_id"]: r["keep"] for r in
+            spark.read.parquet(f"{idx}_decisions/tick=2").collect()} \
+        == {903: False}
+    assert spark.read.parquet(idx).count() == n_rows  # no absorb
+    # retirement is visible through the probe: old 903's vector no
+    # longer has a live partner...
+    probe903 = spark.createDataFrame(
+        [(999, [0.0] * (len(base) - 1) + [50.0])],
+        "vec_id long, embedding array<double>")
+    assert sim.embedding_neardup_indexed(
+        spark, idx, probe903, 0.95).count() == 0
+    # ...while live rows still match
+    probe_far = spark.createDataFrame(
+        [(998, far)], "vec_id long, embedding array<double>")
+    assert sim.embedding_neardup_indexed(
+        spark, idx, probe_far, 0.95).count() == 1
+    # delete 901 (delete-only commit: tombstone tick, no decisions)
+    dl.merge_delta(spark, tbl, spark.createDataFrame(
+        [(901, far)], "vec_id long, embedding array<double>"),
+        on=["vec_id"], when_matched="delete", when_not_matched=None,
+        change_data=True)                                         # v3
+    assert curate_embeddings_from_cdf(spark, tbl, idx,
+                                      threshold=0.95) == [3]
+    assert not os.path.isdir(f"{idx}_decisions/tick=3")
+    # a fresh dup of the deleted vector now KEEPS (dead vectors
+    # generate no candidates)
+    dl.write_delta(spark.createDataFrame(
+        [(920, far)], "vec_id long, embedding array<double>"),
+        tbl, mode="append")                                       # v4
+    assert curate_embeddings_from_cdf(spark, tbl, idx,
+                                      threshold=0.95) == [4]
+    assert {r["vec_id"]: r["keep"] for r in
+            spark.read.parquet(f"{idx}_decisions/tick=4").collect()} \
+        == {920: True}
+    # at-least-once replay of the churn-era commit converges
+    n_rows = spark.read.parquet(idx).count()
+    with open(state, "w") as f:
+        json.dump({"last_commit_version": 3}, f)
+    assert curate_embeddings_from_cdf(spark, tbl, idx,
+                                      threshold=0.95) == [4]
+    assert {r["vec_id"]: r["keep"] for r in
+            spark.read.parquet(f"{idx}_decisions/tick=4").collect()} \
+        == {920: True}
+    assert spark.read.parquet(idx).count() == n_rows
+    # an illegal duplicate insert of a LIVE id refuses BEFORE any
+    # tombstone tick publishes
+    dl.write_delta(spark.createDataFrame(
+        [(920, base)], "vec_id long, embedding array<double>"),
+        tbl, mode="append")                                       # v5
+    with pytest.raises(ValueError, match="re-inserts"):
         curate_embeddings_from_cdf(spark, tbl, idx, threshold=0.95)
+    assert sorted(os.listdir(idx + "_tombstones")) == \
+        ["tick=2", "tick=3"]
 
 
 def test_split_store_sticky_under_cluster_merge(spark, tmp_path):
@@ -832,3 +892,71 @@ def test_capped_pairs_compose_with_keep_and_split(spark):
     # isolated vectors are their own singleton clusters
     for i in range(10):
         assert split_c[9000 + i][0] == 9000 + i
+
+
+def test_split_store_churn_retire_and_reinsert(spark, tmp_path):
+    """Round 13 — delete churn through the sticky split store: retired
+    rows leave every read surface, the min-doc cluster-shrink edge
+    case lands in the quarantine surface, a re-inserted doc gets a
+    FRESH assignment that outlives the old tombstone, and physical
+    compaction applies + clears the sidecar with verdicts unchanged."""
+    import os
+
+    import pytest
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        curation as cu)
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 21)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)],
+                                  "doc_id_1 long, doc_id_2 long")
+    store = str(tmp_path / "splits")
+    cu.build_split_store(docs, pairs, store)
+    base = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+            spark.read.parquet(store).collect()}
+    no_pairs = spark.createDataFrame([], "doc_id_1 long, doc_id_2 long")
+
+    # delete doc 1 (the governing min of cluster {1,2,3}) and
+    # singleton doc 6 — both clusters lose their min doc
+    dead = spark.createDataFrame([(1,), (6,)], "doc_id long")
+    assert cu.retire_split_rows(spark, store, dead, tick=1) == \
+        {"retired": 2, "shrunk_clusters": 2}
+    q = {r["doc_id"]: r for r in
+         cu.split_store_quarantine(spark, store).collect()}
+    assert 1 not in q and 6 not in q
+    assert q[2]["quarantined"] and q[3]["quarantined"]
+    assert not q[4]["quarantined"] and not q[5]["quarantined"]
+    assert all((q[i]["cluster_id"], q[i]["split"]) == base[i]
+               for i in q)  # sticky for every survivor
+    # idempotent replay of the same churn tick
+    assert cu.retire_split_rows(spark, store, dead, tick=1) == \
+        {"retired": 0, "shrunk_clusters": 0}
+
+    # re-insert doc 6 at a later tick: fresh assignment (same
+    # singleton hash bucket), row outlives the tick-1 tombstone, and
+    # the shrunk-cluster quarantine verdict still applies to it
+    out = cu.assign_splits_incremental(spark, dead.filter(
+        F.col("doc_id") == 6), store, no_pairs, tick=2).collect()
+    assert len(out) == 1 and out[0]["split"] == base[6][1]
+    q2 = {r["doc_id"]: r["quarantined"] for r in
+          cu.split_store_quarantine(spark, store).collect()}
+    assert q2[6] is True
+    # a churned store refuses an epoch-less increment
+    with pytest.raises(ValueError, match="tick"):
+        cu.assign_splits_incremental(
+            spark, spark.createDataFrame([(21,)], "doc_id long"),
+            store, no_pairs)
+
+    # compaction physically applies the tombstones, clears the
+    # sidecar, and leaves verdicts byte-identical
+    before = sorted(tuple(r) for r in
+                    cu.split_store_quarantine(spark, store).collect())
+    cu.compact_split_store(spark, store)
+    assert not os.path.isdir(store + "_tombstones")
+    assert sorted(tuple(r) for r in
+                  cu.split_store_quarantine(spark, store).collect()) \
+        == before
+    # post-compaction increments still resolve with preserved epochs
+    assert cu.assign_splits_incremental(
+        spark, spark.createDataFrame([(22,)], "doc_id long"),
+        store, no_pairs, tick=3).count() == 1

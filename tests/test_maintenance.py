@@ -1,0 +1,129 @@
+"""Round 13 — declarative target_lag maintenance (VERDICT r12 #5):
+maintain_serving_indexes measures each index's commit lag against the
+governed Delta table, refreshes past the declared target, compacts on
+tick/tombstone debt, and reports freshness. Pins: lag honored (a
+loose max_lag SKIPS the refresh and the report says so), idempotent
+re-entry, compaction fires exactly once, and serving equals the exact
+tier over the mutated head after a maintenance pass."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_medtech_vigilance_lakehouse_spark.operators import retrieval as rt
+from snowflake_medtech_vigilance_lakehouse_spark.sources import delta_lite as dl
+from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+    bootstrap_cdf_state)
+from snowflake_medtech_vigilance_lakehouse_spark.streaming.maintenance import (
+    maintain_serving_indexes)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "spark", "join",
+         "merge", "window", "scan", "fast", "slow", "agg"]
+
+
+def _docs(spark, lo, hi):
+    rows = [(i, " ".join(WORDS[(i + j) % len(WORDS)]
+                         for j in range(15 + i % 7)))
+            for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _report(df):
+    return {r["name"]: r.asDict() for r in df.collect()}
+
+
+def test_maintain_serving_indexes_end_to_end(spark, tmp_path):
+    docs = _docs(spark, 0, 40)
+    tbl1, idx1 = str(tmp_path / "t1"), str(tmp_path / "bm25")
+    tbl2, idx2 = str(tmp_path / "t2"), str(tmp_path / "chunks")
+    dl.write_delta(docs, tbl1)                                   # v0
+    dl.write_delta(docs, tbl2)                                   # v0
+    rt.build_chunk_index(dl.read_delta(spark, tbl2), idx2,
+                         chunk_tokens=8, stride=6, dim=16, n_lists=4)
+    bootstrap_cdf_state(idx2 + "_cdf_state", 0)
+    specs = [
+        {"name": "bm25", "kind": "postings", "delta_path": tbl1,
+         "path": idx1},
+        {"name": "chunks", "kind": "chunk", "delta_path": tbl2,
+         "path": idx2},
+    ]
+
+    rep = _report(maintain_serving_indexes(spark, specs))
+    assert rep["bm25"]["refreshed_commits"] == 1  # commit 0 ingested
+    assert rep["chunks"]["refreshed_commits"] == 0  # bootstrapped at 0
+    assert all(r["lag"] == 0 and not r["compacted"]
+               for r in rep.values())
+
+    # idempotent re-entry: nothing refreshes, nothing compacts
+    rep = _report(maintain_serving_indexes(spark, specs))
+    assert all(r["refreshed_commits"] == 0 and not r["compacted"]
+               for r in rep.values())
+
+    # lag honored: two new commits, loose target -> refresh SKIPPED
+    # and the report shows the real lag
+    for t in (tbl1, tbl2):
+        dl.write_delta(_docs(spark, 100, 110), t, mode="append")  # v1
+        dl.write_delta(_docs(spark, 200, 210), t, mode="append")  # v2
+    rep = _report(maintain_serving_indexes(spark, specs, max_lag=5))
+    assert all(r["refreshed_commits"] == 0 and r["lag"] == 2
+               for r in rep.values())
+    # tight target -> both catch up
+    rep = _report(maintain_serving_indexes(spark, specs))
+    assert all(r["refreshed_commits"] == 2 and r["lag"] == 0
+               for r in rep.values())
+    # and serving matches the exact tier over the table head
+    got = sorted(tuple(r) for r in rt.chunked_retrieval_served(
+        spark, idx2, "spark join merge fast", k=10, n_probe=4,
+        m_chunks=10**4).collect())
+    want = sorted(tuple(r) for r in rt.chunked_retrieval(
+        dl.read_delta(spark, tbl2), "spark join merge fast", k=10,
+        chunk_tokens=8, stride=6, dim=16).collect())
+    assert got == want
+
+    # churn debt: five update commits -> five tombstone ticks; the
+    # default threshold tolerates them, a tight one compacts ONCE
+    for k in range(5):
+        upd = (_docs(spark, 0, 40)
+               .filter(F.col("doc_id") % 5 == k)
+               .select("doc_id", F.concat(F.lit(f"pass{k} "),
+                                          F.col("text")).alias("text")))
+        for t in (tbl1, tbl2):
+            dl.merge_delta(spark, t, upd, on=["doc_id"],
+                           when_matched="update", when_not_matched=None,
+                           change_data=True)
+    rep = _report(maintain_serving_indexes(spark, specs,
+                                           tombstone_ticks=10,
+                                           compact_ticks=20))
+    assert all(r["refreshed_commits"] == 5 and not r["compacted"]
+               for r in rep.values())
+    assert os.path.isdir(idx1 + "_tombstones")
+    assert os.path.isdir(idx2 + "_tombstones")
+
+    rep = _report(maintain_serving_indexes(spark, specs,
+                                           tombstone_ticks=2,
+                                           compact_ticks=2))
+    assert all(r["compacted"] for r in rep.values())
+    assert not os.path.isdir(idx2 + "_tombstones")  # physically applied
+    # compaction fired once: the next pass has no debt left
+    rep = _report(maintain_serving_indexes(spark, specs,
+                                           tombstone_ticks=2,
+                                           compact_ticks=2))
+    assert all(not r["compacted"] and r["refreshed_commits"] == 0
+               for r in rep.values())
+    # serving still equals exact over the churned head
+    got = sorted(tuple(r) for r in rt.chunked_retrieval_served(
+        spark, idx2, "spark join merge fast", k=10, n_probe=4,
+        m_chunks=10**4).collect())
+    want = sorted(tuple(r) for r in rt.chunked_retrieval(
+        dl.read_delta(spark, tbl2), "spark join merge fast", k=10,
+        chunk_tokens=8, stride=6, dim=16).collect())
+    assert got == want
+
+    # unknown kind refuses loudly
+    with pytest.raises(ValueError, match="unknown kind"):
+        maintain_serving_indexes(spark, [
+            {"name": "x", "kind": "nope", "delta_path": tbl1,
+             "path": idx1}])
