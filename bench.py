@@ -1094,6 +1094,13 @@ def main() -> None:
         timings["split_churn"] = timed_build_setup(
             _split_churn_setup, _split_churn_replay)
 
+        # CDC net-diff view over the same 5-commit churned table:
+        # one key-partitioned fold of the change feed — cost is the
+        # churn in the range, never the table (round 13)
+        timings["net_changes"] = timed_build(
+            lambda: dl.net_changes(spark, ch_dir + "/dtbl", "doc_id",
+                                   from_version=2))
+
     exact = sim.knn_bruteforce(emb, probe, k=20)
     recall = round(sim.recall_at_k(sim.knn_lsh(emb, probe, k=20), exact, k=20), 4)
     recall_ivf = round(

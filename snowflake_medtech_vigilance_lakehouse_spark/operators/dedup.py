@@ -615,6 +615,38 @@ def append_minhash_store(docs: DataFrame, path: str, *,
             f"{path}_hashes/tick={tick}")
 
 
+def compact_minhash_store(spark, path: str, *,
+                          keep_ticks: int = 1) -> dict:
+    """Physical churn apply for a tick-layout MinHash store (round 13
+    — completes the OPTIMIZE symmetry: postings and IVF layouts got
+    theirs in round 12). Folds the per-commit ``tick=N`` dirs of BOTH
+    store frames below the newest ``keep_ticks`` into one
+    consolidated dir each — dropping rows dead under the shared
+    ``{path}_tombstones`` sidecar (retired/updated signatures
+    physically gone) via the same tombstone-aware
+    :func:`~..streaming.index_refresh.compact_index_ticks` machinery
+    (key column ``_id``; consolidated dir named for the NEWEST merged
+    tick so surviving re-signatures stay live; swap-staged, crash
+    leaves the store untouched or loudly recoverable) — then prunes
+    the tombstone ticks BOTH frames have compacted past. Flat
+    (never-churned) stores are a no-op. Read results are IDENTICAL
+    across the compaction (pytest-pinned): dead rows were already
+    read-invisible through :func:`read_minhash_store`."""
+    from ..streaming.index_refresh import (compact_index_ticks,
+                                           prune_spent_tombstones)
+
+    merged_b = compact_index_ticks(spark, path, keep_ticks=keep_ticks,
+                                   key="_id")
+    merged_h = compact_index_ticks(spark, path + "_hashes",
+                                   keep_ticks=keep_ticks, key="_id",
+                                   tomb_dir=path + "_tombstones")
+    pruned = prune_spent_tombstones(
+        spark, path, sibling_dirs=[path, path + "_hashes"])
+    return {"merged_bucket_ticks": merged_b,
+            "merged_hash_ticks": merged_h,
+            "pruned_tombstones": pruned}
+
+
 def minhash_neardup_against(new_docs: DataFrame,
                             corpus_buckets: DataFrame,
                             corpus_hashes: DataFrame, *,

@@ -2189,6 +2189,80 @@ FROM documents WHERE doc_id % 4 = 2"""
 ORACLE_CDF_CURATION_CHURN = _cdf_churn_oracle()
 
 
+_NET_CHANGES_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+
+def q_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 — the CDC audit/diff view (S7's consumption surface):
+    sources/delta_lite.py:net_changes folds a commit range's change
+    feed into one NET row per key — added / removed / modified with
+    the final payload — without a snapshot join (cost proportional to
+    the churn, not the table). Fixture: documents split into three
+    insert commits (doc_id % 3 classes at v0/v1/v4), an update commit
+    (class-0 % 5 == 0 texts get a prefix, v2), and two delete commits
+    (class-1 % 5 == 1 plus the % 7 == 0 subset of the UPDATED docs at
+    v3 — the update-then-delete chain; class-2 % 5 == 2 at v5 — the
+    insert-then-delete chain that must net to NOTHING). The query
+    diffs since v1 (range [2..5]); the oracle states the expected net
+    classes as plain subset algebra over the same table."""
+    import os
+
+    from ..sources import delta_lite as dl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build(work: str) -> str:
+        tbl = os.path.join(work, "docs_delta")
+        dl.write_delta(docs.filter(F.col("doc_id") % 3 == 0), tbl)
+        dl.write_delta(docs.filter(F.col("doc_id") % 3 == 1), tbl,
+                       mode="append")                           # v1
+        upd = (docs.filter((F.col("doc_id") % 3 == 0)
+                           & (F.col("doc_id") % 5 == 0))
+               .select("doc_id", F.concat(F.lit("edit pass "),
+                                          F.col("text")).alias("text")))
+        dl.merge_delta(spark, tbl, upd, on=["doc_id"],
+                       when_matched="update", when_not_matched=None,
+                       change_data=True)                        # v2
+        gone = docs.filter(
+            ((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 1))
+            | ((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0)
+               & (F.col("doc_id") % 7 == 0)))
+        dl.merge_delta(spark, tbl, gone, on=["doc_id"],
+                       when_matched="delete", when_not_matched=None,
+                       change_data=True)                        # v3
+        dl.write_delta(docs.filter(F.col("doc_id") % 3 == 2), tbl,
+                       mode="append")                           # v4
+        dl.merge_delta(spark, tbl,
+                       docs.filter((F.col("doc_id") % 3 == 2)
+                                   & (F.col("doc_id") % 5 == 2)),
+                       on=["doc_id"], when_matched="delete",
+                       when_not_matched=None, change_data=True)  # v5
+        return tbl
+
+    tbl = _fixture_cached_setup(_NET_CHANGES_CACHE, sf_dir,
+                                "documents.parquet",
+                                "sparkgraft_net_changes_", _build)
+    return dl.net_changes(spark, tbl, "doc_id", from_version=2)
+
+
+ORACLE_NET_CHANGES = """
+SELECT doc_id, 'edit pass ' || text AS text,
+       'modified' AS net_change, 2::BIGINT AS last_commit_version
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id % 5 = 0 AND doc_id % 7 <> 0
+UNION ALL
+SELECT doc_id, text, 'removed', 3::BIGINT
+FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 1
+UNION ALL
+SELECT doc_id, 'edit pass ' || text, 'removed', 3::BIGINT
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id % 5 = 0 AND doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, text, 'added', 4::BIGINT
+FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 <> 2
+"""
+
+
 _CDF_EMB_LEDGER_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
@@ -4709,6 +4783,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_incremental": q_minhash_incremental,
     "cdf_curation_ledger": q_cdf_curation_ledger,
     "cdf_curation_churn": q_cdf_curation_churn,
+    "net_changes": q_net_changes,
     "cdf_embedding_ledger": q_cdf_embedding_ledger,
     "cdf_embedding_churn": q_cdf_embedding_churn,
     "embedding_neardup_incremental": q_embedding_neardup_incremental,
@@ -4895,6 +4970,7 @@ ORACLES: dict[str, str] = {
     "minhash_incremental": ORACLE_MINHASH_INCREMENTAL,
     "cdf_curation_ledger": ORACLE_CDF_CURATION_LEDGER,
     "cdf_curation_churn": ORACLE_CDF_CURATION_CHURN,
+    "net_changes": ORACLE_NET_CHANGES,
     "cdf_embedding_ledger": ORACLE_CDF_EMBEDDING_LEDGER,
     "cdf_embedding_churn": ORACLE_CDF_EMBEDDING_CHURN,
     "embedding_neardup_incremental": ORACLE_EMBEDDING_NEARDUP_INCREMENTAL,

@@ -432,7 +432,9 @@ def assign_ivf_lists(vecs: DataFrame, centroids: DataFrame,
     )
 
 
-def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
+def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1,
+                        key: str = "doc_id",
+                        tomb_dir: str | None = None) -> list[int]:
     """Merge old refresh-tick directories into one — the OPTIMIZE for
     the tick-partitioned index layout. ``refresh_postings`` (and the
     ``_stats``/``_growth`` sidecars) accumulate one ``tick=N`` dir per
@@ -494,13 +496,18 @@ def compact_index_ticks(spark, path: str, *, keep_ticks: int = 1) -> list[int]:
     merge = ticks[:-keep_ticks]
     if len(merge) <= 1:
         return []
-    tomb_dir = path + "_tombstones"
-    if not os.path.isdir(tomb_dir) and path.endswith("_docs"):
-        tomb_dir = path[:-len("_docs")] + "_tombstones"
+    if tomb_dir is None:
+        # default sidecar resolution: the layout's own, or — for a
+        # ``_docs`` sidecar dir — the parent index's; other shared
+        # layouts (the MinHash store's ``_hashes``, round 13) pass
+        # their family's sidecar and key column explicitly
+        tomb_dir = path + "_tombstones"
+        if not os.path.isdir(tomb_dir) and path.endswith("_docs"):
+            tomb_dir = path[:-len("_docs")] + "_tombstones"
     df = spark.read.parquet(path).filter(F.col("tick").isin(merge))
     merged_tick = merge[0]
     if os.path.isdir(tomb_dir):
-        df = live_filter(df, tomb_dir, F.col("doc_id"), F.col("tick"))
+        df = live_filter(df, tomb_dir, F.col(key), F.col("tick"))
         merged_tick = merge[-1]
     # tb-partitioning is inferred from the MERGED FRAME's schema, not
     # from tick={merge[0]}'s directory listing (round-13 ADVICE): a
@@ -605,18 +612,22 @@ def _rewrite_docids_live(spark, path: str) -> None:
     shutil.rmtree(retired)
 
 
-def prune_spent_tombstones(spark, out_path: str) -> list[int]:
+def prune_spent_tombstones(spark, out_path: str, *,
+                           sibling_dirs: list[str] | None = None
+                           ) -> list[int]:
     """Drop tombstone ticks that can no longer kill anything (round
     12 — the postings layout's tombstones are deliberately NOT pruned
     by :func:`compact_index_ticks`, because a tombstone spent for the
     postings dir may still govern the ``_docs`` sidecar until IT is
     compacted too). A tombstone at tick T kills rows with tick < T;
-    once BOTH the postings dir and the ``_docs`` sidecar have been
-    compacted past T (their oldest surviving tick >= T), T is fully
-    spent — run this after compacting both. Returns the pruned tick
-    ids ([] = nothing prunable). Driver-side directory arithmetic
-    only; the ``spark`` arg is unused but kept for maintenance-op
-    signature uniformity."""
+    once EVERY dir the sidecar governs has been compacted past T
+    (its oldest surviving tick >= T), T is fully spent — run this
+    after compacting all of them. ``sibling_dirs`` lists the governed
+    dirs (default: the postings pair ``[out_path, out_path+"_docs"]``;
+    the MinHash store passes its buckets/hashes pair, round 13).
+    Returns the pruned tick ids ([] = nothing prunable). Driver-side
+    directory arithmetic only; the ``spark`` arg is unused but kept
+    for maintenance-op signature uniformity."""
     import os
     import shutil
 
@@ -625,12 +636,15 @@ def prune_spent_tombstones(spark, out_path: str) -> list[int]:
         return []
 
     def _min_tick(d: str) -> int | None:
+        if not os.path.isdir(d):
+            return None
         ticks = [int(n.split("=", 1)[1]) for n in os.listdir(d)
                  if n.startswith("tick=")]
         return min(ticks) if ticks else None
 
-    floors = [t for t in (_min_tick(out_path),
-                          _min_tick(out_path + "_docs")) if t is not None]
+    dirs = sibling_dirs if sibling_dirs is not None else \
+        [out_path, out_path + "_docs"]
+    floors = [t for t in (_min_tick(d) for d in dirs) if t is not None]
     if not floors:
         return []
     floor = min(floors)
@@ -709,6 +723,14 @@ def compact_ivf_index(spark, path: str, *,
         return {"rows_before": 0, "rows_after": 0,
                 "tombstones_applied": 0}
     state_path = os.path.join(path + "_cdf_state", "state.json")
+    if not os.path.exists(state_path):
+        # an index maintained by the CURATION lineage keeps its mark
+        # under _curate_cdf_state (round 13) — one lineage per index
+        # is already guard-enforced, so whichever sidecar exists is
+        # the authoritative high-water mark
+        alt = os.path.join(path + "_curate_cdf_state", "state.json")
+        if os.path.exists(alt):
+            state_path = alt
     if ticked:
         max_tick = _max_tick_prefix(path)
         if os.path.exists(state_path):

@@ -79,14 +79,15 @@ def _refresh(spark, kind: str, spec: dict) -> list[int]:
 def _compact(spark, kind: str, spec: dict, *,
              compact_ticks: int, tombstone_ticks: int) -> bool:
     """Fire the layout's physical maintenance once tick/churn debt
-    crosses the spec's thresholds. Postings layouts compact when the
-    index (or its sidecars) accumulated more than ``compact_ticks``
-    tick dirs OR any tombstones exist past ``tombstone_ticks``;
-    IVF/chunk layouts compact on tombstone debt (their refresh ticks
-    are file-prefixed, folded by the same call). The curation stores'
-    signature/decision trails carry no physical compactor yet — their
-    tombstone sidecars stay churn-sized by construction and the
-    decisions dirs are append-only audit trails (documented gap)."""
+    crosses the spec's thresholds. Postings and MinHash-store layouts
+    compact when any family dir accumulated more than
+    ``compact_ticks`` tick dirs OR tombstones exist past
+    ``tombstone_ticks``; IVF/chunk layouts (including the
+    embedding-curation store — same layout, curation lineage) compact
+    on tombstone debt (their refresh ticks are file-prefixed, folded
+    by the same call). The decisions dirs are append-only audit
+    trails and are never compacted."""
+    from ..operators.dedup import compact_minhash_store
     from .index_refresh import (compact_index_ticks, compact_ivf_index,
                                 prune_spent_tombstones)
 
@@ -103,7 +104,15 @@ def _compact(spark, kind: str, spec: dict, *,
         if did:
             prune_spent_tombstones(spark, path)
         return did
-    if kind in ("ivf", "chunk"):
+    if kind == "minhash_curate":
+        debt = max(_tick_dirs(path), _tick_dirs(path + "_hashes"))
+        tomb = _tick_dirs(path + "_tombstones")
+        if debt <= compact_ticks and tomb <= tombstone_ticks:
+            return False
+        st = compact_minhash_store(spark, path)
+        return bool(st["merged_bucket_ticks"]
+                    or st["merged_hash_ticks"])
+    if kind in ("ivf", "chunk", "embedding_curate"):
         if _tick_dirs(path + "_tombstones") <= tombstone_ticks:
             return False
         return compact_ivf_index(spark, path)["tombstones_applied"] >= 0

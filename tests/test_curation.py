@@ -960,3 +960,61 @@ def test_split_store_churn_retire_and_reinsert(spark, tmp_path):
     assert cu.assign_splits_incremental(
         spark, spark.createDataFrame([(22,)], "doc_id long"),
         store, no_pairs, tick=3).count() == 1
+
+
+def test_compact_minhash_store_applies_churn(spark, tmp_path):
+    """Round 13 — the MinHash store's physical churn apply: tick dirs
+    fold, retired signatures leave the parquet, spent tombstones
+    prune, live reads are byte-identical across the compaction, and
+    the loop keeps absorbing afterwards."""
+    import os
+
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import dedup as dd
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        _write_tombstone_tick)
+
+    store = str(tmp_path / "mh")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark shuffles and joins"
+    dd.build_minhash_store(_docs(spark, [(1, base)]), store,
+                           num_hashes=64, bands=32)
+    # flat store: compaction is a no-op
+    st = dd.compact_minhash_store(spark, store)
+    assert st == {"merged_bucket_ticks": [], "merged_hash_ticks": [],
+                  "pruned_tombstones": []}
+
+    dd.append_minhash_store(_docs(spark, [(2, other)]), store, tick=0)
+    # tick 1: doc 2 is updated — old signature tombstoned, new copy
+    # absorbed at the tombstone's own tick
+    _write_tombstone_tick(
+        spark.createDataFrame([(2,)], "id long"), store, 1)
+    dd.append_minhash_store(
+        _docs(spark, [(2, other + " revised edition")]), store, tick=1)
+    dd.append_minhash_store(_docs(spark, [(3, base + " twin")]),
+                            store, tick=2)
+
+    def _live():
+        b, h = dd.read_minhash_store(spark, store)
+        return (sorted(tuple(r) for r in b.collect()),
+                sorted((r["_id"], tuple(sorted(r["_h"])))
+                       for r in h.collect()))
+
+    before = _live()
+    assert {i for i, _ in before[1]} == {1, 2, 3}
+    st = dd.compact_minhash_store(spark, store)
+    assert st["merged_bucket_ticks"] == [-1, 0, 1]
+    assert st["merged_hash_ticks"] == [-1, 0, 1]
+    assert st["pruned_tombstones"] == [1]
+    assert not os.path.isdir(store + "_tombstones")
+    assert _live() == before
+    # the dead copy is PHYSICALLY gone: raw hashes hold exactly one
+    # row for doc 2 now
+    raw = spark.read.parquet(store + "_hashes")
+    assert raw.filter(F.col("_id") == 2).count() == 1
+    # and later absorbs still work against the consolidated layout
+    dd.append_minhash_store(_docs(spark, [(4, "entirely novel words "
+                                              "for doc four here")]),
+                            store, tick=3)
+    assert {r["_id"] for r in
+            dd.read_minhash_store(spark, store)[1].collect()} \
+        == {1, 2, 3, 4}

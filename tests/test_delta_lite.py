@@ -1113,3 +1113,49 @@ def test_timestamp_as_of_travel(spark, sf_dir, tmp_path):
     with _pt.raises(ValueError, match="not both"):
         dl.read_delta(spark, path, version=0,
                       as_of_timestamp_ms=hist[0])
+
+
+def test_net_changes_folds_cdc(spark, tmp_path):
+    """Round 13 — the CDC net-diff view: chained updates fold to one
+    `modified` row with the last postimage, insert-then-delete inside
+    the range nets to NOTHING, update-then-delete reads `removed`
+    with the delete's preimage, and the whole-history view classifies
+    surviving keys `added` regardless of later edits."""
+    tbl = str(tmp_path / "nc")
+
+    def rows(*ids):
+        return spark.createDataFrame([(i, f"t{i}") for i in ids],
+                                     "id long, text string")
+
+    dl.write_delta(rows(1, 2, 3), tbl)                           # v0
+    for txt in ("t2b", "t2c"):                                   # v1,v2
+        dl.merge_delta(spark, tbl,
+                       spark.createDataFrame([(2, txt)],
+                                             "id long, text string"),
+                       on=["id"], when_matched="update",
+                       when_not_matched=None, change_data=True)
+    dl.merge_delta(spark, tbl, rows(3), on=["id"],
+                   when_matched="delete", when_not_matched=None,
+                   change_data=True)                             # v3
+    dl.write_delta(rows(4, 5), tbl, mode="append")               # v4
+    dl.merge_delta(spark, tbl, rows(5), on=["id"],
+                   when_matched="delete", when_not_matched=None,
+                   change_data=True)                             # v5
+
+    got = {r["id"]: (r["text"], r["net_change"],
+                     r["last_commit_version"])
+           for r in dl.net_changes(spark, tbl, "id",
+                                   from_version=1).collect()}
+    assert got == {2: ("t2c", "modified", 2),
+                   3: ("t3", "removed", 3),
+                   4: ("t4", "added", 4)}  # 5 netted away, 1 untouched
+    got0 = {r["id"]: r["net_change"]
+            for r in dl.net_changes(spark, tbl, "id").collect()}
+    assert got0 == {1: "added", 2: "added", 4: "added"}
+    dl.merge_delta(spark, tbl, rows(2), on=["id"],
+                   when_matched="delete", when_not_matched=None,
+                   change_data=True)                             # v6
+    got2 = {r["id"]: (r["text"], r["net_change"])
+            for r in dl.net_changes(spark, tbl, "id",
+                                    from_version=1).collect()}
+    assert got2[2] == ("t2c", "removed")

@@ -127,3 +127,85 @@ def test_maintain_serving_indexes_end_to_end(spark, tmp_path):
         maintain_serving_indexes(spark, [
             {"name": "x", "kind": "nope", "delta_path": tbl1,
              "path": idx1}])
+
+
+def test_maintain_curation_stores(spark, tmp_path):
+    """The curation-store kinds through the declarative pass: churned
+    feeds refresh through the round-13 curate loops, and compaction
+    physically applies their tombstones (MinHash pair-fold + prune;
+    the embedding store is an IVF layout whose compactor now reads
+    the curation lineage's high-water mark)."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+        dedup as dd, similarity as sim)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [(i, f"{base} variant {i} with words {i * 7 % 13}")
+             for i in range(10)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    tbl1, mh = str(tmp_path / "dt"), str(tmp_path / "mh")
+    dd.build_minhash_store(docs.filter(F.col("doc_id") % 2 == 1), mh,
+                           num_hashes=64, bands=32)
+    dl.write_delta(docs.filter(F.col("doc_id") % 2 == 0), tbl1)  # v0
+    upd = (docs.filter(F.col("doc_id") == 2)
+           .select("doc_id", F.lit("totally rewritten words here "
+                                   "for doc two").alias("text")))
+    dl.merge_delta(spark, tbl1, upd, on=["doc_id"],
+                   when_matched="update", when_not_matched=None,
+                   change_data=True)                              # v1
+    dl.merge_delta(spark, tbl1,
+                   docs.filter(F.col("doc_id") == 4)
+                   .select("doc_id", "text"),
+                   on=["doc_id"], when_matched="delete",
+                   when_not_matched=None, change_data=True)       # v2
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    tbl2, iv = str(tmp_path / "et"), str(tmp_path / "iv")
+    sim.build_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), iv,
+                        n_lists=2)
+    dl.write_delta(emb.filter(F.col("vec_id") % 2 == 0), tbl2)    # v0
+    dl.merge_delta(spark, tbl2,
+                   emb.filter(F.col("vec_id") == 2)
+                   .select("vec_id", F.reverse("embedding")
+                           .alias("embedding")),
+                   on=["vec_id"], when_matched="update",
+                   when_not_matched=None, change_data=True)       # v1
+    dl.merge_delta(spark, tbl2,
+                   emb.filter(F.col("vec_id") == 4)
+                   .select("vec_id", "embedding"),
+                   on=["vec_id"], when_matched="delete",
+                   when_not_matched=None, change_data=True)       # v2
+
+    specs = [
+        {"name": "mh", "kind": "minhash_curate", "delta_path": tbl1,
+         "path": mh, "threshold": 0.5},
+        {"name": "iv", "kind": "embedding_curate", "delta_path": tbl2,
+         "path": iv, "threshold": 0.9},
+    ]
+    rep = {r["name"]: r.asDict() for r in maintain_serving_indexes(
+        spark, specs, tombstone_ticks=10, compact_ticks=20).collect()}
+    assert all(r["refreshed_commits"] == 3 and r["lag"] == 0
+               and not r["compacted"] for r in rep.values())
+    assert os.path.isdir(mh + "_tombstones")
+    assert os.path.isdir(iv + "_tombstones")
+
+    live_before = sorted(
+        r["_id"] for r in
+        dd.read_minhash_store(spark, mh)[1].select("_id").collect())
+    rep = {r["name"]: r.asDict() for r in maintain_serving_indexes(
+        spark, specs, tombstone_ticks=0, compact_ticks=0).collect()}
+    assert all(r["compacted"] for r in rep.values())
+    # IVF compaction clears its sidecar outright; the MinHash prune
+    # is floor-conservative (ticks above the oldest surviving store
+    # tick stay until the next fold passes them)
+    assert not os.path.isdir(iv + "_tombstones")
+    assert sorted(
+        r["_id"] for r in
+        dd.read_minhash_store(spark, mh)[1].select("_id").collect()) \
+        == live_before
+    # idempotent: no debt left
+    rep = {r["name"]: r.asDict() for r in maintain_serving_indexes(
+        spark, specs, tombstone_ticks=0, compact_ticks=0).collect()}
+    assert all(not r["compacted"] and r["refreshed_commits"] == 0
+               for r in rep.values())
