@@ -1101,6 +1101,52 @@ def main() -> None:
             lambda: dl.net_changes(spark, ch_dir + "/dtbl", "doc_id",
                                    from_version=2))
 
+        # CDF count ledger (round 13, operators/sketch.py): exact
+        # per-key counts maintained from the change feed; serve-time
+        # heavy hitters with NO corpus scan. Timed region = the
+        # 5-commit mutated-feed replay + the served cutoff read; the
+        # ledger starts empty, so setup is just a fresh store path.
+        from snowflake_medtech_vigilance_lakehouse_spark.operators import (
+            sketch as sk)
+        ev_kt = (spark.read.parquet(f"{sf_dir}/events.parquet")
+                 .select("event_id", "user_id"))
+        for c in (0, 1):
+            dl.write_delta(ev_kt.filter(_F.col("event_id") % 4 == c),
+                           ch_dir + "/evtbl",
+                           mode="overwrite" if c == 0 else "append")
+        dl.merge_delta(
+            spark, ch_dir + "/evtbl",
+            ev_kt.filter((_F.col("event_id") % 4 == 0)
+                         & (_F.col("event_id") % 3 == 0))
+            .select("event_id",
+                    (_F.col("user_id") + _F.lit(1000000))
+                    .alias("user_id")),
+            on=["event_id"], when_matched="update",
+            when_not_matched=None, change_data=True)
+        dl.merge_delta(
+            spark, ch_dir + "/evtbl",
+            ev_kt.filter((_F.col("event_id") % 4 == 1)
+                         & (_F.col("event_id") % 3 == 1)),
+            on=["event_id"], when_matched="delete",
+            when_not_matched=None, change_data=True)
+        dl.write_delta(ev_kt.filter(_F.col("event_id") % 4 == 2),
+                       ch_dir + "/evtbl", mode="append")
+
+        def _cnt_setup() -> str:
+            _chrep[0] += 1
+            return f"{ch_dir}/cnt_rep{_chrep[0]}"
+
+        def _cnt_replay(store: str):
+            done = sk.update_count_store(spark, ch_dir + "/evtbl",
+                                         store, "user_id")
+            if done != [0, 1, 2, 3, 4]:
+                raise AssertionError(f"count replay processed {done}")
+            return sk.heavy_hitters_from_store(spark, store,
+                                               min_share=1 / 128)
+
+        timings["heavy_hitters_churn"] = timed_build_setup(
+            _cnt_setup, _cnt_replay)
+
     exact = sim.knn_bruteforce(emb, probe, k=20)
     recall = round(sim.recall_at_k(sim.knn_lsh(emb, probe, k=20), exact, k=20), 4)
     recall_ivf = round(

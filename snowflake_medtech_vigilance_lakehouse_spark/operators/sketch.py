@@ -155,3 +155,204 @@ def heavy_hitters(df: DataFrame, key_col: str, *, min_share: float,
     return (df.join(F.broadcast(candidates), on=key_col, how="left_semi")
             .groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= F.lit(int(cutoff))))
+
+
+# ---------------------------------------------------------------------------
+# CDF-maintained exact count ledger (round 13)
+#
+# The two-pass heavy_hitters above is the right shape for a ONE-OFF
+# profile, but it rescans the corpus on every call — at 100 TB a
+# pipeline that re-profiles after each ingest pays two full scans per
+# commit. Counts are additive, so the change feed maintains them
+# EXACTLY at increment cost: insert / update_postimage rows are +1,
+# delete / update_preimage rows are -1, and the per-commit net deltas
+# land as tick dirs the serve read folds. Churn needs no tombstone
+# sidecar here — a retired row's -1 cancels its +1 arithmetically,
+# the same freshness discipline the round-12/13 stores enforce
+# structurally (/root/reference/README.md:83,117).
+# ---------------------------------------------------------------------------
+
+
+def _count_store_meta(store_dir: str, key_col: str | None) -> str:
+    """Resolve (and on first use persist) the ledger's key column.
+    The meta sidecar makes the store self-describing so readers and
+    later refresh calls cannot silently fold a different column."""
+    import json
+    import os
+
+    meta_path = store_dir + "_meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = json.load(f)["key_col"]
+        if key_col is not None and key_col != stored:
+            raise ValueError(
+                f"count store {store_dir} is keyed by {stored!r}, "
+                f"not {key_col!r}")
+        return stored
+    if key_col is None:
+        raise ValueError(
+            f"count store {store_dir} has no meta sidecar; pass "
+            f"key_col on the first update_count_store call")
+    os.makedirs(os.path.dirname(meta_path) or ".", exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"key_col": key_col}, f)
+    os.replace(tmp, meta_path)
+    return key_col
+
+
+def update_count_store(spark, delta_path: str, store_dir: str,
+                       key_col: str | None = None) -> list[int]:
+    """Fold new table commits into the persisted count ledger:
+    ``{store_dir}/tick=<version>`` holds one commit's NET per-key
+    delta (``(key, delta)``; NULL keys count — they carry the
+    corpus-size share the heavy-hitter cutoff needs). Protocol
+    discipline is the CDF-refresher family's
+    (:func:`~..streaming.index_refresh._consume_change_feed`):
+    high-water-mark sidecar at ``{store_dir}_cdf_state``,
+    maintenance-commit tolerance, lineage-ownership guard, per-tick
+    overwrite so an at-least-once replay converges byte-identically.
+    Updates and deletes are ABSORBED, not refused: counts are
+    additive, so a preimage's -1 retires it exactly.
+
+    Per commit the work is one map-side-combined aggregate over the
+    INCREMENT's rows — at 100 TB each tick costs its churn, never the
+    table. Returns the commit versions processed."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.index_refresh import _consume_change_feed
+
+    key = _count_store_meta(store_dir, key_col)
+    feed, versions, advance = _consume_change_feed(
+        spark, delta_path, store_dir + "_cdf_state",
+        op="update_count_store", contract="",
+        tick_dirs=[store_dir], allow_churn=True)
+    done: list[int] = []
+    for v in versions:
+        commit = feed.filter(F.col("_commit_version") == v)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1)).otherwise(F.lit(-1))
+        tick = (commit.groupBy(F.col(key))
+                .agg(F.sum(sign).cast("long").alias("delta"))
+                .filter(F.col("delta") != 0))
+        # an all-cancelling commit (e.g. updates that only touch other
+        # columns) writes no tick — the mark still advances, and a
+        # crash replay recomputes the same empty frame
+        if not tick.isEmpty():
+            tick.write.mode("overwrite").parquet(
+                f"{store_dir}/tick={v}")
+        advance(v)
+        done.append(v)
+    return done
+
+
+def read_count_store(spark, store_dir: str):
+    """Current exact per-key counts: fold every tick's deltas. Rows
+    with net 0 (fully retired keys) drop out; a NEGATIVE net proves
+    the feed deleted rows it never inserted (a torn or foreign
+    lineage) and raises loudly rather than serving wrong counts.
+    Output ``(key, cnt)`` — the NULL-key row, when present, carries
+    the NULL-key corpus share and is retained for cutoff math;
+    consumers wanting groups only should drop it.
+
+    One exchange over the store's DISTINCT keys (store rows are
+    net-delta sized, never corpus sized); the frame is eagerly
+    localCheckpointed because every consumer reads it at least twice
+    (cutoff aggregate + filter)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    key = _count_store_meta(store_dir, None)
+    if not os.path.isdir(store_dir):
+        raise FileNotFoundError(f"no count store at {store_dir}")
+    df = spark.read.parquet(store_dir)
+    counts = (df.groupBy(F.col(key))
+              .agg(F.sum("delta").alias("cnt"))
+              .filter(F.col("cnt") != 0)
+              .localCheckpoint(eager=True))
+    neg = counts.filter(F.col("cnt") < 0).limit(5).collect()
+    if neg:
+        raise ValueError(
+            f"count store {store_dir} folded NEGATIVE counts "
+            f"(sample {[r[key] for r in neg]}): the change feed "
+            f"deleted keys it never inserted — the ledger does not "
+            f"match this table lineage; rebuild the store")
+    return counts
+
+
+def heavy_hitters_from_store(spark, store_dir: str, *,
+                             min_share: float):
+    """Exact heavy hitters SERVED from the maintained ledger: every
+    non-NULL key whose current count is ``>= ceil(min_share * N)``,
+    with N the table's current row count (NULL-key rows included,
+    matching :func:`heavy_hitters`'s contract). No corpus scan at
+    all — the rescan operator's two passes are replaced by one fold
+    of the increment-built store, which is what makes per-commit
+    re-profiling affordable at 100 TB. The only driver collect is
+    the single-row cutoff aggregate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    if not 0.0 < min_share <= 1.0:
+        raise ValueError(f"min_share must be in (0, 1], got {min_share}")
+    key = _count_store_meta(store_dir, None)
+    counts = read_count_store(spark, store_dir)
+    n_total = counts.agg(F.sum("cnt")).first()[0] or 0
+    if n_total == 0:
+        return counts.filter(F.lit(False))
+    cutoff = math.ceil(min_share * n_total)
+    return counts.filter(F.col(key).isNotNull()
+                         & (F.col("cnt") >= F.lit(int(cutoff))))
+
+
+def compact_count_store(spark, store_dir: str) -> bool:
+    """Physically fold the ledger's ticks into one consolidated
+    ``tick=<max>`` dir (net-zero keys dropped), so serve-time listing
+    and fold cost stay O(live keys) instead of O(commits). Staged
+    write + two renames, the index-swap crash discipline; the read
+    result is identical across the fold (pytest-pinned). Returns
+    False when there is nothing to fold."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    key = _count_store_meta(store_dir, None)
+    if not os.path.isdir(store_dir):
+        return False
+    ticks = sorted(int(d.split("=", 1)[1]) for d in os.listdir(store_dir)
+                   if d.startswith("tick="))
+    if len(ticks) <= 1:
+        return False
+    folded = (spark.read.parquet(store_dir)
+              .groupBy(F.col(key))
+              .agg(F.sum("delta").cast("long").alias("delta"))
+              .filter(F.col("delta") != 0)
+              # the staged write's lineage reads the dir the swap
+              # replaces — same discipline as the index compactors
+              .localCheckpoint(eager=True))
+    stage = store_dir + "_compact_stage"
+    retired = store_dir + "_compact_retired"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    # a fully-retired store folds to an EMPTY frame; the write still
+    # lands one schema-carrying parquet file, so the consolidated
+    # layout stays readable (measured: empty-df parquet writes emit a
+    # footer-only part file)
+    folded.write.mode("overwrite").parquet(
+        os.path.join(stage, f"tick={ticks[-1]}"))
+    now = sorted(int(d.split("=", 1)[1]) for d in os.listdir(store_dir)
+                 if d.startswith("tick="))
+    if now != ticks:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_count_store aborted: {store_dir} changed while "
+            f"the folded layout was being staged — stop the refresh "
+            f"loop during maintenance and re-run")
+    os.rename(store_dir, retired)
+    os.rename(stage, store_dir)
+    shutil.rmtree(retired)
+    return True

@@ -4215,6 +4215,82 @@ HAVING count(*) >= ceil(0.0078125 * (SELECT count(*) FROM events))
 """
 
 
+_HH_CHURN_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+
+def q_heavy_hitters_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 — heavy hitters SERVED from the CDF-maintained exact
+    count ledger under a MUTATED feed (operators/sketch.py:
+    update_count_store / heavy_hitters_from_store): the events table
+    becomes a five-commit Delta lineage — inserts of the
+    event_id % 4 == 0 / 1 classes, an UPDATE that reassigns the
+    % 4 == 0 ∧ % 3 == 0 rows to shifted user ids (the preimage -1 /
+    postimage +1 pair moves their mass between keys — a ledger that
+    failed to retire preimages would leave the old keys inflated), a
+    DELETE of the % 4 == 1 ∧ % 3 == 1 rows, then an insert of class
+    2. The ledger folds each commit's net per-key deltas at increment
+    cost; the serve read recovers every user owning >= 1/128 of the
+    CURRENT table without any corpus scan — the churn-era answer to
+    the rescan-based `heavy_hitters` twin. The oracle applies the
+    identical mutation algebra to the raw fixture in pure SQL and
+    recounts from scratch."""
+    import os
+
+    from ..operators.sketch import (heavy_hitters_from_store,
+                                    update_count_store)
+    from ..sources import delta_lite as dl
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def _build(work: str) -> str:
+        store = os.path.join(work, "counts")
+        tbl = os.path.join(work, "events_delta")
+        for c in (0, 1):
+            dl.write_delta(ev.filter(F.col("event_id") % 4 == c), tbl,
+                           mode="overwrite" if c == 0 else "append")
+        upd = (ev.filter((F.col("event_id") % 4 == 0)
+                         & (F.col("event_id") % 3 == 0))
+               .select("event_id",
+                       (F.col("user_id") + F.lit(1000000))
+                       .alias("user_id")))
+        dl.merge_delta(spark, tbl, upd, on=["event_id"],
+                       when_matched="update", when_not_matched=None,
+                       change_data=True)                        # v2
+        dl.merge_delta(spark, tbl,
+                       ev.filter((F.col("event_id") % 4 == 1)
+                                 & (F.col("event_id") % 3 == 1)),
+                       on=["event_id"], when_matched="delete",
+                       when_not_matched=None, change_data=True)  # v3
+        dl.write_delta(ev.filter(F.col("event_id") % 4 == 2), tbl,
+                       mode="append")                           # v4
+        done = update_count_store(spark, tbl, store, "user_id")
+        if done != [0, 1, 2, 3, 4]:
+            raise RuntimeError(
+                f"heavy_hitters_churn setup expected commits [0..4], "
+                f"processed {done}")
+        return store
+
+    store = _fixture_cached_setup(_HH_CHURN_CACHE, sf_dir,
+                                  "events.parquet",
+                                  "sparkgraft_hh_churn_", _build)
+    return heavy_hitters_from_store(spark, store, min_share=1 / 128)
+
+
+ORACLE_HEAVY_HITTERS_CHURN = """
+WITH final AS (
+  SELECT CASE WHEN event_id % 4 = 0 AND event_id % 3 = 0
+              THEN user_id + 1000000 ELSE user_id END AS user_id
+  FROM events
+  WHERE event_id % 4 IN (0, 1, 2)
+    AND NOT (event_id % 4 = 1 AND event_id % 3 = 1)
+)
+SELECT user_id, cnt FROM (
+  SELECT user_id, count(*)::BIGINT AS cnt FROM final
+  WHERE user_id IS NOT NULL GROUP BY user_id
+) WHERE cnt >= ceil(0.0078125 * (SELECT count(*) FROM final))
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (round 8): keep at most 10
     documents per source, selected by deterministic content-hash rank
@@ -4813,6 +4889,7 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_stats": q_repetition_stats,
     "domain_cap": q_domain_cap,
     "heavy_hitters": q_heavy_hitters,
+    "heavy_hitters_churn": q_heavy_hitters_churn,
     "exact_substr": q_exact_substr,
     "exact_substr_cut": q_exact_substr_cut,
     "chunk_documents": q_chunk_documents,
@@ -4920,6 +4997,7 @@ ORACLES: dict[str, str] = {
     # two-pass sketch: candidates can't miss (Misra-Gries bound),
     # pass 2 recounts exactly — so plain GROUP BY/HAVING is the oracle
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "heavy_hitters_churn": ORACLE_HEAVY_HITTERS_CHURN,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "quarterly_event_counts": ORACLE_QUARTERLY,
     "early_signals": ORACLE_EARLY_SIGNALS,

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 # state-sidecar suffix and refresher per index kind; compactor
 # capability is looked up separately below
 _KINDS = ("postings", "ivf", "chunk", "minhash_curate",
-          "embedding_curate")
+          "embedding_curate", "counts")
 
 
 def _state_root(kind: str, path: str) -> str:
@@ -71,6 +71,10 @@ def _refresh(spark, kind: str, spec: dict) -> list[int]:
     if kind == "minhash_curate":
         return curate_minhash_from_cdf(
             spark, tbl, path, threshold=spec.get("threshold", 0.5))
+    if kind == "counts":
+        from ..operators.sketch import update_count_store
+        return update_count_store(spark, tbl, path,
+                                  spec.get("key_col"))
     return curate_embeddings_from_cdf(
         spark, tbl, path, threshold=spec.get("threshold", 0.9),
         vec_col=spec.get("vec_col", "embedding"))
@@ -85,8 +89,10 @@ def _compact(spark, kind: str, spec: dict, *,
     ``tombstone_ticks``; IVF/chunk layouts (including the
     embedding-curation store — same layout, curation lineage) compact
     on tombstone debt (their refresh ticks are file-prefixed, folded
-    by the same call). The decisions dirs are append-only audit
-    trails and are never compacted."""
+    by the same call); count ledgers fold on tick debt alone (churn
+    retires arithmetically, so they carry no tombstone sidecar). The
+    decisions dirs are append-only audit trails and are never
+    compacted."""
     from ..operators.dedup import compact_minhash_store
     from .index_refresh import (compact_index_ticks, compact_ivf_index,
                                 prune_spent_tombstones)
@@ -116,6 +122,13 @@ def _compact(spark, kind: str, spec: dict, *,
         if _tick_dirs(path + "_tombstones") <= tombstone_ticks:
             return False
         return compact_ivf_index(spark, path)["tombstones_applied"] >= 0
+    if kind == "counts":
+        # churn lives in the deltas themselves (no tombstone sidecar);
+        # the only debt is tick-dir accumulation
+        if _tick_dirs(path) <= compact_ticks:
+            return False
+        from ..operators.sketch import compact_count_store
+        return compact_count_store(spark, path)
     return False
 
 
@@ -126,10 +139,10 @@ def maintain_serving_indexes(spark, specs: list[dict], *,
     """Run one declarative maintenance pass over serving indexes.
 
     Each spec: ``{"name": ..., "kind": "postings" | "ivf" | "chunk" |
-    "minhash_curate" | "embedding_curate", "delta_path": <table>,
-    "path": <index/store root>}`` plus the kind's refresh options
-    (``bucketed``/``n_buckets``, ``id_col``/``vec_col``,
-    ``threshold``). Per spec:
+    "minhash_curate" | "embedding_curate" | "counts",
+    "delta_path": <table>, "path": <index/store root>}`` plus the
+    kind's refresh options (``bucketed``/``n_buckets``,
+    ``id_col``/``vec_col``, ``threshold``, ``key_col``). Per spec:
 
     1. **Measure lag** — the governed table's head commit version
        minus the index's consumed high-water mark (its CDF state

@@ -28,6 +28,8 @@ HOSTILE = {
 SENSITIVE = (
     "parse_dates", "stg_event_normalize", "sessionize", "scd2_dim",
     "funnel_steps", "quarterly_event_counts", "gapfill_daily", "asof_join",
+    # round 13: key-shift arithmetic + count cutoffs under ANSI
+    "heavy_hitters_churn",
 )
 
 

@@ -209,3 +209,47 @@ def test_maintain_curation_stores(spark, tmp_path):
         spark, specs, tombstone_ticks=0, compact_ticks=0).collect()}
     assert all(not r["compacted"] and r["refreshed_commits"] == 0
                for r in rep.values())
+
+
+def test_maintain_count_ledger(spark, tmp_path):
+    """The 'counts' kind: lag honored, refresh folds commits, tick
+    debt triggers compact_count_store exactly once, report rows
+    reflect post-maintenance state."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.sketch import (
+        read_count_store)
+
+    tbl, store = str(tmp_path / "t"), str(tmp_path / "cnt")
+    rows = [(i, f"k{i % 3}") for i in range(12)]
+    base = spark.createDataFrame(rows, "id long, key string")
+    for lo in range(0, 12, 4):
+        dl.write_delta(base.filter((F.col("id") >= lo)
+                                   & (F.col("id") < lo + 4)),
+                       tbl, mode="overwrite" if lo == 0 else "append")
+    spec = {"name": "cnt", "kind": "counts", "delta_path": tbl,
+            "path": store, "key_col": "key"}
+
+    # loose lag: refresh skipped by policy, report says so
+    rep = _report(maintain_serving_indexes(spark, [spec], max_lag=99))
+    assert rep["cnt"]["refreshed_commits"] == 0
+    assert rep["cnt"]["applied_version"] == -1
+    assert rep["cnt"]["lag"] == rep["cnt"]["head_version"] + 1
+
+    # tight lag: all three commits fold; counts match the snapshot
+    rep = _report(maintain_serving_indexes(spark, [spec]))
+    assert rep["cnt"]["refreshed_commits"] == 3
+    assert rep["cnt"]["lag"] == 0 and not rep["cnt"]["compacted"]
+    got = sorted((r["key"], r["cnt"]) for r in
+                 read_count_store(spark, store).collect())
+    assert got == [("k0", 4), ("k1", 4), ("k2", 4)]
+
+    # tick debt past the threshold compacts once, then goes quiet
+    rep = _report(maintain_serving_indexes(spark, [spec],
+                                           compact_ticks=1))
+    assert rep["cnt"]["compacted"] is True
+    assert sorted(os.listdir(store)) == ["tick=2"]
+    rep = _report(maintain_serving_indexes(spark, [spec],
+                                           compact_ticks=1))
+    assert rep["cnt"]["compacted"] is False
+    got2 = sorted((r["key"], r["cnt"]) for r in
+                  read_count_store(spark, store).collect())
+    assert got2 == got

@@ -117,3 +117,145 @@ def test_plan_shape_no_full_key_shuffle(spark):
     plan = (heavy_hitters(df, "key", min_share=1 / 20)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# CDF-maintained exact count ledger (round 13)
+# ---------------------------------------------------------------------------
+
+from snowflake_medtech_vigilance_lakehouse_spark.operators.sketch import (  # noqa: E402
+    compact_count_store, heavy_hitters_from_store, read_count_store,
+    update_count_store)
+from snowflake_medtech_vigilance_lakehouse_spark.sources import (  # noqa: E402
+    delta_lite as dl)
+
+
+def _counts(spark, store):
+    return sorted((r["key"], r["cnt"]) for r in
+                  read_count_store(spark, store).collect())
+
+
+def _churn_table(spark, path):
+    """Five commits: insert k-heavy batch, insert tail, UPDATE (moves
+    'hot' rows to 'warm'), DELETE a slice, insert more — returns the
+    per-commit head versions."""
+    rows = [(i, "hot" if i % 3 == 0 else f"k{i % 5}") for i in range(60)]
+    base = spark.createDataFrame(rows, ["id", "key"])
+    dl.write_delta(base.filter(F.col("id") < 30), path)
+    dl.write_delta(base.filter((F.col("id") >= 30) & (F.col("id") < 45)),
+                   path, mode="append")
+    upd = (base.filter((F.col("id") < 30) & (F.col("id") % 3 == 0))
+           .select("id", F.lit("warm").alias("key")))
+    dl.merge_delta(spark, path, upd, on=["id"], when_matched="update",
+                   when_not_matched=None, change_data=True)
+    dl.merge_delta(spark, path,
+                   base.filter((F.col("id") >= 30) & (F.col("id") % 4 == 1)),
+                   on=["id"], when_matched="delete",
+                   when_not_matched=None, change_data=True)
+    dl.write_delta(base.filter(F.col("id") >= 45), path, mode="append")
+
+
+def test_count_ledger_equals_snapshot_recount(spark, tmp_path):
+    tbl, store = str(tmp_path / "tbl"), str(tmp_path / "cnt")
+    _churn_table(spark, tbl)
+    assert update_count_store(spark, tbl, store, "key") == [0, 1, 2, 3, 4]
+    snap = dl.read_delta(spark, tbl)
+    expect = sorted((r["key"], r["cnt"]) for r in
+                    snap.groupBy("key").agg(
+                        F.count(F.lit(1)).alias("cnt")).collect())
+    assert _counts(spark, store) == expect
+    # served heavy hitters == rescan operator on the same snapshot
+    served = sorted((r["key"], r["cnt"]) for r in
+                    heavy_hitters_from_store(
+                        spark, store, min_share=1 / 8).collect())
+    rescan = sorted((r["key"], r["cnt"]) for r in
+                    heavy_hitters(snap, "key", min_share=1 / 8).collect())
+    assert served == rescan and served
+
+
+def test_count_ledger_replay_converges(spark, tmp_path):
+    """One call over all five commits == five per-commit calls; a
+    re-entrant call after a fake crash (state rolled back one tick)
+    overwrites its tick idempotently."""
+    import json
+    import os
+
+    tbl, tbl2 = str(tmp_path / "tbl"), str(tmp_path / "tbl2")
+    _churn_table(spark, tbl)
+    all_at_once, stepped = str(tmp_path / "a"), str(tmp_path / "b")
+    update_count_store(spark, tbl, all_at_once, "key")
+    # genuinely per-commit: replay the same five commits one at a
+    # time, calling the ledger after each — the interleaving a live
+    # pipeline produces
+    rows = [(i, "hot" if i % 3 == 0 else f"k{i % 5}") for i in range(60)]
+    base = spark.createDataFrame(rows, ["id", "key"])
+    steps = [
+        lambda: dl.write_delta(base.filter(F.col("id") < 30), tbl2),
+        lambda: dl.write_delta(
+            base.filter((F.col("id") >= 30) & (F.col("id") < 45)),
+            tbl2, mode="append"),
+        lambda: dl.merge_delta(
+            spark, tbl2,
+            base.filter((F.col("id") < 30) & (F.col("id") % 3 == 0))
+            .select("id", F.lit("warm").alias("key")),
+            on=["id"], when_matched="update", when_not_matched=None,
+            change_data=True),
+        lambda: dl.merge_delta(
+            spark, tbl2,
+            base.filter((F.col("id") >= 30) & (F.col("id") % 4 == 1)),
+            on=["id"], when_matched="delete", when_not_matched=None,
+            change_data=True),
+        lambda: dl.write_delta(base.filter(F.col("id") >= 45), tbl2,
+                               mode="append"),
+    ]
+    for v, step in enumerate(steps):
+        step()
+        assert update_count_store(spark, tbl2, stepped, "key") == [v]
+    assert _counts(spark, all_at_once) == _counts(spark, stepped)
+    # crash window: roll the mark back one commit; the replayed tick
+    # must overwrite, not double-apply
+    state = os.path.join(all_at_once + "_cdf_state", "state.json")
+    with open(state, "w") as f:
+        json.dump({"last_commit_version": 3}, f)
+    assert update_count_store(spark, tbl, all_at_once) == [4]
+    assert _counts(spark, all_at_once) == _counts(spark, stepped)
+
+
+def test_count_ledger_compaction_read_identical(spark, tmp_path):
+    import os
+
+    tbl, store = str(tmp_path / "tbl"), str(tmp_path / "cnt")
+    _churn_table(spark, tbl)
+    update_count_store(spark, tbl, store, "key")
+    before = _counts(spark, store)
+    assert compact_count_store(spark, store) is True
+    assert sorted(os.listdir(store)) == ["tick=4"]
+    assert _counts(spark, store) == before
+    # idempotent: single consolidated tick folds no further
+    assert compact_count_store(spark, store) is False
+
+
+def test_count_ledger_negative_net_raises(spark, tmp_path):
+    """A feed that deletes keys it never inserted folds negative and
+    must refuse loudly instead of serving wrong counts."""
+    tbl, store = str(tmp_path / "tbl"), str(tmp_path / "cnt")
+    base = spark.createDataFrame([(i, "x") for i in range(4)],
+                                 ["id", "key"])
+    dl.write_delta(base, tbl)
+    update_count_store(spark, tbl, store, "key")
+    # forge a foreign tick with an over-delete
+    forged = spark.createDataFrame([("x", -10)], ["key", "delta"])
+    forged.write.mode("overwrite").parquet(store + "/tick=99")
+    with pytest.raises(ValueError, match="NEGATIVE"):
+        read_count_store(spark, store)
+
+
+def test_count_ledger_meta_guards(spark, tmp_path):
+    tbl, store = str(tmp_path / "tbl"), str(tmp_path / "cnt")
+    base = spark.createDataFrame([(1, "x")], ["id", "key"])
+    dl.write_delta(base, tbl)
+    with pytest.raises(ValueError, match="meta sidecar"):
+        update_count_store(spark, tbl, store)  # no key on first call
+    update_count_store(spark, tbl, store, "key")
+    with pytest.raises(ValueError, match="keyed by"):
+        update_count_store(spark, tbl, store, "id")
