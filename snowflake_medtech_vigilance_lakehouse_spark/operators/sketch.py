@@ -320,6 +320,8 @@ def compact_count_store(spark, store_dir: str) -> bool:
 
     from pyspark.sql import functions as F
 
+    import json
+
     key = _count_store_meta(store_dir, None)
     if not os.path.isdir(store_dir):
         return False
@@ -327,6 +329,23 @@ def compact_count_store(spark, store_dir: str) -> bool:
                    if d.startswith("tick="))
     if len(ticks) <= 1:
         return False
+    # crash-window guard (the compact_ivf_index discipline): a tick
+    # NEWER than the consumed high-water mark is a crashed refresh's
+    # uncommitted publish — the replay will OVERWRITE that tick dir,
+    # and if compaction had folded the whole history into it first,
+    # the overwrite would destroy every older commit's deltas
+    state_path = os.path.join(store_dir + "_cdf_state", "state.json")
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            hwm = json.load(f)["last_commit_version"]
+        if ticks[-1] > hwm:
+            raise ValueError(
+                f"compact_count_store refused: tick {ticks[-1]} of "
+                f"{store_dir} is newer than the consumed high-water "
+                f"mark {hwm} (a crashed refresh's uncommitted tick) "
+                f"— the replay overwrites that tick dir, so folding "
+                f"history into it would lose the older commits' "
+                f"deltas. Re-run update_count_store, then compact")
     folded = (spark.read.parquet(store_dir)
               .groupBy(F.col(key))
               .agg(F.sum("delta").cast("long").alias("delta"))

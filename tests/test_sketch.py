@@ -259,3 +259,26 @@ def test_count_ledger_meta_guards(spark, tmp_path):
     update_count_store(spark, tbl, store, "key")
     with pytest.raises(ValueError, match="keyed by"):
         update_count_store(spark, tbl, store, "id")
+
+
+def test_count_ledger_compaction_crash_window_refused(spark, tmp_path):
+    """A tick newer than the consumed high-water mark (crashed
+    refresh's uncommitted publish) must refuse compaction: the replay
+    overwrites that tick dir, so folding history into it would lose
+    every older commit's deltas."""
+    import json
+    import os
+
+    tbl, store = str(tmp_path / "tbl"), str(tmp_path / "cnt")
+    _churn_table(spark, tbl)
+    update_count_store(spark, tbl, store, "key")
+    good = _counts(spark, store)
+    state = os.path.join(store + "_cdf_state", "state.json")
+    with open(state, "w") as f:
+        json.dump({"last_commit_version": 3}, f)  # tick=4 now "uncommitted"
+    with pytest.raises(ValueError, match="crashed refresh"):
+        compact_count_store(spark, store)
+    # closing the window (replay) makes compaction legal and lossless
+    assert update_count_store(spark, tbl, store) == [4]
+    assert compact_count_store(spark, store) is True
+    assert _counts(spark, store) == good
