@@ -316,6 +316,7 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
     empty corpus is fine); the store's meta sidecar fixes the
     signature family and the id/text column names."""
     from ..streaming.index_refresh import (_consume_change_feed,
+                                           _feed_commit_stats,
                                            _split_churn,
                                            _write_tombstone_tick)
     from ..streaming.liveness import live_filter
@@ -330,14 +331,19 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
         contract="",
         tick_dirs=[store_path + "_decisions"],
         allow_churn=True)
+    # one job answers every commit's emptiness probes (the loop was
+    # measured driver-job-bound, not data-bound — see PLANS.md)
+    stats = _feed_commit_stats(feed) if versions else {}
     for v in versions:
         dead, live = _split_churn(feed, v)
         batch = live.select(id_col, text_col)
         dead_ids = dead.select(id_col)
-        if batch.isEmpty():
+        has_dead = stats[v]["_n_dead"] > 0
+        if stats[v]["_n_live"] == 0:
             # a delete-only commit IS its tombstone tick; an empty
             # batch cannot re-insert anything, so the guard is skipped
-            _write_tombstone_tick(dead_ids, store_path, v)
+            _write_tombstone_tick(dead_ids, store_path, v,
+                                  known_nonempty=has_dead)
             advance(v)
             continue
         # vet BEFORE publishing the tombstone tick: a batch id LIVE
@@ -362,7 +368,8 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
                 f"{store_path}; feed changes as update/delete commits "
                 f"(retired and re-signatured within the tick) or "
                 f"rebuild the store")
-        _write_tombstone_tick(dead_ids, store_path, v)
+        _write_tombstone_tick(dead_ids, store_path, v,
+                              known_nonempty=has_dead)
         pairs = minhash_neardup_incremental(
             spark, batch, store_path, threshold=threshold)
         bids = batch.select(F.col(id_col).alias("_bid")).distinct()
@@ -450,11 +457,13 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
     (probe fan-out grows, exactness never breaks) until the next
     rebuild/compaction, exactly like the refresh loop."""
     from ..streaming.index_refresh import (_consume_change_feed,
+                                           _feed_commit_stats,
                                            _ivf_append_batch,
                                            _split_churn,
                                            _write_tombstone_tick)
     from ..streaming.liveness import live_filter
     from .similarity import (_tombstones_applied_through,
+                             auto_n_lists,
                              embedding_neardup_indexed,
                              embedding_neardup_pairs_bucketed,
                              ivf_row_epoch)
@@ -474,16 +483,37 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
         tick_dirs=[index_path + "_growth", index_path + "_decisions"],
         file_prefix_root=index_path,
         allow_churn=True)
+    # one job answers every commit's emptiness AND dim-uniformity
+    # probes (the loop was measured driver-job-bound, not data-bound
+    # — see PLANS.md; three probe jobs per commit collapse into one
+    # aggregate over the feed range)
+    stats = (_feed_commit_stats(feed, dim_col=vec_col)
+             if versions else {})
     for v in versions:
         dead, live = _split_churn(feed, v)
         batch = live.select(id_col, vec_col)
         dead_ids = dead.select(id_col)
-        if batch.isEmpty():
+        has_dead = stats[v]["_n_dead"] > 0
+        if stats[v]["_n_live"] == 0:
             # a delete-only commit IS its tombstone tick; an empty
             # batch cannot re-insert anything, so the guard is skipped
-            _write_tombstone_tick(dead_ids, index_path, v)
+            _write_tombstone_tick(dead_ids, index_path, v,
+                                  known_nonempty=has_dead)
             advance(v)
             continue
+        # loud dim-uniformity gate (round-12 ADVICE), from the same
+        # one-job stats pass: the bucketed in-batch engine SAMPLES
+        # 4096 rows to fit its quantizer — a corrupt mixed-dimension
+        # commit whose minority dim misses the sample would be
+        # silently dropped from pairing and change keep/reject
+        # decisions; refuse the commit instead, BEFORE any tick
+        # publishes (nothing half-absorbed)
+        if len(stats[v]["_dims"]) > 1:
+            raise ValueError(
+                f"curate_embeddings_from_cdf: commit {v} carries "
+                f"mixed embedding dimensions {sorted(stats[v]['_dims'])}"
+                f" — a corrupt batch; fix the feed (decisions on "
+                f"mismatched vectors would be sample-dependent)")
         # vet BEFORE publishing the tombstone tick: a batch id LIVE
         # in the index (not retired by the sidecar or THIS commit's
         # pending dead keys, and not this tick's own replayed absorb)
@@ -505,21 +535,8 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
                 f"{index_path}; feed changes as update/delete commits "
                 f"(retired and re-decided within the tick) or rebuild "
                 f"the index")
-        _write_tombstone_tick(dead_ids, index_path, v)
-        # loud dim-uniformity gate (round-12 ADVICE): the bucketed
-        # in-batch engine SAMPLES 4096 rows to fit its quantizer — a
-        # corrupt mixed-dimension commit whose minority dim misses
-        # the sample would be silently dropped from pairing and
-        # change keep/reject decisions; refuse the commit instead
-        dims = (batch.filter(F.col(vec_col).isNotNull())
-                .select(F.size(vec_col).alias("_d"))
-                .distinct().limit(2).collect())
-        if len(dims) > 1:
-            raise ValueError(
-                f"curate_embeddings_from_cdf: commit {v} carries "
-                f"mixed embedding dimensions {sorted(r[0] for r in dims)}"
-                f" — a corrupt batch; fix the feed (decisions on "
-                f"mismatched vectors would be sample-dependent)")
+        _write_tombstone_tick(dead_ids, index_path, v,
+                              known_nonempty=has_dead)
         # id-type note (round-12 ADVICE): the bucketed engine requires
         # an integral or string id column; the index's inferred id_col
         # satisfies this for every store build_ivf_index can write,
@@ -527,6 +544,14 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
         cross = embedding_neardup_indexed(
             spark, index_path, batch, threshold,
             id_col=id_col, vec_col=vec_col)
+        # layout sizing from the one-job stats pass — the engine's own
+        # corpus.count() job per commit answers the same question
+        # (n_live == the batch's raw row count); correctness never
+        # depends on the value (the triangle bound is exact under any
+        # layout), so the hint only removes a per-commit job
+        intra_lists = auto_n_lists(
+            stats[v]["_n_live"],
+            spark.sparkContext.defaultParallelism)
         # in-batch fold pairs through the bucketed exact engine, NOT
         # the broadcast-crossJoin fold variant: the fold pays an
         # interpreted HOF dot per PAIR over |batch|^2 — at the sf3
@@ -537,7 +562,8 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
         # round(_, 6) >= threshold — the fold≡bucketed equality the
         # semantic-dedup family already pytest-pins)
         intra = embedding_neardup_pairs_bucketed(
-            batch, threshold, id_col=id_col, vec_col=vec_col)
+            batch, threshold, id_col=id_col, vec_col=vec_col,
+            n_lists=intra_lists)
         # a replayed keep is in BOTH the index and the batch, so the
         # same pair can surface through both stages; only the id pair
         # matters downstream, so project before distinct

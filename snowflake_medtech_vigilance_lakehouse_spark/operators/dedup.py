@@ -269,11 +269,31 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     # a pair sharing several prefix shingles appears several times —
     # dedupe BEFORE the verify join so each pair is verified once
     cand = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("_pco"))
-    # exact verification on the full hash arrays; the two probe sides
-    # share an identical subplan so the exchange/broadcast is reused
+    # exact verification on the full hash arrays in ONE pass over the
+    # ordered-array pipeline (the old two-sided join keyed one probe
+    # on id1 and the other on id2 — different exchanges, so the
+    # whole _df_ordered_arrays subtree executed once per side; guide
+    # §2.4): explode each pair to a row per endpoint, meet the arrays
+    # in a single id-keyed join, fold the sides back with one
+    # pair-volume aggregation (first(when) — exactly one row per
+    # (pair, side)); the non-null filter preserves inner-join
+    # semantics for endpoints absent from the array frame.
+    cand_long = cand.select(
+        "id1", "id2",
+        F.explode(F.array(
+            F.struct(F.lit(1).alias("_side"), F.col("id1").alias("_id")),
+            F.struct(F.lit(2).alias("_side"), F.col("id2").alias("_id")),
+        )).alias("_e")
+    ).select("id1", "id2", F.col("_e._side").alias("_side"),
+             F.col("_e._id").alias("_id"))
     ver = (
-        cand.join(arr.select(F.col("_id").alias("id1"), F.col("_h").alias("_h1")), "id1")
-        .join(arr.select(F.col("_id").alias("id2"), F.col("_h").alias("_h2")), "id2")
+        arr.join(cand_long, "_id")
+        .groupBy("id1", "id2")
+        .agg(F.first(F.when(F.col("_side") == 1, F.col("_h")),
+                     ignorenulls=True).alias("_h1"),
+             F.first(F.when(F.col("_side") == 2, F.col("_h")),
+                     ignorenulls=True).alias("_h2"))
+        .filter(F.col("_h1").isNotNull() & F.col("_h2").isNotNull())
         .select(
             "id1", "id2",
             F.size(F.array_intersect("_h1", "_h2")).alias("_inter"),
@@ -388,6 +408,32 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .distinct()
     )
     sh = _shingled(docs, text_col, id_col, n, widen=False)
+    # ONE corpus shingle pass for verification (the old two-sided
+    # join keyed each side differently, so the whole shingle pipeline
+    # executed twice — no exchange reuse across different join keys;
+    # guide §2.4): explode each candidate pair to one row per
+    # endpoint, meet the shingle sets in a single join keyed on the
+    # doc id, and fold the two sides back with one pair-volume
+    # aggregation. first(when(side...)) is deterministic — exactly
+    # one row per (pair, side); inner-join semantics are preserved by
+    # the non-null filter.
+    cand_long = cand.select(
+        "id1", "id2",
+        F.explode(F.array(
+            F.struct(F.lit(1).alias("_side"), F.col("id1").alias("_id")),
+            F.struct(F.lit(2).alias("_side"), F.col("id2").alias("_id")),
+        )).alias("_e")
+    ).select("id1", "id2", F.col("_e._side").alias("_side"),
+             F.col("_e._id").alias("_id"))
+    folded = (
+        sh.join(cand_long, "_id")
+        .groupBy("id1", "id2")
+        .agg(F.first(F.when(F.col("_side") == 1, F.col("_sh")),
+                     ignorenulls=True).alias("_sh1"),
+             F.first(F.when(F.col("_side") == 2, F.col("_sh")),
+                     ignorenulls=True).alias("_sh2"))
+        .filter(F.col("_sh1").isNotNull() & F.col("_sh2").isNotNull())
+    )
     # filter on the UNROUNDED ratio and round only in the output
     # projection — the oracle does the same, and filtering on the
     # rounded value would keep a true jaccard in
@@ -397,9 +443,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         / F.size(F.array_union("_sh1", "_sh2")).cast("double")
     )
     verified = (
-        cand.join(sh.withColumnRenamed("_id", "id1").withColumnRenamed("_sh", "_sh1"), "id1")
-        .join(sh.withColumnRenamed("_id", "id2").withColumnRenamed("_sh", "_sh2"), "id2")
-        .select(
+        folded.select(
             F.col("id1").alias("doc_id_1"),
             F.col("id2").alias("doc_id_2"),
             jac.alias("_jac"),
@@ -415,7 +459,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
 def minhash_store_frames(docs: DataFrame, *, num_hashes: int = 64,
                          bands: int = 32, n: int = 3,
                          text_col: str = "text", id_col: str = "doc_id",
-                         seed: int = 42) -> tuple[DataFrame, DataFrame]:
+                         seed: int = 42,
+                         materialize_base: bool = False
+                         ) -> tuple[DataFrame, DataFrame]:
     """The two frames of a MinHash dedup store, derivable in-plan or
     persisted by :func:`build_minhash_store`:
 
@@ -432,17 +478,36 @@ def minhash_store_frames(docs: DataFrame, *, num_hashes: int = 64,
       the DuckDB oracle — can recompute the exact same sets.
 
     Docs with zero shingles (< n tokens) are absent from both frames,
-    matching the ``n_shingles > 0`` contract of the signature op."""
+    matching the ``n_shingles > 0`` contract of the signature op.
+
+    Both frames aggregate the SAME exploded (doc, md5-hash) rows —
+    the signature's 64 MINs and the verification set's collect_set
+    are two aggregations of one base. ``materialize_base=True``
+    eagerly localCheckpoints that base so the shingle+md5 pipeline
+    runs ONCE instead of once per frame — for INCREMENT-sized inputs
+    only (the absorb/incremental paths, bounded by contract); a
+    corpus-sized build must keep the base lazy (a 100 TB (doc,
+    shingle) materialization has no business in the block manager)."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, seed)
-    buckets = _band_buckets(sig, bands, rows, id_col)
-    hashes = (
+    ex = (
         _shingled(docs, text_col, id_col, n, widen=False)
         .select("_id", F.explode("_sh").alias("_g"))
         .select("_id", md5_hash32(F.col("_g")).alias("_h"))
-        .groupBy("_id").agg(F.collect_set("_h").alias("_h"))
     )
+    if materialize_base:
+        ex = ex.localCheckpoint(eager=True)
+    # same expressions as minhash_signatures (min over occurrences ==
+    # min over the distinct set; n_shingles is not part of either
+    # store frame, so bucket rows are byte-identical either way)
+    aggs = [F.count(F.lit(1)).alias("n_shingles")]
+    for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed)):
+        aggs.append(
+            F.min((F.col("_h") * F.lit(a) + F.lit(b))
+                  % F.lit(_MERSENNE_P)).alias(f"mh_{i}"))
+    sig = ex.groupBy("_id").agg(*aggs)
+    buckets = _band_buckets(sig, bands, rows, "_id")
+    hashes = ex.groupBy("_id").agg(F.collect_set("_h").alias("_h"))
     return buckets, hashes
 
 
@@ -601,10 +666,13 @@ def append_minhash_store(docs: DataFrame, path: str, *,
                     f"dedupe the increment "
                     f"(minhash_neardup_incremental) before absorbing "
                     f"it")
+    # increments are bounded by contract — materialize the shared
+    # exploded-hash base so the shingle+md5 pipeline (and the caller's
+    # decisions-join input) runs once for the two frame writes
     buckets, hashes = minhash_store_frames(
         docs, num_hashes=meta["num_hashes"], bands=meta["bands"],
         n=meta["n"], text_col=meta["text_col"], id_col=id_col,
-        seed=meta["seed"])
+        seed=meta["seed"], materialize_base=True)
     if tick is None:
         buckets.write.mode("append").parquet(path)
         hashes.write.mode("append").parquet(path + "_hashes")
@@ -671,9 +739,11 @@ def minhash_neardup_against(new_docs: DataFrame,
       (band, bucket) — a broadcast hash join, one corpus scan, zero
       exchanges of corpus data; increment-internal candidates reuse
       the bounded per-bucket pair generator on the increment alone.
-    - verification: each side's hash set is pulled with another
-      broadcast of the (bounded) candidate pair list; only the
-      pair-sized halves shuffle to meet.
+    - verification: the bounded pair list explodes to one row per
+      endpoint and broadcasts against the hash-set frame — ONE
+      exchange-free corpus pass — and the sides fold back with a
+      single pair-volume aggregation; only candidate-volume data
+      ever shuffles.
 
     Increments are bounded by contract (a daily batch, not a second
     corpus); a corpus-scale "increment" belongs in
@@ -683,16 +753,18 @@ def minhash_neardup_against(new_docs: DataFrame,
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     new_buckets, new_hashes = minhash_store_frames(
         new_docs, num_hashes=num_hashes, bands=bands, n=n,
-        text_col=text_col, id_col=id_col, seed=seed)
-    # the increment pipeline (shingle -> md5 -> 64 MINs) is referenced
-    # by FOUR downstream subtrees (cross, intra, and both verification
-    # halves via all_h); localCheckpoint materializes each
-    # increment-BOUNDED frame once instead of recomputing the whole
-    # pipeline per reference (measured ~2x on the served bench entry).
-    # Eager executor-side blocks, released by the ContextCleaner when
-    # the frames are garbage collected
+        text_col=text_col, id_col=id_col, seed=seed,
+        materialize_base=True)
+    # the increment pipeline (shingle -> md5) is materialized ONCE as
+    # the store frames' shared exploded base (materialize_base above);
+    # new_buckets still checkpoints because TWO subtrees reference it
+    # (cross + intra) and each re-run would repeat the 64-min
+    # signature aggregation. new_hashes is referenced exactly once
+    # since the one-pass verification fold landed, so its old eager
+    # checkpoint became pure cost (one extra job per increment) and
+    # is gone. Eager executor-side blocks, released by the
+    # ContextCleaner when the frames are garbage collected.
     new_buckets = new_buckets.localCheckpoint(eager=True)
-    new_hashes = new_hashes.localCheckpoint(eager=True)
 
     cross = (
         corpus_buckets.join(
@@ -717,10 +789,12 @@ def minhash_neardup_against(new_docs: DataFrame,
         )).alias("p"))
         .select("p.id1", "p.id2")
     )
-    # candidate generation scans the corpus buckets once; checkpointed
-    # so the two verification halves reuse the (bounded) pair list
-    # instead of re-running the scan each
-    cand = cross.unionByName(intra).distinct().localCheckpoint(eager=True)
+    # candidate generation scans the corpus buckets once; since the
+    # one-pass verification fold, the pair list is referenced exactly
+    # once (the exploded broadcast below), so the old eager
+    # checkpoint — needed when two verification halves each re-ran
+    # this subtree — became a pure extra job and is gone
+    cand = cross.unionByName(intra).distinct()
 
     # a REPLAYED increment doc exists in BOTH frames (crash-recovery
     # re-run after its keeps were absorbed); a plain union would carry
@@ -732,17 +806,38 @@ def minhash_neardup_against(new_docs: DataFrame,
     all_h = (corpus_hashes.join(
         F.broadcast(new_hashes.select("_id")), "_id", "left_anti")
         .unionByName(new_hashes))
-    # pull each side's hash set via a broadcast of the bounded pair
-    # list (the corpus scan stays exchange-free), then join the two
-    # pair-sized halves — only candidate-volume data ever shuffles
-    h1 = (all_h.join(F.broadcast(cand), F.col("_id") == F.col("id1"))
-          .select("id1", "id2", F.col("_h").alias("_h1")))
-    h2 = (all_h.join(F.broadcast(cand), F.col("_id") == F.col("id2"))
-          .select("id1", "id2", F.col("_h").alias("_h2")))
+    # pull BOTH sides' hash sets in ONE corpus pass (the old h1/h2
+    # formulation ran the broadcast scan of the corpus hash store
+    # twice — once per pair side — and then shuffled the two
+    # pair-sized halves to meet; guide §2.3/2.4): explode the bounded
+    # pair list to one (pair, side, id) row per endpoint, broadcast
+    # it against the store (ONE exchange-free corpus scan), and fold
+    # the two sides back together with a single pair-volume
+    # aggregation — first(when(side...)) is deterministic because
+    # each (pair, side) group holds exactly one row. Pairs whose
+    # endpoint is absent from the store fold a NULL side and are
+    # dropped, exactly like the old inner joins.
+    cand_long = cand.select(
+        "id1", "id2",
+        F.explode(F.array(
+            F.struct(F.lit(1).alias("_side"), F.col("id1").alias("_id")),
+            F.struct(F.lit(2).alias("_side"), F.col("id2").alias("_id")),
+        )).alias("_e")
+    ).select("id1", "id2", F.col("_e._side").alias("_side"),
+             F.col("_e._id").alias("_id"))
+    joined = all_h.join(F.broadcast(cand_long), "_id")
+    folded = (
+        joined.groupBy("id1", "id2")
+        .agg(F.first(F.when(F.col("_side") == 1, F.col("_h")),
+                     ignorenulls=True).alias("_h1"),
+             F.first(F.when(F.col("_side") == 2, F.col("_h")),
+                     ignorenulls=True).alias("_h2"))
+        .filter(F.col("_h1").isNotNull() & F.col("_h2").isNotNull())
+    )
     inter = F.size(F.array_intersect("_h1", "_h2")).cast("double")
     jac = inter / (F.size("_h1") + F.size("_h2") - inter)
     return (
-        h1.join(h2, ["id1", "id2"])
+        folded
         .select(F.col("id1").alias("doc_id_1"),
                 F.col("id2").alias("doc_id_2"), jac.alias("_jac"))
         .filter(F.col("_jac") >= threshold)

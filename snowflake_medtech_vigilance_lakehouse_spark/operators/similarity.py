@@ -704,7 +704,14 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
         )
 
-    c = _vec(corpus, "neighbor_id")
+    # materialize the cleaned corpus projection ONCE: the MLlib fit
+    # persists its own internal copy only for the fit's duration, so
+    # without this the corpus lineage (for chunked_retrieval_ann, the
+    # entire chunk->embed pipeline) executed a second time in the
+    # scoring scan below (guide §2.4). Same memory class as the fit's
+    # own cache; the direct op is the no-index tier by contract — the
+    # production path is the persisted index.
+    c = _vec(corpus, "neighbor_id").localCheckpoint(eager=True)
     km = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id")
     model = km.fit(c)
     assigned = model.transform(c).select(

@@ -218,6 +218,8 @@ def update_count_store(spark, delta_path: str, store_dir: str,
     Per commit the work is one map-side-combined aggregate over the
     INCREMENT's rows — at 100 TB each tick costs its churn, never the
     table. Returns the commit versions processed."""
+    import os
+
     from pyspark.sql import functions as F
 
     from ..streaming.index_refresh import _consume_change_feed
@@ -236,12 +238,18 @@ def update_count_store(spark, delta_path: str, store_dir: str,
         tick = (commit.groupBy(F.col(key))
                 .agg(F.sum(sign).cast("long").alias("delta"))
                 .filter(F.col("delta") != 0))
-        # an all-cancelling commit (e.g. updates that only touch other
-        # columns) writes no tick — the mark still advances, and a
-        # crash replay recomputes the same empty frame
-        if not tick.isEmpty():
-            tick.write.mode("overwrite").parquet(
-                f"{store_dir}/tick={v}")
+        # ONE execution of the per-commit aggregate: write it, then
+        # drop the tick dir when zero rows survived (the old
+        # isEmpty-then-write order ran the aggregate twice per
+        # commit; the replay loops are driver-job-bound, guide §2.4).
+        # An all-cancelling commit (e.g. updates that only touch
+        # other columns) thus still publishes no tick — the mark
+        # advances, and a crash replay recomputes the same frame.
+        tick_dir = f"{store_dir}/tick={v}"
+        tick.write.mode("overwrite").parquet(tick_dir)
+        if not any(f.endswith(".parquet") for f in os.listdir(tick_dir)):
+            import shutil
+            shutil.rmtree(tick_dir, ignore_errors=True)
         advance(v)
         done.append(v)
     return done

@@ -1066,6 +1066,28 @@ def _ivf_update_radii(assigned: DataFrame, centroids: DataFrame,
      .coalesce(1).write.mode("overwrite").parquet(path + "_radii"))
 
 
+def _idx_has_sq8(spark, path: str) -> bool:
+    """Whether the index at ``path`` carries the quantize_int8 code
+    columns — a BUILD-time property, so one parquet footer answers it.
+    The old per-tick ``spark.read.parquet(path).schema`` listed every
+    file of the (growing) ticked index on each absorb; the replay
+    ledgers pay this once per commit, so read a single footer via
+    pyarrow and fall back to Spark's inference only when the path is
+    not driver-listable (remote FS)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+        for root, _, files in os.walk(path):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    sch = pq.read_schema(os.path.join(root, fn))
+                    return "_v8" in sch.names
+        return False
+    except Exception:
+        return "_v8" in spark.read.parquet(path).schema.fieldNames()
+
+
 def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> None:
@@ -1082,15 +1104,7 @@ def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
     spark = batch.sparkSession
     centroids = spark.read.parquet(path + "_centroids")
     assigned = assign_ivf_lists(batch, centroids, id_col, vec_col)
-    if assigned.isEmpty():
-        # an empty tick (empty streaming microbatch, or a curation
-        # commit with zero keeps) publishes NOTHING: partitionBy
-        # writes no files for zero rows, so the staged re-read below
-        # would fail schema inference — and an empty growth tick dir
-        # would break the sidecar read the same way. Skipping is
-        # replay-idempotent (same epoch, same empty input).
-        return
-    if "_v8" in spark.read.parquet(path).schema.fieldNames():
+    if _idx_has_sq8(spark, path):
         # a quantize_int8 index: appended ticks must carry the same
         # int8 code columns or the compressed tier would read their
         # _v8/_n8 as NULL and silently never surface appended vectors
@@ -1098,12 +1112,17 @@ def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
         # apply to a refresh delta unchanged)
         from ..operators.similarity import with_sq8_codes
         assigned = with_sq8_codes(assigned)
-    _ivf_update_radii(assigned, centroids, path)
     # idempotent publish into the existing list_id layout (a tick=
     # level above list_id= would break partition discovery): stage
     # the tick, clear any files a crashed earlier attempt of THIS
     # tick left behind, then move under deterministic tick-stamped
-    # names
+    # names. The staged write is the ONLY execution of the assign
+    # crossJoin+window subtree: emptiness, the radius merge, and the
+    # growth counts all read the staged parquet back (tiny,
+    # list_id-partitioned) — the old isEmpty-then-radii-then-write
+    # order executed the same subtree three times per tick, and at
+    # bench scale the replay ledgers were measured driver-job-bound
+    # on exactly those repeats (guide §2.4: remove recomputation).
     _require_tick_layout(path + "_growth")
     stage = os.path.join(path + "_stage", f"tick={epoch}")
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(stage)
@@ -1115,10 +1134,21 @@ def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
         raise RuntimeError(
             f"the IVF refresh requires a driver-visible POSIX "
             f"index path; {stage} is not readable from the driver")
-    # growth counts from the STAGED parquet (already materialized,
-    # list_id-partitioned, tiny) — recomputing from `assigned`
-    # would re-run the whole centroid crossJoin + window per tick
+    if not any(e.startswith("list_id=") for e in os.listdir(stage)):
+        # an empty tick (empty streaming microbatch, or a curation
+        # commit with zero keeps) publishes NOTHING: partitionBy
+        # wrote no partition dirs for zero rows, so the staged
+        # re-read below would fail schema inference — and an empty
+        # growth tick dir would break the sidecar read the same way.
+        # Skipping is replay-idempotent (same epoch, same empty
+        # input); nothing under `path` has been touched yet.
+        shutil.rmtree(stage, ignore_errors=True)
+        return
     staged = spark.read.parquet(stage)
+    # radius merge BEFORE the publish moves below (crash leaves the
+    # sidecar an over-estimate, never under), computed from the
+    # staged rows — same (list_id, _v, _nrm) columns, no recompute
+    _ivf_update_radii(staged, centroids, path)
     (staged.groupBy("list_id")
      .agg(F.count(F.lit(1)).cast("long").alias("n_appended"))
      .write.mode("overwrite").parquet(f"{path}_growth/tick={epoch}"))
@@ -1276,7 +1306,40 @@ def _split_churn(feed: DataFrame, version: int) -> tuple[DataFrame, DataFrame]:
     return dead, live
 
 
-def _write_tombstone_tick(keys: DataFrame, path: str, epoch: int) -> bool:
+def _feed_commit_stats(feed: DataFrame, *, dim_col: str | None = None
+                       ) -> dict[int, dict]:
+    """Per-commit row counts of a change feed in ONE job: live rows
+    (insert/update_postimage), dead rows (delete/update_preimage),
+    and — when ``dim_col`` names an array column — the distinct
+    non-null array sizes among the live rows. The replay loops were
+    measured driver-job-bound (PLANS.md: 122 jobs / 31.7 task-seconds
+    at sf0.1), and three of those jobs per commit were exactly these
+    scalars (batch.isEmpty, dead.isEmpty, the dim-uniformity probe);
+    one aggregate over the feed range answers all commits at once and
+    reads the same bytes the per-commit probes did in total."""
+    live = F.col("_change_type").isin("insert", "update_postimage")
+    dead = F.col("_change_type").isin("delete", "update_preimage")
+    aggs = [F.sum(live.cast("long")).alias("_n_live"),
+            F.sum(dead.cast("long")).alias("_n_dead")]
+    if dim_col is not None:
+        aggs.append(F.collect_set(
+            F.when(live & F.col(dim_col).isNotNull(),
+                   F.size(dim_col))).alias("_dims"))
+
+    class _Stats(dict):
+        # a change-producing commit with zero feed rows (e.g. an
+        # empty append) has no group row; it reads as all-empty, the
+        # same outcome the per-commit isEmpty probes produced
+        def __missing__(self, v):
+            return {"_n_live": 0, "_n_dead": 0, "_dims": []}
+
+    return _Stats(
+        (r["_commit_version"], r.asDict())
+        for r in feed.groupBy("_commit_version").agg(*aggs).collect())
+
+
+def _write_tombstone_tick(keys: DataFrame, path: str, epoch: int, *,
+                          known_nonempty: bool | None = None) -> bool:
     """Publish one commit's dead keys as ``{path}_tombstones/tick=N``
     (round 12 — the churn tier's sidecar): per-tick overwrite, so an
     at-least-once replay replaces its own tick instead of appending
@@ -1288,9 +1351,15 @@ def _write_tombstone_tick(keys: DataFrame, path: str, epoch: int) -> bool:
     :func:`read_postings`) joins it against the layout's own key
     expression. Returns True iff the tick held any dead key (an
     insert-only commit writes nothing — the steady state stays
-    sidecar-free and filter-free)."""
+    sidecar-free and filter-free). ``known_nonempty`` lets a caller
+    that already counted the commit's dead rows (the one-job
+    :func:`_feed_commit_stats` pass) skip the per-commit emptiness
+    probe: False returns immediately, True skips straight to the
+    write — same outcome as the probe, one fewer job per commit."""
+    if known_nonempty is False:
+        return False
     dead = keys.toDF("key").distinct()
-    if dead.isEmpty():
+    if known_nonempty is None and dead.isEmpty():
         return False
     _require_tick_layout(path + "_tombstones")
     dead.write.mode("overwrite").parquet(f"{path}_tombstones/tick={epoch}")
@@ -1341,9 +1410,11 @@ def refresh_ivf_from_cdf(spark, delta_path: str, path: str, *,
         op="refresh_ivf_from_cdf", contract="",
         tick_dirs=[path + "_growth"], file_prefix_root=path,
         allow_churn=True)
+    stats = _feed_commit_stats(feed) if versions else {}
     for v in versions:
         dead, live = _split_churn(feed, v)
-        _write_tombstone_tick(dead.select(id_col), path, v)
+        _write_tombstone_tick(dead.select(id_col), path, v,
+                              known_nonempty=stats[v]["_n_dead"] > 0)
         _ivf_append_batch(live.select(id_col, vec_col), path, v,
                           id_col=id_col, vec_col=vec_col)
         advance(v)
@@ -1421,6 +1492,7 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
         op="refresh_postings_from_cdf", contract="",
         tick_dirs=[out_path, out_path + "_stats", out_path + "_docs"],
         allow_churn=True)
+    stats = _feed_commit_stats(feed) if versions else {}
     for v in versions:
         dead, live = _split_churn(feed, v)
         batch = live.select("doc_id", "text")
@@ -1435,8 +1507,9 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
         # left the preimages serve-dead with no postimage landed
         _refuse_reingested_docs(batch, out_path, v,
                                 pending_dead=dead.select("doc_id"))
-        had_dead = _write_tombstone_tick(dead.select("doc_id"),
-                                         out_path, v)
+        had_dead = _write_tombstone_tick(
+            dead.select("doc_id"), out_path, v,
+            known_nonempty=stats[v]["_n_dead"] > 0)
         post = postings_stream(batch)
         tick = f"{out_path}/tick={v}"
         if bucketed:
@@ -1454,7 +1527,8 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
 
 def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
                               epoch: int, meta: dict,
-                              pending_dead: DataFrame | None = None
+                              pending_dead: DataFrame | None = None,
+                              feed_counts: dict | None = None
                               ) -> None:
     """One refresh tick of the persisted CHUNK index (round 11): the
     batch is (id, text) DOCUMENT rows, so the tick re-runs the exact
@@ -1494,10 +1568,15 @@ def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
 
     def _publish_dead() -> None:
         if pending_dead is not None:
-            _write_tombstone_tick(pending_dead, path, epoch)
+            _write_tombstone_tick(
+                pending_dead, path, epoch,
+                known_nonempty=None if feed_counts is None
+                else feed_counts["_n_dead"] > 0)
 
     id_col, scale = meta["id_col"], int(meta["chunk_key_scale"])
-    if batch.isEmpty():
+    batch_empty = (batch.isEmpty() if feed_counts is None
+                   else feed_counts["_n_live"] == 0)
+    if batch_empty:
         _publish_dead()  # a delete-only commit IS its tombstone tick
         return  # replay-idempotent, same as _ivf_append_batch
     known = (spark.read.parquet(path + "_docids")
@@ -1627,6 +1706,7 @@ def refresh_chunk_index_from_cdf(spark, delta_path: str,
         dkey = F.col(id_col).cast("long")
     else:
         dkey = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_DOC_KEY_SPACE))
+    stats = _feed_commit_stats(feed) if versions else {}
     for v in versions:
         dead, live = _split_churn(feed, v)
         # the commit's dead keys ride into the append as a PENDING
@@ -1635,6 +1715,7 @@ def refresh_chunk_index_from_cdf(spark, delta_path: str,
         # refusals)
         _chunk_index_append_batch(
             spark, live.select(id_col, meta["text_col"]), path, v, meta,
-            pending_dead=dead.select(dkey.alias("k")))
+            pending_dead=dead.select(dkey.alias("k")),
+            feed_counts=stats[v])
         advance(v)
     return versions
