@@ -940,17 +940,21 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
     converged = False
     try:
         for i in range(1, max_iterations + 1):
-            neighbor_min = (
-                edges.join(labels, edges["b"] == labels["node"])
-                .groupBy(F.col("a").alias("node2"))
-                .agg(F.min("label").alias("nmin"))
-            )
+            # min over {own label} ∪ {neighbors' labels} as ONE
+            # union+groupBy — the former three-shuffle round (edge
+            # join, neighbor-min groupBy, left-join back to labels)
+            # carried the label frame through two extra exchanges per
+            # round; the union needs no exchange and the self-row
+            # makes the left-join's coalesce fallback unnecessary
+            # (identical fixpoint: a node with no in-edges keeps its
+            # own label as the group's only row). Guide §2.4.
             updated = (
-                labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
-                .select(
-                    "node",
-                    F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-                )
+                labels
+                .unionByName(
+                    edges.join(labels, edges["b"] == labels["node"])
+                    .select(F.col("a").alias("node"), "label"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
             )
             # cut lineage per round
             updated, last_ids = _eager_checkpoint(updated, jsc)

@@ -840,9 +840,17 @@ def build_ivf_index(corpus: DataFrame, path: str, *, n_lists: int = 16,
     (rows.write.mode("overwrite").partitionBy("list_id").parquet(path))
     centroids = [(i, [float(x) for x in ctr])
                  for i, ctr in enumerate(model.clusterCenters())]
-    ctr_df = corpus.sparkSession.createDataFrame(
-        centroids, "list_id int, _ctr array<double>")
-    ctr_df.coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    # driver-direct sidecar write (n_lists rows already on the
+    # driver as the fitted model's centers) — the
+    # createDataFrame+coalesce(1) route pays a serial Python-runner
+    # round-trip per defaultParallelism slice (see
+    # sources.writers.write_local_sidecar)
+    from ..sources.writers import write_local_sidecar
+    write_local_sidecar(
+        corpus.sparkSession, centroids,
+        [("list_id", "int"), ("_ctr", "array<double>")],
+        path + "_centroids")
+    ctr_df = corpus.sparkSession.read.parquet(path + "_centroids")
     # per-list normalized-space radius sidecar (n_lists rows): the
     # exactness lever of embedding_neardup_indexed's probe bound —
     # computed from the WRITTEN rows so it describes exactly what

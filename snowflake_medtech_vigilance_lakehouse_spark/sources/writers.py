@@ -87,3 +87,54 @@ def write_bucketed(df: DataFrame, table: str, *, buckets: int,
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_local_sidecar(spark, rows: list[tuple], schema: list[tuple],
+                        path: str) -> None:
+    """Overwrite a BOUNDED metadata sidecar (centroids, radii — tens
+    to thousands of rows already resident on the driver) as a
+    one-file parquet directory WITHOUT launching a Spark job.
+
+    Why not ``spark.createDataFrame(rows).coalesce(1).write``: a
+    driver-local list becomes a Python RDD sliced into
+    defaultParallelism pickled partitions, and ``coalesce(1)`` folds
+    all of them into ONE task that pays a serial Python-runner
+    round-trip per slice — measured 3.4 s per 8-row sidecar rewrite
+    at local[32] (~0.1 s x 32 slices), turning each per-commit radii
+    update of the CDF replay loops into the single most expensive
+    statement of the tick (guide §5: the driver should do almost no
+    data work — and this is driver DATA, so write it from the
+    driver). pyarrow writes the same rows in ~5 ms with zero jobs.
+
+    ``schema`` is ``[(name, type)]`` with type in {"int", "long",
+    "double", "string", "array<double>"} — matching what the Spark
+    writer produced for these sidecars (int -> int32, nullable), so
+    readers see an identical layout. Falls back to a 1-slice Spark
+    write when the path is not driver-writable (remote FS), keeping
+    the overwrite semantics (delete, then write) and crash window
+    identical to the ``mode("overwrite")`` it replaces."""
+    import os
+    import shutil
+
+    ddl = ", ".join(f"{n} {t}" for n, t in schema)
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_types = {"int": pa.int32(), "long": pa.int64(),
+                    "double": pa.float64(), "string": pa.string(),
+                    "array<double>": pa.list_(pa.float64())}
+        pa_schema = pa.schema([(n, pa_types[t]) for n, t in schema])
+        cols = list(zip(*rows)) if rows else [[] for _ in schema]
+        table = pa.table(
+            {n: pa.array(list(c), type=pa_types[t])
+             for (n, t), c in zip(schema, cols)}, schema=pa_schema)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    except OSError:
+        # remote FS: one slice, one task — not defaultParallelism
+        # pickled slices serially re-entering the Python runner
+        (spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), ddl)
+         .write.mode("overwrite").parquet(path))

@@ -1061,9 +1061,13 @@ def _ivf_update_radii(assigned: DataFrame, centroids: DataFrame,
             merged[lid] = None
         else:
             merged[lid] = max(prev, rad)
-    (spark.createDataFrame(sorted(merged.items()),
-                           "list_id int, rad double")
-     .coalesce(1).write.mode("overwrite").parquet(path + "_radii"))
+    # driver-direct sidecar write (n_lists rows already on the
+    # driver): the createDataFrame+coalesce(1) route was measured at
+    # 3.4 s PER COMMIT for 8 rows — see write_local_sidecar
+    from ..sources.writers import write_local_sidecar
+    write_local_sidecar(
+        spark, sorted(merged.items()),
+        [("list_id", "int"), ("rad", "double")], path + "_radii")
 
 
 def _idx_has_sq8(spark, path: str) -> bool:
