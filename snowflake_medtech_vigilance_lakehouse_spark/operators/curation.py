@@ -321,6 +321,7 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
                                            _write_tombstone_tick)
     from ..streaming.liveness import live_filter
     from .dedup import (append_minhash_store, _minhash_store_meta,
+                        minhash_exploded_base,
                         minhash_neardup_incremental)
 
     meta = _minhash_store_meta(store_path)
@@ -370,8 +371,20 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
                 f"rebuild the store")
         _write_tombstone_tick(dead_ids, store_path, v,
                               known_nonempty=has_dead)
+        # ONE materialization of the commit's shingle+md5 base feeds
+        # BOTH consumers: the pairing stage (full batch) and the
+        # absorb below (the kept subset — filtering the base by id
+        # commutes with the per-id frame aggregations, so the
+        # absorbed frames are identical to re-deriving from the kept
+        # docs). Previously each consumer re-derived the pipeline
+        # from text: two shingle scans + two CDF-batch joins per
+        # commit (guide §2.4).
+        ex_base = minhash_exploded_base(
+            batch, n=meta["n"], text_col=text_col,
+            id_col=id_col).localCheckpoint(eager=True)
         pairs = minhash_neardup_incremental(
-            spark, batch, store_path, threshold=threshold)
+            spark, batch, store_path, threshold=threshold,
+            base=ex_base)
         bids = batch.select(F.col(id_col).alias("_bid")).distinct()
         flagged = (
             pairs
@@ -395,10 +408,14 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
         )
         decisions.write.mode("overwrite").parquet(
             f"{store_path}_decisions/tick={v}")
-        keeps = (spark.read.parquet(f"{store_path}_decisions/tick={v}")
-                 .filter(F.col("keep"))
-                 .join(batch, id_col).select(batch.columns))
-        append_minhash_store(keeps, store_path, tick=v)
+        keep_ids = (spark.read.parquet(f"{store_path}_decisions/tick={v}")
+                    .filter(F.col("keep")).select(F.col(id_col)))
+        keeps = keep_ids.join(batch, id_col).select(batch.columns)
+        append_minhash_store(
+            keeps, store_path, tick=v,
+            base=ex_base.join(
+                F.broadcast(keep_ids.withColumnRenamed(id_col, "_id")),
+                "_id"))
         advance(v)
     return versions
 

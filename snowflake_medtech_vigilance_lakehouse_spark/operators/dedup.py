@@ -460,7 +460,8 @@ def minhash_store_frames(docs: DataFrame, *, num_hashes: int = 64,
                          bands: int = 32, n: int = 3,
                          text_col: str = "text", id_col: str = "doc_id",
                          seed: int = 42,
-                         materialize_base: bool = False
+                         materialize_base: bool = False,
+                         base: DataFrame | None = None
                          ) -> tuple[DataFrame, DataFrame]:
     """The two frames of a MinHash dedup store, derivable in-plan or
     persisted by :func:`build_minhash_store`:
@@ -487,16 +488,26 @@ def minhash_store_frames(docs: DataFrame, *, num_hashes: int = 64,
     runs ONCE instead of once per frame — for INCREMENT-sized inputs
     only (the absorb/incremental paths, bounded by contract); a
     corpus-sized build must keep the base lazy (a 100 TB (doc,
-    shingle) materialization has no business in the block manager)."""
+    shingle) materialization has no business in the block manager).
+
+    ``base`` (internal, the CDF curation loop): a caller that already
+    materialized THIS doc set's exploded (_id, _h) rows — e.g. the
+    per-commit batch base its pairing stage built — passes it in and
+    the shingle+md5 pipeline is not re-derived at all; ``docs`` is
+    then ignored. The caller owns the docs≡base correspondence (the
+    curation loop filters one checkpointed batch base by the keep
+    decisions — filtering by id commutes with both per-id
+    aggregations, so the frames are identical to re-deriving from the
+    kept docs)."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
-    ex = (
-        _shingled(docs, text_col, id_col, n, widen=False)
-        .select("_id", F.explode("_sh").alias("_g"))
-        .select("_id", md5_hash32(F.col("_g")).alias("_h"))
-    )
-    if materialize_base:
-        ex = ex.localCheckpoint(eager=True)
+    if base is not None:
+        ex = base
+    else:
+        ex = minhash_exploded_base(docs, n=n, text_col=text_col,
+                                   id_col=id_col)
+        if materialize_base:
+            ex = ex.localCheckpoint(eager=True)
     # same expressions as minhash_signatures (min over occurrences ==
     # min over the distinct set; n_shingles is not part of either
     # store frame, so bucket rows are byte-identical either way)
@@ -509,6 +520,23 @@ def minhash_store_frames(docs: DataFrame, *, num_hashes: int = 64,
     buckets = _band_buckets(sig, bands, rows, "_id")
     hashes = ex.groupBy("_id").agg(F.collect_set("_h").alias("_h"))
     return buckets, hashes
+
+
+def minhash_exploded_base(docs: DataFrame, *, n: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """The shared exploded (_id, _h md5-hash) base both store frames
+    aggregate (see :func:`minhash_store_frames`). Exposed so a caller
+    that derives MULTIPLE frame sets from one bounded doc set (the
+    CDF curation loop: the pairing stage over the full commit batch,
+    then the absorb over its kept subset) can materialize the
+    shingle+md5 pipeline ONCE and filter, instead of re-deriving it
+    per consumer."""
+    return (
+        _shingled(docs, text_col, id_col, n, widen=False)
+        .select("_id", F.explode("_sh").alias("_g"))
+        .select("_id", md5_hash32(F.col("_g")).alias("_h"))
+    )
 
 
 def build_minhash_store(docs: DataFrame, path: str, *,
@@ -613,7 +641,8 @@ def read_minhash_store(spark, path: str) -> tuple[DataFrame, DataFrame]:
 
 def append_minhash_store(docs: DataFrame, path: str, *,
                          skip_existing: bool = False,
-                         tick: int | None = None) -> None:
+                         tick: int | None = None,
+                         base: DataFrame | None = None) -> None:
     """Absorb an (already deduplicated) increment into the store —
     signature params come from the store's meta sidecar. Re-ingesting
     a doc_id refuses loudly by default: the store holds one signature
@@ -668,11 +697,14 @@ def append_minhash_store(docs: DataFrame, path: str, *,
                     f"it")
     # increments are bounded by contract — materialize the shared
     # exploded-hash base so the shingle+md5 pipeline (and the caller's
-    # decisions-join input) runs once for the two frame writes
+    # decisions-join input) runs once for the two frame writes; a
+    # caller that already materialized this doc set's base (the CDF
+    # curation loop, which filtered its pairing base by the keep
+    # decisions) passes it via ``base=`` and nothing re-derives
     buckets, hashes = minhash_store_frames(
         docs, num_hashes=meta["num_hashes"], bands=meta["bands"],
         n=meta["n"], text_col=meta["text_col"], id_col=id_col,
-        seed=meta["seed"], materialize_base=True)
+        seed=meta["seed"], materialize_base=base is None, base=base)
     if tick is None:
         buckets.write.mode("append").parquet(path)
         hashes.write.mode("append").parquet(path + "_hashes")
@@ -722,7 +754,8 @@ def minhash_neardup_against(new_docs: DataFrame,
                             num_hashes: int = 64, bands: int = 32,
                             n: int = 3, text_col: str = "text",
                             id_col: str = "doc_id",
-                            seed: int = 42) -> DataFrame:
+                            seed: int = 42,
+                            base: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs of an INCREMENT against a MinHash store (plus
     the increment's internal pairs) — the incremental twin of
     :func:`minhash_lsh_pairs`: same banded candidate keys, same
@@ -754,7 +787,7 @@ def minhash_neardup_against(new_docs: DataFrame,
     new_buckets, new_hashes = minhash_store_frames(
         new_docs, num_hashes=num_hashes, bands=bands, n=n,
         text_col=text_col, id_col=id_col, seed=seed,
-        materialize_base=True)
+        materialize_base=base is None, base=base)
     # the increment pipeline (shingle -> md5) is materialized ONCE as
     # the store frames' shared exploded base (materialize_base above);
     # new_buckets still checkpoints because TWO subtrees reference it
@@ -846,7 +879,8 @@ def minhash_neardup_against(new_docs: DataFrame,
 
 
 def minhash_neardup_incremental(spark, new_docs: DataFrame, path: str, *,
-                                threshold: float = 0.5) -> DataFrame:
+                                threshold: float = 0.5,
+                                base: DataFrame | None = None) -> DataFrame:
     """Path-based entry over a persisted :func:`build_minhash_store`:
     signature params are read from the store's meta sidecar so an
     increment can never be fingerprinted under mismatched parameters,
@@ -861,7 +895,7 @@ def minhash_neardup_incremental(spark, new_docs: DataFrame, path: str, *,
         new_docs, buckets, hashes,
         threshold=threshold, num_hashes=meta["num_hashes"],
         bands=meta["bands"], n=meta["n"], text_col=meta["text_col"],
-        id_col=meta["id_col"], seed=meta["seed"])
+        id_col=meta["id_col"], seed=meta["seed"], base=base)
 
 
 def _release_persistent(jsc, rdd_ids: list[int]) -> None:
