@@ -269,31 +269,24 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     # a pair sharing several prefix shingles appears several times —
     # dedupe BEFORE the verify join so each pair is verified once
     cand = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("_pco"))
-    # exact verification on the full hash arrays in ONE pass over the
-    # ordered-array pipeline (the old two-sided join keyed one probe
-    # on id1 and the other on id2 — different exchanges, so the
-    # whole _df_ordered_arrays subtree executed once per side; guide
-    # §2.4): explode each pair to a row per endpoint, meet the arrays
-    # in a single id-keyed join, fold the sides back with one
-    # pair-volume aggregation (first(when) — exactly one row per
-    # (pair, side)); the non-null filter preserves inner-join
-    # semantics for endpoints absent from the array frame.
-    cand_long = cand.select(
-        "id1", "id2",
-        F.explode(F.array(
-            F.struct(F.lit(1).alias("_side"), F.col("id1").alias("_id")),
-            F.struct(F.lit(2).alias("_side"), F.col("id2").alias("_id")),
-        )).alias("_e")
-    ).select("id1", "id2", F.col("_e._side").alias("_side"),
-             F.col("_e._id").alias("_id"))
+    # exact verification on the full hash arrays via the TWO-SIDED
+    # join: both probe sides hash-partition `arr` on `_id`, so the
+    # exchange of the array frame is planned once and REUSED — arrays
+    # cross the wire once, and only the (small) pair list shuffles
+    # twice. The round-13 one-pass fold (explode pairs to endpoints,
+    # meet in one id-keyed join, groupBy(id1,id2) the sides back) was
+    # tried and REVERTED here: its pair-volume aggregation carries
+    # BOTH full hash arrays through a pair-keyed exchange, and the sf1
+    # sweep read 9.3 -> 27.2 s (2.9x) on exactly this operator — at
+    # candidate volumes the self-join regime produces, shuffling
+    # array payloads per pair loses to the reused id-keyed exchange
+    # (guide §1.1: the "ideal" plan lost to the gotcha; §2.3: don't
+    # move heavy payloads keyed by pair). The fold SURVIVES in
+    # minhash_neardup_against, where the increment contract bounds
+    # pair volume and it removes a second corpus scan.
     ver = (
-        arr.join(cand_long, "_id")
-        .groupBy("id1", "id2")
-        .agg(F.first(F.when(F.col("_side") == 1, F.col("_h")),
-                     ignorenulls=True).alias("_h1"),
-             F.first(F.when(F.col("_side") == 2, F.col("_h")),
-                     ignorenulls=True).alias("_h2"))
-        .filter(F.col("_h1").isNotNull() & F.col("_h2").isNotNull())
+        cand.join(arr.select(F.col("_id").alias("id1"), F.col("_h").alias("_h1")), "id1")
+        .join(arr.select(F.col("_id").alias("id2"), F.col("_h").alias("_h2")), "id2")
         .select(
             "id1", "id2",
             F.size(F.array_intersect("_h1", "_h2")).alias("_inter"),
@@ -408,32 +401,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .distinct()
     )
     sh = _shingled(docs, text_col, id_col, n, widen=False)
-    # ONE corpus shingle pass for verification (the old two-sided
-    # join keyed each side differently, so the whole shingle pipeline
-    # executed twice — no exchange reuse across different join keys;
-    # guide §2.4): explode each candidate pair to one row per
-    # endpoint, meet the shingle sets in a single join keyed on the
-    # doc id, and fold the two sides back with one pair-volume
-    # aggregation. first(when(side...)) is deterministic — exactly
-    # one row per (pair, side); inner-join semantics are preserved by
-    # the non-null filter.
-    cand_long = cand.select(
-        "id1", "id2",
-        F.explode(F.array(
-            F.struct(F.lit(1).alias("_side"), F.col("id1").alias("_id")),
-            F.struct(F.lit(2).alias("_side"), F.col("id2").alias("_id")),
-        )).alias("_e")
-    ).select("id1", "id2", F.col("_e._side").alias("_side"),
-             F.col("_e._id").alias("_id"))
-    folded = (
-        sh.join(cand_long, "_id")
-        .groupBy("id1", "id2")
-        .agg(F.first(F.when(F.col("_side") == 1, F.col("_sh")),
-                     ignorenulls=True).alias("_sh1"),
-             F.first(F.when(F.col("_side") == 2, F.col("_sh")),
-                     ignorenulls=True).alias("_sh2"))
-        .filter(F.col("_sh1").isNotNull() & F.col("_sh2").isNotNull())
-    )
+    # two-sided verification join: both sides hash-partition `sh` on
+    # the same column, so the shingle frame's exchange is planned once
+    # and REUSED — shingle arrays cross the wire once while only the
+    # small pair list shuffles per side. The round-13 one-pass fold
+    # (explode pairs to endpoints, one id-keyed join,
+    # groupBy(id1,id2)) was tried and REVERTED in the self-join
+    # generators: its pair-keyed aggregation re-shuffles BOTH shingle
+    # arrays per candidate pair, which the sf1 sweep priced at 2.9x on
+    # the ngram twin of this operator (see ngram_jaccard_pairs).
     # filter on the UNROUNDED ratio and round only in the output
     # projection — the oracle does the same, and filtering on the
     # rounded value would keep a true jaccard in
@@ -443,7 +419,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         / F.size(F.array_union("_sh1", "_sh2")).cast("double")
     )
     verified = (
-        folded.select(
+        cand.join(sh.withColumnRenamed("_id", "id1").withColumnRenamed("_sh", "_sh1"), "id1")
+        .join(sh.withColumnRenamed("_id", "id2").withColumnRenamed("_sh", "_sh2"), "id2")
+        .select(
             F.col("id1").alias("doc_id_1"),
             F.col("id2").alias("doc_id_2"),
             jac.alias("_jac"),
