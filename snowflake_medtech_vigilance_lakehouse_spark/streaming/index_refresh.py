@@ -401,7 +401,22 @@ def assign_ivf_lists(vecs: DataFrame, centroids: DataFrame,
     refresh delta; the bulk corpus pays this once, at build.
 
     Returns (id, _v double-array, _nrm, list_id) — the index row
-    layout of :func:`operators.similarity.build_ivf_index`."""
+    layout of :func:`operators.similarity.build_ivf_index`.
+
+    Plan note (round 13, measured): the argmin window LOOKS like it
+    shuffles n_lists payload copies per vector, but Spark 3.5+/4.x
+    plans the ``row_number() == 1`` filter as a WindowGroupLimit pair
+    — a PARTIAL top-1-per-key pass runs map-side BEFORE the exchange,
+    so one payload row per vector crosses the wire, same as an
+    aggregate would. A ``groupBy(id).min(struct(_d2, list_id, _v,
+    _nrm))`` rewrite was built, proven assignment-identical, and
+    timed a wash (it plans as SortAggregate — the array-bearing
+    buffer is not hash-aggregable — paying the identical local sort
+    of the exploded rows; 400k×8 lists at local[32]: window 2.44 s
+    vs min-struct 2.56 s vs min_by 2.40 s, fully overlapping reps;
+    ``plans/r13/ivf_assign_*.txt``). Kept as the window: same
+    exchange volume, same sorts, and WindowGroupLimit is the shape
+    the plan audit has pinned since the build rounds."""
     from ..functions.vectors import l2_norm
     from pyspark.sql.window import Window
 
