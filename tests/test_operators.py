@@ -48,6 +48,46 @@ def test_shingles_short_docs(spark):
     assert vals[2]["s"] == []
 
 
+def test_mh_expr_built_frames_equal_column_formulation(spark, docs):
+    """The F.expr-built signature aggregation and band explode
+    (round-13 optimization: plan construction via one parsed string
+    instead of hundreds of py4j Column operators) produce EXACTLY the
+    rows of the chained-Column formulation they replaced — signatures,
+    n_shingles, band struct field names and values."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.dedup import (
+        _MERSENNE_P, _band_buckets, _hash_coeffs, minhash_exploded_base)
+
+    ex = minhash_exploded_base(docs.limit(50), n=3)
+    # the pre-round-13 Column-operator formulation, verbatim
+    aggs = [F.count(F.lit(1)).alias("n_shingles")]
+    for i, (a, b) in enumerate(_hash_coeffs(16, 42)):
+        aggs.append(
+            F.min((F.col("_h") * F.lit(a) + F.lit(b))
+                  % F.lit(_MERSENNE_P)).alias(f"mh_{i}"))
+    old_sig = ex.groupBy("_id").agg(*aggs)
+    old_buckets = old_sig.select(
+        F.col("_id"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.struct(*[F.col(f"mh_{bi * 2 + r}").alias(f"r{r}")
+                           for r in range(2)]).alias("bucket"))
+            for bi in range(8)])).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+    new_sig = ex.groupBy("_id").agg(*dd._mh_sig_agg_exprs(16, 42))
+    assert new_sig.schema == old_sig.schema
+    assert ({tuple(r) for r in new_sig.collect()}
+            == {tuple(r) for r in old_sig.collect()})
+    new_buckets = _band_buckets(new_sig, 8, 2, "_id")
+    assert new_buckets.schema == old_buckets.schema
+    assert ({(r["_id"], r["band"], tuple(r["bucket"]))
+             for r in new_buckets.collect()}
+            == {(r["_id"], r["band"], tuple(r["bucket"]))
+                for r in old_buckets.collect()})
+
+
 def test_minhash_lsh_matches_exact(spark, docs):
     exact = {
         (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
