@@ -1040,7 +1040,8 @@ def maintain_ivf_index(spark, path: str, checkpoint: str, *,
 
 
 def _ivf_update_radii(assigned: DataFrame, centroids: DataFrame,
-                      path: str) -> None:
+                      path: str, *,
+                      batch_rad: dict | None = None) -> None:
     """Keep the ``{path}_radii`` sidecar (the exactness lever of
     ``embedding_neardup_indexed``'s probe bound) fresh across refresh
     ticks: max-merge the batch's per-list normalized-space radii into
@@ -1065,8 +1066,9 @@ def _ivf_update_radii(assigned: DataFrame, centroids: DataFrame,
                spark.read.parquet(path + "_radii").collect()}
     except Exception:
         return  # unreadable (crash mid-rewrite): serving falls back
-    batch_rad = {r["list_id"]: r["rad"] for r in
-                 _ivf_radii_frame(assigned, centroids).collect()}
+    if batch_rad is None:
+        batch_rad = {r["list_id"]: r["rad"] for r in
+                     _ivf_radii_frame(assigned, centroids).collect()}
     merged = dict(old)
     for lid, rad in batch_rad.items():
         prev = merged.get(lid)
@@ -1136,12 +1138,13 @@ def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
     # the tick, clear any files a crashed earlier attempt of THIS
     # tick left behind, then move under deterministic tick-stamped
     # names. The staged write is the ONLY execution of the assign
-    # crossJoin+window subtree: emptiness, the radius merge, and the
-    # growth counts all read the staged parquet back (tiny,
-    # list_id-partitioned) — the old isEmpty-then-radii-then-write
-    # order executed the same subtree three times per tick, and at
-    # bench scale the replay ledgers were measured driver-job-bound
-    # on exactly those repeats (guide §2.4: remove recomputation).
+    # crossJoin+window subtree: emptiness is read from the staged dir
+    # listing, and ONE per-list aggregate over the staged parquet
+    # (tiny, list_id-partitioned) feeds both the radius merge and the
+    # growth sidecar — the old isEmpty-then-radii-then-write order
+    # executed the same subtree three times per tick, and at bench
+    # scale the replay ledgers were measured driver-job-bound on
+    # exactly those repeats (guide §2.4: remove recomputation).
     _require_tick_layout(path + "_growth")
     stage = os.path.join(path + "_stage", f"tick={epoch}")
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(stage)
@@ -1164,13 +1167,46 @@ def _ivf_append_batch(batch: DataFrame, path: str, epoch: int, *,
         shutil.rmtree(stage, ignore_errors=True)
         return
     staged = spark.read.parquet(stage)
+    # ONE per-list aggregate over the staged tick answers BOTH
+    # sidecars (round 13: the replay loops are driver-job-bound, so
+    # the separate radii job + growth-write job per commit were pure
+    # per-commit overhead): per list, the appended row count, the max
+    # normalized-space distance over scorable (_nrm > 0) members —
+    # identical to _ivf_radii_frame's rad, which filtered those rows
+    # before aggregating — and the scorable count that decides
+    # whether the list participates in the radii merge at all (a
+    # list with only zero-norm members was ABSENT from the old radii
+    # frame and must stay out of the merge). Both sidecars are
+    # n_lists-row driver data, so they write driver-side
+    # (write_local_sidecar — same layout the Spark writer produced).
+    from ..functions.vectors import l2_norm
+    cn = l2_norm(F.col("_ctr"))
+    chat = F.when(cn > 0, F.transform(F.col("_ctr"), lambda x: x / cn))
+    diff2 = F.zip_with(
+        F.col("_v"), F.col("_chat"),
+        lambda v, c: (v / F.col("_nrm") - c) * (v / F.col("_nrm") - c))
+    d = F.when(F.col("_nrm") > 0,
+               F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x)))
+    tick_stats = (
+        staged.join(F.broadcast(centroids.select(
+            "list_id", chat.alias("_chat"))), "list_id")
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_appended"),
+             F.max(d).alias("rad"),
+             F.sum((F.col("_nrm") > 0).cast("long")).alias("n_scorable"))
+        .collect())
     # radius merge BEFORE the publish moves below (crash leaves the
-    # sidecar an over-estimate, never under), computed from the
-    # staged rows — same (list_id, _v, _nrm) columns, no recompute
-    _ivf_update_radii(staged, centroids, path)
-    (staged.groupBy("list_id")
-     .agg(F.count(F.lit(1)).cast("long").alias("n_appended"))
-     .write.mode("overwrite").parquet(f"{path}_growth/tick={epoch}"))
+    # sidecar an over-estimate, never under)
+    _ivf_update_radii(staged, centroids, path, batch_rad={
+        r["list_id"]: r["rad"] for r in tick_stats
+        if r["n_scorable"] > 0})
+    from ..sources.writers import write_local_sidecar
+    write_local_sidecar(
+        spark,
+        sorted((int(r["list_id"]), int(r["n_appended"]))
+               for r in tick_stats),
+        [("list_id", "int"), ("n_appended", "long")],
+        f"{path}_growth/tick={epoch}")
     prefix = f"tick{epoch}-"
     for root, _, files in os.walk(path):
         for fn in files:

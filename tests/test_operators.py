@@ -1013,6 +1013,66 @@ def test_embedding_neardup_indexed_radii_survive_append(spark, emb,
         spark, idx, dirty, threshold=0.9).count() == 0
 
 
+def test_ivf_append_fused_stats_growth_and_radii_corners(spark, emb,
+                                                         tmp_path):
+    """Round-13: _ivf_append_batch computes growth counts and the
+    radii merge from ONE per-list aggregate. Corner pins: a zero-norm
+    appended vector is COUNTED in the growth tick (it serves, and the
+    rebuild trigger must see it) but its list is excluded from the
+    radii max-merge when it is the only appended member (the old
+    _ivf_radii_frame dropped unscorable rows before aggregating — a
+    batch-only NULL would otherwise flip the list to
+    probe-unconditionally forever)."""
+    from snowflake_medtech_vigilance_lakehouse_spark.sources import (
+        delta_lite as dl)
+    from snowflake_medtech_vigilance_lakehouse_spark.streaming.index_refresh import (
+        refresh_ivf_from_cdf)
+
+    corpus = emb.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, idx, n_lists=4, seed=42)
+    rad_before = {r["list_id"]: r["rad"] for r in
+                  spark.read.parquet(idx + "_radii").collect()}
+
+    dim = len(emb.first()["embedding"])
+    tbl = str(tmp_path / "delta")
+    dl.write_delta(spark.createDataFrame(
+        [(900001, [0.0] * dim), (900002, [50.0] * dim)],
+        "vec_id long, embedding array<float>"), tbl)
+    assert refresh_ivf_from_cdf(spark, tbl, idx) == [0]
+
+    growth = {r["list_id"]: r["n_appended"] for r in
+              spark.read.parquet(idx + "_growth").collect()}
+    assert sum(growth.values()) == 2  # zero-norm row counted
+    rad_after = {r["list_id"]: r["rad"] for r in
+                 spark.read.parquet(idx + "_radii").collect()}
+    # the merged sidecar must equal the OLD formulation exactly:
+    # max-merge of the build radii with _ivf_radii_frame over the
+    # appended rows (which drops the unscorable zero-norm row — so
+    # its list, receiving nothing else, keeps its build radius)
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.similarity import (
+        _ivf_radii_frame)
+    appended = (spark.read.parquet(idx)
+                .filter(F.col("vec_id").isin(900001, 900002))
+                .select("list_id", "_v", "_nrm"))
+    batch_rad = {r["list_id"]: r["rad"] for r in _ivf_radii_frame(
+        appended, spark.read.parquet(idx + "_centroids")).collect()}
+    expected = dict(rad_before)
+    for lid, rad in batch_rad.items():
+        prev = expected.get(lid)
+        if lid not in expected:
+            expected[lid] = rad
+        elif prev is None or rad is None:
+            expected[lid] = None
+        else:
+            expected[lid] = max(prev, rad)
+    assert rad_after == expected
+    zero_list = [r["list_id"] for r in
+                 spark.read.parquet(idx)
+                 .filter(F.col("vec_id") == 900001).collect()]
+    assert len(zero_list) == 1  # the zero-norm row SERVES (growth saw it)
+
+
 def test_duplicated_span_stats_exact_values(spark):
     # hand-computed ExactSubstr coverage, incl. intra-doc repeats and
     # the interval union (overlapping duplicated spans are not
