@@ -352,25 +352,6 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
         # commit's pending dead keys, and not this tick's own
         # replayed absorb — is an illegal duplicate insert (its old
         # signature would double candidate generation)
-        hashes = spark.read.parquet(store_path + "_hashes")
-        epoch = F.col("tick") if "tick" in hashes.columns else F.lit(-1)
-        prior = (hashes.select("_id", epoch.cast("long").alias("tick"))
-                 .filter(F.col("tick") != v))
-        prior = live_filter(prior, store_path + "_tombstones",
-                            F.col("_id"), F.col("tick"),
-                            pending=(dead_ids, v))
-        dups = (batch.select(F.col(id_col)).distinct()
-                .join(prior.select(F.col("_id").alias(id_col)), id_col)
-                .limit(5).collect())
-        if dups:
-            raise ValueError(
-                f"curate_minhash_from_cdf: commit {v} re-inserts ids "
-                f"{[r[0] for r in dups]}… already live in "
-                f"{store_path}; feed changes as update/delete commits "
-                f"(retired and re-signatured within the tick) or "
-                f"rebuild the store")
-        _write_tombstone_tick(dead_ids, store_path, v,
-                              known_nonempty=has_dead)
         # ONE materialization of the commit's shingle+md5 base feeds
         # BOTH consumers: the pairing stage (full batch) and the
         # absorb below (the kept subset — filtering the base by id
@@ -378,10 +359,39 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
         # absorbed frames are identical to re-deriving from the kept
         # docs). Previously each consumer re-derived the pipeline
         # from text: two shingle scans + two CDF-batch joins per
-        # commit (guide §2.4).
-        ex_base = minhash_exploded_base(
-            batch, n=meta["n"], text_col=text_col,
-            id_col=id_col).localCheckpoint(eager=True)
+        # commit (guide §2.4). The checkpoint job runs CONCURRENTLY
+        # with the vet below (guide §2.6) — it is pure computation
+        # over the batch, publishes nothing, and touches none of the
+        # state the vet reads; the vet-then-publish discipline
+        # applies to the TOMBSTONE TICK, which still waits for the
+        # vet verdict.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            ex_base_f = pool.submit(
+                lambda: minhash_exploded_base(
+                    batch, n=meta["n"], text_col=text_col,
+                    id_col=id_col).localCheckpoint(eager=True))
+            hashes = spark.read.parquet(store_path + "_hashes")
+            epoch = (F.col("tick") if "tick" in hashes.columns
+                     else F.lit(-1))
+            prior = (hashes.select("_id", epoch.cast("long").alias("tick"))
+                     .filter(F.col("tick") != v))
+            prior = live_filter(prior, store_path + "_tombstones",
+                                F.col("_id"), F.col("tick"),
+                                pending=(dead_ids, v))
+            dups = (batch.select(F.col(id_col)).distinct()
+                    .join(prior.select(F.col("_id").alias(id_col)), id_col)
+                    .limit(5).collect())
+            if dups:
+                raise ValueError(
+                    f"curate_minhash_from_cdf: commit {v} re-inserts "
+                    f"ids {[r[0] for r in dups]}… already live in "
+                    f"{store_path}; feed changes as update/delete "
+                    f"commits (retired and re-signatured within the "
+                    f"tick) or rebuild the store")
+            _write_tombstone_tick(dead_ids, store_path, v,
+                                  known_nonempty=has_dead)
+            ex_base = ex_base_f.result()
         pairs = minhash_neardup_incremental(
             spark, batch, store_path, threshold=threshold,
             base=ex_base)

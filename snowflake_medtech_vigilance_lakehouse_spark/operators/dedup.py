@@ -701,9 +701,24 @@ def append_minhash_store(docs: DataFrame, path: str, *,
         hashes.write.mode("append").parquet(path + "_hashes")
     else:
         _migrate_minhash_ticks(path)
-        buckets.write.mode("overwrite").parquet(f"{path}/tick={tick}")
-        hashes.write.mode("overwrite").parquet(
-            f"{path}_hashes/tick={tick}")
+        # the two frame writes are independent jobs over the same
+        # checkpointed base — submit them concurrently so the second
+        # back-fills the first's task tail (guide §2.6). Same crash
+        # window as the old sequential writes: either tick dir can
+        # exist without the other until both land, and a replay
+        # overwrites both. Tick mode only: the flat-append path may
+        # carry a corpus-sized lazy base that should not execute
+        # twice at once.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(
+                lambda: buckets.write.mode("overwrite")
+                .parquet(f"{path}/tick={tick}"))
+            fh = pool.submit(
+                lambda: hashes.write.mode("overwrite")
+                .parquet(f"{path}_hashes/tick={tick}"))
+            fb.result()
+            fh.result()
 
 
 def compact_minhash_store(spark, path: str, *,
