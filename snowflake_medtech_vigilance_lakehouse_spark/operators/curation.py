@@ -541,44 +541,6 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
                 f"mixed embedding dimensions {sorted(stats[v]['_dims'])}"
                 f" — a corrupt batch; fix the feed (decisions on "
                 f"mismatched vectors would be sample-dependent)")
-        # vet BEFORE publishing the tombstone tick: a batch id LIVE
-        # in the index (not retired by the sidecar or THIS commit's
-        # pending dead keys, and not this tick's own replayed absorb)
-        # would serve twice and double-count in every kNN
-        prior = (spark.read.parquet(index_path)
-                 .select(F.col(id_col), ivf_row_epoch().alias("_ep"))
-                 .filter(F.col("_ep") != v))
-        prior = live_filter(
-            prior, index_path + "_tombstones", F.col(id_col),
-            F.col("_ep"),
-            applied_through=_tombstones_applied_through(index_path),
-            pending=(dead_ids, v))
-        dups = (batch.select(F.col(id_col)).distinct()
-                .join(prior.select(id_col), id_col).limit(5).collect())
-        if dups:
-            raise ValueError(
-                f"curate_embeddings_from_cdf: commit {v} re-inserts "
-                f"ids {[r[0] for r in dups]}… already live in "
-                f"{index_path}; feed changes as update/delete commits "
-                f"(retired and re-decided within the tick) or rebuild "
-                f"the index")
-        _write_tombstone_tick(dead_ids, index_path, v,
-                              known_nonempty=has_dead)
-        # id-type note (round-12 ADVICE): the bucketed engine requires
-        # an integral or string id column; the index's inferred id_col
-        # satisfies this for every store build_ivf_index can write,
-        # and a decimal-keyed index fails loudly inside the engine
-        cross = embedding_neardup_indexed(
-            spark, index_path, batch, threshold,
-            id_col=id_col, vec_col=vec_col)
-        # layout sizing from the one-job stats pass — the engine's own
-        # corpus.count() job per commit answers the same question
-        # (n_live == the batch's raw row count); correctness never
-        # depends on the value (the triangle bound is exact under any
-        # layout), so the hint only removes a per-commit job
-        intra_lists = auto_n_lists(
-            stats[v]["_n_live"],
-            spark.sparkContext.defaultParallelism)
         # in-batch fold pairs through the bucketed exact engine, NOT
         # the broadcast-crossJoin fold variant: the fold pays an
         # interpreted HOF dot per PAIR over |batch|^2 — at the sf3
@@ -587,10 +549,55 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
         # bucketed engine scores the same pairs as per-list float64
         # GEMMs behind ONE shuffle (contract-equal: id_1 < id_2,
         # round(_, 6) >= threshold — the fold≡bucketed equality the
-        # semantic-dedup family already pytest-pins)
-        intra = embedding_neardup_pairs_bucketed(
-            batch, threshold, id_col=id_col, vec_col=vec_col,
-            n_lists=intra_lists)
+        # semantic-dedup family already pytest-pins). Its
+        # construction (a bounded sample collect + driver quantizer
+        # fit) reads ONLY the batch — no index, no tombstone state —
+        # so it runs concurrently with the vet below (guide §2.6);
+        # layout sizing comes from the one-job stats pass (n_live ==
+        # the batch's raw row count; correctness never depends on the
+        # layout — the triangle bound is exact under any centroids).
+        intra_lists = auto_n_lists(
+            stats[v]["_n_live"],
+            spark.sparkContext.defaultParallelism)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            intra_f = pool.submit(
+                lambda: embedding_neardup_pairs_bucketed(
+                    batch, threshold, id_col=id_col, vec_col=vec_col,
+                    n_lists=intra_lists))
+            # vet BEFORE publishing the tombstone tick: a batch id
+            # LIVE in the index (not retired by the sidecar or THIS
+            # commit's pending dead keys, and not this tick's own
+            # replayed absorb) would serve twice and double-count in
+            # every kNN
+            prior = (spark.read.parquet(index_path)
+                     .select(F.col(id_col), ivf_row_epoch().alias("_ep"))
+                     .filter(F.col("_ep") != v))
+            prior = live_filter(
+                prior, index_path + "_tombstones", F.col(id_col),
+                F.col("_ep"),
+                applied_through=_tombstones_applied_through(index_path),
+                pending=(dead_ids, v))
+            dups = (batch.select(F.col(id_col)).distinct()
+                    .join(prior.select(id_col), id_col).limit(5)
+                    .collect())
+            if dups:
+                raise ValueError(
+                    f"curate_embeddings_from_cdf: commit {v} "
+                    f"re-inserts ids {[r[0] for r in dups]}… already "
+                    f"live in {index_path}; feed changes as "
+                    f"update/delete commits (retired and re-decided "
+                    f"within the tick) or rebuild the index")
+            _write_tombstone_tick(dead_ids, index_path, v,
+                                  known_nonempty=has_dead)
+            intra = intra_f.result()
+        # id-type note (round-12 ADVICE): the bucketed engine requires
+        # an integral or string id column; the index's inferred id_col
+        # satisfies this for every store build_ivf_index can write,
+        # and a decimal-keyed index fails loudly inside the engine
+        cross = embedding_neardup_indexed(
+            spark, index_path, batch, threshold,
+            id_col=id_col, vec_col=vec_col)
         # a replayed keep is in BOTH the index and the batch, so the
         # same pair can surface through both stages; only the id pair
         # matters downstream, so project before distinct
