@@ -1361,7 +1361,8 @@ def _split_churn(feed: DataFrame, version: int) -> tuple[DataFrame, DataFrame]:
     return dead, live
 
 
-def _feed_commit_stats(feed: DataFrame, *, dim_col: str | None = None
+def _feed_commit_stats(feed: DataFrame, *, dim_col: str | None = None,
+                       minmax_col: str | None = None
                        ) -> dict[int, dict]:
     """Per-commit row counts of a change feed in ONE job: live rows
     (insert/update_postimage), dead rows (delete/update_preimage),
@@ -1380,13 +1381,19 @@ def _feed_commit_stats(feed: DataFrame, *, dim_col: str | None = None
         aggs.append(F.collect_set(
             F.when(live & F.col(dim_col).isNotNull(),
                    F.size(dim_col))).alias("_dims"))
+    if minmax_col is not None:
+        # live-row id range per commit — the identity-bridge domain
+        # check reads it from here instead of its own per-commit agg
+        aggs.append(F.min(F.when(live, F.col(minmax_col))).alias("_lo"))
+        aggs.append(F.max(F.when(live, F.col(minmax_col))).alias("_hi"))
 
     class _Stats(dict):
         # a change-producing commit with zero feed rows (e.g. an
         # empty append) has no group row; it reads as all-empty, the
         # same outcome the per-commit isEmpty probes produced
         def __missing__(self, v):
-            return {"_n_live": 0, "_n_dead": 0, "_dims": []}
+            return {"_n_live": 0, "_n_dead": 0, "_dims": [],
+                    "_lo": None, "_hi": None}
 
     return _Stats(
         (r["_commit_version"], r.asDict())
@@ -1651,7 +1658,10 @@ def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
             f"re-served within the tick) or rebuild via "
             f"build_chunk_index")
     if meta["id_bridge"] == "identity":
-        lo, hi = batch.agg(F.min(id_col), F.max(id_col)).first()
+        if feed_counts is not None and "_lo" in feed_counts:
+            lo, hi = feed_counts["_lo"], feed_counts["_hi"]
+        else:
+            lo, hi = batch.agg(F.min(id_col), F.max(id_col)).first()
         if lo is None or lo < 0 or hi > (1 << 63) // scale - 1:
             raise ValueError(
                 f"refresh_chunk_index_from_cdf: commit {epoch} carries "
@@ -1686,15 +1696,25 @@ def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
         keyed, chunk_tokens=meta["chunk_tokens"], stride=meta["stride"],
         dim=meta["dim"], text_col=meta["text_col"],
         chunk_key_scale=scale)
-    _ivf_append_batch(dense, path, epoch, id_col="vec_id",
-                      vec_col="embedding")
+    # the _docids bridge rows STAGE concurrently with the chunk
+    # vectors' append (guide §2.6 — both jobs derive from the vetted
+    # batch and write to invisible stage dirs); publication order is
+    # unchanged: the sidecar moves below still run only after
+    # _ivf_append_batch has published the index tick
     side = (keyed.select(id_col, "_dkey").distinct()
             .withColumn("_tick", F.lit(epoch).cast("long"))
             .withColumn("_db", F.pmod(F.col("_dkey"),
                                       F.lit(meta["docid_buckets"]))
                         .cast("int")))
     stage = os.path.join(path + "_docids_stage", f"tick={epoch}")
-    side.write.mode("overwrite").partitionBy("_db").parquet(stage)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        side_f = pool.submit(
+            lambda: side.write.mode("overwrite").partitionBy("_db")
+            .parquet(stage))
+        _ivf_append_batch(dense, path, epoch, id_col="vec_id",
+                          vec_col="embedding")
+        side_f.result()
     if not os.path.isdir(stage):
         raise RuntimeError(
             f"the chunk-index refresh requires a driver-visible POSIX "
@@ -1761,7 +1781,9 @@ def refresh_chunk_index_from_cdf(spark, delta_path: str,
         dkey = F.col(id_col).cast("long")
     else:
         dkey = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_DOC_KEY_SPACE))
-    stats = _feed_commit_stats(feed) if versions else {}
+    stats = (_feed_commit_stats(
+        feed, minmax_col=id_col if meta["id_bridge"] == "identity"
+        else None) if versions else {})
     for v in versions:
         dead, live = _split_churn(feed, v)
         # the commit's dead keys ride into the append as a PENDING
