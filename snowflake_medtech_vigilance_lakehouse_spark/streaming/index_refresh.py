@@ -1574,15 +1574,37 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
             known_nonempty=stats[v]["_n_dead"] > 0)
         post = postings_stream(batch)
         tick = f"{out_path}/tick={v}"
-        if bucketed:
-            (with_term_buckets(post, n_buckets).write.mode("overwrite")
-             .partitionBy("tb").parquet(tick))
-        else:
-            post.write.mode("overwrite").parquet(tick)
-        write_corpus_stats(batch, out_path + "_stats", tick=v,
-                           minus=dead if had_dead else None)
-        (batch.select("doc_id").distinct().write.mode("overwrite")
-         .parquet(f"{out_path}_docs/tick={v}"))
+        # the commit's three tick publications (postings, stats
+        # delta, docs sidecar) are independent jobs over the vetted
+        # batch writing to three different tick dirs — submit them
+        # concurrently (guide §2.6). The crash discipline is
+        # unchanged: the high-water mark advances only after ALL
+        # landed, so a crash with any subset published replays the
+        # commit and every tick overwrites itself; the sequential
+        # order only ever narrowed WHICH subset a crash could leave,
+        # never prevented partial ticks.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_postings():
+            if bucketed:
+                (with_term_buckets(post, n_buckets).write
+                 .mode("overwrite").partitionBy("tb").parquet(tick))
+            else:
+                post.write.mode("overwrite").parquet(tick)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_write_postings),
+                pool.submit(write_corpus_stats, batch,
+                            out_path + "_stats", tick=v,
+                            minus=dead if had_dead else None),
+                pool.submit(
+                    lambda: batch.select("doc_id").distinct().write
+                    .mode("overwrite")
+                    .parquet(f"{out_path}_docs/tick={v}")),
+            ]
+            for f in futs:
+                f.result()
         advance(v)
     return versions
 
