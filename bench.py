@@ -1286,6 +1286,26 @@ def main() -> None:
                    "regressions": regressions}, f, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    # round 14, ADDITIONS-ONLY fields (VERDICT r13 #4/#7 — every
+    # pre-existing field is byte-compatible):
+    # - fell_out_of_top12: entries in the BASELINE's top-12 that left
+    #   this run's top-12, with their current seconds — so a truncated
+    #   diff can tell "got faster" from "gone" without the full
+    #   artifact (three r13 improvements surfaced as 'dropped').
+    # - slo_flags: the serving-tier <1.5 s analog entries
+    #   (BASELINE.md) gated at an ABSOLUTE 1.2 s — the generic ±25%
+    #   band let hybrid_search drift to 1.416 s (0.94 of the SLO)
+    #   while technically in-band vs a fast baseline.
+    slo_bound = 1.2
+    slo_queries = ("hybrid_search", "hybrid_search_indexed",
+                   "chunked_retrieval_served")
+    slo_flags = {n: timings[n] for n in slo_queries
+                 if timings.get(n, 0.0) > slo_bound}
+    fell = {}
+    if prev is not None:
+        prev_top = sorted(prev["queries"].items(), key=lambda kv: -kv[1])
+        fell = {n: timings[n] for n, _ in prev_top[:12]
+                if n in timings and n not in slowest}
     print(json.dumps({
         **common,
         "queries": slowest,
@@ -1293,6 +1313,9 @@ def main() -> None:
         "n_queries": len(timings),
         "regression_count": len(regressions),
         "regressions_worst": regressions[:3],
+        "fell_out_of_top12": fell,
+        "slo_bound": slo_bound,
+        "slo_flags": slo_flags,
         "full_artifact": full_art,
     }))
 

@@ -21,6 +21,8 @@ descriptions).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -315,14 +317,17 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
     Build the store first (:func:`~.dedup.build_minhash_store`, an
     empty corpus is fine); the store's meta sidecar fixes the
     signature family and the id/text column names."""
+
     from ..streaming.index_refresh import (_consume_change_feed,
                                            _feed_commit_stats,
+                                           _feed_reinsert_hits,
                                            _split_churn,
                                            _write_tombstone_tick)
     from ..streaming.liveness import live_filter
     from .dedup import (append_minhash_store, _minhash_store_meta,
                         minhash_exploded_base,
-                        minhash_neardup_incremental)
+                        minhash_neardup_incremental,
+                        minhash_store_frames)
 
     meta = _minhash_store_meta(store_path)
     id_col, text_col = meta["id_col"], meta["text_col"]
@@ -335,98 +340,178 @@ def curate_minhash_from_cdf(spark, delta_path: str, store_path: str, *,
     # one job answers every commit's emptiness probes (the loop was
     # measured driver-job-bound, not data-bound — see PLANS.md)
     stats = _feed_commit_stats(feed) if versions else {}
-    for v in versions:
+    live_versions = [v for v in versions if stats[v]["_n_live"] > 0]
+
+    def _batch_of(v: int) -> tuple[DataFrame, DataFrame]:
         dead, live = _split_churn(feed, v)
-        batch = live.select(id_col, text_col)
-        dead_ids = dead.select(id_col)
-        has_dead = stats[v]["_n_dead"] > 0
-        if stats[v]["_n_live"] == 0:
-            # a delete-only commit IS its tombstone tick; an empty
-            # batch cannot re-insert anything, so the guard is skipped
-            _write_tombstone_tick(dead_ids, store_path, v,
-                                  known_nonempty=has_dead)
-            advance(v)
-            continue
-        # vet BEFORE publishing the tombstone tick: a batch id LIVE
-        # in the store — not retired by the sidecar or by THIS
-        # commit's pending dead keys, and not this tick's own
-        # replayed absorb — is an illegal duplicate insert (its old
-        # signature would double candidate generation)
-        # ONE materialization of the commit's shingle+md5 base feeds
-        # BOTH consumers: the pairing stage (full batch) and the
-        # absorb below (the kept subset — filtering the base by id
-        # commutes with the per-id frame aggregations, so the
-        # absorbed frames are identical to re-deriving from the kept
-        # docs). Previously each consumer re-derived the pipeline
-        # from text: two shingle scans + two CDF-batch joins per
-        # commit (guide §2.4). The checkpoint job runs CONCURRENTLY
-        # with the vet below (guide §2.6) — it is pure computation
-        # over the batch, publishes nothing, and touches none of the
-        # state the vet reads; the vet-then-publish discipline
-        # applies to the TOMBSTONE TICK, which still waits for the
-        # vet verdict.
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            ex_base_f = pool.submit(
-                lambda: minhash_exploded_base(
-                    batch, n=meta["n"], text_col=text_col,
-                    id_col=id_col).localCheckpoint(eager=True))
-            hashes = spark.read.parquet(store_path + "_hashes")
-            epoch = (F.col("tick") if "tick" in hashes.columns
-                     else F.lit(-1))
-            prior = (hashes.select("_id", epoch.cast("long").alias("tick"))
-                     .filter(F.col("tick") != v))
-            prior = live_filter(prior, store_path + "_tombstones",
-                                F.col("_id"), F.col("tick"),
-                                pending=(dead_ids, v))
-            dups = (batch.select(F.col(id_col)).distinct()
-                    .join(prior.select(F.col("_id").alias(id_col)), id_col)
-                    .limit(5).collect())
-            if dups:
-                raise ValueError(
-                    f"curate_minhash_from_cdf: commit {v} re-inserts "
-                    f"ids {[r[0] for r in dups]}… already live in "
-                    f"{store_path}; feed changes as update/delete "
-                    f"commits (retired and re-signatured within the "
-                    f"tick) or rebuild the store")
-            _write_tombstone_tick(dead_ids, store_path, v,
-                                  known_nonempty=has_dead)
-            ex_base = ex_base_f.result()
-        pairs = minhash_neardup_incremental(
-            spark, batch, store_path, threshold=threshold,
-            base=ex_base)
-        bids = batch.select(F.col(id_col).alias("_bid")).distinct()
-        flagged = (
-            pairs
-            .join(bids.select(F.col("_bid").alias("doc_id_1"),
-                              F.lit(1).alias("_in1")), "doc_id_1", "left")
-            .join(bids.select(F.col("_bid").alias("doc_id_2"),
-                              F.lit(1).alias("_in2")), "doc_id_2", "left")
-        )
-        # every pair touches >= 1 batch doc; the batch-side loser is
-        # id_1 only when id_1 is in the batch and id_2 is history
-        # (a historical partner always wins), else the larger id_2
-        rejected = flagged.select(
-            F.when(F.col("_in1").isNotNull() & F.col("_in2").isNull(),
-                   F.col("doc_id_1"))
-            .otherwise(F.col("doc_id_2")).alias("_rid")).distinct()
-        decisions = (
-            batch.select(F.col(id_col))
-            .join(rejected.withColumnRenamed("_rid", id_col)
-                  .withColumn("_rej", F.lit(1)), id_col, "left")
-            .select(id_col, F.col("_rej").isNull().alias("keep"))
-        )
-        decisions.write.mode("overwrite").parquet(
-            f"{store_path}_decisions/tick={v}")
-        keep_ids = (spark.read.parquet(f"{store_path}_decisions/tick={v}")
-                    .filter(F.col("keep")).select(F.col(id_col)))
-        keeps = keep_ids.join(batch, id_col).select(batch.columns)
-        append_minhash_store(
-            keeps, store_path, tick=v,
-            base=ex_base.join(
-                F.broadcast(keep_ids.withColumnRenamed(id_col, "_id")),
-                "_id"))
-        advance(v)
+        return dead.select(id_col), live.select(id_col, text_col)
+
+    # ONE materialization of each commit's shingle+md5 base feeds BOTH
+    # consumers: the pairing stage (full batch) and the absorb (the
+    # kept subset — filtering the base by id commutes with the per-id
+    # frame aggregations, so the absorbed frames are identical to
+    # re-deriving from the kept docs). Previously each consumer
+    # re-derived the pipeline from text: two shingle scans + two
+    # CDF-batch joins per commit (guide §2.4). The increment's
+    # (buckets, hashes) frames — and the buckets' eager checkpoint,
+    # the 64-min signature aggregation job the pairing op would
+    # otherwise pay on its serial spine — ride the same prefetch:
+    # both are pure functions of the batch under the store's meta
+    # parameters, touching none of the store state (guide §2.6).
+    def _ex_base_job(v: int):
+        ex = minhash_exploded_base(
+            _batch_of(v)[1], n=meta["n"], text_col=text_col,
+            id_col=id_col).localCheckpoint(eager=True)
+        b, h = minhash_store_frames(
+            None, num_hashes=meta["num_hashes"], bands=meta["bands"],
+            n=meta["n"], text_col=text_col, id_col=id_col,
+            seed=meta["seed"], base=ex)
+        return ex, (b.localCheckpoint(eager=True), h)
+
+    def _exact_vet(v: int, batch: DataFrame, dead_ids: DataFrame
+                   ) -> list:
+        # the per-commit formulation, kept as the exact fallback for
+        # in-feed repeated-insert ranges (whether the earlier insert
+        # was absorbed depends on keep decisions made inside the loop)
+        hashes = spark.read.parquet(store_path + "_hashes")
+        epoch = (F.col("tick") if "tick" in hashes.columns
+                 else F.lit(-1))
+        prior = (hashes.select("_id", epoch.cast("long").alias("tick"))
+                 .filter(F.col("tick") != v))
+        prior = live_filter(prior, store_path + "_tombstones",
+                            F.col("_id"), F.col("tick"),
+                            pending=(dead_ids, v))
+        return [r[0] for r in
+                (batch.select(F.col(id_col)).distinct()
+                 .join(prior.select(F.col("_id").alias(id_col)), id_col)
+                 .limit(5).collect())]
+
+    # per-commit serial spine broken (round 14 — VERDICT r13 #1/#3,
+    # guide §2.4/§2.6): the re-insert vet is ONE upfront job over the
+    # feed range instead of a growing-store scan per commit
+    # (_feed_reinsert_hits — exact for valid feeds; in-feed repeats
+    # fall back per commit), the decisions frame is checkpointed once
+    # and its tick write runs CONCURRENTLY with the absorb (both read
+    # the checkpoint blocks; either tick can land first — a crash with
+    # any subset published replays the commit and every tick
+    # overwrites itself, the same window the buckets/hashes pair
+    # already had), and the NEXT commit's exploded-base checkpoint —
+    # pure computation over its own batch, publishing nothing — is
+    # submitted while the current commit's absorb publishes. The
+    # vet-then-publish discipline is unchanged: the tombstone tick
+    # still publishes only after this commit's vet verdict, and the
+    # high-water mark advances only after every tick landed.
+    ex_next: dict[int, object] = {}
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        try:
+            if live_versions:
+                ex_next[live_versions[0]] = pool.submit(
+                    _ex_base_job, live_versions[0])
+                hashes0 = spark.read.parquet(store_path + "_hashes")
+                epoch0 = (F.col("tick") if "tick" in hashes0.columns
+                          else F.lit(-1))
+                prior0 = live_filter(
+                    hashes0.select("_id",
+                                   epoch0.cast("long").alias("tick")),
+                    store_path + "_tombstones", F.col("_id"),
+                    F.col("tick"))
+                hits, infeed = _feed_reinsert_hits(feed, prior0, id_col)
+            for i, v in enumerate(versions):
+                dead_ids, batch = _batch_of(v)
+                has_dead = stats[v]["_n_dead"] > 0
+                if stats[v]["_n_live"] == 0:
+                    # a delete-only commit IS its tombstone tick; an
+                    # empty batch cannot re-insert anything, so the
+                    # guard is skipped
+                    _write_tombstone_tick(dead_ids, store_path, v,
+                                          known_nonempty=has_dead)
+                    advance(v)
+                    continue
+                ex_base, mh_frames = ex_next.pop(v).result()
+                # vet BEFORE publishing the tombstone tick: a batch id
+                # LIVE in the store — not retired by the sidecar or by
+                # THIS commit's pending dead keys, and not this tick's
+                # own replayed absorb — is an illegal duplicate insert
+                # (its old signature would double candidate generation)
+                bad = (_exact_vet(v, batch, dead_ids) if v in infeed
+                       else hits.get(v, []))
+                if bad:
+                    raise ValueError(
+                        f"curate_minhash_from_cdf: commit {v} "
+                        f"re-inserts ids {bad}… already live in "
+                        f"{store_path}; feed changes as update/delete "
+                        f"commits (retired and re-signatured within "
+                        f"the tick) or rebuild the store")
+                _write_tombstone_tick(dead_ids, store_path, v,
+                                      known_nonempty=has_dead)
+                # submit the NEXT commit's exploded-base checkpoint now
+                # (vet passed, so it is no longer speculative work on a
+                # refusal path): it overlaps this commit's pairing
+                # execution AND absorb — lookahead of one, so at most
+                # one increment-sized checkpoint waits in the block
+                # manager
+                nxt = [w for w in versions[i + 1:]
+                       if stats[w]["_n_live"] > 0]
+                if nxt and nxt[0] not in ex_next:
+                    ex_next[nxt[0]] = pool.submit(_ex_base_job, nxt[0])
+                pairs = minhash_neardup_incremental(
+                    spark, batch, store_path, threshold=threshold,
+                    base=ex_base, frames=mh_frames)
+                bids = batch.select(F.col(id_col).alias("_bid")).distinct()
+                flagged = (
+                    pairs
+                    .join(bids.select(F.col("_bid").alias("doc_id_1"),
+                                      F.lit(1).alias("_in1")),
+                          "doc_id_1", "left")
+                    .join(bids.select(F.col("_bid").alias("doc_id_2"),
+                                      F.lit(1).alias("_in2")),
+                          "doc_id_2", "left")
+                )
+                # every pair touches >= 1 batch doc; the batch-side
+                # loser is id_1 only when id_1 is in the batch and
+                # id_2 is history (a historical partner always wins),
+                # else the larger id_2
+                rejected = flagged.select(
+                    F.when(F.col("_in1").isNotNull()
+                           & F.col("_in2").isNull(),
+                           F.col("doc_id_1"))
+                    .otherwise(F.col("doc_id_2")).alias("_rid")).distinct()
+                decisions = (
+                    batch.select(F.col(id_col))
+                    .join(rejected.withColumnRenamed("_rid", id_col)
+                          .withColumn("_rej", F.lit(1)), id_col, "left")
+                    .select(id_col, F.col("_rej").isNull().alias("keep"))
+                    # ONE execution of the pairing feeds the tick write
+                    # AND the keeps (the old shape wrote, then re-read
+                    # the tick it had just written as a lineage cut)
+                    .localCheckpoint(eager=True)
+                )
+                keep_ids = decisions.filter(F.col("keep")) \
+                    .select(F.col(id_col))
+                keeps = keep_ids.join(batch, id_col).select(batch.columns)
+                dw = pool.submit(
+                    lambda d=decisions, tv=v: d.write.mode("overwrite")
+                    .parquet(f"{store_path}_decisions/tick={tv}"))
+                append_minhash_store(
+                    keeps, store_path, tick=v,
+                    base=ex_base.join(
+                        F.broadcast(
+                            keep_ids.withColumnRenamed(id_col, "_id")),
+                        "_id"))
+                dw.result()
+                advance(v)
+        finally:
+            # a refusal mid-loop leaves at most one speculative
+            # exploded-base future in flight: drain it so the pool
+            # teardown cannot swallow the refusal behind a half-built
+            # plan's own error; its checkpoint blocks are released by
+            # the ContextCleaner when the frame is collected (the same
+            # lifecycle every committed ex_base already relies on)
+            for f in ex_next.values():
+                try:
+                    f.result()
+                except Exception:
+                    pass
     return versions
 
 
@@ -485,11 +570,14 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
     rebuild/compaction, exactly like the refresh loop."""
     from ..streaming.index_refresh import (_consume_change_feed,
                                            _feed_commit_stats,
+                                           _feed_reinsert_hits,
                                            _ivf_append_batch,
                                            _split_churn,
                                            _write_tombstone_tick)
     from ..streaming.liveness import live_filter
-    from .similarity import (_tombstones_applied_through,
+    from .similarity import (_MAX_DRIVER_QUERIES,
+                             _indexed_query_rows,
+                             _tombstones_applied_through,
                              auto_n_lists,
                              embedding_neardup_indexed,
                              embedding_neardup_pairs_bucketed,
@@ -503,6 +591,7 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
             f"cannot infer the id column of {index_path}: non-reserved "
             f"columns {idx_cols}")
     id_col = idx_cols[0]
+
     feed, versions, advance = _consume_change_feed(
         spark, delta_path, index_path + "_curate_cdf_state",
         op="curate_embeddings_from_cdf",
@@ -516,119 +605,190 @@ def curate_embeddings_from_cdf(spark, delta_path: str, index_path: str, *,
     # aggregate over the feed range)
     stats = (_feed_commit_stats(feed, dim_col=vec_col)
              if versions else {})
-    for v in versions:
+    live_versions = [v for v in versions if stats[v]["_n_live"] > 0]
+
+    def _batch_of(v: int) -> tuple[DataFrame, DataFrame]:
         dead, live = _split_churn(feed, v)
-        batch = live.select(id_col, vec_col)
-        dead_ids = dead.select(id_col)
-        has_dead = stats[v]["_n_dead"] > 0
-        if stats[v]["_n_live"] == 0:
-            # a delete-only commit IS its tombstone tick; an empty
-            # batch cannot re-insert anything, so the guard is skipped
-            _write_tombstone_tick(dead_ids, index_path, v,
-                                  known_nonempty=has_dead)
-            advance(v)
-            continue
-        # loud dim-uniformity gate (round-12 ADVICE), from the same
-        # one-job stats pass: the bucketed in-batch engine SAMPLES
-        # 4096 rows to fit its quantizer — a corrupt mixed-dimension
-        # commit whose minority dim misses the sample would be
-        # silently dropped from pairing and change keep/reject
-        # decisions; refuse the commit instead, BEFORE any tick
-        # publishes (nothing half-absorbed)
-        if len(stats[v]["_dims"]) > 1:
-            raise ValueError(
-                f"curate_embeddings_from_cdf: commit {v} carries "
-                f"mixed embedding dimensions {sorted(stats[v]['_dims'])}"
-                f" — a corrupt batch; fix the feed (decisions on "
-                f"mismatched vectors would be sample-dependent)")
-        # in-batch fold pairs through the bucketed exact engine, NOT
-        # the broadcast-crossJoin fold variant: the fold pays an
-        # interpreted HOF dot per PAIR over |batch|^2 — at the sf3
-        # bench (15k-vector commits, threshold 0.35) that one stage
-        # was 9.4x per 3x data and ~90% of the 1207 s entry; the
-        # bucketed engine scores the same pairs as per-list float64
-        # GEMMs behind ONE shuffle (contract-equal: id_1 < id_2,
-        # round(_, 6) >= threshold — the fold≡bucketed equality the
-        # semantic-dedup family already pytest-pins). Its
-        # construction (a bounded sample collect + driver quantizer
-        # fit) reads ONLY the batch — no index, no tombstone state —
-        # so it runs concurrently with the vet below (guide §2.6);
-        # layout sizing comes from the one-job stats pass (n_live ==
-        # the batch's raw row count; correctness never depends on the
-        # layout — the triangle bound is exact under any centroids).
-        intra_lists = auto_n_lists(
-            stats[v]["_n_live"],
-            spark.sparkContext.defaultParallelism)
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            intra_f = pool.submit(
-                lambda: embedding_neardup_pairs_bucketed(
-                    batch, threshold, id_col=id_col, vec_col=vec_col,
-                    n_lists=intra_lists))
-            # vet BEFORE publishing the tombstone tick: a batch id
-            # LIVE in the index (not retired by the sidecar or THIS
-            # commit's pending dead keys, and not this tick's own
-            # replayed absorb) would serve twice and double-count in
-            # every kNN
-            prior = (spark.read.parquet(index_path)
-                     .select(F.col(id_col), ivf_row_epoch().alias("_ep"))
-                     .filter(F.col("_ep") != v))
-            prior = live_filter(
-                prior, index_path + "_tombstones", F.col(id_col),
-                F.col("_ep"),
-                applied_through=_tombstones_applied_through(index_path),
-                pending=(dead_ids, v))
-            dups = (batch.select(F.col(id_col)).distinct()
-                    .join(prior.select(id_col), id_col).limit(5)
-                    .collect())
-            if dups:
-                raise ValueError(
-                    f"curate_embeddings_from_cdf: commit {v} "
-                    f"re-inserts ids {[r[0] for r in dups]}… already "
-                    f"live in {index_path}; feed changes as "
-                    f"update/delete commits (retired and re-decided "
-                    f"within the tick) or rebuild the index")
-            _write_tombstone_tick(dead_ids, index_path, v,
-                                  known_nonempty=has_dead)
-            intra = intra_f.result()
-        # id-type note (round-12 ADVICE): the bucketed engine requires
-        # an integral or string id column; the index's inferred id_col
-        # satisfies this for every store build_ivf_index can write,
-        # and a decimal-keyed index fails loudly inside the engine
-        cross = embedding_neardup_indexed(
-            spark, index_path, batch, threshold,
-            id_col=id_col, vec_col=vec_col)
-        # a replayed keep is in BOTH the index and the batch, so the
-        # same pair can surface through both stages; only the id pair
-        # matters downstream, so project before distinct
-        pairs = (cross.select("id_1", "id_2")
-                 .unionByName(intra.select("id_1", "id_2")).distinct())
-        bids = batch.select(F.col(id_col).alias("_bid")).distinct()
-        flagged = (
-            pairs
-            .join(bids.select(F.col("_bid").alias("id_1"),
-                              F.lit(1).alias("_in1")), "id_1", "left")
-            .join(bids.select(F.col("_bid").alias("id_2"),
-                              F.lit(1).alias("_in2")), "id_2", "left")
-        )
-        rejected = flagged.select(
-            F.when(F.col("_in1").isNotNull() & F.col("_in2").isNull(),
-                   F.col("id_1"))
-            .otherwise(F.col("id_2")).alias("_rid")).distinct()
-        decisions = (
-            batch.select(F.col(id_col))
-            .join(rejected.withColumnRenamed("_rid", id_col)
-                  .withColumn("_rej", F.lit(1)), id_col, "left")
-            .select(id_col, F.col("_rej").isNull().alias("keep"))
-        )
-        decisions.write.mode("overwrite").parquet(
-            f"{index_path}_decisions/tick={v}")
-        keeps = (spark.read.parquet(f"{index_path}_decisions/tick={v}")
-                 .filter(F.col("keep"))
-                 .join(batch, id_col).select(batch.columns))
-        _ivf_append_batch(keeps, index_path, v, id_col=id_col,
-                          vec_col=vec_col)
-        advance(v)
+        return dead.select(id_col), live.select(id_col, vec_col)
+
+    # the per-commit PURE-BATCH work, prefetchable one commit ahead
+    # (guide §2.6 — it reads ONLY the batch, none of the index or
+    # tombstone state, so it runs concurrently with the PREVIOUS
+    # commit's absorb): the in-batch bucketed engine's construction
+    # (a bounded sample collect + driver quantizer fit; layout sizing
+    # from the one-job stats pass — correctness never depends on the
+    # layout, the triangle bound is exact under any centroids) and
+    # the indexed cross stage's bounded increment collect
+    # (_indexed_query_rows — the probe-set GEMM consumes driver rows).
+    # The bucketed engine is used for in-batch pairs, NOT the
+    # broadcast-crossJoin fold variant: the fold pays an interpreted
+    # HOF dot per PAIR over |batch|^2 — at the sf3 bench that one
+    # stage was 9.4x per 3x data and ~90% of the 1207 s entry; the
+    # bucketed engine scores the same pairs as per-list float64 GEMMs
+    # behind ONE shuffle (contract-equal, pytest-pinned).
+    def _prefetch_job(v: int):
+        batch = _batch_of(v)[1]
+        intra = embedding_neardup_pairs_bucketed(
+            batch, threshold, id_col=id_col, vec_col=vec_col,
+            n_lists=auto_n_lists(stats[v]["_n_live"],
+                                 spark.sparkContext.defaultParallelism))
+        q_rows = _indexed_query_rows(batch, id_col, vec_col,
+                                     _MAX_DRIVER_QUERIES)
+        return intra, q_rows
+
+    def _exact_vet(v: int, batch: DataFrame, dead_ids: DataFrame
+                   ) -> list:
+        # per-commit formulation, kept as the exact fallback for
+        # in-feed repeated-insert ranges (see the minhash twin)
+        prior = (spark.read.parquet(index_path)
+                 .select(F.col(id_col), ivf_row_epoch().alias("_ep"))
+                 .filter(F.col("_ep") != v))
+        prior = live_filter(
+            prior, index_path + "_tombstones", F.col(id_col),
+            F.col("_ep"),
+            applied_through=_tombstones_applied_through(index_path),
+            pending=(dead_ids, v))
+        return [r[0] for r in
+                (batch.select(F.col(id_col)).distinct()
+                 .join(prior.select(id_col), id_col).limit(5)
+                 .collect())]
+
+    # per-commit serial spine broken (round 14 — VERDICT r13 #1/#3;
+    # same restructure as the minhash twin): ONE upfront job vets
+    # every commit's re-inserts against the start-state index
+    # (in-feed repeats fall back per commit), the decisions frame is
+    # checkpointed once and its tick write runs concurrently with the
+    # absorb, and the next commit's pure-batch construction prefetches
+    # under the current commit's pairing + absorb. Vet-then-publish
+    # and the advance-after-all-ticks discipline are unchanged.
+    pf_next: dict[int, object] = {}
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        try:
+            if live_versions:
+                pf_next[live_versions[0]] = pool.submit(
+                    _prefetch_job, live_versions[0])
+                prior0 = (spark.read.parquet(index_path)
+                          .select(F.col(id_col),
+                                  ivf_row_epoch().alias("_ep")))
+                prior0 = live_filter(
+                    prior0, index_path + "_tombstones", F.col(id_col),
+                    F.col("_ep"),
+                    applied_through=_tombstones_applied_through(
+                        index_path))
+                hits, infeed = _feed_reinsert_hits(feed, prior0, id_col)
+            for i, v in enumerate(versions):
+                dead_ids, batch = _batch_of(v)
+                has_dead = stats[v]["_n_dead"] > 0
+                if stats[v]["_n_live"] == 0:
+                    # a delete-only commit IS its tombstone tick; an
+                    # empty batch cannot re-insert anything, so the
+                    # guard is skipped
+                    _write_tombstone_tick(dead_ids, index_path, v,
+                                          known_nonempty=has_dead)
+                    advance(v)
+                    continue
+                # loud dim-uniformity gate (round-12 ADVICE), from the
+                # one-job stats pass: the bucketed in-batch engine
+                # SAMPLES 4096 rows to fit its quantizer — a corrupt
+                # mixed-dimension commit whose minority dim misses the
+                # sample would be silently dropped from pairing and
+                # change keep/reject decisions; refuse the commit
+                # instead, BEFORE any tick publishes (nothing
+                # half-absorbed, and before the prefetched engine —
+                # whose construction may have tripped over the mixed
+                # dims on its own — is even consulted)
+                if len(stats[v]["_dims"]) > 1:
+                    raise ValueError(
+                        f"curate_embeddings_from_cdf: commit {v} "
+                        f"carries mixed embedding dimensions "
+                        f"{sorted(stats[v]['_dims'])} — a corrupt "
+                        f"batch; fix the feed (decisions on "
+                        f"mismatched vectors would be "
+                        f"sample-dependent)")
+                # vet BEFORE publishing the tombstone tick: a batch id
+                # LIVE in the index (not retired by the sidecar or
+                # THIS commit's pending dead keys, and not this tick's
+                # own replayed absorb) would serve twice and
+                # double-count in every kNN
+                bad = (_exact_vet(v, batch, dead_ids) if v in infeed
+                       else hits.get(v, []))
+                if bad:
+                    raise ValueError(
+                        f"curate_embeddings_from_cdf: commit {v} "
+                        f"re-inserts ids {bad}… already "
+                        f"live in {index_path}; feed changes as "
+                        f"update/delete commits (retired and "
+                        f"re-decided within the tick) or rebuild the "
+                        f"index")
+                _write_tombstone_tick(dead_ids, index_path, v,
+                                      known_nonempty=has_dead)
+                intra, q_rows = pf_next.pop(v).result()
+                # submit the NEXT commit's pure-batch prefetch now
+                # (vet passed): it overlaps this commit's pairing
+                # execution and absorb — lookahead of one
+                nxt = [w for w in versions[i + 1:]
+                       if stats[w]["_n_live"] > 0]
+                if nxt and nxt[0] not in pf_next:
+                    pf_next[nxt[0]] = pool.submit(_prefetch_job, nxt[0])
+                # id-type note (round-12 ADVICE): the bucketed engine
+                # requires an integral or string id column; the
+                # index's inferred id_col satisfies this for every
+                # store build_ivf_index can write, and a decimal-keyed
+                # index fails loudly inside the engine
+                cross = embedding_neardup_indexed(
+                    spark, index_path, batch, threshold,
+                    id_col=id_col, vec_col=vec_col, _q_rows=q_rows)
+                # a replayed keep is in BOTH the index and the batch,
+                # so the same pair can surface through both stages;
+                # only the id pair matters downstream, so project
+                # before distinct
+                pairs = (cross.select("id_1", "id_2")
+                         .unionByName(intra.select("id_1", "id_2"))
+                         .distinct())
+                bids = batch.select(F.col(id_col).alias("_bid")) \
+                    .distinct()
+                flagged = (
+                    pairs
+                    .join(bids.select(F.col("_bid").alias("id_1"),
+                                      F.lit(1).alias("_in1")),
+                          "id_1", "left")
+                    .join(bids.select(F.col("_bid").alias("id_2"),
+                                      F.lit(1).alias("_in2")),
+                          "id_2", "left")
+                )
+                rejected = flagged.select(
+                    F.when(F.col("_in1").isNotNull()
+                           & F.col("_in2").isNull(),
+                           F.col("id_1"))
+                    .otherwise(F.col("id_2")).alias("_rid")).distinct()
+                decisions = (
+                    batch.select(F.col(id_col))
+                    .join(rejected.withColumnRenamed("_rid", id_col)
+                          .withColumn("_rej", F.lit(1)), id_col, "left")
+                    .select(id_col, F.col("_rej").isNull().alias("keep"))
+                    # ONE execution of the pairing feeds the tick
+                    # write AND the keeps (the old shape wrote, then
+                    # re-read the tick it had just written)
+                    .localCheckpoint(eager=True)
+                )
+                keeps = (decisions.filter(F.col("keep"))
+                         .join(batch, id_col).select(batch.columns))
+                dw = pool.submit(
+                    lambda d=decisions, tv=v: d.write.mode("overwrite")
+                    .parquet(f"{index_path}_decisions/tick={tv}"))
+                _ivf_append_batch(keeps, index_path, v, id_col=id_col,
+                                  vec_col=vec_col)
+                dw.result()
+                advance(v)
+        finally:
+            # drain any speculative prefetch so the pool teardown
+            # cannot swallow a refusal behind the prefetch's own
+            # error; blocks/driver rows are dropped with the frames
+            for f in pf_next.values():
+                try:
+                    f.result()
+                except Exception:
+                    pass
     return versions
 
 

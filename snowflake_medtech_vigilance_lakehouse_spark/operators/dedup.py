@@ -26,6 +26,8 @@ pipelines are oracle-checkable end to end.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -709,7 +711,6 @@ def append_minhash_store(docs: DataFrame, path: str, *,
         # overwrites both. Tick mode only: the flat-append path may
         # carry a corpus-sized lazy base that should not execute
         # twice at once.
-        from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=2) as pool:
             fb = pool.submit(
                 lambda: buckets.write.mode("overwrite")
@@ -761,7 +762,9 @@ def minhash_neardup_against(new_docs: DataFrame,
                             n: int = 3, text_col: str = "text",
                             id_col: str = "doc_id",
                             seed: int = 42,
-                            base: DataFrame | None = None) -> DataFrame:
+                            base: DataFrame | None = None,
+                            frames: tuple[DataFrame, DataFrame] | None
+                            = None) -> DataFrame:
     """Near-dup pairs of an INCREMENT against a MinHash store (plus
     the increment's internal pairs) — the incremental twin of
     :func:`minhash_lsh_pairs`: same banded candidate keys, same
@@ -790,20 +793,31 @@ def minhash_neardup_against(new_docs: DataFrame,
     increment doc_ids must be disjoint (``append_minhash_store``
     enforces it on absorb)."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
-    new_buckets, new_hashes = minhash_store_frames(
-        new_docs, num_hashes=num_hashes, bands=bands, n=n,
-        text_col=text_col, id_col=id_col, seed=seed,
-        materialize_base=base is None, base=base)
-    # the increment pipeline (shingle -> md5) is materialized ONCE as
-    # the store frames' shared exploded base (materialize_base above);
-    # new_buckets still checkpoints because TWO subtrees reference it
-    # (cross + intra) and each re-run would repeat the 64-min
-    # signature aggregation. new_hashes is referenced exactly once
-    # since the one-pass verification fold landed, so its old eager
-    # checkpoint became pure cost (one extra job per increment) and
-    # is gone. Eager executor-side blocks, released by the
-    # ContextCleaner when the frames are garbage collected.
-    new_buckets = new_buckets.localCheckpoint(eager=True)
+    if frames is not None:
+        # ``frames`` (round 14, internal — the CDF curation loop): the
+        # increment's (buckets, hashes) pair as minhash_store_frames
+        # would build them from ``base``, with buckets ALREADY eagerly
+        # checkpointed — the caller prefetches that checkpoint job
+        # concurrently with the previous commit's absorb (it reads
+        # only the batch, none of the store state; guide §2.6), so the
+        # signature aggregation leaves this op's serial spine. The
+        # caller owns the frames≡docs correspondence.
+        new_buckets, new_hashes = frames
+    else:
+        new_buckets, new_hashes = minhash_store_frames(
+            new_docs, num_hashes=num_hashes, bands=bands, n=n,
+            text_col=text_col, id_col=id_col, seed=seed,
+            materialize_base=base is None, base=base)
+        # the increment pipeline (shingle -> md5) is materialized ONCE
+        # as the store frames' shared exploded base (materialize_base
+        # above); new_buckets still checkpoints because TWO subtrees
+        # reference it (cross + intra) and each re-run would repeat
+        # the 64-min signature aggregation. new_hashes is referenced
+        # exactly once since the one-pass verification fold landed, so
+        # its old eager checkpoint became pure cost (one extra job per
+        # increment) and is gone. Eager executor-side blocks, released
+        # by the ContextCleaner when the frames are garbage collected.
+        new_buckets = new_buckets.localCheckpoint(eager=True)
 
     cross = (
         corpus_buckets.join(
@@ -886,7 +900,9 @@ def minhash_neardup_against(new_docs: DataFrame,
 
 def minhash_neardup_incremental(spark, new_docs: DataFrame, path: str, *,
                                 threshold: float = 0.5,
-                                base: DataFrame | None = None) -> DataFrame:
+                                base: DataFrame | None = None,
+                                frames: tuple[DataFrame, DataFrame] | None
+                                = None) -> DataFrame:
     """Path-based entry over a persisted :func:`build_minhash_store`:
     signature params are read from the store's meta sidecar so an
     increment can never be fingerprinted under mismatched parameters,
@@ -901,7 +917,8 @@ def minhash_neardup_incremental(spark, new_docs: DataFrame, path: str, *,
         new_docs, buckets, hashes,
         threshold=threshold, num_hashes=meta["num_hashes"],
         bands=meta["bands"], n=meta["n"], text_col=meta["text_col"],
-        id_col=meta["id_col"], seed=meta["seed"], base=base)
+        id_col=meta["id_col"], seed=meta["seed"], base=base,
+        frames=frames)
 
 
 def _release_persistent(jsc, rdd_ids: list[int]) -> None:
@@ -975,13 +992,26 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # delta propagation (round 14 — VERDICT r13 #6): only nodes whose
+    # label CHANGED last round need to propagate this round — an
+    # unchanged neighbor's label was already folded into every
+    # out-neighbor the round after it last changed, and labels only
+    # decrease, so re-sending it is a provable no-op (identical
+    # per-round labels, identical fixpoint — pinned by
+    # test_cc_delta_rounds_equal_full_propagation). Round 1 starts
+    # from every node. The changed flag is computed INSIDE the
+    # round's one aggregate (own-row label vs min), so the build side
+    # of the edge join shrinks each round at zero extra exchanges —
+    # on dense near-dup graphs the exchanged label volume drops to
+    # the still-moving frontier.
+    changed = labels
     prev_ids: list[int] = []
     last_ids: list[int] = []
     converged = False
     try:
         for i in range(1, max_iterations + 1):
-            # min over {own label} ∪ {neighbors' labels} as ONE
-            # union+groupBy — the former three-shuffle round (edge
+            # min over {own label} ∪ {changed neighbors' labels} as
+            # ONE union+groupBy — the former three-shuffle round (edge
             # join, neighbor-min groupBy, left-join back to labels)
             # carried the label frame through two extra exchanges per
             # round; the union needs no exchange and the self-row
@@ -989,24 +1019,26 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
             # (identical fixpoint: a node with no in-edges keeps its
             # own label as the group's only row). Guide §2.4.
             updated = (
-                labels
+                labels.select("node", "label",
+                              F.lit(True).alias("_own"))
                 .unionByName(
-                    edges.join(labels, edges["b"] == labels["node"])
-                    .select(F.col("a").alias("node"), "label"))
+                    edges.join(changed, edges["b"] == changed["node"])
+                    .select(F.col("a").alias("node"), "label",
+                            F.lit(False).alias("_own")))
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("label"),
+                     (F.min("label")
+                      < F.max(F.when(F.col("_own"), F.col("label"))))
+                     .alias("_chg"))
             )
             # cut lineage per round
             updated, last_ids = _eager_checkpoint(updated, jsc)
             if i % check_every == 0 or i == max_iterations:
-                changed = (
-                    updated.alias("u")
-                    .join(labels.alias("l"), "node")
-                    .filter(F.col("u.label") != F.col("l.label"))
-                    .count()
-                )
-                if changed == 0:
-                    labels = updated
+                # the changed count reads the round's own checkpoint
+                # (the flag came out of the aggregate) — no join
+                # against the previous labels needed
+                if updated.filter("_chg").count() == 0:
+                    labels = updated.select("node", "label")
                     converged = True
                     break
             # `updated` is fully materialized (eager) and the
@@ -1014,7 +1046,8 @@ def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",
             # the superseded round's blocks are unreachable — release.
             _release_persistent(jsc, prev_ids)
             prev_ids = last_ids
-            labels = updated
+            labels = updated.select("node", "label")
+            changed = updated.filter("_chg").select("node", "label")
     finally:
         # the edge checkpoint and all superseded rounds are dead on
         # every exit path (success, non-convergence, error); on
@@ -1040,7 +1073,13 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     chars 1-8, bits 32-63 from chars 9-16) so DuckDB reproduces every
     bit exactly (see md5_hash32). One projection, no UDF."""
     # explode -> hash each token once -> 64 conditional-sum aggregates
-    # (an array-aggregate per bit would re-hash the token array 64x)
+    # (an array-aggregate per bit would re-hash the token array 64x).
+    # Both the vote list and the shift+OR assembly are built as PARSED
+    # SQL strings instead of chained Column operators (round 14 — the
+    # same construction lever as _mh_sig_agg_exprs: the 64 votes x ~7
+    # py4j round-trips each plus the 64-term OR chain were ~1.7 s of
+    # driver time per call; the parsed trees are identical, pinned by
+    # test_simhash_expr_built_equals_column_formulation)
     exploded = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_t")
     ).select(
@@ -1049,24 +1088,21 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         md5_hash32(F.col("_t"), hex_offset=9).alias("_hi"),
     )
     votes = [
-        F.sum(
-            F.when(
-                F.shiftright(
-                    F.col("_lo") if j < 32 else F.col("_hi"), j % 32
-                ).bitwiseAND(F.lit(1)) == F.lit(1),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"v_{j}")
+        F.expr(
+            "sum(CASE WHEN (shiftright({src}, {sh}) & 1) = 1 "
+            "THEN 1 ELSE -1 END) AS v_{j}".format(
+                src="_lo" if j < 32 else "_hi", sh=j % 32, j=j))
         for j in range(bits)
     ]
     with_votes = exploded.groupBy(id_col).agg(*votes)
-    # assemble via shift+OR: 1<<63 overflows a long literal, shiftleft wraps
-    sig = F.lit(0).cast("long")
-    for j in range(bits):
-        sig = sig.bitwiseOR(
-            F.shiftleft(F.when(F.col(f"v_{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
-        )
-    return with_votes.select(F.col(id_col), sig.alias("simhash"))
+    # assemble via shift+OR: 1<<63 overflows a long literal, shiftleft
+    # wraps — the left-associative | chain matches the old Column fold
+    sig = " | ".join(
+        ["CAST(0 AS BIGINT)"]
+        + [f"shiftleft(CAST(CASE WHEN v_{j} > 0 THEN 1 ELSE 0 END"
+           f" AS BIGINT), {j})" for j in range(bits)])
+    return with_votes.select(F.col(id_col),
+                             F.expr(f"({sig}) AS simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,

@@ -1445,11 +1445,33 @@ def knn_ivf_indexed_compressed(spark, path: str, queries: DataFrame | list,
     )
 
 
+# the GEMM-path increment bound of embedding_neardup_indexed — module
+# constant so the CDF curation loop's prefetch collects with exactly
+# the cap the op itself would use
+_MAX_DRIVER_QUERIES = 16384
+
+
+def _indexed_query_rows(new_vecs: DataFrame, id_col: str, vec_col: str,
+                        cap: int) -> list:
+    """The GEMM path's bounded increment collect (cap + 1 rows to
+    detect overflow), factored out of :func:`embedding_neardup_indexed`
+    so the CDF curation loop can PREFETCH it concurrently with the
+    previous commit's absorb — it reads ONLY the batch, none of the
+    index state the rest of the construction consults (round 14,
+    guide §2.6)."""
+    return (new_vecs.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
+        .select(id_col, F.col(vec_col).cast("array<double>"))
+        .limit(cap + 1).collect())
+
+
 def embedding_neardup_indexed(spark, path: str, new_vecs: DataFrame,
                               threshold: float = 0.9, *,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              max_driver_queries: int = 16384) -> DataFrame:
+                              max_driver_queries: int = _MAX_DRIVER_QUERIES,
+                              _q_rows: list | None = None) -> DataFrame:
     """INCREMENTAL embedding near-dup against a persisted
     :func:`build_ivf_index` corpus — the vector twin of
     :func:`~.dedup.minhash_neardup_incremental`: an arriving batch is
@@ -1534,13 +1556,11 @@ def embedding_neardup_indexed(spark, path: str, new_vecs: DataFrame,
         return _empty()
 
     # GEMM path for bounded increments: collect the cleaned increment
-    # (cap + 1 to detect overflow), resolve probe sets in one driver
+    # (cap + 1 to detect overflow — or take the caller's prefetched
+    # rows, see _indexed_query_rows), resolve probe sets in one driver
     # numpy product, stream the pruned index through mapInPandas
-    q_rows = (new_vecs.filter(
-        F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
-        .select(id_col, F.col(vec_col).cast("array<double>"))
-        .limit(max_driver_queries + 1).collect())
+    q_rows = (_q_rows if _q_rows is not None else _indexed_query_rows(
+        new_vecs, id_col, vec_col, max_driver_queries))
     if len(q_rows) <= max_driver_queries:
         return _indexed_pairs_gemm(spark, path, q_rows, lists,
                                    threshold, id_col, id_sql, _empty)

@@ -12,6 +12,8 @@ buckets."""
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -308,6 +310,35 @@ def _require_checkpoint_owns_ticks(checkpoint: str, tick_dirs: list[str],
             f"before refreshing with a new checkpoint")
 
 
+def _postings_docs_frame(spark, out_path: str) -> DataFrame | None:
+    """The postings index's ``_docs`` sidecar as a (doc_id, tick)
+    frame — migrating a pre-sidecar index's distinct doc_ids under
+    ``tick=-1`` first (epochs are >= 0, so a replay exclusion can
+    never skip the backfill). ``None`` when nothing was ever
+    ingested. Factored out of :func:`_refuse_reingested_docs` so the
+    batched feed-range vet (round 14, :func:`_feed_reinsert_hits`)
+    reads the same surface the per-commit guard does."""
+    import os
+
+    docs_side = out_path + "_docs"
+    _require_tick_layout(docs_side)
+    has_docs = os.path.isdir(docs_side) and any(
+        n.startswith("tick=") for n in os.listdir(docs_side))
+    if not has_docs:
+        if os.path.isdir(out_path) and any(
+                n.startswith("tick=") for n in os.listdir(out_path)):
+            # pre-sidecar index (built before the _docs contract
+            # existed): without a backfill every historical doc_id
+            # would silently pass the guard while the docstring
+            # promises enforcement
+            (spark.read.parquet(out_path)
+             .select("doc_id").distinct().write.mode("overwrite")
+             .parquet(f"{docs_side}/tick=-1"))
+        else:
+            return None
+    return spark.read.parquet(docs_side)
+
+
 def _refuse_reingested_docs(batch: DataFrame, out_path: str,
                             epoch: int,
                             pending_dead: DataFrame | None = None
@@ -331,29 +362,10 @@ def _refuse_reingested_docs(batch: DataFrame, out_path: str,
     having half-absorbed it (the old publish-then-vet order left the
     preimages serve-dead while the postimages and the negative
     ``_stats`` delta never landed)."""
-    import os
-
-    docs_side = out_path + "_docs"
-    _require_tick_layout(docs_side)
-    has_docs = os.path.isdir(docs_side) and any(
-        n.startswith("tick=") for n in os.listdir(docs_side))
-    if not has_docs:
-        if os.path.isdir(out_path) and any(
-                n.startswith("tick=") for n in os.listdir(out_path)):
-            # pre-sidecar index (built before the _docs contract
-            # existed): without a backfill every historical doc_id
-            # would silently pass the guard while the docstring
-            # promises enforcement. One-time migration: distinct
-            # doc_ids of the EXISTING postings land under tick=-1
-            # (epochs are >= 0, so the replay exclusion below can
-            # never skip it).
-            (batch.sparkSession.read.parquet(out_path)
-             .select("doc_id").distinct().write.mode("overwrite")
-             .parquet(f"{docs_side}/tick=-1"))
-        else:
-            return  # brand-new index: nothing ingested yet
-    prior = (batch.sparkSession.read.parquet(docs_side)
-             .filter(F.col("tick") != epoch))
+    side = _postings_docs_frame(batch.sparkSession, out_path)
+    if side is None:
+        return  # brand-new index: nothing ingested yet
+    prior = side.filter(F.col("tick") != epoch)
     prior = live_filter(
         prior, out_path + "_tombstones", F.col("doc_id"),
         F.col("tick"),
@@ -1400,6 +1412,91 @@ def _feed_commit_stats(feed: DataFrame, *, dim_col: str | None = None,
         for r in feed.groupBy("_commit_version").agg(*aggs).collect())
 
 
+def _feed_reinsert_hits(feed: DataFrame, prior: DataFrame,
+                        key_col: str, *, n_examples: int = 5
+                        ) -> tuple[dict[int, list], set[int]]:
+    """Batched re-insert vet (round 14 — the replay loops are
+    driver-job-bound, and the per-commit vet re-scanned the GROWING
+    store once per commit; guide §2.4): ONE job answers, for every
+    commit of the feed range, which of its inserted keys are LIVE in
+    the start-state store at that commit's vet point.
+
+    ``prior`` is the store's (key, epoch) rows — column 1 the key,
+    column 2 the long publication epoch — already live-filtered
+    against the PERSISTED tombstone sidecar (including any
+    applied-through marker), but NOT against the feed's own deletes.
+    Those are re-derived here from the feed itself, exactly as the
+    per-commit vets saw them: a commit's dead keys act as a tombstone
+    tick at that commit's version for its own vet (the ``pending``
+    mechanism) and for every later commit's vet (the published tick).
+    A prior row with epoch == the vetted commit's version is the
+    commit's own replayed absorb and never counts (the ``tick != v``
+    rule).
+
+    Returns ``(hits, infeed)``:
+
+    - ``hits[v]`` = up to ``n_examples`` (sorted) keys of commit v's
+      inserted rows that are live in the start-state store at v's vet
+      point — the caller raises its re-insert refusal when the loop
+      REACHES v (commits before v absorb normally, the same partial
+      progress the per-commit vet produced).
+    - ``infeed`` = commit versions that insert a key some EARLIER
+      commit of the range also inserted. For those the caller must
+      fall back to the exact per-commit vet: whether the earlier
+      insert is live when v is vetted depends on keep decisions made
+      INSIDE the loop, which no upfront pass can know. Valid feeds
+      (one insert per key per range) never trip this.
+    """
+    live = F.col("_change_type").isin("insert", "update_postimage")
+    deadc = F.col("_change_type").isin("delete", "update_preimage")
+    key_t = feed.schema[key_col].dataType.simpleString()
+    ins = feed.filter(live).select(
+        F.col(key_col).alias("_k"),
+        F.col("_commit_version").cast("long").alias("_v"))
+    dels = feed.filter(deadc).select(
+        F.col(key_col).alias("_k"),
+        F.col("_commit_version").cast("long").alias("_dv"))
+    pr = prior.select(F.col(prior.columns[0]).alias("_k"),
+                      F.col(prior.columns[1]).cast("long").alias("_e"))
+    # store-side hits: a prior row is visible to commit v's vet iff
+    # its epoch != v and no feed delete of its key at version <= v is
+    # newer than the epoch (the liveness rule, max-tomb decomposed
+    # into the persisted sidecar — applied by the caller — and the
+    # feed's own deletes — applied here)
+    hits_f = (
+        ins.join(pr, "_k")
+        .filter(F.col("_e") != F.col("_v"))
+        .join(dels, "_k", "left")
+        .groupBy("_v", "_k", "_e")
+        .agg(F.max(F.when(F.col("_dv") <= F.col("_v"),
+                          F.col("_dv"))).alias("_md"))
+        .filter(F.col("_md").isNull() | (F.col("_md") <= F.col("_e")))
+        .select("_v", "_k").distinct()
+        .groupBy("_v")
+        .agg(F.slice(F.array_sort(F.collect_set("_k")), 1,
+                     n_examples).alias("_ks"))
+        .select("_v", F.lit("hit").alias("_kind"), "_ks"))
+    # in-feed repeats: commit v re-inserting a key an earlier commit
+    # of the SAME range inserted (kept-or-rejected is loop state)
+    rep_f = (
+        ins.groupBy("_k")
+        .agg(F.min("_v").alias("_v0"), F.collect_set("_v").alias("_vs"))
+        .filter(F.size("_vs") > 1)
+        .select(F.explode("_vs").alias("_v"), "_v0")
+        .filter(F.col("_v") != F.col("_v0"))
+        .select("_v").distinct()
+        .select("_v", F.lit("infeed").alias("_kind"),
+                F.array().cast(f"array<{key_t}>").alias("_ks")))
+    hits: dict[int, list] = {}
+    infeed: set[int] = set()
+    for r in hits_f.unionByName(rep_f).collect():
+        if r["_kind"] == "hit":
+            hits[r["_v"]] = list(r["_ks"])
+        else:
+            infeed.add(r["_v"])
+    return hits, infeed
+
+
 def _write_tombstone_tick(keys: DataFrame, path: str, epoch: int, *,
                           known_nonempty: bool | None = None) -> bool:
     """Publish one commit's dead keys as ``{path}_tombstones/tick=N``
@@ -1555,6 +1652,20 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
         tick_dirs=[out_path, out_path + "_stats", out_path + "_docs"],
         allow_churn=True)
     stats = _feed_commit_stats(feed) if versions else {}
+    # batched re-insert vet (round 14 — one job over the feed range
+    # replaces the per-commit _docs-sidecar scan; exact per-commit
+    # fallback when the range itself repeats an inserted id, see
+    # _feed_reinsert_hits)
+    hits: dict[int, list] = {}
+    infeed: set[int] = set()
+    if versions:
+        side0 = _postings_docs_frame(spark, out_path)
+        if side0 is not None:
+            prior0 = live_filter(
+                side0.select("doc_id", F.col("tick").cast("long")),
+                out_path + "_tombstones", F.col("doc_id"),
+                F.col("tick"))
+            hits, infeed = _feed_reinsert_hits(feed, prior0, "doc_id")
     for v in versions:
         dead, live = _split_churn(feed, v)
         batch = live.select("doc_id", "text")
@@ -1567,8 +1678,18 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
         # refused commit (an illegal duplicate insert mixed into it)
         # leaves NOTHING behind, where the old publish-then-vet order
         # left the preimages serve-dead with no postimage landed
-        _refuse_reingested_docs(batch, out_path, v,
-                                pending_dead=dead.select("doc_id"))
+        if v in infeed:
+            _refuse_reingested_docs(batch, out_path, v,
+                                    pending_dead=dead.select("doc_id"))
+        elif hits.get(v):
+            raise ValueError(
+                f"refresh refused: doc_ids {hits[v]}… were "
+                f"already ingested by an earlier tick of {out_path}. "
+                f"The postings index is append-only per (doc_id, "
+                f"term); re-ingesting a document would inflate "
+                f"df/tf/N/avgdl and leave stale postings for its "
+                f"removed terms. Rebuild the index (or dedupe the "
+                f"input stream) instead")
         had_dead = _write_tombstone_tick(
             dead.select("doc_id"), out_path, v,
             known_nonempty=stats[v]["_n_dead"] > 0)
@@ -1583,7 +1704,6 @@ def refresh_postings_from_cdf(spark, delta_path: str, out_path: str, *,
         # commit and every tick overwrites itself; the sequential
         # order only ever narrowed WHICH subset a crash could leave,
         # never prevented partial ticks.
-        from concurrent.futures import ThreadPoolExecutor
 
         def _write_postings():
             if bucketed:
@@ -1729,7 +1849,6 @@ def _chunk_index_append_batch(spark, batch: DataFrame, path: str,
                                       F.lit(meta["docid_buckets"]))
                         .cast("int")))
     stage = os.path.join(path + "_docids_stage", f"tick={epoch}")
-    from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=1) as pool:
         side_f = pool.submit(
             lambda: side.write.mode("overwrite").partitionBy("_db")

@@ -53,6 +53,30 @@ def test_local_sidecar_array_and_overwrite(spark, tmp_path):
     assert len(files) == 1
 
 
+def test_local_sidecar_spark_fallback_without_pyarrow(spark, tmp_path,
+                                                      monkeypatch):
+    """With pyarrow unimportable the writer falls back to the 1-slice
+    Spark write (round-13 VERDICT robustness note: the fallback caught
+    only OSError, so a missing pyarrow raised instead of falling
+    through) — same rows, same overwrite semantics."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_pyarrow(name, *a, **k):
+        if name.startswith("pyarrow"):
+            raise ImportError(f"{name} blocked for the fallback test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_pyarrow)
+    p = str(tmp_path / "fallback")
+    write_local_sidecar(spark, [(0, 0.25), (1, None)],
+                        [("list_id", "int"), ("rad", "double")], p)
+    monkeypatch.undo()
+    out = {r["list_id"]: r["rad"] for r in spark.read.parquet(p).collect()}
+    assert out == {0: 0.25, 1: None}
+
+
 def test_local_sidecar_empty_rows(spark, tmp_path):
     p = str(tmp_path / "empty")
     write_local_sidecar(spark, [],

@@ -88,6 +88,49 @@ def test_mh_expr_built_frames_equal_column_formulation(spark, docs):
                 for r in old_buckets.collect()})
 
 
+def test_simhash_expr_built_equals_column_formulation(spark, docs):
+    """The F.expr-built simhash vote/assembly (round-14 optimization:
+    one parsed string instead of ~64x7 chained Column operators)
+    produces EXACTLY the rows of the chained-Column formulation it
+    replaced — every bit of every signature."""
+    from snowflake_medtech_vigilance_lakehouse_spark.operators.dedup import (
+        md5_hash32)
+
+    sub = docs.limit(50)
+    # the pre-round-14 Column-operator formulation, verbatim
+    exploded = sub.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("_t")
+    ).select(
+        F.col("doc_id"),
+        md5_hash32(F.col("_t"), hex_offset=1).alias("_lo"),
+        md5_hash32(F.col("_t"), hex_offset=9).alias("_hi"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(
+                    F.col("_lo") if j < 32 else F.col("_hi"), j % 32
+                ).bitwiseAND(F.lit(1)) == F.lit(1),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v_{j}")
+        for j in range(64)
+    ]
+    with_votes = exploded.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.shiftleft(F.when(F.col(f"v_{j}") > 0, F.lit(1))
+                        .otherwise(F.lit(0)).cast("long"), j))
+    old = with_votes.select(F.col("doc_id"), sig.alias("simhash"))
+
+    new = dd.simhash(sub)
+    assert new.schema == old.schema
+    assert ({tuple(r) for r in new.collect()}
+            == {tuple(r) for r in old.collect()})
+
+
 def test_minhash_lsh_matches_exact(spark, docs):
     exact = {
         (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
@@ -115,6 +158,45 @@ def test_connected_components_transitive(spark):
     comp = {r["doc_id"]: r["component_id"]
             for r in dd.connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_delta_rounds_equal_full_propagation(spark):
+    """Delta propagation (round 14: only last round's CHANGED nodes
+    feed the edge join) reaches the identical fixpoint as full
+    propagation on shapes that exercise multi-round frontiers — a long
+    chain (max diameter: the frontier is 1-2 nodes per round, the
+    regime where delta prunes hardest) and a dense clique overlapping
+    a chain (merges arriving from two sides)."""
+    # 12-node path: 0-1-2-...-11 (needs ~11 propagation rounds)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_id_1 long, doc_id_2 long")
+    comp = {r["doc_id"]: r["component_id"]
+            for r in dd.connected_components(chain).collect()}
+    assert comp == {i: 0 for i in range(12)}
+    # clique {20..23} bridged to chain {23-24-25}, plus a singleton
+    # pair: min label must flow across the bridge in both directions
+    rows = ([(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+            + [(23, 24), (24, 25), (40, 41)])
+    mixed = spark.createDataFrame(rows, "doc_id_1 long, doc_id_2 long")
+    comp = {r["doc_id"]: r["component_id"]
+            for r in dd.connected_components(mixed).collect()}
+    assert comp == {**{i: 20 for i in range(20, 26)}, 40: 40, 41: 40}
+    # full-propagation reference, computed inline (the pre-round-14
+    # formulation): iterate min over {own} ∪ {ALL neighbors} to the
+    # fixpoint and compare label-for-label
+    edges = (mixed.select(F.col("doc_id_1").alias("a"),
+                          F.col("doc_id_2").alias("b"))
+             .union(mixed.select(F.col("doc_id_2").alias("a"),
+                                 F.col("doc_id_1").alias("b"))))
+    labels = {n: n for n in comp}
+    for _ in range(20):
+        nxt = dict(labels)
+        for e in edges.collect():
+            nxt[e["a"]] = min(nxt[e["a"]], labels[e["b"]])
+        if nxt == labels:
+            break
+        labels = nxt
+    assert comp == labels
 
 
 def test_connected_components_releases_superseded_checkpoints(spark):

@@ -485,15 +485,34 @@ def test_vet_before_tombstone_publish(spark, tmp_path, monkeypatch):
     assert not os.path.isdir(idx + "_tombstones")  # nothing published
 
     # order through the real refresher: force a refusal on a legal
-    # update commit and assert the tombstone tick was never published
+    # update commit and assert the tombstone tick was never published.
+    # Round 14: the refresher vets clean feeds through the BATCHED
+    # upfront pass (_feed_reinsert_hits) and falls back to the
+    # per-commit guard only for in-feed repeated-insert ranges — force
+    # each mechanism in turn and assert the same nothing-left-behind
+    # outcome.
     upd = (docs.filter(F.col("doc_id") == 1)
            .select("doc_id", F.lit("changed words").alias("text")))
     dl.merge_delta(spark, tbl, upd, on=["doc_id"], when_matched="update",
                    when_not_matched=None, change_data=True)          # v1
 
+    def _always_hit(feed, prior, key_col, **k):
+        return {1: [1]}, set()
+
+    monkeypatch.setattr(ir, "_feed_reinsert_hits", _always_hit)
+    with pytest.raises(ValueError, match="already ingested"):
+        refresh_postings_from_cdf(spark, tbl, idx)
+    monkeypatch.undo()
+    assert not os.path.isdir(idx + "_tombstones")
+    assert not os.path.isdir(os.path.join(idx, "tick=1"))
+
+    def _always_infeed(feed, prior, key_col, **k):
+        return {}, {1}
+
     def _always_refuse(*a, **k):
         raise ValueError("already ingested (forced)")
 
+    monkeypatch.setattr(ir, "_feed_reinsert_hits", _always_infeed)
     monkeypatch.setattr(ir, "_refuse_reingested_docs", _always_refuse)
     with pytest.raises(ValueError, match="already ingested"):
         refresh_postings_from_cdf(spark, tbl, idx)
