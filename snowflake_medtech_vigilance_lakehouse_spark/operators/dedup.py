@@ -941,10 +941,21 @@ def _eager_checkpoint(df: DataFrame, jsc) -> tuple[DataFrame, list[int]]:
     block ids the checkpoint registered) — the bookkeeping every
     iterative loop here needs to release superseded rounds explicitly
     (the ContextCleaner does not reliably reclaim checkpoint blocks;
-    shared by connected_components and graph.pagerank)."""
+    shared by connected_components and graph.pagerank).
+
+    The id is read off the checkpointed frame's own LogicalRDD
+    (round 14): the old global before/after diff of persistent-RDD ids
+    mis-attributes blocks when two loops checkpoint CONCURRENTLY — the
+    exact regime keep_representatives' CC ∥ PageRank overlap creates —
+    and releasing a block the OTHER loop still needs kills it (a
+    truncated lineage cannot recompute). The diff remains as the
+    fallback for plans where the accessor is unavailable."""
     before = _persisted_ids(jsc)
     out = df.localCheckpoint(eager=True)
-    return out, [k for k in _persisted_ids(jsc) if k not in before]
+    try:
+        return out, [int(out._jdf.queryExecution().analyzed().rdd().id())]
+    except Exception:
+        return out, [k for k in _persisted_ids(jsc) if k not in before]
 
 
 def connected_components(pairs: DataFrame, left_col: str = "doc_id_1",

@@ -16,6 +16,8 @@ unrolling IS the portable formulation).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -188,7 +190,30 @@ def keep_representatives(pairs: DataFrame | None,
             pairs.select(F.col(left_col).alias("doc_id_1"),
                          F.col(right_col).alias("doc_id_2")), jsc)
         try:
-            if need_cc:
+            if need_cc and need_pr:
+                # the two iterative loops are INDEPENDENT given the
+                # checkpointed pair list (CC reads p; PageRank reads
+                # its own symmetrized edge view of p) — run them
+                # concurrently so each loop's small per-round jobs
+                # back-fill the other's task tails (guide §2.6; both
+                # loops are driver-job-bound at bench scale). Safe
+                # since _eager_checkpoint attributes block ids off the
+                # checkpointed frame itself (round 14) — the old
+                # global-diff bookkeeping would cross-attribute the
+                # two loops' concurrent checkpoints and release blocks
+                # the other loop still needs.
+                edges = p.select(
+                    F.col("doc_id_1").alias("src"),
+                    F.col("doc_id_2").alias("dst"),
+                ).union(p.select(
+                    F.col("doc_id_2").alias("src"),
+                    F.col("doc_id_1").alias("dst")))
+                with ThreadPoolExecutor(max_workers=1) as pool:
+                    pr_f = pool.submit(pagerank, edges,
+                                       damping=damping, iters=iters)
+                    comps = connected_components(p)
+                    scores = pr_f.result()
+            elif need_cc:
                 comps = connected_components(p)
             else:
                 # a stale or filtered caller label frame must not
@@ -209,7 +234,7 @@ def keep_representatives(pairs: DataFrame | None,
                 # release below (it reads p's blocks) — truncate its
                 # lineage like connected_components' own output
                 comps, _ = _eager_checkpoint(comps, jsc)
-            if need_pr:
+            if need_pr and not need_cc:
                 edges = p.select(
                     F.col("doc_id_1").alias("src"),
                     F.col("doc_id_2").alias("dst"),
